@@ -1,0 +1,240 @@
+"""Table IO: fixture readers with explicit schemas + snapshot-store sinks.
+
+The reference's storage model (SURVEY.md §1) is:
+
+- a products catalog JSON per (date, provider)  — ``base_scraper.py:165-178``
+- one holdings file per ISIN per day            — ``ishares.py:175-187``
+- Hive-style layout ``{base}/{date}/{provider}/…`` — ``base_scraper.py:72-83``
+
+This module re-expresses that as Spark sources/sinks: Parquet-first columnar
+tables, explicit schemas (no runtime inference in the hot path — schema
+inference is a full extra pass over data, fatal at 100 TB), and a
+``partitionBy("snapshot_date", "provider")`` writer that reproduces the
+reference's directory layout while buying partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver fixture tables (/root/testdata/sf*/ — schemas in FIXTURES.md §A).
+# Explicit schemas: a 100 TB scan must never pay an inference pass, and an
+# explicit ReadSchema is what lets Catalyst prune columns at the footer level.
+# ---------------------------------------------------------------------------
+
+FIXTURE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(FIXTURE_SCHEMAS)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table as Parquet.
+
+    The Parquet reader is vectorized and supports predicate/column pushdown —
+    downstream ``filter``/``select`` reach the scan (check
+    ``.explain('formatted')`` for PushedFilters / ReadSchema).
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Crocus-compatible products/holdings IO (reference data model, SURVEY.md §1)
+# ---------------------------------------------------------------------------
+
+# Superset (reconciled) products schema: union of the two providers' divergent
+# record shapes (`output_examples/ishares.json` vs `vanguard.json`), every
+# provider-specific field nullable — unionByName(allowMissingColumns) target.
+PRODUCTS_SCHEMA = T.StructType(
+    [
+        T.StructField("isin", T.StringType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("ticker", T.StringType()),        # Vanguard only
+        T.StructField("fund_type", T.StringType()),     # Vanguard only (ishares.py:151 TODO)
+        T.StructField("currency", T.StringType()),
+        T.StructField("ter", T.StringType()),           # raw locale string, e.g. "0,22%"
+        T.StructField("price", T.StringType()),         # raw, e.g. "USD 632,42" / "144,12 USD"
+        T.StructField("date", T.StringType()),          # raw, "28 feb 2025" / "21/02/25"
+        T.StructField("factsheet", T.StringType()),
+        T.StructField("kid", T.StringType()),
+        T.StructField("product_page", T.StringType()),
+        T.StructField("holdings_file", T.StringType()),  # iShares only
+        T.StructField("provider", T.StringType()),
+    ]
+)
+
+# Holdings fact table (the files the reference downloads but never parses —
+# `ishares.py:175-187`; shape per FIXTURES.md §B3).
+HOLDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("isin", T.StringType(), False),
+        T.StructField("snapshot_date", T.DateType()),
+        T.StructField("provider", T.StringType()),
+        T.StructField("holding_name", T.StringType()),
+        T.StructField("holding_isin", T.StringType()),
+        T.StructField("sector", T.StringType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("market_value", T.DoubleType()),
+        T.StructField("shares", T.DoubleType()),
+    ]
+)
+
+
+def read_products_json(spark: SparkSession, path: str) -> DataFrame:
+    """products.json source (reference `_read_products_json`, base_scraper.py:172-178).
+
+    The reference stores a dict keyed by ISIN; the engine's JSON layout is one
+    record per line with an explicit `isin` field (JSONL — splittable, unlike
+    a single pretty-printed object, which cannot be parallel-read at scale).
+    """
+    return spark.read.schema(PRODUCTS_SCHEMA).json(path)
+
+
+def write_products_json(df: DataFrame, path: str) -> None:
+    """products.json sink (reference `_write_products_json`, base_scraper.py:165-170).
+
+    coalesce(1) mirrors the reference's single-file output for small catalogs;
+    large tables should use `write_snapshot` instead.
+    """
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def read_holdings_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Holdings CSV scan with explicit schema (reference downloads CSVs at
+    ishares.py:180-187 with `fileType=csv`). PERMISSIVE mode + _corrupt_record
+    keeps malformed provider rows visible instead of failing the job."""
+    schema = HOLDINGS_SCHEMA.add("_corrupt_record", T.StringType())
+    return spark.read.schema(schema).option("header", "true").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").csv(path)
+
+
+def write_snapshot(df: DataFrame, base: str, fmt: str = "parquet") -> None:
+    """Partitioned snapshot sink mirroring `{base}/{date}/{provider}/`
+    (base_scraper.py:72-83) as Hive-style partitions. Partition pruning then
+    makes any single-day/provider read touch only its files — the property
+    that keeps a daily query O(day) instead of O(history) at 100 TB."""
+    (
+        df.write.mode("append")
+        .partitionBy("snapshot_date", "provider")
+        .format(fmt)
+        .save(base)
+    )
+
+
+def read_snapshot(spark: SparkSession, base: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(base)
+
+
+def read_binary_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Multimodal/binary source for factsheet/kid-style documents
+    (`ishares.json:9-10`): path, modificationTime, length, content(binary)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )

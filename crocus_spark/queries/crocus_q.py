@@ -1,0 +1,363 @@
+"""Crocus-domain queries: the flagship 'confront' + locale normalization.
+
+These re-express the reference's reason for existing (``README.md:3-5``:
+"obtain info from Vanguard and iShares ETFs and confront them with
+eachover") as engine queries:
+
+- ``flagship_confront``  — the cross-entity comparison vertical slice over
+  the driver star schema (scan→filter→broadcast-join→agg→window→sort).
+- ``normalize_locale``   — the S6/D2/D3 normalization layer on raw provider
+  strings exactly as the golden outputs shape them
+  (``output_examples/ishares.json`` / ``vanguard.json``).
+- ``products_union_dedup`` — schema-divergent union + last-wins re-key dedup
+  (crocus U1/U2: ``vanguard.py:101-109``, ``ishares.py:149``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crocus_spark import normalize as N
+from crocus_spark.io import load
+from crocus_spark.queries import register
+from crocus_spark.queries._det import dsum, dsum_sql
+
+
+@register(
+    "flagship_confront",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r_name AS region, c_mktsegment AS segment,
+             COUNT(*) AS n_lines,
+             {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY r_name, c_mktsegment
+    )
+    SELECT region, segment, n_lines, revenue,
+           RANK() OVER (PARTITION BY region
+                        ORDER BY revenue DESC, segment) AS revenue_rank
+    FROM rev
+    ORDER BY region, revenue_rank
+    """,
+    tags=("headline", "flagship"),
+)
+def flagship_confront(spark, sf_dir):
+    """The flagship: revenue 'confront' across regions × market segments.
+
+    One query through the whole vertical — parquet scan with pushed filter,
+    two large-side joins, two broadcast dim joins, partial+final hash agg,
+    ranking window, global sort. The direct engine analog of the reference's
+    unimplemented cross-provider comparison (`README.md:4`).
+
+    Scale notes: nation/region broadcast (KB); customer is broadcast at test
+    SF but becomes a shuffle join at 100 TB — AQE decides at runtime from
+    actual sizes; the agg output is |region|×|segment| rows (tiny), so the
+    window + sort cost nothing.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+    w = Window.partitionBy("region").orderBy(F.col("revenue").desc(), F.col("segment"))
+    return rev.withColumn("revenue_rank", F.rank().over(w)).orderBy(
+        "region", "revenue_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raw provider rows, field-for-field from the reference's golden outputs
+# (`output_examples/ishares.json`, `output_examples/vanguard.json`; see
+# FIXTURES.md §B). Values are public example data from the reference repo.
+# ---------------------------------------------------------------------------
+
+_ISHARES_RAW = [
+    Row(
+        isin="IE00B5BMR087",
+        name="iShares Core S&P 500 UCITS ETF\nUSD (Acc)",
+        fund_type=None,
+        currency="USD",
+        ter="0,07",
+        price="USD 632,42",
+        date="28 feb 2025",
+    ),
+    Row(
+        isin="IE00B4L5Y983",
+        name="iShares Core MSCI World UCITS ETF\nUSD (Acc)",
+        fund_type=None,
+        currency="USD",
+        ter="0,20",
+        price="USD 105,81",
+        date="28 feb 2025",
+    ),
+]
+
+_VANGUARD_RAW = [
+    Row(
+        isin="IE00BK5BQT80",
+        name="Vanguard FTSE All-World UCITS ETF (USD) ACCUMULATING",
+        fund_type="equity",
+        currency="USD",
+        ter="0,22%",
+        price="144,12 USD",
+        date="21/02/25",
+    ),
+    Row(
+        isin="IE00BZ163L38",
+        name="Vanguard EUR Corporate Bond UCITS ETF (EUR) DISTRIBUTING",
+        fund_type="bond",
+        currency="EUR",
+        ter="0,09%",
+        price="5,66 €",
+        date="21/02/25",
+    ),
+    # duplicate ISIN of the first row: exercises last-wins re-key dedup (U2)
+    Row(
+        isin="IE00BK5BQT80",
+        name="Vanguard FTSE All-World UCITS ETF (USD) ACCUMULATING",
+        fund_type="multi_asset",
+        currency="USD",
+        ter="0,22%",
+        price="143,99 USD",
+        date="20/02/25",
+    ),
+]
+
+_PRODUCTS_VALUES_SQL = """
+    ishares_raw(isin, name, fund_type, currency, ter, price, dt) AS (VALUES
+      ('IE00B5BMR087', 'iShares Core S&P 500 UCITS ETF' || chr(10) || 'USD (Acc)',
+       NULL, 'USD', '0,07', 'USD 632,42', '28 feb 2025'),
+      ('IE00B4L5Y983', 'iShares Core MSCI World UCITS ETF' || chr(10) || 'USD (Acc)',
+       NULL, 'USD', '0,20', 'USD 105,81', '28 feb 2025')
+    ),
+    vanguard_raw(isin, name, fund_type, currency, ter, price, dt) AS (VALUES
+      ('IE00BK5BQT80', 'Vanguard FTSE All-World UCITS ETF (USD) ACCUMULATING',
+       'equity', 'USD', '0,22%', '144,12 USD', '21/02/25'),
+      ('IE00BZ163L38', 'Vanguard EUR Corporate Bond UCITS ETF (EUR) DISTRIBUTING',
+       'bond', 'EUR', '0,09%', '5,66 €', '21/02/25'),
+      ('IE00BK5BQT80', 'Vanguard FTSE All-World UCITS ETF (USD) ACCUMULATING',
+       'multi_asset', 'USD', '0,22%', '143,99 USD', '20/02/25')
+    )
+"""
+
+# DuckDB expression mirroring normalize.parse_date_any: dd/MM/yy via strptime,
+# Italian long form via a month-name CASE map.
+_ORACLE_DATE_ANY = """
+    CASE WHEN regexp_matches(dt, '^\\d{1,2}/\\d{1,2}/\\d{2}$')
+         THEN strptime(dt, '%d/%m/%y')::DATE
+         ELSE strptime(
+            regexp_extract(dt, '^(\\d{1,2})', 1) || ' ' ||
+            CASE lower(regexp_extract(dt, '^\\d{1,2}\\s+(\\w+)', 1))
+              WHEN 'gen' THEN '01' WHEN 'feb' THEN '02' WHEN 'mar' THEN '03'
+              WHEN 'apr' THEN '04' WHEN 'mag' THEN '05' WHEN 'giu' THEN '06'
+              WHEN 'lug' THEN '07' WHEN 'ago' THEN '08' WHEN 'set' THEN '09'
+              WHEN 'ott' THEN '10' WHEN 'nov' THEN '11' WHEN 'dic' THEN '12'
+            END || ' ' || regexp_extract(dt, '(\\d{4})$', 1),
+            '%d %m %Y')::DATE
+    END
+"""
+
+_ORACLE_TER = (
+    "CAST(replace(replace(replace(trim(ter), '%', ''), '.', ''), ',', '.')"
+    " AS DOUBLE)"
+)
+_ORACLE_AMOUNT = (
+    "CAST(replace(replace("
+    "regexp_extract(price, '([0-9][0-9\\.]*,[0-9]+|[0-9]+(?:\\.[0-9]+)?)', 1),"
+    " '.', ''), ',', '.') AS DOUBLE)"
+)
+_ORACLE_CCY = """
+    CASE WHEN regexp_extract(price, '([A-Z]{3})', 1) <> ''
+         THEN regexp_extract(price, '([A-Z]{3})', 1)
+         ELSE CASE regexp_extract(price, '([€$£])', 1)
+                WHEN '€' THEN 'EUR' WHEN '$' THEN 'USD' WHEN '£' THEN 'GBP'
+              END
+    END
+"""
+
+
+_RAW_SCHEMA = (
+    "isin string, name string, fund_type string, currency string, "
+    "ter string, price string, date string"
+)
+
+
+def _raw_products(spark):
+    ishares = spark.createDataFrame(_ISHARES_RAW, schema=_RAW_SCHEMA)
+    vanguard = spark.createDataFrame(_VANGUARD_RAW, schema=_RAW_SCHEMA)
+    return ishares, vanguard
+
+
+@register(
+    "normalize_locale",
+    oracle=f"""
+    WITH {_PRODUCTS_VALUES_SQL},
+    both_raw AS (
+      SELECT isin, name, fund_type, currency, ter, price, dt, 'ishares' AS provider
+      FROM ishares_raw
+      UNION ALL
+      SELECT isin, name, fund_type, currency, ter, price, dt, 'vanguard' AS provider
+      FROM vanguard_raw
+    )
+    SELECT isin,
+           split_part(name, chr(10), 1) AS name,
+           provider,
+           {_ORACLE_TER} AS ter_pct,
+           {_ORACLE_AMOUNT} AS price_amount,
+           trim({_ORACLE_CCY}) AS price_currency,
+           strftime({_ORACLE_DATE_ANY}, '%Y-%m-%d') AS nav_date
+    FROM both_raw
+    ORDER BY provider, isin, price_amount
+    """,
+    tags=("crocus", "normalize"),
+)
+def normalize_locale(spark, sf_dir):
+    """The normalization layer (crocus S1/S6/D2/D3) on golden-output-shaped
+    raw rows: newline-strip names, parse locale TER/price/currency, parse
+    both provider date dialects. Pure built-in expressions — runs at scan
+    speed, no UDFs."""
+    ishares, vanguard = _raw_products(spark)
+    both = ishares.withColumn("provider", F.lit("ishares")).unionByName(
+        vanguard.withColumn("provider", F.lit("vanguard"))
+    )
+    return (
+        both.select(
+            "isin",
+            N.strip_after_newline("name").alias("name"),
+            "provider",
+            N.parse_ter("ter").cast("double").alias("ter_pct"),
+            N.parse_price_amount("price").cast("double").alias("price_amount"),
+            N.parse_price_currency("price").alias("price_currency"),
+            # emitted as ISO string: date-vs-midnight-timestamp repr differs
+            # between Spark/DuckDB result frames; strings hash identically
+            F.date_format(N.parse_date_any("date"), "yyyy-MM-dd").alias("nav_date"),
+        )
+        .orderBy("provider", "isin", "price_amount")
+    )
+
+
+@register(
+    "products_union_dedup",
+    oracle=f"""
+    WITH {_PRODUCTS_VALUES_SQL},
+    both_raw AS (
+      SELECT isin, name, fund_type, currency, 1 AS src_priority,
+             ROW_NUMBER() OVER () AS src_order
+      FROM ishares_raw
+      UNION ALL
+      SELECT isin, name, fund_type, currency, 2 AS src_priority,
+             ROW_NUMBER() OVER () AS src_order
+      FROM vanguard_raw
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY isin ORDER BY src_priority DESC, src_order DESC
+      ) AS rn
+      FROM both_raw
+    )
+    SELECT isin, split_part(name, chr(10), 1) AS name, fund_type, currency
+    FROM ranked WHERE rn = 1
+    ORDER BY isin
+    """,
+    tags=("crocus", "setop"),
+)
+def products_union_dedup(spark, sf_dir):
+    """Schema-divergent union + deterministic last-wins dedup.
+
+    crocus U1 (`{**equity, **bond, **multi_asset}` dict unpack,
+    vanguard.py:101-109) and U2 (`final_json[isin] = ...` overwrite,
+    ishares.py:149) both implement 'last writer wins'. Dict overwrite order
+    is meaningless in a distributed engine, so the engine makes the ordering
+    explicit: a priority + arrival order, window row_number top-1. Same
+    semantics, deterministic under any parallelism."""
+    ishares, vanguard = _raw_products(spark)
+
+    def tag(df, priority):
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return df.withColumn("src_priority", F.lit(priority)).withColumn(
+            "src_order", F.row_number().over(w)
+        )
+
+    both = tag(ishares, 1).select(
+        "isin", "name", "fund_type", "currency", "src_priority", "src_order"
+    ).unionByName(
+        tag(vanguard, 2).select(
+            "isin", "name", "fund_type", "currency", "src_priority", "src_order"
+        )
+    )
+    w = Window.partitionBy("isin").orderBy(
+        F.col("src_priority").desc(), F.col("src_order").desc()
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "isin",
+            N.strip_after_newline("name").alias("name"),
+            "fund_type",
+            "currency",
+        )
+        .orderBy("isin")
+    )
+
+
+@register(
+    "url_parse_filetype",
+    oracle="""
+    WITH urls(isin, holdings_file) AS (VALUES
+      ('IE00B5BMR087',
+       'https://www.ishares.com/it/investitore-privato/it/prodotti/253743/fund/1506575546154.ajax?fileType=csv&fileName=SXR8_holdings&dataType=fund'),
+      ('IE00B4L5Y983',
+       'https://www.ishares.com/it/investitore-privato/it/prodotti/251882/fund/1506575546154.ajax?fileType=xls&fileName=SWDA_holdings&dataType=fund'),
+      ('IE00TESTNOQ1', 'https://www.ishares.com/it/prodotti/000000/fund.ajax')
+    )
+    SELECT isin,
+           COALESCE(nullif(regexp_extract(holdings_file,
+             'fileType=([^&]+)', 1), ''), 'csv') AS file_type
+    FROM urls
+    ORDER BY isin
+    """,
+    tags=("crocus", "scalar"),
+)
+def url_parse_filetype(spark, sf_dir):
+    """URL query-param extraction with default (crocus S5: the
+    `parse_qs(...).get("fileType", ["csv"])[0]` at ishares.py:181-182),
+    via F.parse_url — JVM-side, codegen-friendly."""
+    rows = [
+        Row(
+            isin="IE00B5BMR087",
+            holdings_file="https://www.ishares.com/it/investitore-privato/it/prodotti/253743/fund/1506575546154.ajax?fileType=csv&fileName=SXR8_holdings&dataType=fund",
+        ),
+        Row(
+            isin="IE00B4L5Y983",
+            holdings_file="https://www.ishares.com/it/investitore-privato/it/prodotti/251882/fund/1506575546154.ajax?fileType=xls&fileName=SWDA_holdings&dataType=fund",
+        ),
+        Row(isin="IE00TESTNOQ1", holdings_file="https://www.ishares.com/it/prodotti/000000/fund.ajax"),
+    ]
+    df = spark.createDataFrame(rows)
+    from crocus_spark.normalize import file_type_from_url
+
+    return df.select(
+        "isin", file_type_from_url("holdings_file").alias("file_type")
+    ).orderBy("isin")

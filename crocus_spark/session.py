@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's configuration pins.
+
+The reference (crocus) has no runtime configuration at all — it is eager
+single-threaded Python (``scripts/webscrapers/ishares.py:190-198``). Here the
+equivalent of its hand-optimizations (filter-early, project-early, partition
+layout; SURVEY.md §4.1) is delegated to Catalyst, and the session pins make
+that delegation deterministic and oracle-comparable:
+
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are UTC-naive; the
+  oracle diff requires identical wall-clock values.
+- ``spark.sql.adaptive.*``: AQE re-plans joins/partitions at runtime — the
+  100 TB story (skew-join splitting, partition coalescing) with zero code.
+- shuffle partitions default to the local core count; at cluster scale this
+  is expected to be overridden (or left to AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "crocus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local test harnesses get ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+    the caller passes ``master=None`` with an external cluster manager and
+    the same semantic pins apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
