@@ -131,7 +131,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     downstream ``filter``/``select`` reach the scan (check
     ``.explain('formatted')`` for PushedFilters / ReadSchema).
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader,
+        # ingested as long via spark.sql.legacy.parquet.nanosAsLong and
+        # converted here (fixture data has no sub-microsecond components).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,328 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation battery — SURVEY.md §2B rows 19-26.
+
+The reference's only aggregate is an argmax (newest-file-by-mtime,
+``base_scraper.py:96``); the implied workload (portfolio weight sums, TER
+distributions, provider rollups — SURVEY §2A/§2B) needs the full set. All
+group-bys here are partial+final hash aggregates (map-side combine), so the
+shuffle carries one row per (group × partition) — the property that keeps
+them viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load, register_views
+from crocus_spark.queries import register
+from crocus_spark.queries._det import davg, davg_sql, dsum, dsum_sql
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_distinct_counts(spark, sf_dir):
+    """Exact distinct counts per group. Spark expands distinct aggregates
+    into a two-phase plan (Expand + two aggregates); at scale prefer
+    approx_count_distinct (see agg_approx_distinct) when ±2% is acceptable."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL++ sketches are implementation-specific; Spark's and
+    # DuckDB's estimates legitimately differ → rows-only check, plus the
+    # property test in tests/test_properties.py bounding the relative error.
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
+    (§2B#20): fixed-size sketch per group, no distinct expansion."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_maxby_argmax",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           CAST(max(o_totalprice) AS DOUBLE) AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("agg",),
+)
+def agg_maxby_argmax(spark, sf_dir):
+    """argmax per group (crocus AGG1: newest-file-by-mtime at
+    base_scraper.py:96 → F.max_by). Double order keys are effectively
+    tie-free in the fixtures; for tie-prone keys use the window top-1 form
+    (see products_union_dedup) instead."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+            F.max("o_totalprice").alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           COUNT(*) AS n_suppliers,
+           {dsum_sql('s_acctbal', 'total_bal')}
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY g_region, g_nation, region NULLS FIRST, nation NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical rollup region→nation→grand-total (§2B#22) with GROUPING
+    markers to distinguish subtotal rows from genuine NULL keys."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "s_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.grouping("region").alias("g_region"),
+            F.grouping("nation").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", "total_bal"),
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("region").asc_nulls_first(),
+            F.col("nation").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    """Full cube over two dimensions (§2B#22) — every subtotal combination
+    in one pass (Expand operator: input amplified 4×; at 100 TB prefer
+    grouping sets restricted to the combinations actually needed)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {dsum_sql('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via the engine's SQL surface (SURVEY §2C) —
+    only the two requested subtotal sets, no full cube expansion."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {dsum_sql('o_totalprice', 'total')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+    tags=("agg",),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list with deterministic ordering (§2B#23): collect is
+    order-nondeterministic under parallelism, so the engine always sorts the
+    collected array before exposing it (here flattened to a CSV string for
+    oracle comparability)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            )
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(median(c_acctbal), 4) AS med
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles + median (§2B#24). Exact percentile
+    requires a per-group sort — fine for bounded groups; the unbounded-scale
+    variant is percentile_approx (KLL/GK sketch, mergeable)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.median("c_acctbal"), 4).alias("med"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats_moments(spark, sf_dir):
+    """Second-moment stats (§2B#25). These accumulate in merge order, so
+    results are rounded well below the accumulation-error floor to stay
+    oracle-exact (see _det.py doctrine)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "agg_pivot_confront",
+    oracle=f"""
+    SELECT n_name AS nation,
+      {', '.join(
+        f"COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) "
+        f"FILTER (WHERE c_mktsegment = '{s}') AS DOUBLE), 0.0) AS {s.lower()}"
+        for s in _SEGMENTS)}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+    tags=("agg", "headline"),
+)
+def agg_pivot_confront(spark, sf_dir):
+    """Pivot: segments as columns per nation — the literal side-by-side
+    'confront' layout the reference aspires to (README.md:4; §2B#26).
+    Pivot values are pinned explicitly: never let Spark collect distinct
+    pivot keys from 100 TB of data."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    df = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double"))
+    )
+    out = df.select(
+        "nation",
+        *[F.coalesce(F.col(s), F.lit(0.0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+    return out.orderBy("nation")

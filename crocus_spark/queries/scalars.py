@@ -1,1 +1,267 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function batteries — SURVEY.md §2B rows 36-43.
+
+Every scalar the reference uses inline (S1-S5: split/concat/replace,
+extension extract, URL param parse — see §2A) plus the date/math/array/JSON
+surface the fixtures exercise. All built-in JVM expressions inside
+whole-stage codegen — the fast path; nothing here drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.queries import register
+
+
+@register(
+    "string_battery",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           trim(p_name) AS name_t,
+           split_part(p_type, ' ', 1) AS type_head,
+           concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           replace(p_name, ' ', '_') AS name_us,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           substring(p_name, 1, 5) AS name5,
+           CASE WHEN starts_with(p_type, 'SMALL') THEN 1 ELSE 0 END AS is_small
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar",),
+)
+def string_battery(spark, sf_dir):
+    """String functions (crocus S1-S4 generalized): case, trim, token head
+    (split_part ≡ substring_index, the reference's `split("\\n")[0]`),
+    concat_ws, replace, length, pad, substring, prefix test."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.trim("p_name").alias("name_t"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.concat_ws("|", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.when(F.col("p_type").startswith("SMALL"), 1).otherwise(0).alias("is_small"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "regex_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS size_class,
+           regexp_extract(p_type, '(\\w+)$', 1) AS material,
+           regexp_matches(p_type, 'BRASS|COPPER') AS is_metal,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+    tags=("scalar",),
+)
+def regex_battery(spark, sf_dir):
+    """Regex extract / match / global replace (crocus S6 price parsing uses
+    the same machinery). Patterns kept to the common Java/RE2 subset."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("size_class"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("material"),
+        F.col("p_type").rlike("BRASS|COPPER").alias("is_metal"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "datetime_battery",
+    oracle="""
+    SELECT o_orderkey,
+           date_part('year', o_orderdate)::INT AS yr,
+           date_part('month', o_orderdate)::INT AS mo,
+           date_part('day', o_orderdate)::INT AS dy,
+           date_part('dow', o_orderdate)::INT AS dow0,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT
+             AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY AS due_ts
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "timeseries"),
+)
+def datetime_battery(spark, sf_dir):
+    """Date/time functions (crocus D1-D3 generalized): parts, truncation,
+    formatting, day arithmetic. dow is pinned 0=Sunday in both engines
+    (Spark dayofweek is 1=Sunday → -1)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow0"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("long").alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity)::BIGINT AS qty_ceil,
+           floor(l_quantity)::BIGINT AS qty_floor,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(pow(1.0 + l_discount, 2), 6) AS disc_sq,
+           CAST(l_partkey % 16 AS BIGINT) AS pk_mod
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar",),
+)
+def math_battery(spark, sf_dir):
+    """Math functions (§2B#41). Transcendentals (ln/pow/sqrt) are rounded:
+    Java Math and C libm may legitimately differ in the last ulp."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_partkey") % 16).alias("pk_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "array_battery",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("scalar", "array", "llm"),
+)
+def array_battery(spark, sf_dir):
+    """Higher-order array functions over the embedding column (§2B#42):
+    size, element access, squared L2 norm via transform+aggregate, lambda
+    filter. This is the JVM-side (no-UDF) path for vector math — the same
+    expressions the similarity-search operators build on."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "array_explode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings
+    WHERE vec_id < 5
+    ORDER BY vec_id, pos
+    """,
+    tags=("scalar", "array"),
+)
+def array_explode(spark, sf_dir):
+    """posexplode: one row per vector element with its index (§2B#42) —
+    the array→rows pivot feeding any per-dimension analysis."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .select("vec_id", "pos", F.round(F.col("raw").cast("double"), 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "json_props_battery",
+    oracle="""
+    SELECT event_id,
+           CAST(props::JSON ->> 'k' AS BIGINT) AS k_val,
+           (props::JSON ->> 'k') IS NOT NULL AS has_k
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def json_props_battery(spark, sf_dir):
+    """JSON property extraction from the events.props string column
+    (§2B#43) — get_json_object for one-off paths; from_json→MapType is the
+    engine's typed path (see stream queries)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "map_from_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def map_from_json(spark, sf_dir):
+    """from_json → MapType, then map access in an aggregation (§2B#43):
+    the typed-schema route for semi-structured props at scale (parse once,
+    not per path access)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_map", F.from_json("props", "map<string,string>")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.element_at("props_map", "k").cast("long")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function battery — SURVEY.md §2B rows 27-30.
+
+The reference's dedup semantics (dict overwrite, crocus U1/U2) and its
+argmax (AGG1) are both window queries in disguise; the implied time-series
+workload (day-over-day price change, rolling TER) needs the analytic set.
+Window aggregates over doubles use the decimal-cast rule from ``_det`` so
+frame sums are order-independent and oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crocus_spark.io import load
+from crocus_spark.queries import register
+from crocus_spark.queries._det import DEC
+
+
+@register(
+    "window_rank_battery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("window",),
+)
+def window_rank_battery(spark, sf_dir):
+    """All four ranking functions over one partitioned window (§2B#27).
+    The c_custkey tiebreak makes row_number/ntile deterministic."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, total,
+           lag(total) OVER w AS prev_total,
+           lead(total) OVER w AS next_total,
+           round(total - lag(total) OVER w, 4) AS delta
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    ORDER BY day
+    """,
+    tags=("window", "timeseries"),
+)
+def window_lag_lead(spark, sf_dir):
+    """Day-over-day deltas via lag/lead (§2B#28) — the engine analog of
+    comparing consecutive crocus daily snapshots. Aggregate-first shrinks the
+    window input to one row per day; the single unpartitioned window then
+    runs on a dimension-sized frame, not the fact table."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total")
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "total",
+            F.lag("total").over(w).alias("prev_total"),
+            F.lead("total").over(w).alias("next_total"),
+            F.round(F.col("total") - F.lag("total").over(w), 4).alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, total,
+           CAST(SUM(CAST(total AS DECIMAL(25,6)))
+                OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_7d,
+           CAST(SUM(CAST(total AS DECIMAL(25,6)))
+                OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS n_7d
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("window", "timeseries"),
+)
+def window_moving_frame(spark, sf_dir):
+    """Moving 7-row sum + running cumulative total (§2B#29) — rolling
+    revenue over the snapshot time-series. Frame sums go through decimal so
+    sliding-frame accumulation matches the oracle exactly."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            "total",
+            F.sum(F.col("total").cast(DEC)).over(w7).cast("double").alias("sum_7d"),
+            F.sum(F.col("total").cast(DEC)).over(wrun).cast("double").alias(
+                "running_total"
+            ),
+            F.count(F.lit(1)).over(w7).alias("n_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_shipdate) OVER w AS first_ship,
+           last_value(l_shipdate) OVER
+             (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ship
+    FROM lineitem
+    WHERE l_orderkey < 100
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("window",),
+)
+def window_first_last(spark, sf_dir):
+    """first/last over an order's shipments (§2B#28). last_value needs the
+    full-frame spec — the default frame stops at CURRENT ROW, a classic
+    SQL footgun the engine pins explicitly."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    wo = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.first("l_shipdate").over(wo).alias("first_ship"),
+            F.last("l_shipdate").over(wfull).alias("last_ship"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "headline"),
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (§2B#30 — crocus AGG1 generalized; 'top
+    holdings per fund'). Spark rewrites rn<=k into a per-partition top-k
+    (WindowGroupLimit) — no full sort of each group at scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           COUNT(*) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW)
+             AS peers_within_500
+    FROM supplier
+    ORDER BY s_acctbal, s_suppkey
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame on a numeric key (§2B#29): peers within a 500.0 balance
+    band — value-based frames vs the row-based frames above."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal").rangeBetween(-500, Window.currentRow)
+    return (
+        s.select(
+            "s_suppkey",
+            "s_acctbal",
+            F.count(F.lit(1)).over(w).alias("peers_within_500"),
+        )
+        .orderBy("s_acctbal", "s_suppkey")
+    )
