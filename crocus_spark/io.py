@@ -136,7 +136,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader,
         # ingested as long via spark.sql.legacy.parquet.nanosAsLong and
         # converted here (fixture data has no sub-microsecond components).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, NOT `/`: double division loses ulps above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

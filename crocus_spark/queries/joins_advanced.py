@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Advanced join queries — as-of, range, interval overlap, fuzzy name.
+
+SURVEY.md §2B #15-17, #59 over the driver fixtures, each backed by the
+composed operators in ``crocus_spark.operators.joins`` and (where DuckDB can
+express the same semantics) an oracle — incl. DuckDB's native ASOF JOIN as
+the as-of oracle, exactly as SURVEY §4.3 prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.operators.joins import (
+    asof_join,
+    fuzzy_name_join,
+    interval_overlap_join,
+    range_join,
+)
+from crocus_spark.queries import register
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_click_ts,
+           c.click_value AS prior_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+    tags=("join", "asof", "headline"),
+)
+def join_asof_events(spark, sf_dir):
+    """As-of join (§2B#16): each purchase aligned with the user's latest
+    prior click — the same 'nearest earlier snapshot' semantics needed to
+    confront providers whose NAV dates differ (crocus: '28 feb 2025' vs
+    '21/02/25'). Union+window implementation; DuckDB ASOF JOIN is the
+    oracle. Timestamps emitted as strings for hash-stable comparison."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_value"],
+        suffix="",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format("click_ts", fmt).alias("prior_click_ts"),
+        F.col("click_value").alias("prior_click_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_BANDS = [
+    Row(band="budget", lo=0.0, hi=1000.0),
+    Row(band="mid", lo=1000.0, hi=1500.0),
+    Row(band="premium", lo=1500.0, hi=2000.0),
+    Row(band="luxury", lo=2000.0, hi=1e9),
+]
+
+_BANDS_SQL = """
+    bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 1000.0),
+      ('mid', 1000.0, 1500.0),
+      ('premium', 1500.0, 2000.0),
+      ('luxury', 2000.0, 1000000000.0)
+    )
+"""
+
+
+@register(
+    "join_range_bands",
+    oracle=f"""
+    WITH {_BANDS_SQL}
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("join", "range"),
+)
+def join_range_bands(spark, sf_dir):
+    """Non-equi range join (§2B#15): parts histogrammed into price bands —
+    the crocus 'price-band compare'. Broadcast nested loop over a
+    dimension-sized bands table: linear in the fact side, no shuffle."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    return (
+        range_join(p, bands, "p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_PROMOS = [
+    Row(promo="launch95", p_start="1995-01-01 00:00:00", p_end="1995-06-30 00:00:00"),
+    Row(promo="holiday97", p_start="1997-11-01 00:00:00", p_end="1997-12-31 00:00:00"),
+    Row(promo="y2k", p_start="1999-10-01 00:00:00", p_end="2000-03-31 00:00:00"),
+]
+
+_PROMOS_SQL = """
+    promos(promo, p_start, p_end) AS (VALUES
+      ('launch95', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-06-30 00:00:00'),
+      ('holiday97', TIMESTAMP '1997-11-01 00:00:00', TIMESTAMP '1997-12-31 00:00:00'),
+      ('y2k', TIMESTAMP '1999-10-01 00:00:00', TIMESTAMP '2000-03-31 00:00:00')
+    )
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_PROMOS_SQL},
+    order_windows AS (
+      SELECT o_orderkey, o_orderdate AS o_start,
+             o_orderdate + INTERVAL 30 DAY AS o_end
+      FROM orders
+    )
+    SELECT promo, COUNT(*) AS n_orders
+    FROM order_windows
+    JOIN promos ON o_start <= p_end AND p_start <= o_end
+    GROUP BY promo
+    ORDER BY promo
+    """,
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval overlap join (§2B#17): 30-day order fulfillment windows vs
+    promo periods — holding-period-overlap semantics. Closed intervals,
+    broadcast small side."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("o_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("o_end"),
+    )
+    promos = spark.createDataFrame(_PROMOS).select(
+        "promo",
+        F.col("p_start").cast("timestamp"),
+        F.col("p_end").cast("timestamp"),
+    )
+    return (
+        interval_overlap_join(o, promos, "o_start", "o_end", "p_start", "p_end")
+        .groupBy("promo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("promo")
+    )
+
+
+@register(
+    "join_fuzzy_name",
+    oracle="""
+    SELECT s.s_suppkey AS suppkey_a, r.s_suppkey AS suppkey_b,
+           s.s_name AS name_a, r.s_name AS name_b,
+           levenshtein(s.s_name, r.s_name) AS edit_distance
+    FROM supplier s
+    JOIN supplier r ON s.s_nationkey = r.s_nationkey
+                   AND s.s_suppkey < r.s_suppkey
+    WHERE levenshtein(s.s_name, r.s_name) <= 2
+    ORDER BY suppkey_a, suppkey_b
+    """,
+    tags=("join", "fuzzy"),
+)
+def join_fuzzy_name(spark, sf_dir):
+    """Fuzzy name match with blocking (§2B#59): near-identical supplier
+    names within a nation block, Levenshtein ≤ 2 — the crocus fallback
+    matcher for products missing an ISIN. Blocking on nation keeps the
+    candidate set O(block²) instead of O(n²)."""
+    s = load(spark, sf_dir, "supplier")
+    pairs = fuzzy_name_join(
+        s,
+        s,
+        block_on="s_nationkey",
+        left_name="s_name",
+        right_name="s_name",
+        max_edit_distance=2,
+    ).filter(F.col("s_suppkey") < F.col("r_s_suppkey"))
+    return pairs.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("r_s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_a"),
+        F.col("r_s_name").alias("name_b"),
+        "edit_distance",
+    ).orderBy("suppkey_a", "suppkey_b")

@@ -1,1 +1,221 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries — deterministic availableNow replays of the events
+fixture, oracle-checked against batch SQL where the semantics are
+SQL-expressible (SURVEY §5.2.4).
+
+Every query here drives a REAL Structured Streaming query (micro-batched
+file source → stateful operators → memory sink) and returns the sink as a
+batch DataFrame for the driver's comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.queries import register
+from crocus_spark.streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_user_totals,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "headline"),
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 6h windows × event_type via a real streaming query
+    (§2B#45, #52: availableNow trigger, complete output). Oracle: the same
+    agg as batch SQL with time_bucket — tumbling windows are epoch-aligned
+    in both engines."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(tumbling_window_agg(ev, "6 hours"), "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH offsets(o) AS (VALUES (0), (1)),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts)
+               - (o * INTERVAL '6 hours') AS w_start,
+             event_type, ts
+      FROM events CROSS JOIN offsets
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM assigned
+    WHERE ts < w_start + INTERVAL '12 hours' AND ts >= w_start
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding 12h/6h windows (§2B#46): every event lands in two overlapping
+    windows. Oracle expands the window assignment explicitly (bucket minus
+    0/1 slide offsets) — the same expansion Spark's Expand operator does."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(sliding_window_agg(ev, "12 hours", "6 hours"), "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH with_gap AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM with_gap
+    ), agg AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_last, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           n_events
+    FROM agg
+    WHERE s_last + INTERVAL '30 minutes'
+          <= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30min gap) per user, append mode with a 10min
+    watermark (§2B#47-48). Oracle: gaps-and-islands SQL, filtered to
+    sessions the final watermark (max ts − 10min) has closed — i.e. exactly
+    the append-mode emission rule. Late-data drop is what the WHERE clause
+    encodes: sessions still open at end-of-stream are withheld."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_window_agg(ev, "30 minutes", "10 minutes"), "append")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming dedup by event_id within a 1h watermark (§2B#49).
+    Fixture event_ids are unique, so the deduped stream equals the input —
+    which is the point of the oracle: dedup must not drop or duplicate
+    anything on an already-unique stream. (Duplicate-collapse behavior is
+    covered by the property test in tests/test_streaming.py.)"""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(streaming_dedup(ev, "1 hour"), "append")
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful per-key streaming (§2B#50): running per-user totals
+    via applyInPandasWithState, replayed to completion. In update mode the
+    memory sink holds one row per user per batch; the window top-1 keeps
+    each user's LAST emission (the final running total), which the batch
+    oracle reproduces as a plain group-by. Integer-cent accumulation keeps
+    the comparison exact."""
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(stateful_user_totals(ev), "update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_cents").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (§2B#51): the event stream joined to
+    the static customer dimension (events.user_id ⋈ customer.c_custkey),
+    then aggregated. The static side is re-read per micro-batch and
+    broadcast — the streaming analog of the crocus catalog-enrichment join
+    J1."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, "complete").orderBy("segment")

@@ -1,0 +1,159 @@
+"""Structured Streaming operators — SURVEY.md §2B rows 45-52.
+
+The reference's streaming analog is the daily snapshot cadence
+(``base_scraper.py:78``: a new ``{date}/{provider}/`` folder per run) — i.e.
+file-arrival micro-batches. The engine generalizes that to Structured
+Streaming over the events fixture: event-time windows, watermarked late-data
+handling, sessionization, streaming dedup, stateful per-key processing, and
+stream-static enrichment joins.
+
+Tests/queries replay the fixture with ``trigger(availableNow=True)`` so the
+stream runs to completion deterministically and results are comparable to
+batch SQL (SURVEY §5.2.4). The same pipelines attach unchanged to a live
+file/Kafka source at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """The file stream source requires a DIRECTORY of arriving files; the
+    fixtures are single read-only files. Stage a per-sf directory of
+    symlinks under the system temp dir (simulating the reference's
+    `{base}/{date}/{provider}/` arrival folder, base_scraper.py:72-83)."""
+    src = os.path.realpath(f"{sf_dir}/{table}.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+        table,
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (file-source micro-batches —
+    the engine's stand-in for the reference's daily snapshot arrivals).
+    ts is parquet TIMESTAMP(NANOS) → read as long, converted to µs."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(_stage_stream_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion with availableNow into a
+    memory sink; return the sink contents as a batch DataFrame.
+
+    availableNow processes exactly the data present at start then stops —
+    the deterministic-replay trigger (vs processingTime's wall-clock
+    batching). Memory sink is test-scale only; production sinks are
+    partitioned parquet/Kafka via the same writeStream."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "6 hours") -> DataFrame:
+    """Tumbling event-time window aggregation (§2B#45)."""
+    return (
+        events.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, window: str = "12 hours", slide: str = "6 hours"
+) -> DataFrame:
+    """Sliding event-time window aggregation (§2B#46): each event counted in
+    window/slide overlapping windows."""
+    return (
+        events.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user (§2B#47): dynamic windows that extend while
+    events arrive within ``gap`` of the last one. State per open session;
+    the watermark bounds how long sessions stay open — without it, state
+    grows forever on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful per-key processing via applyInPandasWithState
+    (§2B#50): a running (count, total-cents) per user — the 'running
+    portfolio state' shape from SURVEY §2B. State is a pair of ints; money
+    is accumulated in integer cents so totals are exact and order-free.
+
+    Arrow-batched: each micro-batch delivers the user's rows as pandas
+    frames; state round-trips between batches. At scale state lives in the
+    state store (RocksDB on executors), partitioned by key — no driver
+    involvement."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def fn(key, pdf_iter, state):
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_cents": [cents],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="count long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by event_id within the watermark horizon (§2B#49).
+    dropDuplicatesWithinWatermark keeps state only for the watermark window —
+    bounded memory on an unbounded stream, vs dropDuplicates' forever-state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

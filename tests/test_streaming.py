@@ -1,0 +1,148 @@
+"""Streaming semantics tests that the oracle harness can't express:
+watermark late-data drop and duplicate collapse across micro-batches
+(SURVEY §5.2.4). Built on synthetic two-file streams so batch order and
+lateness are controlled."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batches(spark, tmpdir, batches, schema):
+    """One parquet file per batch; maxFilesPerTrigger=1 replays them in
+    lexicographic order as separate micro-batches."""
+    src = os.path.join(tmpdir, "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+    return [os.path.join(src, f"b{i}") for i in range(len(batches))]
+
+
+def _run_two_phase(spark, paths, schema, build, output_mode):
+    """Start a file stream over a dir, add files one batch at a time via
+    availableNow replays sharing one checkpoint — deterministic multi-batch
+    execution with watermark carry-over between batches."""
+    import shutil
+
+    stream_dir = os.path.dirname(paths[0]) + "_stream"
+    os.makedirs(stream_dir, exist_ok=True)
+    ckpt = stream_dir + "_ckpt"
+    collected: list = []
+
+    # memory sink can't recover from a checkpoint; foreachBatch can — it
+    # collects each micro-batch into the driver-side list (test scale only)
+    def sink(batch_df, _epoch):
+        collected.extend(batch_df.collect())
+
+    for i, p in enumerate(paths):
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(p, f), os.path.join(stream_dir, f"{i}_{f}"))
+        src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+            stream_dir
+        )
+        q = (
+            build(src)
+            .writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return collected
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving in batch 2 whose event time is far behind the
+    watermark established by batch 1 must be dropped from an append-mode
+    windowed aggregate (§2B#48)."""
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:05:00", 1, 1.0),
+        (3, "2024-01-01 23:00:00", 2, 1.0),  # advances watermark to 22:00
+    ]
+    batch2 = [
+        (4, "2024-01-01 10:07:00", 1, 1.0),  # late: window 10:00 < watermark
+        (5, "2024-01-01 23:30:00", 2, 1.0),  # on time
+    ]
+
+    def to_rows(b):
+        return [
+            (i, __import__("datetime").datetime.fromisoformat(t), u, v)
+            for i, t, u, v in b
+        ]
+
+    paths = _write_batches(
+        spark, str(tmp_path), [to_rows(batch1), to_rows(batch2)], SCHEMA
+    )
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    out = _run_two_phase(spark, paths, SCHEMA, build, "append")
+    emitted = {
+        (r["window"].start.strftime("%H:%M"), r["n"]) for r in out
+    }
+    # the 10:00 window was emitted when the watermark passed it in batch 1
+    # with TWO rows; the late row #4 must not re-open or re-emit it
+    assert ("10:00", 2) in emitted
+    assert ("10:00", 3) not in emitted
+
+
+def test_streaming_dedup_collapses_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one copy of an event_id
+    duplicated within the watermark horizon, across micro-batches (§2B#49)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [(1, t0, 1, 1.0), (2, t0 + dt.timedelta(minutes=1), 1, 2.0)]
+    batch2 = [
+        (1, t0 + dt.timedelta(minutes=2), 1, 1.0),  # dup id within horizon
+        (3, t0 + dt.timedelta(minutes=3), 2, 3.0),
+    ]
+    paths = _write_batches(spark, str(tmp_path), [batch1, batch2], SCHEMA)
+
+    def build(src):
+        return src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    out = _run_two_phase(spark, paths, SCHEMA, build, "append")
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3]
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries state between micro-batches: final
+    emission per key equals the totals over ALL batches (§2B#50)."""
+    import datetime as dt
+
+    from crocus_spark.streaming.ops import stateful_user_totals
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [(1, t0, 7, 1.50), (2, t0, 7, 2.25)]
+    batch2 = [(3, t0 + dt.timedelta(minutes=5), 7, 0.25)]
+    paths = _write_batches(spark, str(tmp_path), [batch1, batch2], SCHEMA)
+
+    def build(src):
+        return stateful_user_totals(src)
+
+    out = _run_two_phase(spark, paths, SCHEMA, build, "update")
+    final = max(
+        (r for r in out if r["user_id"] == 7), key=lambda r: r["n_events"]
+    )
+    assert final["n_events"] == 3
+    assert final["total_cents"] == 400
