@@ -49,6 +49,58 @@ def tokenize_distinct(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
 
 
+def _token_sets(
+    df: DataFrame, text_col: str, id_col: str, block_col: str | None
+) -> DataFrame:
+    """(id, blk, toks) with each doc's distinct tokens sorted by global
+    rarity (ascending document frequency, ties by token) — the canonical
+    ordering that makes prefix filtering exact. The (token → df) relation
+    is vocabulary-sized, broadcast onto the exploded tokens."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "toks_raw"
+        ),
+    )
+    exploded = base.select("id", "blk", F.explode("toks_raw").alias("tok"))
+    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(F.broadcast(tok_df), "tok")
+        .groupBy("id", "blk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s.tok
+            ).alias("toks")
+        )
+    )
+
+
+def _verify_jaccard(candidates: DataFrame, sets: DataFrame) -> DataFrame:
+    """Score candidate (id_a, id_b) pairs exactly: join both token arrays,
+    intersection via array_intersect — pair-local work, no re-explode."""
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            F.size("toks_a").alias("sz_a"),
+            F.size("toks_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -56,46 +108,37 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (§2B#54, exact path).
+    """Exact token-set Jaccard near-dup pairs (§2B#54, exact path) via
+    **prefix filtering** (AllPairs/PPJoin family).
 
-    Token-join formulation, not pairwise array ops: explode distinct
-    tokens, equi-join on token (within an optional blocking column), count
-    shared tokens per candidate pair, then Jaccard = |∩|/(|a|+|b|-|∩|).
-    Only pairs sharing ≥1 token are ever materialized — the sparse-join
-    trick that replaces the O(n²) similarity matrix. At 100 TB add a
-    document-frequency cap (drop tokens in >x% of docs) to bound the
-    hot-token blowup; fixture vocab is tiny so no cap here.
-    """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias("toks"),
+    With tokens in a fixed rarity order, any pair with Jaccard ≥ t must
+    share a token among each side's first ``|s| - ceil(t·|s|) + 1`` tokens
+    (else |∩| ≤ ceil(t·|s|) - 1 < t·|∪|) — so only prefixes are exploded
+    into the candidate self-join, and prefixes hold the *rarest* tokens,
+    which is what keeps the join sparse at scale. Candidates are verified
+    pair-locally with array_intersect; the result is exact, never a
+    similarity matrix. At t=0.95 a 50-token doc contributes 3 join rows
+    instead of 50."""
+    sets = _token_sets(df, text_col, id_col, block_col)
+    plen = (
+        F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + F.lit(1)
+    ).cast("int")
+    prefix = sets.select(
+        "id", "blk", F.explode(F.slice("toks", 1, plen)).alias("tok")
     )
-    sizes = base.select("id", "blk", F.size("toks").alias("sz"))
-    toks = base.select("id", "blk", F.explode("toks").alias("tok"))
-
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
-        F.col("n_inter")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-        6,
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        _verify_jaccard(candidates, sets)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
     )
@@ -143,6 +186,71 @@ def minhash_signatures(
     return toks.groupBy(F.col("id")).agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, sig): LSH band-bucket assignment — each doc lands in
+    ``bands`` buckets keyed by the xxhash64 of its band's minhash rows."""
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n_perm, seed)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def minhash_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    iterations: int = 3,
+) -> DataFrame:
+    """Near-dup dedup by cluster collapse (§2B#54, the 100 TB formulation).
+
+    Never enumerates pairs: docs sharing any LSH band bucket are linked;
+    min-label propagation over the (id ↔ bucket) bipartite graph assigns
+    every doc the smallest id reachable within ``iterations`` hops, which
+    for near-dup data (diameter ~1-2: dup clusters share buckets directly)
+    is the connected component. Each iteration is two linear hash
+    aggregations — cost is O(n·bands) per round, independent of cluster
+    shape, where pair enumeration would be quadratic.
+
+    Returns (id, cluster_id, is_survivor): survivor = lowest id in its
+    cluster — same winner rule as exact_dedup.
+    """
+    buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
+    labels = buckets.groupBy("id").agg(F.min("id").alias("lbl"))  # lbl = id
+    for _ in range(iterations):
+        bucket_min = (
+            buckets.join(labels, "id")
+            .groupBy("band", "sig")
+            .agg(F.min("lbl").alias("bucket_lbl"))
+        )
+        labels = (
+            buckets.join(bucket_min, ["band", "sig"])
+            .groupBy("id")
+            .agg(F.min("bucket_lbl").alias("lbl"))
+        )
+    return labels.select(
+        F.col("id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_survivor"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -160,19 +268,13 @@ def minhash_lsh_pairs(
     equi-join on (band, band-hash) — no cross product anywhere. The final
     exact verification keeps precision at 1.0; recall is probabilistic
     (property-tested against the exact operator).
-    """
-    rows_per_band = n_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n_perm, seed)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
-        )
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
+    Output-size caveat: pair *enumeration* is inherently quadratic in
+    near-dup cluster size (a k-doc cluster IS k·(k-1)/2 true pairs). For
+    dedup at 100 TB use ``minhash_dedup_survivors`` — cluster-collapse is
+    linear in corpus size regardless of cluster shape.
+    """
+    buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -184,11 +286,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, block_col=None, threshold=0.0
-    ).select("id_a", "id_b", "jaccard")
+    sets = _token_sets(df, text_col, id_col, block_col=None)
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        _verify_jaccard(candidates, sets)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )

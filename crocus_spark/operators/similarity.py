@@ -109,33 +109,52 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (§2B#55 scale path).
+    """Approximate top-k via multiprobe random-hyperplane LSH (§2B#55
+    scale path).
 
-    n_tables independent 8-bit signatures; a candidate is any corpus vector
-    sharing a bucket with the query in ≥1 table. Candidates are then scored
-    exactly and top-k'd. Equi-join on (table, bucket) — the corpus is
-    hash-partitioned by bucket, never cross-joined. Recall is tunable via
-    n_tables/n_planes (property-tested against brute force); precision is
-    1.0 because scoring is exact.
+    n_tables independent n_planes-bit signatures; a candidate is any corpus
+    vector whose bucket is within ``probe_hamming`` bit flips of the
+    query's bucket in ≥1 table (multiprobe: the query probes its own bucket
+    plus each 1-bit-flipped neighbor — recall of many tables at the storage
+    cost of one). Candidates are scored exactly and top-k'd. Equi-join on
+    (table, bucket) — the corpus is hash-partitioned by bucket, never
+    cross-joined; only query rows are replicated (1 + n_planes per table),
+    and queries ≪ corpus. Recall is tunable (property-tested against brute
+    force); precision is 1.0 because scoring is exact.
+
+    Defaults are tuned for near-orthogonal embeddings (true-neighbor
+    cosine ≈ 0.35 ⇒ per-bit agreement ≈ 0.61): 4 planes × 8 tables ×
+    radius-1 probing ⇒ expected recall ≈ 0.99. Denser corpora at scale
+    raise n_planes ∝ log(n) to keep buckets bounded.
 
     At 100 TB: corpus signatures are precomputed once and bucket-bucketed
-    at rest; per-query work is |bucket|·n_tables scorings. An IVF variant
-    (k-means centroids + nprobe) drops in behind the same contract.
+    at rest; per-query work is |bucket|·n_tables·(1+n_planes) scorings. An
+    IVF variant (k-means centroids + nprobe) drops in behind the same
+    contract.
     """
-    def with_buckets(df, prefix):
+    def with_buckets(df, prefix, probe):
         rows = []
         for t in range(n_tables):
             planes = _hyperplanes(dim, n_planes, t, seed)
+            sig = _bucket_sig(vec_col, planes)
+            if probe and probe_hamming >= 1:
+                sigs = F.array(
+                    sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                )
+                bucket = F.explode(sigs).alias("bucket")
+            else:
+                bucket = sig.alias("bucket")
             rows.append(
                 df.select(
                     F.col(id_col).alias(f"{prefix}_id"),
                     F.col(vec_col).alias(f"{prefix}_vec"),
                     F.lit(t).alias("table"),
-                    _bucket_sig(vec_col, planes).alias("bucket"),
+                    bucket,
                 )
             )
         out = rows[0]
@@ -143,8 +162,8 @@ def lsh_bucketed_topk(
             out = out.unionByName(r)
         return out
 
-    qb = with_buckets(queries, "q")
-    cb = with_buckets(corpus, "c")
+    qb = with_buckets(queries, "q", probe=True)
+    cb = with_buckets(corpus, "c", probe=False)
     candidates = (
         qb.join(cb, ["table", "bucket"])
         .select("q_id", "q_vec", "c_id", "c_vec")

@@ -112,6 +112,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_survivors",
+    oracle=None,  # iterative label propagation — property-tested
+    # (labels consistent with exact-Jaccard clusters) in tests/test_llm.py
+    tags=("llm", "dedup", "headline"),
+)
+def dedup_minhash_survivors(spark, sf_dir):
+    """Near-dup dedup by cluster collapse (§2B#54, the at-scale
+    formulation): LSH band buckets → min-label propagation → one survivor
+    per near-dup cluster. Linear in corpus size even when half the corpus
+    is one dup cluster — the shape pair enumeration can't survive."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_survivors(docs, "text", "doc_id").orderBy("id")
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # xxhash64-based; no DuckDB twin — determinism +
     # self-consistency property-tested in tests/test_llm.py
@@ -186,9 +201,11 @@ def ann_bruteforce_topk(spark, sf_dir):
     tags=("llm", "similarity"),
 )
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-5 via seeded random-hyperplane LSH (§2B#55 scale
-    path): 4 tables × 8-bit buckets, candidates from bucket equi-joins,
-    exact re-scoring. The at-scale ANN shape: per-query cost is bucket-local."""
+    """Approximate top-5 via seeded multiprobe random-hyperplane LSH
+    (§2B#55 scale path): 8 tables × 4-bit buckets, queries probe their
+    bucket plus 1-bit-flip neighbors, candidates from bucket equi-joins,
+    exact re-scoring. The at-scale ANN shape: per-query cost is
+    bucket-local."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)

@@ -1,0 +1,164 @@
+"""Property tests for the probabilistic LLM-pipeline operators — the
+rows-only queries (MinHash LSH, SimHash, hyperplane-LSH ANN, survivor
+clustering) are verified here against their exact counterparts, since they
+have no DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crocus_spark.operators import dedup as D
+from crocus_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_pairs_subset_of_exact(docs):
+    """Precision 1.0 by construction: every emitted pair really has
+    Jaccard >= the verify threshold (pairs ⊆ exact pairs)."""
+    lsh = _pair_set(D.minhash_lsh_pairs(docs, verify_threshold=0.9))
+    exact = _pair_set(
+        D.ngram_jaccard_pairs(docs, block_col=None, threshold=0.9)
+    )
+    assert lsh <= exact
+
+
+def test_minhash_recall_at_high_similarity(docs):
+    """Recall bound: at Jaccard >= 0.95 the 8-band x 4-row S-curve makes a
+    miss vanishingly unlikely — require >= 95% of exact pairs found."""
+    exact = _pair_set(
+        D.ngram_jaccard_pairs(docs, block_col=None, threshold=0.95)
+    )
+    lsh = _pair_set(D.minhash_lsh_pairs(docs, verify_threshold=0.95))
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_minhash_determinism(docs):
+    """Seeded permutations: two runs give identical pair sets."""
+    assert _pair_set(D.minhash_lsh_pairs(docs)) == _pair_set(
+        D.minhash_lsh_pairs(docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivor clustering
+# ---------------------------------------------------------------------------
+
+
+def test_survivors_partition_the_corpus(docs):
+    """Every doc gets exactly one label; every cluster_id is itself a doc
+    that is marked survivor; survivors are the min id of their cluster."""
+    lab = D.minhash_dedup_survivors(docs).cache()
+    n_docs = docs.count()
+    assert lab.count() == n_docs
+    assert lab.select("id").distinct().count() == n_docs
+    # cluster representative is a survivor and the cluster minimum
+    reps = lab.groupBy("cluster_id").agg(F.min("id").alias("min_id"))
+    bad = reps.filter(F.col("cluster_id") != F.col("min_id")).count()
+    assert bad == 0
+    surv = {r.id for r in lab.filter("is_survivor").collect()}
+    assert {r.cluster_id for r in lab.collect()} <= surv
+
+
+def test_survivors_consistent_with_exact_pairs(docs):
+    """Any exact near-dup pair at Jaccard >= 0.95 must land in the same
+    cluster (the pair shares LSH buckets w.h.p. and propagation links
+    them)."""
+    lab = {
+        r.id: r.cluster_id for r in D.minhash_dedup_survivors(docs).collect()
+    }
+    exact = _pair_set(
+        D.ngram_jaccard_pairs(docs, block_col=None, threshold=0.95)
+    )
+    missed = [(a, b) for a, b in exact if lab[a] != lab[b]]
+    assert len(missed) <= max(1, len(exact) // 20), missed[:5]
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_symmetric_and_deterministic(docs):
+    p1 = D.simhash_pairs(docs, max_hamming=3)
+    rows = p1.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.hamming <= 3 for r in rows)
+    assert _pair_set(p1) == _pair_set(D.simhash_pairs(docs, max_hamming=3))
+
+
+def test_simhash_exact_dups_have_zero_hamming(docs, spark):
+    """Two docs with identical normalized text must get identical
+    fingerprints (hamming 0) — pigeonhole blocking can't miss them."""
+    dup = docs.limit(1).select(
+        F.lit(900001).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    base = docs.limit(1).select(
+        F.lit(900002).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    both = dup.unionByName(base)
+    pairs = D.simhash_pairs(both, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb):
+    """Recall@5 of the bucketed ANN against exact top-5 >= 0.8 on the
+    fixture (8 tables x 4 planes, radius-1 multiprobe); every returned
+    neighbor's score is exact, so scores of overlapping pairs agree
+    bit-for-bit."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    bf = S.brute_force_topk(queries, corpus, k=5).collect()
+    ann = S.lsh_bucketed_topk(queries, corpus, k=5).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.8, f"recall@5 {recall:.3f}"
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert bf_scores[key] == r.cos
+
+
+def test_exact_dedup_idempotent(docs):
+    """dedup(dedup(x)) == dedup(x) on (id, hash) pairs."""
+    once = D.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "text", "content_hash"
+    )
+    twice = D.exact_dedup(
+        once.drop("content_hash"), "text", "doc_id"
+    ).select("doc_id", "content_hash")
+    a = {(r.doc_id, r.content_hash) for r in once.select("doc_id", "content_hash").collect()}
+    b = {(r.doc_id, r.content_hash) for r in twice.collect()}
+    assert a == b
