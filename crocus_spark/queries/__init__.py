@@ -71,7 +71,9 @@ def _load_modules() -> None:
         relational,
         scalars,
         setops,
+        sources_q,
         streaming_q,
+        udfs_q,
         windows,
     )
 

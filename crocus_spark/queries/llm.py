@@ -367,6 +367,81 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS n_tok,
+             CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (idf.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN idf USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rk
+      FROM w
+    )
+    SELECT doc_id, tok, tfidf, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY doc_id, rk
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """TF-IDF vectorization (§2B#58): term frequency × smoothed inverse
+    document frequency, top-5 terms per doc. Pure DataFrame ops — the
+    token relation is built once, tf via groupBy + per-doc window, idf via
+    a vocabulary-sized aggregate broadcast back onto the terms. Feeds the
+    dedup/similarity stack (#54/#55) as the sparse-vector producer."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    from pyspark.sql.window import Window
+
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .withColumn(
+            "tf",
+            F.col("n_tok").cast("double")
+            / F.sum("n_tok").over(Window.partitionBy("doc_id")),
+        )
+    )
+    idf = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    w = tf.join(F.broadcast(idf), "tok").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ),
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        w.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "tok", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
     SELECT doc_id AS media_id,

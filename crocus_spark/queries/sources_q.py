@@ -1,0 +1,179 @@
+"""Source/sink round-trip queries — SURVEY.md §2B #2-6 (CSV scan with
+schema, JSON source/sink, binary source, partitioned Parquet sink).
+
+Each query WRITES through the engine sink under a deterministic scratch
+dir, reads the result back through the engine source, and reduces it to a
+small frame the oracle can compute from the *original* fixture table — so
+a hash match proves the round-trip was lossless, not just that the query
+ran. Scratch lives under /tmp (never the repo), overwrite-mode, so the
+queries are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crocus_spark.io import FIXTURE_SCHEMAS, load
+from crocus_spark.queries import register
+from crocus_spark.queries._det import dsum
+
+SCRATCH = os.environ.get("CROCUS_SCRATCH_DIR", "/tmp/crocus_spark_io")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, name)
+
+
+@register(
+    "io_json_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("io", "json"),
+)
+def io_json_roundtrip(spark, sf_dir):
+    """JSON sink → JSON source round-trip (§2B#3/#6, the products.json
+    path, base_scraper.py:165-178): documents out as JSONL, back in with
+    an explicit schema (no inference pass), digest proves losslessness."""
+    path = _scratch("json_docs")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    schema = FIXTURE_SCHEMAS["documents"]
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+@register(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("io", "csv"),
+)
+def io_csv_roundtrip(spark, sf_dir):
+    """CSV sink → schema'd CSV scan (§2B#2, the holdings-file path,
+    ishares.py:180-187): header CSV out, PERMISSIVE read back with an
+    explicit schema + _corrupt_record, aggregate must equal the parquet
+    original's."""
+    path = _scratch("csv_lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "io_partitioned_prune",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("io", "partition", "scale"),
+)
+def io_partitioned_prune(spark, sf_dir):
+    """Partitioned snapshot sink + partition-pruned read (§2B#5, the
+    {date}/{provider} layout, base_scraper.py:72-83): events written
+    partitionBy(snapshot_date, provider), read back filtered to the first
+    day — the filter prunes at the directory level (PartitionFilters in
+    the scan, zero non-matching files opened), the property that keeps a
+    daily query O(day) instead of O(history) at 100 TB."""
+    path = _scratch("snap_events")
+    ev = load(spark, sf_dir, "events")
+    snap = ev.withColumn("snapshot_date", F.to_date("ts")).withColumn(
+        "provider", F.col("event_type")
+    )
+    snap.write.mode("overwrite").partitionBy("snapshot_date", "provider").parquet(
+        path
+    )
+    first_day = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    back = spark.read.parquet(path).filter(F.col("snapshot_date") == F.lit(first_day))
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "io_binary_source",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("io", "multimodal"),
+)
+def io_binary_source(spark, sf_dir):
+    """binaryFile source (§2B#4, the factsheet/kid document path,
+    ishares.json:9-10): 50 fixture docs landed as .bin files, read back as
+    (path, length, content) binary rows, digest computed on the bytes
+    JVM-side. The read pattern for PDF/image/audio payloads."""
+    path = _scratch("bin_docs")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # 50 rows, bounded — landing-side loop, not engine path
+    )
+    for r in rows:
+        with open(os.path.join(path, f"{r.doc_id:06d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(
+        path
+    )
+    return (
+        back.select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("byte_len"),
+            F.md5(F.col("content").cast("string")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )

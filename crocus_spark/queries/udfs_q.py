@@ -1,0 +1,168 @@
+"""UDF-surface queries — SURVEY.md §2B #61-64 — plus the salted-aggregation
+scale pattern (§4.3). Every UDF query is oracle-checked: the Python path
+must produce the same rows as the pure-SQL computation, which is the whole
+point — the escape hatch is only usable if it doesn't change answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.operators import skew as K
+from crocus_spark.operators import udfs as U
+from crocus_spark.queries import register
+from crocus_spark.queries._det import DEC
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens_udf,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens_jvm
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas_udf (§2B#61): whitespace token count via
+    Arrow batches, emitted side-by-side with the equivalent JVM expression —
+    the query asserts Python-path == fast-path row by row."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            U.ws_token_count("text").alias("n_tokens_udf"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens_jvm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             AS w_mean_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("udf", "agg"),
+)
+def udaf_weighted_mean(spark, sf_dir):
+    """Grouped-agg UDAF (§2B#62): quantity-weighted mean price per
+    (returnflag, linestatus), accumulated as exact int64 micros inside the
+    UDAF — order-independent, hash-identical to the oracle's DECIMAL sums."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            U.weighted_mean_price("l_extendedprice", "l_quantity").alias(
+                "w_mean_price"
+            )
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS mu,
+             STDDEV_POP(c_acctbal) OVER (PARTITION BY c_nationkey) AS sd
+      FROM customer
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CASE WHEN sd = 0 THEN NULL
+                ELSE round((c_acctbal - mu) / sd, 6) END AS zscore
+    FROM s
+    ORDER BY c_custkey
+    """,
+    tags=("udf", "window"),
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas (§2B#64): per-nation population z-score
+    of account balance — one pandas frame per group, fsum-exact two-pass
+    moments, matching the oracle's window AVG/STDDEV_POP."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return U.zscore_by_group(cust, "c_nationkey").orderBy("c_custkey")
+
+
+@register(
+    "udtf_bigrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS s
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT * FROM (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(s) - 1),
+               i -> {'pos': i, 'bigram': s[i] || ' ' || s[i+1]}),
+               recursive := true)
+      FROM t
+    )
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf",),
+)
+def udtf_bigrams(spark, sf_dir):
+    """UDTF via lateral join (§2B#63): word bigrams per document — the
+    row-expanding Python escape hatch, oracle-checked against DuckDB's
+    list-comprehension equivalent."""
+    U.register_udtfs(spark)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, pos, bigram
+        FROM _udtf_docs, LATERAL bigrams(text)
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@register(
+    "salted_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "scale"),
+)
+def salted_groupby(spark, sf_dir):
+    """Two-stage salted aggregation (§4.3 skew rule): l_returnflag has 3
+    values — the canonical hot-key groupBy. Stage 1 spreads each key over
+    32 salted reducers, stage 2 merges ≤32 partials per key. Decimal sums
+    make the re-association exact: output hash-equals the plain groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    out = K.salted_agg(
+        li,
+        ["l_returnflag"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+        ],
+        final_aggs=[
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_qty").cast("double").alias("sum_qty"),
+            F.sum("sum_price").cast("double").alias("sum_price"),
+        ],
+        salt_src="l_orderkey",
+        n_salts=32,
+    )
+    return out.orderBy("l_returnflag")
