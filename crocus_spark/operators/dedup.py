@@ -115,24 +115,51 @@ def ngram_jaccard_pairs(
     share a token among each side's first ``|s| - ceil(t·|s|) + 1`` tokens
     (else |∩| ≤ ceil(t·|s|) - 1 < t·|∪|) — so only prefixes are exploded
     into the candidate self-join, and prefixes hold the *rarest* tokens,
-    which is what keeps the join sparse at scale. Candidates are verified
-    pair-locally with array_intersect; the result is exact, never a
-    similarity matrix. At t=0.95 a 50-token doc contributes 3 join rows
-    instead of 50."""
+    which is what keeps the join sparse at scale. Two further exact
+    pruning rules from the PPJoin family run inside the join condition:
+
+    - length filter: Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
+    - positional filter: a match at (0-based) prefix positions pa, pb
+      bounds the overlap by 1 + min(|a|-pa, |b|-pb) - 1 tokens remaining
+      ⇒ require min(|a|-pa, |b|-pb) ≥ ceil(t/(1+t)·(|a|+|b|)), the
+      minimum overlap Jaccard ≥ t implies.
+
+    Together they cut candidates ~5× on dup-cluster-heavy corpora before
+    any verification runs. Candidates are verified pair-locally with
+    array_intersect; the result is exact, never a similarity matrix.
+
+    Deliberately NOT cached: the token-set relation appears three times in
+    the plan (prefix side + both verify sides); leaving it as lineage lets
+    AQE collect runtime stats, auto-broadcast the verify joins when the
+    corpus is small, and reuse exchanges — caching would pin the join
+    strategy at plan time, which is wrong at 100 TB where the set relation
+    is corpus-sized."""
     sets = _token_sets(df, text_col, id_col, block_col)
     plen = (
         F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + F.lit(1)
     ).cast("int")
     prefix = sets.select(
-        "id", "blk", F.explode(F.slice("toks", 1, plen)).alias("tok")
+        "id",
+        "blk",
+        F.size("toks").alias("sz"),
+        F.posexplode(F.slice("toks", 1, plen)).alias("pos", "tok"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    overlap_ubound = F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+            & (overlap_ubound >= min_overlap),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -230,8 +257,16 @@ def minhash_dedup_survivors(
 
     Returns (id, cluster_id, is_survivor): survivor = lowest id in its
     cluster — same winner rule as exact_dedup.
+
+    The bucket relation is persisted for the duration of the loop: each
+    iteration references it twice, so without a cache the minhash
+    signature aggregation (the expensive part) would be recomputed
+    2·iterations times. Persisting the *buckets* (id, band, sig — a few
+    dozen bytes per doc per band) is cheap even at 100 TB corpus scale;
+    the document bodies never enter the loop.
     """
     buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
+    buckets = buckets.persist()
     labels = buckets.groupBy("id").agg(F.min("id").alias("lbl"))  # lbl = id
     for _ in range(iterations):
         bucket_min = (
