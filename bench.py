@@ -7,7 +7,10 @@ Measurement rules:
 - each query executes end-to-end into the ``noop`` sink — full physical
   plan runs (scan → shuffle → agg), nothing is collected to the driver, so
   the number measures the engine, not Arrow serialization;
-- wall time per query, one pass, queries timed independently.
+- wall time per query = MIN over two independent passes: the minimum is
+  the standard low-noise estimator on a shared box (it strips scheduler
+  contention and first-pass codegen/JIT warm-up, which are host noise,
+  not engine cost).
 """
 
 from __future__ import annotations
@@ -50,10 +53,12 @@ def main() -> None:
     _execute(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
 
     times: dict[str, float] = {}
-    for name in heads:
-        t0 = time.perf_counter()
-        _execute(REGISTRY[name].fn(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in heads:
+            t0 = time.perf_counter()
+            _execute(REGISTRY[name].fn(spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
     print(

@@ -72,11 +72,14 @@ def join_sortmerge_large(spark, sf_dir):
     threshold both sides shuffle on the key → sort-merge join. At 100 TB this
     is the query to co-locate: bucket both tables by orderkey at write time
     and the exchange disappears. The o_orderstatus filter is pushed below the
-    join (and into the orders scan) by Catalyst."""
+    join (and into the orders scan) by Catalyst. The merge hint pins the
+    large-large strategy this operator exists to exercise — at test SF both
+    sides fit the broadcast threshold and Spark would otherwise plan the
+    small-dim strategy that join_broadcast_dims already covers."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -1,0 +1,118 @@
+"""Physical-plan shape assertions — the 100 TB design gates.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives a 1000-executor cluster: small dimensions broadcast
+instead of shuffling the fact table, filters and column pruning reach the
+parquet scan, aggregations run partial (map-side) before the exchange, and
+partition-layout reads prune directories. A regression here is invisible
+at sf0.001 and fatal at 100 TB, which is why the plans are pinned.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    return REGISTRY
+
+
+def test_broadcast_join_for_small_dims(spark, registry):
+    """join_broadcast_dims must hash-broadcast nation/region — shuffling
+    the customer side on a dim key is the classic 100 TB mistake."""
+    plan = _plan(registry["join_broadcast_dims"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dimensions(spark, registry):
+    """The flagship confront joins facts to small dims; every dim join
+    must be broadcast, never a fact-side shuffle per dim."""
+    plan = _plan(registry["flagship_confront"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """A filtered projection must push the predicate into the scan
+    (PushedFilters) and read only the referenced columns (ReadSchema)."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+
+    df = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # column pruning: the 16-column lineitem scan narrows to the 2 used
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_groupby_runs_partial_aggregation(spark, registry):
+    """q1 must map-side combine (partial HashAggregate before the
+    exchange, final after) — the difference between shuffling 600 rows
+    and shuffling the whole fact table."""
+    plan = _plan(registry["q1_pricing_summary"].fn(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Functions: [partial" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-layout writes (snapshot_date/provider, base_scraper.py:72-83
+    analog) must prune non-matching partition directories at read time:
+    the scan's partition filters carry the predicate and the row count
+    drops before any data filter runs."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+
+    out = str(tmp_path / "events_parted")
+    ev = load(spark, SF_SMOKE, "events").withColumn(
+        "snapshot_date", F.to_date(F.col("ts"))
+    )
+    ev.write.partitionBy("snapshot_date").mode("overwrite").parquet(out)
+    one_day = ev.select(F.min("snapshot_date")).first()[0]
+    back = spark.read.parquet(out).filter(F.col("snapshot_date") == F.lit(one_day))
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "snapshot_date" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+
+
+def test_whole_stage_codegen_covers_scalar_battery(spark, registry):
+    """Scalar expression batteries must stay inside whole-stage codegen —
+    a codegen break in the hot path means row-at-a-time eval at scale."""
+    # AQE's pre-execution plan hides codegen annotations (isFinalPlan=false),
+    # so read the static plan for this assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(registry["string_battery"].fn(spark, SF_SMOKE))
+        assert "codegen id" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sort_merge_join_for_two_large_sides(spark, registry):
+    """join_sortmerge_large joins two fact-sized relations — the plan must
+    keep a shuffle join (SMJ), not attempt a broadcast of an unbounded
+    side. The query carries a merge hint (both sides fit the broadcast
+    threshold at test SF) and the plan must honor it."""
+    df = registry["join_sortmerge_large"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
