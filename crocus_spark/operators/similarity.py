@@ -185,6 +185,150 @@ def lsh_bucketed_topk(
     )
 
 
+def _norm_vec(c: Column) -> Column:
+    """L2-normalize an array<float> column to array<double> (unit length),
+    so cosine reduces to a dot product."""
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(c, lambda x: x.cast("double") / n)
+
+
+def _dot_lit(vec_col: Column, centroid: list[float]) -> Column:
+    """Dot product of a vector column with a Python-literal centroid."""
+    lit_c = F.array(*[F.lit(v) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_c, lambda x, p: x * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Cell id of the max-dot-product centroid (vectors pre-normalized).
+    array_max over (dot, -cell) structs: ties go to the LOWEST cell id —
+    deterministic assignment."""
+    entries = [
+        F.struct(
+            _dot_lit(vec_col, c).alias("dot"), F.lit(-i).alias("neg_cell")
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return -F.array_max(F.array(*entries)).getField("neg_cell")
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF centroid fit (spherical k-means).
+
+    Seeds = the ``n_cells`` corpus vectors with the smallest
+    xxhash64(id) — a seedless deterministic pseudo-random sample that is
+    stable across partitionings and cluster layouts. Each Lloyd iteration
+    assigns every (normalized) vector to its max-dot centroid and
+    recomputes centroids as the per-cell mean via posexplode →
+    groupBy(cell, dim) — both full passes are distributed; only the
+    centroid matrix (n_cells × dim doubles — a model artifact, like the
+    LSH plane matrix) ever reaches the driver.
+    """
+    normed = corpus.select(
+        F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+    )
+    seed_rows = (
+        normed.orderBy(F.xxhash64(F.col("id")))
+        .limit(n_cells)
+        .select("id", "v")
+        .collect()
+    )
+    centroids = [list(r.v) for r in sorted(seed_rows, key=lambda r: r.id)]
+    for _ in range(lloyd_iters):
+        assigned = normed.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        dim = len(centroids[0])
+        for cell, comps in by_cell.items():
+            vec = [comps[d] for d in range(dim)]
+            norm = sum(x * x for x in vec) ** 0.5 or 1.0
+            centroids[cell] = [x / norm for x in vec]  # re-normalize mean
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat (§2B#55, the inverted-file scale
+    path complementing ``lsh_bucketed_topk``).
+
+    Index: every corpus vector lands in exactly one cell (nearest
+    centroid). Search: each query probes only its ``nprobe`` nearest
+    cells; candidates are scored exactly (cosine, same rounding contract
+    as brute force) and top-k'd. nprobe = n_cells degrades to exact brute
+    force — the property the tests pin.
+
+    Scale shape: the corpus partitions cleanly by cell (at rest:
+    ``partitionBy("cell")``, so a probe reads nprobe/n_cells of the
+    data); queries replicate nprobe× and equi-join on cell — never a
+    cross join. Centroids are literals in the plan: broadcast by
+    construction, no shuffle to apply. Recall is tunable with nprobe;
+    precision is 1.0 because re-scoring is exact.
+    """
+    centroids = ivf_fit_centroids(
+        corpus, n_cells, id_col, vec_col, lloyd_iters
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_cell(_norm_vec(F.col(vec_col)), centroids).alias("cell"),
+    )
+    probe_entries = [
+        F.struct(
+            (-_dot_lit(_norm_vec(F.col(vec_col)), cen)).alias("neg_dot"),
+            F.lit(i).alias("cell"),
+        )
+        for i, cen in enumerate(centroids)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_entries)), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
+    scored = q.join(c, "cell").withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.8,

@@ -212,6 +212,62 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_bucketed_topk(queries, corpus, k=5).orderBy("query_id", "rank")
 
 
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # nprobe < n_cells is approximate — recall@5 vs brute
+    # force and full-probe-exactness are property-tested in tests/test_llm.py
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via IVF-Flat (§2B#55, inverted-file scale path):
+    8 spherical-k-means cells (deterministic hash-sampled seeds + one
+    distributed Lloyd pass), queries probe their 4 nearest cells,
+    candidates re-scored exactly. At rest the corpus partitions by cell,
+    so a probe reads nprobe/n_cells of the data — the IVF counterpart to
+    the LSH-bucketed path."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "ann_ivf_fullprobe_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_ivf_fullprobe_topk(spark, sf_dir):
+    """IVF-Flat with nprobe = n_cells — every cell probed, so the result
+    is EXACTLY brute force (each corpus vector lives in one cell and
+    re-scoring is exact): the property that makes the IVF plumbing
+    oracle-checkable against the same SQL as the brute-force baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 _MARKER_SQL = {
     k: r"\b(" + "|".join(v) + r")\b" for k, v in X.LANG_MARKERS.items()
 }

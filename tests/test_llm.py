@@ -162,3 +162,43 @@ def test_exact_dedup_idempotent(docs):
     a = {(r.doc_id, r.content_hash) for r in once.select("doc_id", "content_hash").collect()}
     b = {(r.doc_id, r.content_hash) for r in twice.collect()}
     assert a == b
+
+
+def test_ivf_fullprobe_equals_bruteforce(emb):
+    """IVF with nprobe = n_cells degrades to exact brute force: every
+    corpus vector lives in exactly one cell and re-scoring is exact, so
+    the (query, neighbor, cos, rank) tuples must be identical."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    bf = sorted(
+        map(tuple, S.brute_force_topk(queries, corpus, k=5).collect())
+    )
+    ivf = sorted(
+        map(tuple, S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=8).collect())
+    )
+    assert bf == ivf
+
+
+def test_ivf_recall_monotone_in_nprobe(emb):
+    """More probes can only add candidates: recall@5 at nprobe=4 must be
+    >= recall at nprobe=1, and both runs are deterministic (hash-sampled
+    seeds, fixed tie-breaks)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    bf_set = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                queries, corpus, k=5, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & bf_set) / len(bf_set)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.4, f"recall@5 nprobe=4 {r4:.3f}"
