@@ -72,6 +72,7 @@ def _load_modules() -> None:
         scalars,
         setops,
         sources_q,
+        sql_surface,
         streaming_q,
         udfs_q,
         windows,

@@ -1,0 +1,88 @@
+"""SQL surface (SURVEY.md §2C): the engine exposes every operator through
+``spark.sql`` over temp views as well as the DataFrame API.
+
+The reference has no SQL; this module proves the §2C contract with queries
+written ONCE in the ANSI-common dialect and executed verbatim by BOTH
+engines — the Spark side runs ``spark.sql(SQL)``, the DuckDB oracle runs
+the character-identical string. Dialect-portable subset: CTEs, joins,
+window functions, GROUP BY, CAST/DECIMAL — no engine-specific functions.
+"""
+
+from __future__ import annotations
+
+from crocus_spark.io import load
+from crocus_spark.queries import register
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _register_views(spark, sf_dir: str, tables: list[str]) -> None:
+    """Temp views over the fixture parquet — the §2C catalog surface.
+    View reads keep full pushdown: Catalyst resolves them like any scan."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_TOPK_SQL = """
+    WITH cust_rev AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name, c_nationkey
+    ), ranked AS (
+      SELECT n_name, c_name, revenue, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, c_name) AS rk
+      FROM cust_rev
+      JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name, c_name, revenue, n_orders, rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY n_name, rk
+"""
+
+
+@register("sql_topk_customers_per_nation", oracle=_TOPK_SQL, tags=("sql",))
+def sql_topk_customers_per_nation(spark, sf_dir):
+    """§2C proof: top-3 customers by order revenue per nation, written as
+    ONE SQL string (CTE → join → decimal-exact agg → window top-k) that
+    both Spark SQL and the DuckDB oracle execute verbatim. Catalyst plans
+    it like the DataFrame twin: dim join broadcasts, agg runs partial."""
+    _register_views(spark, sf_dir, ["customer", "orders", "nation"])
+    return spark.sql(_TOPK_SQL)
+
+
+_SETOP_SQL = """
+    WITH big_order_cust AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE CAST(o_totalprice AS DOUBLE) > 200000.0
+    ), recent_cust AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM
+      (SELECT custkey FROM big_order_cust
+       INTERSECT
+       SELECT custkey FROM recent_cust) i
+    UNION ALL
+    SELECT 'big_only' AS cohort, COUNT(*) AS n FROM
+      (SELECT custkey FROM big_order_cust
+       EXCEPT
+       SELECT custkey FROM recent_cust) e
+    ORDER BY cohort
+"""
+
+
+@register("sql_setops_cohorts", oracle=_SETOP_SQL, tags=("sql",))
+def sql_setops_cohorts(spark, sf_dir):
+    """§2C proof for set operations: INTERSECT / EXCEPT / UNION ALL over
+    customer cohorts, one dialect-portable string for both engines."""
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SETOP_SQL)
