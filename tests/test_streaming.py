@@ -146,3 +146,48 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     )
     assert final["n_events"] == 3
     assert final["total_cents"] == 400
+
+
+def test_streaming_partitioned_parquet_sink(spark, tmp_path):
+    """Streaming sink half of the reference's snapshot store
+    (base_scraper.py:72-83 layout, §2B#52): writeStream to parquet
+    partitioned by provider, availableNow, exactly-once via checkpoint.
+    Re-running against the same checkpoint must not duplicate rows; the
+    sink directory must carry the Hive partition layout so downstream
+    reads prune."""
+    import os
+
+    schema = "isin string, provider string, price double"
+    rows = [
+        ("IE00B5BMR087", "ishares", 632.42),
+        ("IE00BK5BQT80", "vanguard", 144.12),
+        ("IE00B3RBWM25", "vanguard", 5.66),
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "snapshots")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .partitionBy("provider")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    run()  # replay same checkpoint: no new data -> no duplicates
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("provider=")
+    ) == ["provider=ishares", "provider=vanguard"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    got = {(r.isin, r.provider, r.price) for r in back.collect()}
+    assert got == set(rows)
