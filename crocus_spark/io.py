@@ -216,7 +216,11 @@ def read_holdings_csv(spark: SparkSession, path: str) -> DataFrame:
     """Holdings CSV scan with explicit schema (reference downloads CSVs at
     ishares.py:180-187 with `fileType=csv`). PERMISSIVE mode + _corrupt_record
     keeps malformed provider rows visible instead of failing the job."""
-    schema = HOLDINGS_SCHEMA.add("_corrupt_record", T.StringType())
+    # StructType.add mutates in place — build a fresh schema so repeated
+    # reads don't grow the shared HOLDINGS_SCHEMA
+    schema = T.StructType(
+        [*HOLDINGS_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
     return spark.read.schema(schema).option("header", "true").option(
         "mode", "PERMISSIVE"
     ).option("columnNameOfCorruptRecord", "_corrupt_record").csv(path)

@@ -1,0 +1,63 @@
+"""Ingest-quality surface: PERMISSIVE corrupt-record reads (reference C4,
+log-and-continue at base_scraper.py:130-134) and observe()-based metrics
+(reference C3, the JSON logger at base_scraper.py:37-51)."""
+
+from __future__ import annotations
+
+
+DIRTY_CSV = """isin,snapshot_date,provider,holding_name,holding_isin,sector,weight,market_value,shares
+IE00B5BMR087,2025-02-28,ishares,APPLE INC,US0378331005,tech,0.07,1000.5,12.0
+IE00B5BMR087,2025-02-28,ishares,MSFT,US5949181045,tech,not_a_number,oops,NaNope
+IE00BK5BQT80,2025-02-28,vanguard,NVDA,US67066G1040,tech,0.05,2000.25,3.5
+"""
+
+
+def _write_dirty(tmp_path):
+    p = tmp_path / "holdings.csv"
+    p.write_text(DIRTY_CSV)
+    return str(p)
+
+
+def test_permissive_read_quarantines_bad_rows(spark, tmp_path):
+    from crocus_spark.io import read_holdings_csv
+    from crocus_spark.metrics import split_corrupt
+
+    df = read_holdings_csv(spark, _write_dirty(tmp_path)).cache()
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 2
+    assert "_corrupt_record" not in clean.columns
+    bad = quarantine.collect()
+    assert len(bad) == 1
+    # the malformed source line is preserved verbatim for inspection
+    assert "not_a_number" in bad[0]._corrupt_record
+    df.unpersist()
+
+
+def test_observe_metrics_ride_the_action(spark, tmp_path):
+    """observe() metrics must reflect exactly the rows the action saw —
+    no second scan, no separate validation query."""
+    from crocus_spark.io import read_holdings_csv
+    from crocus_spark.metrics import observe_ingest
+
+    raw = read_holdings_csv(spark, _write_dirty(tmp_path))
+    df, obs = observe_ingest(raw, key_col="isin")
+    df.write.format("noop").mode("overwrite").save()  # the one action
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_corrupt"] == 1
+    assert got["n_null_key"] == 0
+
+
+def test_observe_metrics_on_clean_frame(spark):
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+    from crocus_spark.metrics import observe_ingest
+    from tests.conftest import SF_SMOKE
+
+    df, obs = observe_ingest(
+        load(spark, SF_SMOKE, "orders"), key_col="o_custkey"
+    )
+    n = df.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["n_corrupt"] == 0
