@@ -326,3 +326,31 @@ def agg_pivot_confront(spark, sf_dir):
         *[F.coalesce(F.col(s), F.lit(0.0)).alias(s.lower()) for s in _SEGMENTS],
     )
     return out.orderBy("nation")
+
+
+@register(
+    "agg_hll_mergeable_sketch",
+    oracle=None,  # Datasketches HLL binary images are engine-specific —
+    # rows-only check; the estimate-vs-exact error bound is property-tested
+    # in tests/test_properties.py
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeable_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (§2B#20 at its 100 TB formulation): build one
+    Datasketches HLL per order-priority group with hll_sketch_agg, then
+    hll_union_agg the per-group sketches into a global distinct-customer
+    estimate WITHOUT rescanning the data. Mergeability is the scale
+    property: per-partition / per-day sketches union into rollups (daily →
+    monthly → all-time) at sketch size, not data size — the pattern the
+    reference's daily snapshot store needs for cross-snapshot cardinality.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_group.select(
+        F.lit("all_priorities").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -116,3 +116,43 @@ def test_sort_merge_join_for_two_large_sides(spark, registry):
     df = registry["join_sortmerge_large"].fn(spark, SF_SMOKE)
     plan = _plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """The SCALE.md co-location claim, executed: lineitem and orders
+    written bucketed by orderkey join WITHOUT shuffling either side — the
+    only Exchange left in the plan belongs to the downstream groupBy
+    (whose key isn't the bucket key). At 100 TB this is the difference
+    between shuffling the two largest tables and shuffling 5 rows."""
+    import re
+
+    from crocus_spark.io import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    o = load(spark, SF_SMOKE, "orders")
+    for name, df, key in [
+        ("li_bucketed_t", li, "l_orderkey"),
+        ("o_bucketed_t", o, "o_orderkey"),
+    ]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    try:
+        a, b = spark.table("li_bucketed_t"), spark.table("o_bucketed_t")
+        j = (
+            a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed_t")

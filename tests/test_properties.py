@@ -1,0 +1,97 @@
+"""Property-based invariants (SURVEY §5.2.3): sketch error bounds,
+union-by-name commutativity, salted-op equivalence already lives in
+test_scale.py, dedup idempotence in test_llm.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ estimate within 5% of exact per group (rsd pinned at 0.02 in
+    the query; 5% leaves slack for small groups)."""
+    from crocus_spark.io import load
+
+    li = load(spark, SF_ORACLE, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r.approx - r.exact) / r.exact <= 0.05, (
+            f"{r.l_returnflag}: {r.approx} vs {r.exact}"
+        )
+
+
+def test_hll_sketch_merge_matches_single_pass(spark):
+    """Mergeability: unioning per-group sketches estimates the same
+    population as one global sketch over the same rows — the property
+    that makes daily-sketch rollups sound. The two aren't bit-identical
+    (the union gadget may operate in a different sketch mode), so both
+    are held to the 2%-of-exact bound instead."""
+    from crocus_spark.io import load
+
+    o = load(spark, SF_ORACLE, "orders")
+    merged = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    single = o.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first().est
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    assert abs(merged - exact) / exact <= 0.02
+    assert abs(single - exact) / exact <= 0.02
+
+
+def test_union_by_name_commutes_on_shared_columns(spark):
+    """unionByName(allowMissingColumns) content is order-independent —
+    the provider-reconciliation union (§2B#33) can't depend on which
+    catalog arrives first."""
+    from crocus_spark.io import load
+
+    cust = load(spark, SF_SMOKE, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0).drop("c_mktsegment")
+    b = cust.filter(F.col("c_custkey") % 3 == 0).drop("c_acctbal")
+    ab = a.unionByName(b, allowMissingColumns=True)
+    ba = b.unionByName(a, allowMissingColumns=True)
+    cols = sorted(ab.columns)
+    assert sorted(ba.columns) == cols
+    norm = lambda df: sorted(
+        map(tuple, df.select(*cols).fillna({"c_acctbal": -1.0}).collect())
+    )
+    assert norm(ab) == norm(ba)
+
+
+def test_jaccard_pairs_symmetric_under_id_relabel(spark):
+    """Prefix-filter candidate pruning must not depend on id order:
+    negating doc ids (reversing every a<b comparison) yields the same
+    pair set (modulo the relabel)."""
+    from crocus_spark.io import load
+    from crocus_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, SF_SMOKE, "documents").limit(300)
+    base = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col=None, threshold=0.9
+        ).collect()
+    }
+    releb = docs.withColumn("doc_id", -F.col("doc_id"))
+    flipped = {
+        (-r.id_b, -r.id_a)
+        for r in ngram_jaccard_pairs(
+            releb, "text", "doc_id", block_col=None, threshold=0.9
+        ).collect()
+    }
+    assert base == flipped
