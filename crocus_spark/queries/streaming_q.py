@@ -19,6 +19,7 @@ from crocus_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
     stateful_user_totals,
+    stream_stream_attribution,
     streaming_dedup,
     tumbling_window_agg,
 )
@@ -134,6 +135,48 @@ def stream_session_window(spark, sf_dir):
         ),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM c JOIN p ON c.user_id = p.user_id
+    WHERE purchase_ts >= click_ts
+      AND purchase_ts < click_ts + INTERVAL '30 minutes'
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: purchases attributed to the
+    user's clicks within the prior 30 minutes. The time-bounded condition
+    between the two event-time columns is what lets Spark expire join
+    state (clicks past watermark+window can never match) — bounded state
+    on two unbounded streams. availableNow replay of the complete fixture
+    makes the result equal the batch self-join the oracle runs."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        stream_stream_attribution(ev, "30 minutes", "1 hour"), "append"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+    ).orderBy("click_id", "purchase_id")
 
 
 @register(

@@ -150,6 +150,56 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join (beyond §2B#51's stream-static): attribute
+    each purchase to the user's clicks in the preceding
+    ``attribution_window``.
+
+    Both sides are watermarked and the join condition time-bounds the two
+    event-time columns — that pair of constraints is what lets Spark
+    expire join state: a click older than watermark + window can never
+    match a future purchase and is dropped from the state store. Without
+    the time bound, stream-stream state grows forever; this is THE
+    unbounded-stream design rule at scale."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup by event_id within the watermark horizon (§2B#49).
     dropDuplicatesWithinWatermark keeps state only for the watermark window —
