@@ -111,6 +111,53 @@ def decode_media_batch(
     return media.mapInPandas(fn, DECODED_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("byte_start", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("rms", T.DoubleType()),  # stand-in feature
+    ]
+)
+
+
+def chunk_audio(
+    media: DataFrame, chunk_bytes: int = 1024, max_chunks: int = 16
+) -> DataFrame:
+    """Audio-chunking plumbing (audio path of §2B#60): split each payload
+    into fixed-size byte windows — the stand-in for resample + fixed-
+    duration windowing — and compute a per-chunk feature in the Arrow
+    batch loop (here: RMS over raw bytes; a real pipeline swaps in
+    spectrogram/MFCC extraction behind the same schema).
+
+    Shape under test: one input row → ≤ max_chunks output rows with
+    Python-computed per-chunk features — the explode-then-extract pattern
+    every audio featurizer at scale uses. Chunk boundaries are pure
+    arithmetic; only the feature touches Python, Arrow-batched."""
+    import pandas as pd  # noqa: PLC0415
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "chunk_idx", "byte_start", "byte_len", "rms")}
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(payload or b"")
+                for i in range(min(max_chunks, max(1, -(-len(data) // chunk_bytes)))):
+                    chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    if not chunk:
+                        break
+                    rms = (sum(b * b for b in chunk) / len(chunk)) ** 0.5
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["byte_start"].append(i * chunk_bytes)
+                    out["byte_len"].append(len(chunk))
+                    out["rms"].append(round(rms, 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, AUDIO_CHUNK_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
 ) -> DataFrame:

@@ -545,6 +545,25 @@ def multimodal_fake_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_chunks",
+    oracle=None,  # RMS runs over UTF-8 *bytes* of the payload; DuckDB SQL
+    # sees characters, so no faithful oracle — chunk math and features are
+    # unit-tested against a Python reference in tests/test_llm.py
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio-chunking plumbing (audio path of §2B#60): fixed-size byte
+    windows per payload with an Arrow-batched per-chunk feature (RMS
+    stand-in for spectrogram/MFCC). One row in → ≤16 chunk rows out — the
+    explode-then-extract shape of every audio featurizer at scale."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.to_media_table(docs, "doc_id", "text", "audio")
+    return M.chunk_audio(media, chunk_bytes=64, max_chunks=16).orderBy(
+        "media_id", "chunk_idx"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH frames AS (

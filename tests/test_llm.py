@@ -202,3 +202,30 @@ def test_ivf_recall_monotone_in_nprobe(emb):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.4, f"recall@5 nprobe=4 {r4:.3f}"
+
+
+def test_audio_chunks_match_python_reference(spark):
+    """chunk_audio's byte windows and RMS must equal a direct Python
+    computation over the UTF-8 payload — the contract a real featurizer
+    drops into."""
+    from crocus_spark.operators import multimodal as M
+
+    rows = [(1, "hello world, this is a chunk test payload"), (2, "αβγ εζη"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = M.to_media_table(df, "doc_id", "text", "audio")
+    got = {
+        (r.media_id, r.chunk_idx): (r.byte_start, r.byte_len, r.rms)
+        for r in M.chunk_audio(media, chunk_bytes=16, max_chunks=4).collect()
+    }
+    for doc_id, text in rows:
+        data = text.encode("utf-8")
+        n_chunks = min(4, max(1, -(-len(data) // 16)))
+        for i in range(n_chunks):
+            chunk = data[i * 16 : (i + 1) * 16]
+            if not chunk:
+                break
+            rms = round((sum(b * b for b in chunk) / len(chunk)) ** 0.5, 6)
+            assert got[(doc_id, i)] == (i * 16, len(chunk), rms)
+    assert len(got) == sum(
+        min(4, max(1, -(-len(t.encode('utf-8')) // 16))) for _, t in rows
+    )
