@@ -15,10 +15,7 @@ import pytest
 from tests.conftest import SF_SMOKE
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from crocus_spark.plans import explain_str as _plan
 
 
 @pytest.fixture(scope="module")
