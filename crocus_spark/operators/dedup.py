@@ -8,6 +8,16 @@ Design rules for 100 TB:
   keys; only candidate pairs pay the verification cost.
 - all hashes are deterministic engine built-ins (md5 / xxhash64) — results
   are reproducible across runs and cluster layouts.
+
+Published foundations (public literature): prefix/positional filtering is
+the AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+Similarity Search", WWW'07; Xiao et al., "Efficient Similarity Joins for
+Near Duplicate Detection", WWW'08); MinHash is Broder, "On the
+resemblance and containment of documents" (1997) with the banded-LSH
+S-curve from Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+ch.3; SimHash is Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC'02) as applied in Manku et al., "Detecting
+Near-Duplicates for Web Crawling" (WWW'07).
 """
 
 from __future__ import annotations

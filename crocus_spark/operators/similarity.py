@@ -6,6 +6,12 @@ cosine near-dup pairs.
 Vector math stays in built-in higher-order functions (zip_with/aggregate) —
 JVM-side, no UDF serde. The LSH plane matrix is a seeded literal: tiny,
 deterministic, broadcast by construction.
+
+Published foundations (public literature): random-hyperplane LSH is
+Charikar (STOC'02); multiprobe is Lv et al., "Multi-Probe LSH" (VLDB'07);
+the IVF (inverted-file + coarse quantizer, nprobe search) design follows
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI'11) §IV-A, flat (unquantized) residuals.
 """
 
 from __future__ import annotations
