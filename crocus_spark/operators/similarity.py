@@ -204,27 +204,34 @@ def _norm_vec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double") / n)
 
 
-def _dot_lit(vec_col: Column, centroid: list[float]) -> Column:
-    """Dot product of a vector column with a Python-literal centroid."""
-    lit_c = F.array(*[F.lit(v) for v in centroid])
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (sequential fold)."""
     return F.aggregate(
-        F.zip_with(vec_col, lit_c, lambda x, p: x * p),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Cell id of the max-dot-product centroid (vectors pre-normalized).
-    array_max over (dot, -cell) structs: ties go to the LOWEST cell id —
-    deterministic assignment."""
-    entries = [
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: broadcast the (cells-sized)
+    centroid relation, score every (vector, centroid) pair, keep the
+    max-dot cell with ties to the LOWEST cell id (deterministic).
+    max_by over struct(dot, -cell) does the argmax in one partial+final
+    aggregation — no window, no extra shuffle of the vector payload."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "v",
         F.struct(
-            _dot_lit(vec_col, c).alias("dot"), F.lit(-i).alias("neg_cell")
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return -F.array_max(F.array(*entries)).getField("neg_cell")
+            _dot(F.col("v"), F.col("centroid")).alias("dot"),
+            (-F.col("cell")).alias("neg_cell"),
+        ).alias("sc"),
+    )
+    best = scored.groupBy("id").agg(
+        (-F.max("sc").getField("neg_cell")).cast("int").alias("cell"),
+        F.first("v").alias("v"),
+    )
+    return best
 
 
 def ivf_fit_centroids(
@@ -233,44 +240,56 @@ def ivf_fit_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
-) -> list[list[float]]:
-    """Deterministic IVF centroid fit (spherical k-means).
+) -> DataFrame:
+    """Deterministic IVF centroid fit (spherical k-means) — fully
+    declarative: the centroids stay a (cell, centroid) DataFrame from
+    seed to convergence, NOTHING is collected to the driver.
 
-    Seeds = the ``n_cells`` corpus vectors with the smallest
-    xxhash64(id) — a seedless deterministic pseudo-random sample that is
-    stable across partitionings and cluster layouts. Each Lloyd iteration
-    assigns every (normalized) vector to its max-dot centroid and
-    recomputes centroids as the per-cell mean via posexplode →
-    groupBy(cell, dim) — both full passes are distributed; only the
-    centroid matrix (n_cells × dim doubles — a model artifact, like the
-    LSH plane matrix) ever reaches the driver.
-    """
+    Seeds = the ``n_cells`` corpus vectors with the smallest xxhash64(id)
+    — a seedless deterministic pseudo-random sample, stable across
+    partitionings. Each Lloyd iteration broadcast-joins the (cells-sized)
+    centroid relation onto the corpus for assignment, then recomputes
+    per-cell means via posexplode → groupBy(cell, dim) with the decimal
+    accumulation contract (queries/_det.py) so centroid components are
+    bit-identical at any parallelism. Per iteration the corpus is
+    touched exactly twice (assign + mean); everything that shuffles is
+    cells × dims — model-sized."""
     normed = corpus.select(
         F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
     )
-    seed_rows = (
-        normed.orderBy(F.xxhash64(F.col("id")))
-        .limit(n_cells)
-        .select("id", "v")
-        .collect()
+    # distributed top-n (TakeOrderedAndProject — per-partition partial
+    # top-n, merge of n_cells rows), NOT a global row_number window, which
+    # would funnel the whole corpus through one task
+    seeds = normed.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n_cells)
+    centroids = (
+        # re-key seeds by id order so cell numbering is hash-independent;
+        # the window spans only the n_cells seed rows
+        seeds.withColumn(
+            "cell", (F.row_number().over(Window.orderBy("id")) - 1).cast("int")
+        ).select("cell", F.col("v").alias("centroid"))
     )
-    centroids = [list(r.v) for r in sorted(seed_rows, key=lambda r: r.id)]
     for _ in range(lloyd_iters):
-        assigned = normed.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        assigned = _assign_cells(normed, centroids)
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.m
-        dim = len(centroids[0])
-        for cell, comps in by_cell.items():
-            vec = [comps[d] for d in range(dim)]
-            norm = sum(x * x for x in vec) ** 0.5 or 1.0
-            centroids[cell] = [x / norm for x in vec]  # re-normalize mean
+        unnormed = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("mv")
+        )
+        centroids = unnormed.select(
+            "cell", _norm_vec(F.col("mv")).alias("centroid")
+        )
     return centroids
 
 
@@ -295,34 +314,47 @@ def ivf_topk(
 
     Scale shape: the corpus partitions cleanly by cell (at rest:
     ``partitionBy("cell")``, so a probe reads nprobe/n_cells of the
-    data); queries replicate nprobe× and equi-join on cell — never a
-    cross join. Centroids are literals in the plan: broadcast by
-    construction, no shuffle to apply. Recall is tunable with nprobe;
-    precision is 1.0 because re-scoring is exact.
+    data); queries replicate nprobe× and equi-join on cell — never an
+    unbounded cross join. The centroid relation is cells-sized and
+    broadcast everywhere it appears; the whole pipeline — fit, assign,
+    probe, rescore — is one lazy plan with no driver-side collection, so
+    n_cells can grow to √n without an expression-size or driver
+    bottleneck. Recall is tunable with nprobe; precision is 1.0 because
+    re-scoring is exact.
     """
+    # persist the fitted model: the centroid relation is referenced three
+    # times downstream (corpus assignment, query probing, and inside its
+    # own lineage) and each uncached reference would re-run the whole fit.
+    # It is n_cells rows — a model artifact, caching it costs bytes.
     centroids = ivf_fit_centroids(
         corpus, n_cells, id_col, vec_col, lloyd_iters
-    )
+    ).persist()
+    corpus_cells = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+    ).select(F.col("id").alias("neighbor_id"), F.col("cell"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _nearest_cell(_norm_vec(F.col(vec_col)), centroids).alias("cell"),
-    )
-    probe_entries = [
-        F.struct(
-            (-_dot_lit(_norm_vec(F.col(vec_col)), cen)).alias("neg_dot"),
-            F.lit(i).alias("cell"),
-        )
-        for i, cen in enumerate(centroids)
-    ]
-    q = queries.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(corpus_cells, "neighbor_id")
+    # per-query probe list: top-nprobe centroid cells by dot product
+    q_normed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(F.array_sort(F.array(*probe_entries)), 1, nprobe)
-        ).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
-    scored = q.join(c, "cell").withColumn(
+        _norm_vec(F.col(vec_col)).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("q_dot"), F.col("cell")
+    )
+    probes = (
+        q_normed.crossJoin(F.broadcast(centroids))
+        .withColumn("q_dot", _dot(F.col("qn"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = probes.join(c, "cell").withColumn(
         "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -332,6 +364,63 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """(label, centroid array<double>): per-label mean vector, computed
+    distributed via posexplode → groupBy(label, dim) → exact decimal mean
+    → re-assembled in dim order. The decimal accumulation (same contract
+    as queries/_det.py) plus a 9-digit round makes centroid components
+    bit-identical across engines and cluster layouts. The shuffle carries
+    (labels × dims) cells — model-sized, never data-sized."""
+    dims = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    means = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("m")
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+
+
+def centroid_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification over the embedding column: assign
+    each query the label of the max-cosine per-label mean (Rocchio
+    classifier). Centroids are a labels-sized relation — crossJoin +
+    broadcast by size; ties break to the lowest label, deterministically.
+    At 100 TB only the posexplode mean pass touches the corpus."""
+    cents = label_centroids(corpus, label_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "cos")
     )
 
 

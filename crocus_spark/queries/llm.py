@@ -213,10 +213,58 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "ann_centroid_classify",
+    oracle="""
+    WITH corpus AS (
+      SELECT label, embedding FROM embeddings WHERE vec_id >= 10
+    ), dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM corpus
+    ), means AS (
+      SELECT label, dim,
+             round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM dims GROUP BY label, dim
+    ), cent AS (
+      SELECT label, list(m ORDER BY dim) AS centroid FROM means GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, label,
+             round(list_cosine_similarity(qv::DOUBLE[], centroid), 6) AS cos
+      FROM q CROSS JOIN cent
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, label) AS rn
+      FROM scored
+    )
+    SELECT query_id, label AS pred_label, cos
+    FROM ranked WHERE rn = 1
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification over the embedding
+    column: per-label mean vectors via a distributed posexplode +
+    decimal-exact mean (bit-stable at any parallelism), then max-cosine
+    label per query. The centroid relation is labels-sized — broadcast;
+    only the mean pass touches the corpus. Exercises the labeled half of
+    the embeddings fixture the ANN queries ignore."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.centroid_classify(queries, corpus).orderBy("query_id")
+
+
+@register(
     "ann_ivf_topk",
     oracle=None,  # nprobe < n_cells is approximate — recall@5 vs brute
     # force and full-probe-exactness are property-tested in tests/test_llm.py
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "headline"),
 )
 def ann_ivf_topk(spark, sf_dir):
     """Approximate top-5 via IVF-Flat (§2B#55, inverted-file scale path):

@@ -49,7 +49,9 @@ _TOPK_SQL = """
 """
 
 
-@register("sql_topk_customers_per_nation", oracle=_TOPK_SQL, tags=("sql",))
+@register(
+    "sql_topk_customers_per_nation", oracle=_TOPK_SQL, tags=("sql", "headline")
+)
 def sql_topk_customers_per_nation(spark, sf_dir):
     """§2C proof: top-3 customers by order revenue per nation, written as
     ONE SQL string (CTE → join → decimal-exact agg → window top-k) that
