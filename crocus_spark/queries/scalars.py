@@ -265,3 +265,40 @@ def map_from_json(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured props via VariantType (the Spark 4 scale path for
+    §2B#43): parse_json once into the shredded binary encoding, then
+    variant_get typed paths — an order of magnitude cheaper than
+    re-parsing JSON text per field access, and the encoding columnar
+    formats can push down. Integer aggregation, so the oracle comparison
+    is exact with no decimal gymnastics."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
