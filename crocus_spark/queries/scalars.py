@@ -302,3 +302,38 @@ def json_variant_extract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "try_functions_battery",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS BIGINT) AS brand_as_int,
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
+             AS brand_num,
+           CASE WHEN p_size = 0 THEN NULL
+                ELSE CAST(p_retailprice AS DOUBLE) / p_size END AS price_per_size,
+           TRY_CAST(p_name AS DATE) IS NULL AS name_not_a_date
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "null"),
+)
+def try_functions_battery(spark, sf_dir):
+    """Null-safe error handling (§2B#44, the reference's log-and-continue
+    C4 as expressions): try_cast turns unparseable values into NULL
+    instead of failing the job, try_divide absorbs division by zero —
+    PERMISSIVE semantics inside the expression layer, which is what lets
+    a 100 TB scan survive dirty rows without a quarantine pass."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("bigint").alias("brand_as_int"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1)
+        .try_cast("bigint")
+        .alias("brand_num"),
+        F.try_divide(F.col("p_retailprice").cast("double"), F.col("p_size")).alias(
+            "price_per_size"
+        ),
+        F.col("p_name").try_cast("date").isNull().alias("name_not_a_date"),
+    ).orderBy("p_partkey")
