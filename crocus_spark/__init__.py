@@ -9,8 +9,11 @@ columns, text analysis) and designed for 100 TB scale.
 Layout:
     session     - SparkSession factory with the engine's config pins
     io          - fixture/table readers + partitioned snapshot sinks
+    ingest      - catalog/holdings ingestion pipelines over the snapshot store
     normalize   - locale-string normalization expressions (crocus S6/D2/D3)
-    functions   - reusable column-expression helpers
+    metrics     - observe()-based ingest metrics + corrupt-record quarantine
+    functions/  - public scalar/column-expression surface (one import point)
+    plans/      - plan inspection (exchange counts, broadcast/pushdown checks)
     operators/  - composed operators (asof/range/fuzzy joins, dedup, ANN, text)
     streaming/  - structured-streaming operators (windows, watermark, state)
     queries/    - named query registry backing __spark_entry__.py
