@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ANSI mode (SURVEY §4.2): DuckDB-matching cast/overflow semantics —
+        # invalid casts/overflow ERROR instead of silently returning NULL;
+        # the explicit null-tolerant path is the try_* battery
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
