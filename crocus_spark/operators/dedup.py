@@ -268,12 +268,17 @@ def minhash_dedup_survivors(
     Returns (id, cluster_id, is_survivor): survivor = lowest id in its
     cluster — same winner rule as exact_dedup.
 
-    The bucket relation is persisted for the duration of the loop: each
+    The bucket relation is cached for the duration of the loop: each
     iteration references it twice, so without a cache the minhash
     signature aggregation (the expensive part) would be recomputed
-    2·iterations times. Persisting the *buckets* (id, band, sig — a few
+    2·iterations times. Caching the *buckets* (id, band, sig — a few
     dozen bytes per doc per band) is cheap even at 100 TB corpus scale;
-    the document bodies never enter the loop.
+    the document bodies never enter the loop. The final labels are
+    eagerly local-checkpointed — standard practice for iterative
+    algorithms: it truncates the iteration lineage AND lets the bucket
+    cache be released immediately instead of leaking until session end
+    (checkpoint blocks are freed by the ContextCleaner when the result
+    is garbage collected; cacheManager entries are not).
     """
     buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
     buckets = buckets.persist()
@@ -289,6 +294,8 @@ def minhash_dedup_survivors(
             .groupBy("id")
             .agg(F.min("bucket_lbl").alias("lbl"))
         )
+    labels = labels.localCheckpoint(eager=True)
+    buckets.unpersist()
     return labels.select(
         F.col("id"),
         F.col("lbl").alias("cluster_id"),

@@ -322,13 +322,14 @@ def ivf_topk(
     bottleneck. Recall is tunable with nprobe; precision is 1.0 because
     re-scoring is exact.
     """
-    # persist the fitted model: the centroid relation is referenced three
-    # times downstream (corpus assignment, query probing, and inside its
-    # own lineage) and each uncached reference would re-run the whole fit.
-    # It is n_cells rows — a model artifact, caching it costs bytes.
+    # materialize the fitted model eagerly: the centroid relation is
+    # referenced three times downstream and each unmaterialized reference
+    # would re-run the whole fit. localCheckpoint (n_cells rows — bytes)
+    # truncates the fit lineage and is auto-released when the query is
+    # garbage collected, unlike persist() which leaks until session end.
     centroids = ivf_fit_centroids(
         corpus, n_cells, id_col, vec_col, lloyd_iters
-    ).persist()
+    ).localCheckpoint(eager=True)
     corpus_cells = _assign_cells(
         corpus.select(
             F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
