@@ -354,3 +354,43 @@ def agg_hll_mergeable_sketch(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+@register(
+    "rollup_hierarchical_time",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("agg", "timeseries", "rollup"),
+)
+def rollup_hierarchical_time(spark, sf_dir):
+    """Hypertable-style continuous aggregate (the 'hypertable rollup'
+    custom-operator class): the DAILY rollup is computed FROM the HOURLY
+    rollup, never from raw events — yet the oracle aggregates raw events
+    directly, and the hash must match. That works because the hourly
+    partials stay DECIMAL (exact, associative) until the final cast:
+    the algebraic-merge property that lets a 100 TB store maintain
+    hour → day → month aggregates incrementally, re-reading only the
+    finest level, exactly like the reference's daily snapshot store
+    rolling up to monthly views."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_total"),
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("dec_total").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+    return daily
