@@ -36,6 +36,98 @@ GROUPS = [
 ]
 
 
+# SURVEY.md §2B row → implementing queries. Validated against REGISTRY at
+# generation time: a renamed/removed query breaks the build of this doc.
+SURVEY_2B = [
+    (1, "Parquet scan", ["io_partitioned_prune", "q1_pricing_summary"]),
+    (2, "CSV scan w/ schema", ["io_csv_roundtrip"]),
+    (3, "JSON scan", ["io_json_roundtrip"]),
+    (4, "binary/document source", ["io_binary_source"]),
+    (5, "partitioned Parquet sink", ["io_partitioned_prune"]),
+    (6, "single-file JSON sink", ["io_json_roundtrip"]),
+    (7, "streaming file source", ["stream_tumbling_window"]),
+    (8, "select / alias / drop", ["select_project_drop"]),
+    (9, "filter battery", ["filter_predicates"]),
+    (10, "conditional expression", ["conditional_case"]),
+    (11, "broadcast hash equi-join", ["join_broadcast_dims"]),
+    (12, "sort-merge equi-join", ["join_sortmerge_large"]),
+    (13, "left/right/full outer", ["join_left_outer", "join_full_outer"]),
+    (14, "left semi / left anti", ["join_left_semi", "join_left_anti"]),
+    (15, "theta / range join", ["join_range_bands"]),
+    (16, "as-of join", ["join_asof_events"]),
+    (17, "interval/overlap join", ["join_interval_overlap"]),
+    (18, "cross join", ["join_cross_grid"]),
+    (19, "hash group-by agg", ["q1_pricing_summary"]),
+    (20, "count distinct + approx",
+     ["agg_distinct_counts", "agg_approx_distinct", "agg_hll_mergeable_sketch"]),
+    (21, "argmax/argmin", ["agg_maxby_argmax"]),
+    (22, "grouping sets / rollup / cube",
+     ["agg_grouping_sets", "agg_rollup", "agg_cube"]),
+    (23, "collect_list / collect_set", ["agg_collect_sorted"]),
+    (24, "percentiles / median", ["agg_percentiles"]),
+    (25, "stddev / variance / corr", ["agg_stats_moments"]),
+    (26, "pivot", ["agg_pivot_confront"]),
+    (27, "ranking windows", ["window_rank_battery"]),
+    (28, "analytic windows", ["window_lag_lead", "window_first_last"]),
+    (29, "frame-spec aggregates", ["window_moving_frame", "window_range_frame"]),
+    (30, "top-k per group", ["window_topk_per_group"]),
+    (31, "global sort", ["global_sort"]),
+    (32, "limit / top-k", ["orderby_limit_topk"]),
+    (33, "union by name", ["set_union_by_name", "products_union_dedup"]),
+    (34, "intersect / except", ["set_intersect", "set_except"]),
+    (35, "dedup by key (last-wins)", ["dedup_last_wins_by_key"]),
+    (36, "string functions", ["string_battery"]),
+    (37, "regex extract / match", ["regex_battery"]),
+    (38, "URL parse", ["url_parse_filetype"]),
+    (39, "locale decimal cast", ["normalize_locale"]),
+    (40, "date/time functions", ["datetime_battery"]),
+    (41, "math functions", ["math_battery"]),
+    (42, "array functions", ["array_battery", "array_explode"]),
+    (43, "map funcs + JSON",
+     ["map_from_json", "json_props_battery", "json_variant_extract"]),
+    (44, "null handling", ["null_handling", "try_functions_battery"]),
+    (45, "tumbling window agg", ["stream_tumbling_window"]),
+    (46, "sliding window agg", ["stream_sliding_window"]),
+    (47, "session window", ["stream_session_window"]),
+    (48, "watermark + late-data drop",
+     ["stream_session_window", "stream_dedup_watermark"]),
+    (49, "streaming dedup", ["stream_dedup_watermark"]),
+    (50, "stateful per-key processing", ["stream_stateful_totals"]),
+    (51, "stream-static join", ["stream_static_join", "stream_stream_join"]),
+    (52, "output modes / triggers",
+     ["stream_tumbling_window", "stream_stateful_totals"]),
+    (53, "exact dedup at scale", ["text_exact_dedup"]),
+    (54, "near-dup / fuzzy dedup",
+     ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_survivors",
+      "dedup_simhash"]),
+    (55, "similarity search (ANN)",
+     ["ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "ann_ivf_fullprobe_topk", "neardup_embedding_cosine",
+      "ann_centroid_classify"]),
+    (56, "text normalization/tokenization", ["text_token_stats"]),
+    (57, "text stats / quality",
+     ["text_langid", "text_quality_score", "text_fingerprint"]),
+    (58, "TF-IDF / vectorize", ["text_tfidf_topk"]),
+    (59, "fuzzy name match", ["join_fuzzy_name"]),
+    (60, "multimodal columns",
+     ["multimodal_binary_stats", "multimodal_fake_decode",
+      "multimodal_frame_sample", "multimodal_audio_chunks"]),
+    (61, "scalar pandas UDF", ["udf_pandas_scalar"]),
+    (62, "UDAF", ["udaf_weighted_mean"]),
+    (63, "UDTF", ["udtf_bigrams"]),
+    (64, "grouped map", ["udf_grouped_map_zscore"]),
+]
+
+BEYOND_2B = [
+    ("flagship cross-entity confront", ["flagship_confront"]),
+    ("SQL-string surface (§2C)",
+     ["sql_topk_customers_per_nation", "sql_setops_cohorts"]),
+    ("skew salting", ["salted_groupby"]),
+    ("hierarchical time rollup", ["rollup_hierarchical_time"]),
+    ("watermarked stream-stream join", ["stream_stream_join"]),
+]
+
+
 def main() -> None:
     queries()
     grouped: dict[str, list] = defaultdict(list)
@@ -75,6 +167,39 @@ def main() -> None:
             oracle = "DuckDB" if q.oracle else "rows-only"
             out.append(f"| `{q.name}` | {oracle} | {first} |")
         out.append("")
+
+    # SURVEY §2B cross-reference, validated against the registry
+    missing = [
+        (row, name)
+        for row, _, names in SURVEY_2B
+        for name in names
+        if name not in REGISTRY
+    ] + [
+        (title, name)
+        for title, names in BEYOND_2B
+        for name in names
+        if name not in REGISTRY
+    ]
+    if missing:
+        raise SystemExit(f"stale SURVEY_2B mapping: {missing}")
+    out.append("## SURVEY.md §2B cross-reference\n")
+    out.append(
+        "Every row of the §2B inventory with its implementing queries "
+        "(validated against the registry at generation time).\n"
+    )
+    out.append("| §2B row | operator | queries |")
+    out.append("|---|---|---|")
+    for row, title, names in SURVEY_2B:
+        qlist = ", ".join(f"`{n}`" for n in names)
+        out.append(f"| {row} | {title} | {qlist} |")
+    out.append("")
+    out.append("## Beyond §2B\n")
+    out.append("| capability | queries |")
+    out.append("|---|---|")
+    for title, names in BEYOND_2B:
+        qlist = ", ".join(f"`{n}`" for n in names)
+        out.append(f"| {title} | {qlist} |")
+    out.append("")
     (REPO / "OPERATORS.md").write_text("\n".join(out))
     print(f"wrote OPERATORS.md: {n_total} queries, {n_oracle} oracle-checked")
 
