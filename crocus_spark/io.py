@@ -131,6 +131,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     downstream ``filter``/``select`` reach the scan (check
     ``.explain('formatted')`` for PushedFilters / ReadSchema).
     """
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); without this (runtime-
+        # settable) flag the scan itself errors. Set here, not only in the
+        # session factory, so the table loads under caller-owned sessions
+        # (e.g. the driver harness) too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader,
