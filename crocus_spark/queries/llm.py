@@ -637,3 +637,26 @@ def multimodal_frame_sample(spark, sf_dir):
     return M.sample_frames(media, every_n_bytes=64, max_frames=8).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "sample_stratified_docs",
+    oracle=None,  # sampling RNG is engine-specific (Spark XORShift vs
+    # DuckDB) — no cross-engine oracle; determinism, subset-ness and
+    # rate bounds are property-tested in tests/test_llm.py
+    tags=("llm", "sampling"),
+)
+def sample_stratified_docs(spark, sf_dir):
+    """Seeded stratified sampling (training-data mixture control): keep
+    80% of English docs, 30% of everything else — the per-stratum rate
+    table every corpus-mixing pipeline applies before training. sampleBy
+    is a per-row Bernoulli draw seeded deterministically: no shuffle, no
+    state, reproducible across runs and partition layouts at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.8 if lang == "en" else 0.3) for lang in langs}
+    return (
+        docs.sampleBy("lang", fractions, seed=42)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

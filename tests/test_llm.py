@@ -229,3 +229,29 @@ def test_audio_chunks_match_python_reference(spark):
     assert len(got) == sum(
         min(4, max(1, -(-len(t.encode('utf-8')) // 16))) for _, t in rows
     )
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """sampleBy with a fixed seed must be reproducible, a subset of the
+    source, and within binomial bounds of the target rates."""
+    from crocus_spark.io import load
+    from tests.conftest import SF_ORACLE
+
+    docs = load(spark, SF_ORACLE, "documents")
+    fr = {"en": 0.8, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.3}
+    a = docs.sampleBy("lang", fr, seed=42).select("doc_id").collect()
+    b = docs.sampleBy("lang", fr, seed=42).select("doc_id").collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in a} <= all_ids
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    got = {r.lang: r.n for r in docs.sampleBy("lang", fr, seed=42)
+           .groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, frac in fr.items():
+        n, k = totals.get(lang, 0), got.get(lang, 0)
+        if n < 30:
+            continue
+        # 4-sigma binomial bound
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
