@@ -1,0 +1,257 @@
+"""Corpus-curation operators for training-data pipelines — the ordering /
+packing / filtering stages that sit between dedup (operators/dedup.py) and
+the trainer: deterministic shuffling, context-window packing, repetition
+and boilerplate filters, per-source token quotas, PII scrubbing.
+
+These generalize the reference's snapshot-store curation intent (the
+partitioned per-day store at base_scraper.py:72-83 is a corpus of daily
+document snapshots) to the driver's north-star LLM-pipeline surface.
+
+Design rules for 100 TB:
+- no global total order: every ordering is *sharded* (seeded hash shard →
+  within-shard order), so windows/row_numbers parallelize per shard and no
+  single-partition sort exists anywhere.
+- all randomness is a deterministic seeded hash (md5 of seed:id) — results
+  are reproducible across runs, partition layouts, and engines.
+- cross-doc statistics (n-gram document frequency) reduce to a
+  vocabulary-sized relation that broadcasts; document bodies shuffle at
+  most once.
+
+Published foundations: repetition and quality filters follow Rae et al.,
+"Scaling Language Models: ... Gopher" (2021) §A1.1 and Penedo et al.,
+"The RefinedWeb Dataset" (2023) §3 (line/ngram-level dedup); sequence
+packing is the standard fixed-length batching described in Raffel et al.,
+"Exploring the Limits of Transfer Learning" (T5, 2020) §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "shuffle_key",
+    "deterministic_shuffle",
+    "pack_context_windows",
+    "repetition_stats",
+    "boilerplate_ngram_stats",
+    "quota_by_source",
+    "scrub_pii",
+]
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count — the cheap `n_tok` every packing/quota stage
+    shares. Mirrors DuckDB ``len(string_split_regex(trim(text),'\\s+'))``."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def shuffle_key(id_col: Column, seed: int = 42) -> Column:
+    """Seeded deterministic shuffle key: md5 over "{seed}:{id}". The same
+    expression exists verbatim in DuckDB, so shuffled order is
+    engine-portable — and being a pure per-row hash it is stable under any
+    partitioning or cluster layout."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42, n_shards: int = 8
+) -> DataFrame:
+    """Seeded global shuffle for training-data ordering, sharded so it
+    scales: shard = first hex nibble of the key mod n_shards, position =
+    rank of the key *within* the shard. No global sort exists — each shard
+    orders independently (row_number windows partition by shard), so the
+    operator parallelizes across shards at any corpus size.
+
+    Epoch reshuffles are just a different ``seed``.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.ascii(F.substring("shuffle_key", 1, 1)) % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def pack_context_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 8,
+    window_tokens: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing (T5-style fixed-length batching): documents
+    in deterministic shuffled order are laid head-to-tail per shard; each
+    doc is assigned to the context window where its first token lands
+    (window_id = tokens_before // window_tokens). A doc may span a window
+    boundary — the trainer-side splitter handles that; assignment here is
+    what must be deterministic and distributed.
+
+    Pure integer window arithmetic over a per-shard running sum — exact in
+    any engine, and every window function partitions by shard (no global
+    accumulation)."""
+    shuffled = deterministic_shuffle(df, id_col, seed, n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        shuffled.withColumn("n_tok", ws_token_count(F.col(text_col)))
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn(
+            "window_id", F.floor(F.col("tokens_before") / F.lit(window_tokens))
+        )
+        .withColumn("tok_offset", F.col("tokens_before") % F.lit(window_tokens))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Within-document repetition filter (Gopher §A1.1 "duplicate n-gram
+    fraction"): the share of word 3-grams that are repeats of an earlier
+    3-gram in the same doc. Degenerate looping text scores near 1.
+
+    Entirely per-row expression work (split → 3-gram transform →
+    array_distinct) — no shuffle, whole-stage-codegen'd, embarrassingly
+    parallel at any scale."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n3 = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    grams = F.when(n3 <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    out = (
+        df.withColumn("n_grams", n3)
+        .withColumn("n_distinct_grams", F.size(F.array_distinct(grams)))
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("n_grams") <= 0, F.lit(0.0)).otherwise(
+                F.round(
+                    1.0 - F.col("n_distinct_grams") / F.col("n_grams").cast("double"),
+                    6,
+                )
+            ),
+        )
+    )
+    return out.withColumn("keep", F.col("dup_ratio") <= max_dup_ratio).select(
+        id_col, "n_grams", "n_distinct_grams", "dup_ratio", "keep"
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_df: int = 30,
+    max_boiler_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document boilerplate filter (RefinedWeb §3 line-dedup,
+    re-expressed in token space for newline-free corpora): a word n-gram
+    appearing in ≥ min_df distinct documents is boilerplate (headers,
+    navigation, license blurbs); each doc reports what fraction of its
+    distinct n-grams are boilerplate.
+
+    The (gram → document frequency) relation is the only cross-doc state;
+    it is vocabulary-sized and broadcast back onto the exploded grams —
+    document bodies are never shuffled, and the gram relation map-side
+    combines before its one aggregation shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nmax = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.when(nmax <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nmax),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    gram_df = doc_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        doc_grams.join(F.broadcast(gram_df), "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+    return per_doc.withColumn(
+        "keep", F.col("boiler_frac") <= max_boiler_frac
+    ).select(F.col("id").alias(id_col), "n_grams", "n_boiler", "boiler_frac", "keep")
+
+
+def quota_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    quota_tokens: int = 3000,
+) -> DataFrame:
+    """Per-source token quota (data-mixture control): rank docs within each
+    source (longest first — the cheap quality proxy; swap in a quality
+    score upstream), keep docs while the source's running token total stays
+    within quota. Windows partition by source, so the operator scales with
+    the number of sources, not corpus size, and ties break on id for
+    determinism."""
+    n_tok = ws_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc("n_tok"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= quota_tokens)
+        .select(id_col, source_col, "n_tok", "cum_tok")
+    )
+
+
+# Engine-portable PII patterns (Java regex == RE2 for this subset: no
+# backrefs, no lookaround).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGITRUN_RE = r"\d{6,}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (pre-training hygiene): redact email addresses and
+    long digit runs (phone/account numbers), report per-doc match counts
+    and the digest of the redacted text. Pure per-row regex — no shuffle;
+    the scrubbed corpus writes back out partition-parallel."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), DIGITRUN_RE, "<NUM>"
+    )
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(text, F.lit(f"({EMAIL_RE})"), 1)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(f"({DIGITRUN_RE})"), 1)).alias(
+            "n_digit_runs"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )

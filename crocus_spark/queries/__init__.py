@@ -64,6 +64,7 @@ def _load_modules() -> None:
         return
     from crocus_spark.queries import (  # noqa: F401
         aggregates,
+        corpus_q,
         crocus_q,
         joins,
         joins_advanced,

@@ -1,0 +1,219 @@
+"""Corpus-curation queries — the training-data ordering/packing/filtering
+stages (driver north star; generalizes the reference's daily-snapshot
+document store, base_scraper.py:72-83, into an LLM corpus pipeline).
+
+Everything here is deterministic integer/hash/regex work, so every query
+carries a DuckDB oracle: the shuffle key is md5 (identical in both
+engines), packing is integer window arithmetic, filters are ratio
+thresholds on exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.operators import corpus as C
+from crocus_spark.queries import register
+
+_NTOK_SQL = r"len(string_split_regex(trim(text), '\s+'))"
+_KEYED_SQL = """
+  SELECT doc_id, text, source,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+"""
+_SHARDED_SQL = f"""
+  SELECT *, ascii(substr(shuffle_key, 1, 1)) % 8 AS shard
+  FROM ({_KEYED_SQL})
+"""
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id, shuffle_key, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key) AS pos
+    FROM ({_SHARDED_SQL})
+    ORDER BY shard, pos
+    """,
+    tags=("corpus", "sampling"),
+)
+def corpus_shuffle_deterministic(spark, sf_dir):
+    """Seeded deterministic corpus shuffle (training-order control): key =
+    md5(seed:id), shard = first-nibble mod 8, position = within-shard rank.
+    No global sort — each shard orders independently, so epoch shuffling
+    parallelizes at any corpus size; a new seed is a new epoch order."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.deterministic_shuffle(docs, "doc_id", seed=42, n_shards=8)
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "corpus_pack_context_windows",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id, shard, {_NTOK_SQL} AS n_tok,
+             CAST(COALESCE(SUM({_NTOK_SQL}) OVER (
+               PARTITION BY shard ORDER BY shuffle_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM ({_SHARDED_SQL})
+    )
+    SELECT doc_id, shard, n_tok, tokens_before,
+           tokens_before // 512 AS window_id,
+           tokens_before % 512 AS tok_offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "headline"),
+)
+def corpus_pack_context_windows(spark, sf_dir):
+    """Greedy sequence packing into 512-token context windows (T5-style
+    batching): docs in shuffled order laid head-to-tail per shard, each
+    assigned the window where its first token lands. Integer running-sum
+    window per shard — exact, deterministic, no global state."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.pack_context_windows(
+            docs, "text", "doc_id", seed=42, n_shards=8, window_tokens=512
+        )
+        .select("doc_id", "shard", "n_tok", "tokens_before", "window_id", "tok_offset")
+        .orderBy("doc_id")
+    )
+
+
+_GRAMS3_SQL = r"""
+  SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams,
+         CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(ws) - 2),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents)
+"""
+
+
+@register(
+    "text_repetition_ngrams",
+    oracle=f"""
+    WITH g AS ({_GRAMS3_SQL}),
+    r AS (
+      SELECT doc_id, n_grams,
+             len(list_distinct(grams)) AS n_distinct_grams,
+             CASE WHEN n_grams <= 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(grams))
+                             / CAST(n_grams AS DOUBLE), 6) END AS dup_ratio
+      FROM g
+    )
+    SELECT doc_id, n_grams, n_distinct_grams, dup_ratio,
+           dup_ratio <= 0.5 AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "text"),
+)
+def text_repetition_ngrams(spark, sf_dir):
+    """Within-doc repetition filter (Gopher-style duplicate 3-gram
+    fraction): looping/degenerate text scores near 1 and is dropped. Pure
+    per-row expression work — no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "text", "doc_id", max_dup_ratio=0.5).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 5 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(ws) - 4),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]) END AS grams
+      FROM t
+    ), dg AS (
+      SELECT doc_id AS id, unnest(list_distinct(grams)) AS gram FROM g
+    ), gdf AS (
+      SELECT gram, COUNT(*) AS df FROM dg GROUP BY gram
+    ), per AS (
+      SELECT id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM dg JOIN gdf USING (gram) GROUP BY id
+    )
+    SELECT id AS doc_id, n_grams, n_boiler,
+           round(n_boiler / CAST(n_grams AS DOUBLE), 6) AS boiler_frac,
+           round(n_boiler / CAST(n_grams AS DOUBLE), 6) <= 0.5 AS keep
+    FROM per
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "text"),
+)
+def corpus_boilerplate_ngrams(spark, sf_dir):
+    """Cross-doc boilerplate filter (RefinedWeb line-dedup in token space):
+    5-grams present in ≥30 docs are boilerplate; each doc reports its
+    boilerplate fraction. The gram→df relation is vocabulary-sized and
+    broadcast — doc bodies never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return C.boilerplate_ngram_stats(
+        docs, "text", "doc_id", n=5, min_df=30, max_boiler_frac=0.5
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_quota_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_NTOK_SQL} AS n_tok FROM documents
+    ), r AS (
+      SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY n_tok DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tok
+      FROM t
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM r WHERE cum_tok <= 3000
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "sampling"),
+)
+def corpus_quota_by_source(spark, sf_dir):
+    """Per-source token quota (data-mixture control): longest-first ranking
+    within each source, keep while the running token total fits the 3000
+    budget. Windows partition by source — scales with source count, not
+    corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return C.quota_by_source(
+        docs, "text", "doc_id", "source", quota_tokens=3000
+    ).orderBy("doc_id")
+
+
+@register(
+    "scrub_pii_redact",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '({C.EMAIL_RE})', 1)) AS n_emails,
+           len(regexp_extract_all(text, '({C.DIGITRUN_RE})', 1)) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(text,
+                 '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{C.DIGITRUN_RE}', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "text"),
+)
+def scrub_pii_redact(spark, sf_dir):
+    """PII scrubbing: redact emails and ≥6-digit runs, report match counts
+    and the redacted digest. The fixture corpus is PII-free (counts 0,
+    digest = original) — redaction behavior on real PII is unit-tested in
+    tests/test_corpus.py with synthetic rows. Per-row regex only: no
+    shuffle, scrubbed output writes partition-parallel."""
+    docs = load(spark, sf_dir, "documents")
+    return C.scrub_pii(docs, "text", "doc_id").orderBy("doc_id")
