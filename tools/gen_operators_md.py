@@ -27,6 +27,7 @@ GROUPS = [
     ("Scalar functions", ("scalar", "json", "variant", "null")),
     ("SQL surface", ("sql",)),
     ("Streaming", ("streaming", "session", "stateful")),
+    ("Corpus curation (training-data pipeline)", ("corpus", "sampling")),
     ("LLM pipeline: dedup", ("dedup",)),
     ("LLM pipeline: similarity", ("similarity",)),
     ("LLM pipeline: text", ("text",)),
@@ -125,6 +126,13 @@ BEYOND_2B = [
     ("skew salting", ["salted_groupby"]),
     ("hierarchical time rollup", ["rollup_hierarchical_time"]),
     ("watermarked stream-stream join", ["stream_stream_join"]),
+    ("seeded stratified sampling", ["sample_stratified_docs"]),
+    ("deterministic corpus shuffle", ["corpus_shuffle_deterministic"]),
+    ("context-window sequence packing", ["corpus_pack_context_windows"]),
+    ("repetition filter (dup n-grams)", ["text_repetition_ngrams"]),
+    ("cross-doc boilerplate filter", ["corpus_boilerplate_ngrams"]),
+    ("per-source token quotas", ["corpus_quota_by_source"]),
+    ("PII scrubbing / redaction", ["scrub_pii_redact"]),
 ]
 
 
