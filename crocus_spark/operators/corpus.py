@@ -34,10 +34,12 @@ __all__ = [
     "shuffle_key",
     "deterministic_shuffle",
     "pack_context_windows",
+    "dup_gram_cols",
     "repetition_stats",
     "boilerplate_ngram_stats",
     "quota_by_source",
     "scrub_pii",
+    "curation_pipeline",
 ]
 
 
@@ -108,19 +110,10 @@ def pack_context_windows(
     )
 
 
-def repetition_stats(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_dup_ratio: float = 0.5,
-) -> DataFrame:
-    """Within-document repetition filter (Gopher §A1.1 "duplicate n-gram
-    fraction"): the share of word 3-grams that are repeats of an earlier
-    3-gram in the same doc. Degenerate looping text scores near 1.
-
-    Entirely per-row expression work (split → 3-gram transform →
-    array_distinct) — no shuffle, whole-stage-codegen'd, embarrassingly
-    parallel at any scale."""
+def dup_gram_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach duplicate-3-gram columns (n_grams, n_distinct_grams,
+    dup_ratio) — the Gopher §A1.1 repetition signal as pure per-row
+    expressions, chainable with other withColumn-style scorers."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n3 = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
     grams = F.when(n3 <= 0, F.array().cast("array<string>")).otherwise(
@@ -134,7 +127,7 @@ def repetition_stats(
             ),
         )
     )
-    out = (
+    return (
         df.withColumn("n_grams", n3)
         .withColumn("n_distinct_grams", F.size(F.array_distinct(grams)))
         .withColumn(
@@ -147,9 +140,24 @@ def repetition_stats(
             ),
         )
     )
-    return out.withColumn("keep", F.col("dup_ratio") <= max_dup_ratio).select(
-        id_col, "n_grams", "n_distinct_grams", "dup_ratio", "keep"
-    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Within-document repetition filter (Gopher §A1.1 "duplicate n-gram
+    fraction"): the share of word 3-grams that are repeats of an earlier
+    3-gram in the same doc. Degenerate looping text scores near 1.
+
+    Entirely per-row expression work (split → 3-gram transform →
+    array_distinct) — no shuffle, whole-stage-codegen'd, embarrassingly
+    parallel at any scale."""
+    return dup_gram_cols(df, text_col).withColumn(
+        "keep", F.col("dup_ratio") <= max_dup_ratio
+    ).select(id_col, "n_grams", "n_distinct_grams", "dup_ratio", "keep")
 
 
 def boilerplate_ngram_stats(
@@ -254,4 +262,39 @@ def scrub_pii(
             "n_digit_runs"
         ),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.45,
+    max_dup_ratio: float = 0.5,
+    seed: int = 42,
+    n_shards: int = 8,
+    window_tokens: int = 512,
+) -> DataFrame:
+    """The end-to-end curation flagship: quality filter → repetition filter
+    → exact dedup → deterministic shuffle → context-window packing, as one
+    declarative plan.
+
+    Stage economics at 100 TB: the two filters and both scores are per-row
+    expressions fused into the scan (documents that fail never leave the
+    mapper); exact dedup shuffles 16-byte digests once; packing windows
+    partition by shard. Catalyst sees the whole pipeline as one plan, so
+    column pruning reaches the scan and the filters run before any
+    exchange.
+    """
+    from crocus_spark.operators.dedup import exact_dedup
+    from crocus_spark.operators.text import quality_score
+
+    scored = dup_gram_cols(quality_score(df, text_col), text_col)
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("dup_ratio") <= max_dup_ratio)
+    )
+    deduped = exact_dedup(kept, text_col, id_col)
+    return pack_context_windows(
+        deduped, text_col, id_col, seed=seed, n_shards=n_shards,
+        window_tokens=window_tokens,
     )

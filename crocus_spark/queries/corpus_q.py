@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from crocus_spark.io import load
 from crocus_spark.operators import corpus as C
+from crocus_spark.operators import text as X
 from crocus_spark.queries import register
+
+_EN_MARKER_SQL = r"\b(" + "|".join(X.LANG_MARKERS["en"]) + r")\b"
 
 _NTOK_SQL = r"len(string_split_regex(trim(text), '\s+'))"
 _KEYED_SQL = """
@@ -193,6 +196,87 @@ def corpus_quota_by_source(spark, sf_dir):
     return C.quota_by_source(
         docs, "text", "doc_id", "source", quota_tokens=3000
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id, lang, source, text,
+             length(text) AS n_chars_m,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '([^\w\s])', 1)) AS n_punct,
+             len(regexp_extract_all(text, '([A-Za-z])', 1)) AS n_alpha,
+             len(regexp_extract_all(lower(text), '{_EN_MARKER_SQL}', 1)) AS n_stop,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + round(CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.4
+                   + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
+                           * 5.0, 1.0) * 0.2
+                   - round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.5,
+                   6) AS quality,
+             CASE WHEN greatest(len(ws) - 2, 0) <= 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(
+                         list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                       / CAST(len(ws) - 2 AS DOUBLE), 6) END AS dup_ratio
+      FROM m
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.45 AND dup_ratio <= 0.5
+    ), hashed AS (
+      SELECT *,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+      FROM kept
+    ), deduped AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM hashed
+    ), survivors AS (
+      SELECT *, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM deduped WHERE rn = 1
+    ), sharded AS (
+      SELECT *, ascii(substr(shuffle_key, 1, 1)) % 8 AS shard FROM survivors
+    ), packed AS (
+      SELECT doc_id, lang, source, quality, dup_ratio, n_copies, shard,
+             n_tokens AS n_tok,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY shuffle_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM sharded
+    )
+    SELECT doc_id, lang, source, quality, dup_ratio, n_copies, n_tok, shard,
+           tokens_before // 512 AS window_id,
+           tokens_before % 512 AS tok_offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "flagship", "headline"),
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The LLM-pipeline flagship: quality filter → repetition filter →
+    exact dedup → deterministic shuffle → context-window packing as ONE
+    declarative plan. Filters and scores fuse into the scan (rejected docs
+    never leave the mapper), dedup shuffles 16-byte digests, packing
+    windows per shard — the full curation pass costs one digest shuffle
+    plus one shard-local sort at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.curation_pipeline(
+            docs, "text", "doc_id",
+            min_quality=0.45, max_dup_ratio=0.5,
+            seed=42, n_shards=8, window_tokens=512,
+        )
+        .select(
+            "doc_id", "lang", "source", "quality", "dup_ratio", "n_copies",
+            "n_tok", "shard", "window_id", "tok_offset",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

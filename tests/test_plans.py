@@ -153,3 +153,52 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS o_bucketed_t")
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The curation flagship at 100 TB: filters fuse into the scan side
+    (before any Exchange), the scan prunes unused columns, and the only
+    exchanges are the two the algorithm owns (content-hash dedup window,
+    shard packing window) — no join, no single-partition sort."""
+    import re
+
+    from crocus_spark.io import load
+    from crocus_spark.operators.corpus import curation_pipeline
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = curation_pipeline(docs).select(
+        "doc_id", "lang", "source", "quality", "dup_ratio", "n_copies",
+        "n_tok", "shard", "window_id", "tok_offset",
+    )
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan  # no global sort/accumulation
+    # unused fixture column must be pruned from the parquet read
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "n_chars" not in read_schema
+    # exactly the two algorithmic exchanges: content_hash + shard
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, plan
+
+
+def test_boilerplate_broadcasts_gram_frequencies(spark):
+    """The gram→df relation is vocabulary-sized: it must broadcast back
+    onto the exploded grams, never shuffle the gram relation twice."""
+    from crocus_spark.io import load
+    from crocus_spark.operators.corpus import boilerplate_ngram_stats
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(boilerplate_ngram_stats(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_has_no_global_sort(spark):
+    """deterministic_shuffle orders within shards only — a SinglePartition
+    exchange would serialize the whole corpus through one task."""
+    from crocus_spark.io import load
+    from crocus_spark.operators.corpus import deterministic_shuffle
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(deterministic_shuffle(docs))
+    assert "SinglePartition" not in plan

@@ -126,6 +126,7 @@ BEYOND_2B = [
     ("skew salting", ["salted_groupby"]),
     ("hierarchical time rollup", ["rollup_hierarchical_time"]),
     ("watermarked stream-stream join", ["stream_stream_join"]),
+    ("end-to-end curation pipeline", ["corpus_curation_pipeline"]),
     ("seeded stratified sampling", ["sample_stratified_docs"]),
     ("deterministic corpus shuffle", ["corpus_shuffle_deterministic"]),
     ("context-window sequence packing", ["corpus_pack_context_windows"]),
