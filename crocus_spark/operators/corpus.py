@@ -39,6 +39,7 @@ __all__ = [
     "boilerplate_ngram_stats",
     "quota_by_source",
     "scrub_pii",
+    "tokenize_to_ids",
     "curation_pipeline",
 ]
 
@@ -262,6 +263,44 @@ def scrub_pii(
             "n_digit_runs"
         ),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Frequency-vocabulary tokenization (trainer prep): build the top-K
+    vocabulary by corpus frequency (ties by token, so ids are stable), map
+    every token position to its id, OOV → 0. Returns the exploded
+    (doc, pos, tok, token_id) relation — the columnar form a trainer's
+    packing step consumes.
+
+    Scale shape: token counts are one map-side-combined aggregation; the
+    top-K select is a distributed TakeOrdered (no global sort of the
+    vocabulary relation); id assignment windows over only the K surviving
+    rows; and the finished vocab broadcasts onto the token stream — the
+    corpus-sized relation never joins shuffle-side. A learned BPE vocab
+    drops in as the same (tok → id) broadcast relation."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "tok").limit(vocab_size)
+    w = Window.orderBy(F.desc("n"), "tok")  # K rows only — safe single task
+    vocab = top.withColumn("token_id", F.row_number().over(w)).select(
+        "tok", "token_id"
+    )
+    return toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce("token_id", F.lit(0)).alias("token_id"),
     )
 
 

@@ -199,6 +199,36 @@ def corpus_quota_by_source(spark, sf_dir):
 
 
 @register(
+    "text_tokenize_ids",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents)
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS token_id
+      FROM counts ORDER BY n DESC, tok LIMIT 1000
+    )
+    SELECT t.doc_id, t.pos, t.tok, COALESCE(v.token_id, 0) AS token_id
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    ORDER BY doc_id, pos
+    """,
+    tags=("corpus", "text"),
+)
+def text_tokenize_ids(spark, sf_dir):
+    """Frequency-vocab tokenization to ids (trainer prep): top-1000 vocab
+    by corpus frequency (stable tie-break), OOV → 0, exploded
+    (doc, pos, tok, id) output. Vocab builds with one combined aggregation
+    + distributed TakeOrdered and broadcasts onto the token stream."""
+    docs = load(spark, sf_dir, "documents")
+    return C.tokenize_to_ids(docs, "text", "doc_id", vocab_size=1000).orderBy(
+        "doc_id", "pos"
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     oracle=rf"""
     WITH m AS (

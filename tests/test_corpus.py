@@ -134,3 +134,33 @@ def test_scrub_pii_redacts_real_pii(spark):
     # and doc 1's digest matches the expected redacted form
     red = "contact <EMAIL> or call <NUM> now"
     assert got[1].redacted_md5 == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_tokenize_ids_vocab_and_oov(spark):
+    """Ids are 1..K by descending frequency (ties by token); tokens outside
+    the vocab map to 0; every (doc, pos) keeps exactly one row."""
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b rare")],
+        "doc_id long, text string",
+    )
+    rows = C.tokenize_to_ids(df, vocab_size=2).collect()
+    ids = {(r.doc_id, r.pos): (r.tok, r.token_id) for r in rows}
+    assert len(ids) == len(rows) == 9
+    by_tok = {r.tok: r.token_id for r in rows}
+    # freq: b=4, a=3, c=1, rare=1 -> vocab keeps b(1), a(2); c/rare OOV
+    assert by_tok == {"b": 1, "a": 2, "c": 0, "rare": 0}
+
+
+def test_tokenize_ids_positions_reconstruct_docs(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = C.tokenize_to_ids(docs, vocab_size=50).collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(dict)
+    for r in rows:
+        per_doc[r.doc_id][r.pos] = r.tok
+    sample = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for did, text in sample.items():
+        toks = text.strip().lower().split()
+        got = per_doc[did]
+        assert [got[i] for i in range(len(toks))] == toks

@@ -134,6 +134,7 @@ BEYOND_2B = [
     ("cross-doc boilerplate filter", ["corpus_boilerplate_ngrams"]),
     ("per-source token quotas", ["corpus_quota_by_source"]),
     ("PII scrubbing / redaction", ["scrub_pii_redact"]),
+    ("frequency-vocab tokenization to ids", ["text_tokenize_ids"]),
 ]
 
 
