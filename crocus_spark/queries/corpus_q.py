@@ -19,6 +19,35 @@ from crocus_spark.queries import register
 
 _EN_MARKER_SQL = r"\b(" + "|".join(X.LANG_MARKERS["en"]) + r")\b"
 
+# quality + dup-3-gram scoring over documents — mirrors
+# operators/text.py::quality_score + operators/corpus.py::dup_gram_cols
+# expression for expression; shared by the batch pipeline oracle and the
+# streaming-curation oracle (streaming_q.py).
+_SCORED_SQL = rf"""
+  SELECT doc_id, lang, source, text, n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + round(CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.4
+               + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
+                       * 5.0, 1.0) * 0.2
+               - round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.5,
+               6) AS quality,
+         CASE WHEN greatest(len(ws) - 2, 0) <= 0 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(
+                     list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                   / CAST(len(ws) - 2 AS DOUBLE), 6) END AS dup_ratio
+  FROM (
+    SELECT doc_id, lang, source, text,
+           length(text) AS n_chars_m,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([^\w\s])', 1)) AS n_punct,
+           len(regexp_extract_all(text, '([A-Za-z])', 1)) AS n_alpha,
+           len(regexp_extract_all(lower(text), '{_EN_MARKER_SQL}', 1)) AS n_stop,
+           string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+  )
+"""
+
 _NTOK_SQL = r"len(string_split_regex(trim(text), '\s+'))"
 _KEYED_SQL = """
   SELECT doc_id, text, source,
@@ -231,30 +260,7 @@ def text_tokenize_ids(spark, sf_dir):
 @register(
     "corpus_curation_pipeline",
     oracle=rf"""
-    WITH m AS (
-      SELECT doc_id, lang, source, text,
-             length(text) AS n_chars_m,
-             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             len(regexp_extract_all(text, '([^\w\s])', 1)) AS n_punct,
-             len(regexp_extract_all(text, '([A-Za-z])', 1)) AS n_alpha,
-             len(regexp_extract_all(lower(text), '{_EN_MARKER_SQL}', 1)) AS n_stop,
-             string_split_regex(lower(trim(text)), '\s+') AS ws
-      FROM documents
-    ), scored AS (
-      SELECT *,
-             round(least(n_tokens / 100.0, 1.0) * 0.4
-                   + round(CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.4
-                   + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
-                           * 5.0, 1.0) * 0.2
-                   - round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) * 0.5,
-                   6) AS quality,
-             CASE WHEN greatest(len(ws) - 2, 0) <= 0 THEN 0.0
-                  ELSE round(1.0 - len(list_distinct(
-                         list_transform(generate_series(1, len(ws) - 2),
-                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
-                       / CAST(len(ws) - 2 AS DOUBLE), 6) END AS dup_ratio
-      FROM m
-    ), kept AS (
+    WITH scored AS ({_SCORED_SQL}), kept AS (
       SELECT * FROM scored WHERE quality >= 0.45 AND dup_ratio <= 0.5
     ), hashed AS (
       SELECT *,

@@ -262,3 +262,43 @@ def stream_static_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
     )
     return run_available_now(agg, "complete").orderBy("segment")
+
+
+@register(
+    "stream_corpus_curation",
+    oracle=None,  # set just below from the shared scored-CTE SQL
+    tags=("streaming", "corpus"),
+)
+def stream_corpus_curation(spark, sf_dir):
+    """Streaming corpus curation: the SAME quality + repetition scorers
+    the batch pipeline uses (operators/text.py, operators/corpus.py) run
+    unchanged over the document-arrival stream — they are stateless
+    per-row expressions, so the curation filter is a pure streaming map
+    with no state store, applicable at any arrival rate. availableNow
+    replay makes the result batch-comparable."""
+    from crocus_spark.operators import corpus as C
+    from crocus_spark.operators import text as X
+    from crocus_spark.streaming.ops import (
+        read_documents_stream,
+        run_available_now,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    scored = C.dup_gram_cols(X.quality_score(docs, "text"), "text")
+    kept = scored.filter(
+        (F.col("quality") >= 0.45) & (F.col("dup_ratio") <= 0.5)
+    ).select("doc_id", "lang", "source", "quality", "dup_ratio")
+    return run_available_now(kept, "append").orderBy("doc_id")
+
+
+# The oracle is the shared batch scored-CTE (corpus_q._SCORED_SQL) — the
+# whole point of the query: stream and batch agree bit-for-bit.
+from crocus_spark.queries import REGISTRY as _REG
+from crocus_spark.queries.corpus_q import _SCORED_SQL as _SC
+
+_REG["stream_corpus_curation"].oracle = f"""
+    SELECT doc_id, lang, source, quality, dup_ratio
+    FROM ({_SC})
+    WHERE quality >= 0.45 AND dup_ratio <= 0.5
+    ORDER BY doc_id
+"""

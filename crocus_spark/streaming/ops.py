@@ -58,6 +58,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents parquet — the corpus-arrival
+    stream (crawl batches landing as files). Same file-source micro-batch
+    mechanics as the events stream."""
+    return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion with availableNow into a
     memory sink; return the sink contents as a batch DataFrame.

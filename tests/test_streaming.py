@@ -11,6 +11,8 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def _write_batches(spark, tmpdir, batches, schema):
     """One parquet file per batch; maxFilesPerTrigger=1 replays them in
@@ -191,3 +193,29 @@ def test_streaming_partitioned_parquet_sink(spark, tmp_path):
     assert back.count() == 3
     got = {(r.isin, r.provider, r.price) for r in back.collect()}
     assert got == set(rows)
+
+
+def test_stream_curation_matches_batch(spark):
+    """The streaming curation filter must equal the identical batch filter
+    — stateless scorers can't drift between micro-batch and batch plans."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+    from crocus_spark.operators import corpus as C
+    from crocus_spark.operators import text as X
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    got = (
+        REGISTRY["stream_corpus_curation"]
+        .fn(spark, SF_SMOKE)
+        .select("doc_id", "quality", "dup_ratio")
+        .collect()
+    )
+    batch = (
+        C.dup_gram_cols(X.quality_score(load(spark, SF_SMOKE, "documents")), "text")
+        .filter((F.col("quality") >= 0.45) & (F.col("dup_ratio") <= 0.5))
+        .select("doc_id", "quality", "dup_ratio")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))

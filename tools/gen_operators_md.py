@@ -135,6 +135,7 @@ BEYOND_2B = [
     ("per-source token quotas", ["corpus_quota_by_source"]),
     ("PII scrubbing / redaction", ["scrub_pii_redact"]),
     ("frequency-vocab tokenization to ids", ["text_tokenize_ids"]),
+    ("streaming corpus curation", ["stream_corpus_curation"]),
 ]
 
 
