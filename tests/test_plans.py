@@ -165,6 +165,9 @@ def test_curation_pipeline_plan_shape(spark):
     from crocus_spark.io import load
     from crocus_spark.operators.corpus import curation_pipeline
 
+    # other suites cache the full-column documents relation; the cache
+    # manager would substitute it into this plan and defeat scan pruning
+    spark.catalog.clearCache()
     docs = load(spark, SF_SMOKE, "documents")
     out = curation_pipeline(docs).select(
         "doc_id", "lang", "source", "quality", "dup_ratio", "n_copies",
