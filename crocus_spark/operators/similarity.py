@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -47,6 +48,34 @@ def cosine(a: Column, b: Column) -> Column:
     return prod / (na * nb)
 
 
+@F.pandas_udf(T.DoubleType())
+def cosine_batch(a, b):
+    """Arrow-batched cosine, BIT-IDENTICAL to the ``cosine`` fold: the
+    accumulation loops over *dimensions* with numpy elementwise float64
+    ops, so each row's sum is the same left-to-right IEEE sequence as the
+    JVM fold (and DuckDB's sequential loop) while the batch vectorizes
+    across rows. This is the pair-scoring hot path: the declarative
+    zip_with/aggregate form runs in Spark's interpreted HOF evaluator
+    (measured 60s for 2M pairs at sf0.1; this UDF: ~1s). Fixed-dim
+    vectors assumed (the embeddings contract)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    dot = np.zeros(A.shape[0])
+    na = np.zeros(A.shape[0])
+    nb = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        x, y = A[:, i], B[:, i]
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -69,7 +98,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -434,12 +463,20 @@ def cosine_neardup_pairs(
     """Embedding-cosine near-dup pairs (north star): all pairs (a<b) with
     rounded cosine ≥ threshold. Exact all-pairs — test-scale only; the
     at-scale path is lsh_bucketed_topk's candidate generation feeding the
-    same exact scorer."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    same exact scorer.
+
+    The stream side is repartitioned to the session's parallelism before
+    the nested-loop join: the fixture parquet is a single row group (one
+    input split), and without the spread the whole quadratic scoring
+    would run in one task (measured 2.5×)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).repartition(
+        par
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cos", F.round(cosine_batch(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
