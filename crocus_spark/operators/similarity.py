@@ -242,6 +242,25 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def dot_batch(a, b):
+    """Arrow-batched dot product, bit-identical to the ``_dot`` fold: the
+    dimension loop keeps each row's left-to-right IEEE accumulation order
+    while numpy vectorizes across rows (same rationale as cosine_batch —
+    the fold is interpreted per element)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    dot = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        dot = dot + A[:, i] * B[:, i]
+    return pd.Series(dot)
+
+
 def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid cell per vector: broadcast the (cells-sized)
     centroid relation, score every (vector, centroid) pair, keep the
@@ -252,7 +271,7 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         "id",
         "v",
         F.struct(
-            _dot(F.col("v"), F.col("centroid")).alias("dot"),
+            dot_batch(F.col("v"), F.col("centroid")).alias("dot"),
             (-F.col("cell")).alias("neg_cell"),
         ).alias("sc"),
     )
@@ -379,13 +398,13 @@ def ivf_topk(
     )
     probes = (
         q_normed.crossJoin(F.broadcast(centroids))
-        .withColumn("q_dot", _dot(F.col("qn"), F.col("centroid")))
+        .withColumn("q_dot", dot_batch(F.col("qn"), F.col("centroid")))
         .withColumn("probe_rank", F.row_number().over(w_probe))
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "q_vec", "cell")
     )
     scored = probes.join(c, "cell").withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
