@@ -83,14 +83,22 @@ def _token_sets(
                 F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s.tok
             ).alias("toks")
         )
+        # 64-bit token ids for verification: array_intersect over
+        # array<bigint> takes the primitive fast path, where the string
+        # form pays the interpreted non-primitive comparator. Distinct
+        # tokens stay distinct under xxhash64 (collisions ~2^-64), so
+        # intersection COUNTS are unchanged and the oracle still holds.
+        .withColumn("toks_h", F.transform("toks", lambda t: F.xxhash64(t)))
     )
 
 
 def _verify_jaccard(candidates: DataFrame, sets: DataFrame) -> DataFrame:
-    """Score candidate (id_a, id_b) pairs exactly: join both token arrays,
-    intersection via array_intersect — pair-local work, no re-explode."""
-    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    """Score candidate (id_a, id_b) pairs exactly: join both token-id
+    arrays, intersection via array_intersect over bigint ids (primitive
+    fast path — see _token_sets.toks_h) — pair-local work, no
+    re-explode."""
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks_h").alias("toks_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks_h").alias("toks_b"))
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
