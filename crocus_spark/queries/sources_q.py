@@ -177,3 +177,59 @@ def io_binary_source(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "io_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("io", "join", "bucketing"),
+)
+def io_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (§2B#12 at scale): orders and lineitem are
+    written as bucketed tables (8 buckets, hashed + sorted on the order
+    key), then joined table-to-table. Because both sides share the bucket
+    spec, the sort-merge join reads bucket i against bucket i with NO
+    shuffle exchange on either side — the canonical layout for the 100 TB
+    fact-fact join (tests/test_scale.py asserts the Exchange-free plan).
+    The reference's {date}/{provider}/ layout (base_scraper.py:72-83) is
+    partition pruning; bucketing is the complementary co-location axis.
+    """
+    warehouse = _scratch("bucketed")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(warehouse, name))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -227,3 +227,74 @@ def window_range_frame(spark, sf_dir):
         )
         .orderBy("s_acctbal", "s_suppkey")
     )
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS version
+      FROM ordered
+    ), hist AS (
+      SELECT user_id, version, event_type,
+             MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           n_events
+    FROM hist
+    ORDER BY user_id, version
+    """,
+    tags=("window", "scd", "cdc"),
+)
+def scd2_event_type_history(spark, sf_dir):
+    """SCD2 change history (gaps-and-islands): collapse each user's event
+    stream into validity intervals — one row per consecutive run of the
+    same event_type, with valid_from/valid_to and the run length. This is
+    the change-capture query the reference's daily snapshot store implies
+    (base_scraper.py:72-83 lays catalogs out as a date-partitioned
+    time-series; 'what changed between snapshots' is its natural read).
+    Lag-flag → running-sum island id → per-island min/count → lead for
+    the closing edge. Every window partitions by user_id — one shuffle
+    key end-to-end, no global ordering, scales with users not history."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            prev.isNull() | (prev != F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        hist.select(
+            "user_id",
+            "version",
+            "event_type",
+            F.date_format("vf", fmt).alias("valid_from"),
+            F.date_format(F.lead("vf").over(w2), fmt).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )

@@ -54,3 +54,57 @@ def test_salt_col_deterministic_and_bounded(spark):
     a = salts.groupBy("s").count().collect()
     b = li.select(K.salt_col("l_orderkey", 32).alias("s")).groupBy("s").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The bucketed-table join must be Exchange-free on BOTH sides: with
+    broadcast disabled, the physical plan's join reads bucket i against
+    bucket i directly. This is the property that makes the layout pay at
+    100 TB — a fact-fact join with zero shuffled bytes."""
+    from crocus_spark.queries.sources_q import io_bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = io_bucketed_join(spark, SF_SMOKE)
+        li = spark.table("bkt_lineitem")
+        o = spark.table("bkt_orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the full aggregate query still returns the right shape
+        assert df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scd2_history_partitions_events_exactly(spark):
+    """SCD2 semantic invariants, independent of the SQL oracle: per user,
+    versions are contiguous from 1, interval edges chain (valid_to ==
+    next valid_from, last is NULL), and n_events sums back to the user's
+    event count — the history is an exact partition of the stream."""
+    from collections import defaultdict
+
+    from crocus_spark.queries.windows import scd2_event_type_history
+
+    hist = scd2_event_type_history(spark, SF_SMOKE).collect()
+    ev_counts = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_user = defaultdict(list)
+    for r in hist:
+        per_user[r.user_id].append(r)
+    assert set(per_user) == set(ev_counts)
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == ev_counts[uid]
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
+        assert rows[-1].valid_to is None
