@@ -150,3 +150,58 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
     )
     return df.withColumn("fingerprint", fp)
+
+
+def heavy_hitter_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Exact heavy hitters (freq > N/k) in bounded memory, two passes.
+
+    Pass 1 is a per-partition Misra-Gries sketch (capacity ``k``) run via
+    ``mapInPandas``: each partition emits at most k candidate tokens, and
+    the union of per-partition candidates provably contains every global
+    heavy hitter (averaging: a token with global share > 1/k beats 1/k in
+    some partition; MG keeps everything above N_p/(k+1)). Pass 2 recounts
+    ONLY the candidates exactly (broadcast semi-join) and keeps those with
+    count·k > N. State is O(k·partitions) no matter the corpus size — the
+    100 TB-safe formulation of "top tokens" — while the result is exactly
+    the SQL ``HAVING COUNT(*)*k > N``, so it stays oracle-checkable.
+    """
+    import pandas as pd  # local: keep module import light
+
+    tokens = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    )
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["token"]:
+                t = text
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        tokens.mapInPandas(mg_sketch, schema="token string")
+        .distinct()
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tokens.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("_n"))
+        .drop("_n")
+    )

@@ -660,3 +660,30 @@ def sample_stratified_docs(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS freq
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * 100 > (SELECT n FROM tot)
+    ORDER BY freq DESC, token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with >1% share) in bounded
+    memory: per-partition Misra-Gries sketch → candidate union → exact
+    recount of candidates only (operators/text.py:heavy_hitter_tokens).
+    The naive GROUP BY needs vocabulary-sized shuffle state; this needs
+    O(k·partitions) candidates plus a broadcast semi-join, yet returns
+    bit-exactly the SQL answer — the sketch only prunes, never decides."""
+    docs = load(spark, sf_dir, "documents")
+    return X.heavy_hitter_tokens(docs, "text", k=100).orderBy(
+        F.col("freq").desc(), "token"
+    )

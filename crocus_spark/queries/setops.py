@@ -136,3 +136,75 @@ def dedup_last_wins_by_key(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "merge_upsert_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+      WHERE rn = 1
+    ), delta AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      WHERE rn = 1
+    )
+    SELECT COALESCE(d.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(d.o_orderdate, b.o_orderdate) AS o_orderdate,
+           COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN d.o_custkey IS NULL THEN 'carry'
+                WHEN b.o_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("setop", "merge", "cdc"),
+)
+def merge_upsert_snapshot(spark, sf_dir):
+    """MERGE INTO semantics (SCD1 upsert) without a table format: base
+    snapshot (latest order per customer before 1999) full-outer-joined
+    with a change batch (latest order since 1999); delta wins, base
+    carries, and each row is tagged carry/insert/update — the audit
+    column a real MERGE emits as metrics. This is the engine's answer to
+    the reference's `final_json[isin] = ...` dict-overwrite ingest
+    (vanguard.py:164-170) once the catalog no longer fits one process: a
+    single key-partitioned join, no driver-side state, and the same plan
+    shape whether the delta is 1 row or the whole key space."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+        )
+
+    split = F.lit("1999-01-01").cast("timestamp")
+    base = latest(o.filter(F.col("o_orderdate") < split))
+    delta = latest(o.filter(F.col("o_orderdate") >= split))
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full")
+    return (
+        merged.select(
+            *[
+                F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+                for c in cols
+            ],
+            F.when(F.col("d.o_custkey").isNull(), "carry")
+            .when(F.col("b.o_custkey").isNull(), "insert")
+            .otherwise("update")
+            .alias("merge_action"),
+        )
+        .orderBy("o_custkey")
+    )

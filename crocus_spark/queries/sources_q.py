@@ -233,3 +233,78 @@ def io_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+def zorder_key(a: "F.Column", b: "F.Column", bits: int = 8) -> "F.Column":
+    """Bit-interleaved Z-order key over two integer dimensions (low
+    ``bits`` of each). Purely JVM-side bit arithmetic — no UDF. Layout
+    only: wrap-around past 2^bits degrades clustering, never correctness
+    (reads re-apply their predicates). Production quantization would be
+    range-rank per dimension; the interleave is identical."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+@register(
+    "io_zorder_prune",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("io", "zorder", "scale"),
+)
+def io_zorder_prune(spark, sf_dir):
+    """Z-order-clustered layout + two-dimensional data skipping (the
+    Delta OPTIMIZE ZORDER idea, reduced to primitives): interleave the
+    low bits of (user_id, day), range-partition + sort the write by that
+    key, and every parquet file becomes a small rectangle in (user, time)
+    space — row-group min/max stats then prune reads that filter on
+    EITHER dimension, not just the sort-leading one. A single-column sort
+    gives perfect skipping on one axis and none on the other; at 100 TB
+    the z-curve is what makes "this user, this week" reads touch O(1)
+    files (tests/test_scale.py asserts per-file rectangles are narrow on
+    both axes). The read re-applies its predicate, so the result is
+    layout-independent and oracle-exact."""
+    path = _scratch("zorder_events")
+    # INT96 (legacy default) has no parquet stats — skipping needs MICROS.
+    # Set here too so the layout holds under caller-owned sessions.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    z = zorder_key(F.col("user_id"), day, bits=8)
+    (
+        ev.withColumn("_z", z)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("user_id").between(40, 60)
+            & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("user_id")
+    )

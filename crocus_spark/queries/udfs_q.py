@@ -166,3 +166,41 @@ def salted_groupby(spark, sf_dir):
         n_salts=32,
     )
     return out.orderBy("l_returnflag")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "scale"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted equi-join (§4.3): orders is the skewed fact side, its
+    per-row salt spreads any hot custkey over 16 reducers; customer is
+    exploded ×16 (the shape for a dim too big to broadcast). The rewrite
+    is purely physical — result hash-equals the plain join — which is the
+    property that lets it be dropped into any plan at 100 TB when AQE's
+    skew split can't help (e.g. a subsequent keyed agg pins partitioning).
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = K.salted_join(orders, cust, "o_custkey", n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -298,3 +298,68 @@ def scd2_event_type_history(spark, sf_dir):
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w
+                       > 1800000000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("window", "sessionize"),
+)
+def window_sessionize(spark, sf_dir):
+    """Batch sessionization (§2B#49's batch twin): split each user's event
+    stream into sessions at >30-min inactivity gaps — lag-gap flag →
+    running-sum session id → per-session rollup. The streaming engine does
+    this with session_window + watermark (stream_session_window); this is
+    the deterministic batch replay of the same semantics, oracle-checked
+    exactly. All windows share one partitioning (user_id): a single
+    shuffle sessionizes any history, and per-user state never needs to
+    co-reside — the 100 TB shape."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - prev_us
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(prev_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), fmt).alias("session_start"),
+            F.date_format(F.max("ts"), fmt).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -64,6 +64,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # INT96 (the legacy default) writes NO min/max stats — every
+        # time-range predicate would scan every file. MICROS restores
+        # row-group skipping on timestamp columns (io_zorder_prune relies
+        # on it; so does any time-partitioned read at 100 TB).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # TIMESTAMP(NANOS) parquet columns (events.ts) are read as long,
         # then converted in io.load — Spark has no native ns timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -255,3 +255,29 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         # 4-sigma binomial bound
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
+
+
+def test_heavy_hitters_layout_invariant(spark):
+    """The Misra-Gries candidate pass must be a pure pruning step: the
+    final answer is identical under adversarial repartitioning (1, 3, 13
+    partitions), because candidates ⊇ true heavy hitters regardless of
+    how rows land."""
+    from crocus_spark.io import load
+    from crocus_spark.operators.text import heavy_hitter_tokens
+
+    docs = load(spark, SF_SMOKE, "documents")
+    expected = None
+    for n in (1, 3, 13):
+        got = sorted(
+            map(
+                tuple,
+                heavy_hitter_tokens(
+                    docs.repartition(n), "text", k=50
+                ).collect(),
+            )
+        )
+        assert got, "heavy hitters should be non-empty at k=50"
+        if expected is None:
+            expected = got
+        else:
+            assert got == expected, f"partition layout {n} changed result"

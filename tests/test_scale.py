@@ -108,3 +108,42 @@ def test_scd2_history_partitions_events_exactly(spark):
             assert a.valid_to == b.valid_from
             assert a.event_type != b.event_type
         assert rows[-1].valid_to is None
+
+
+def test_zorder_files_are_narrow_rectangles(spark):
+    """After the z-ordered write, each parquet file's (user_id, day)
+    min/max footprint must be a small rectangle on BOTH axes — that's the
+    whole point vs a single-column sort (narrow on one axis, full-width
+    on the other). Read the footers directly: no Spark in the loop."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from crocus_spark.queries.sources_q import SCRATCH, io_zorder_prune
+
+    io_zorder_prune(spark, SF_SMOKE).collect()
+    files = sorted(glob.glob(f"{SCRATCH}/zorder_events/part-*.parquet"))
+    assert len(files) >= 8
+    u_spans, d_spans = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        umin = dmin = float("inf")
+        umax = dmax = float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            cols = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            umin = min(umin, cols["user_id"].min)
+            umax = max(umax, cols["user_id"].max)
+            ts_min = cols["ts"].min.timestamp()
+            ts_max = cols["ts"].max.timestamp()
+            dmin = min(dmin, ts_min // 86_400)
+            dmax = max(dmax, ts_max // 86_400)
+        u_spans.append(umax - umin)
+        d_spans.append(dmax - dmin)
+    # global spans: user 0..149 (sf0.001 ~ similar), days ~30. A z-curve
+    # file should cover well under half of each axis for most files.
+    assert sorted(u_spans)[len(u_spans) // 2] <= 80, u_spans
+    assert sorted(d_spans)[len(d_spans) // 2] <= 16, d_spans
