@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from crocus_spark.io import load, register_views
 from crocus_spark.queries import register
-from crocus_spark.queries._det import davg, davg_sql, dsum, dsum_sql
+from crocus_spark.queries._det import DEC, davg, davg_sql, dsum, dsum_sql
 
 
 @register(
@@ -394,3 +394,73 @@ def rollup_hierarchical_time(spark, sf_dir):
         .orderBy("day", "event_type")
     )
     return daily
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+    FROM lineitem
+    GROUP BY ship_month, l_returnflag
+    ORDER BY ship_month, l_returnflag
+    """,
+    tags=("agg", "incremental", "scale"),
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the monthly rollup
+    is kept as ALGEBRAIC partials (decimal sum + count, never avg), so a
+    new batch folds in by unioning partial states and re-summing — history
+    is never rescanned. Here the pre-2000 state is written to parquet (the
+    standing materialization), the 2000+ slice plays the arriving batch,
+    and the merge is partials ∪ partials → sum. avg is DERIVED from the
+    merged partials at read time — the decomposition that makes any
+    algebraic aggregate incrementally maintainable (and exactly the
+    map-side-combine contract Spark applies inside one job, lifted across
+    jobs). Oracle = full recompute: maintenance must be invisible."""
+    from crocus_spark.queries.sources_q import _scratch
+
+    path = _scratch("incr_state")
+    li = load(spark, sf_dir, "lineitem")
+    split = F.lit("2000-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            "l_returnflag",
+        ).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"),
+        )
+
+    partials(li.filter(F.col("l_shipdate") < split)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    state = spark.read.parquet(path)
+    delta = partials(li.filter(F.col("l_shipdate") >= split))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("qty_dec").alias("qty_dec"),
+        )
+    )
+    return (
+        merged.select(
+            "ship_month",
+            "l_returnflag",
+            "n_items",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+            (
+                F.col("qty_dec").cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("avg_qty"),
+        )
+        .orderBy("ship_month", "l_returnflag")
+    )

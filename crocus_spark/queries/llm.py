@@ -687,3 +687,27 @@ def text_heavy_hitters(spark, sf_dir):
     return X.heavy_hitter_tokens(docs, "text", k=100).orderBy(
         F.col("freq").desc(), "token"
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # PQ candidate generation is approximate — recall@5 vs
+    # brute force and determinism are property-tested in tests/test_llm.py
+    tags=("llm", "similarity"),
+)
+def ann_pq_topk(spark, sf_dir):
+    """Approximate top-5 via product quantization + ADC + exact re-rank
+    (§2B#55, the memory-bound scale path): 64 float dims compress to 16
+    one-byte codes (16× smaller scan set), each query scores the whole
+    corpus with 16 table lookups per row, and the top-50 ADC candidates
+    re-rank exactly. m=16/ksub=32 was tuned on the fixture: recall@5
+    ≥0.9 with sample-trained codebooks (m=8 floors at ~0.7 — these
+    embeddings are near-uniform, the PQ worst case). IVF prunes WHICH
+    rows are scanned; PQ shrinks WHAT a scan costs — at 100 TB the two
+    compose (IVF-PQ), and each half is independently verified here."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.pq_topk(
+        spark, queries, corpus, k=5, m=16, ksub=32, refine=50
+    ).orderBy("query_id", "rank")

@@ -281,3 +281,34 @@ def test_heavy_hitters_layout_invariant(spark):
             expected = got
         else:
             assert got == expected, f"partition layout {n} changed result"
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ+re-rank contract: (a) deterministic across runs, (b) returned
+    scores are EXACT cosines (subset of brute-force scored pairs), and
+    (c) recall@5 vs brute force ≥ 0.8 with refine=50 over a ~490-vector
+    corpus — PQ error may reorder the tail, not lose most of the head."""
+    from crocus_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = pq_topk(spark, queries, corpus, k=5, m=16, ksub=32, refine=50)
+    rows1 = sorted(map(tuple, got.collect()))
+    rows2 = sorted(
+        map(tuple, pq_topk(spark, queries, corpus, k=5, m=16, ksub=32, refine=50).collect())
+    )
+    assert rows1 == rows2, "PQ pipeline must be run-to-run deterministic"
+
+    exact = brute_force_topk(queries, corpus, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.collect()
+    }
+    got_pairs = {(r[0], r[1]) for r in rows1}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"recall@5 {recall}"
+    # scores for agreeing pairs must be the exact cosine
+    for qid, nid, cos, _rank in rows1:
+        if (qid, nid) in exact_cos:
+            assert cos == exact_cos[(qid, nid)]
