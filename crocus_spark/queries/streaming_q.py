@@ -302,3 +302,49 @@ _REG["stream_corpus_curation"].oracle = f"""
     WHERE quality >= 0.45 AND dup_ratio <= 0.5
     ORDER BY doc_id
 """
+
+
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "merge", "scale"),
+)
+def stream_foreachbatch_merge(spark, sf_dir):
+    """Streaming materialized view via foreachBatch MERGE (§2B#50/#52 +
+    the incremental-maintenance pattern of agg_incremental_merge, fused):
+    every micro-batch's algebraic partials merge into a versioned parquet
+    state table; the query returns the final state, which must equal the
+    plain batch group-by over everything — maintenance is invisible, the
+    oracle proves it. Batches never overwrite the version they read and
+    are idempotent under checkpoint replay (batch_id-keyed dirs) — the
+    exactly-once recipe for any custom sink."""
+    import shutil
+    import tempfile
+    import os as _os
+
+    from crocus_spark.streaming.ops import foreach_batch_merge_totals
+
+    state_root = _os.path.join(
+        tempfile.gettempdir(),
+        "crocus_stream_state",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+        "merge_totals",
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    state = foreach_batch_merge_totals(ev, state_root)
+    return (
+        state.select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -221,3 +221,65 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def foreach_batch_merge_totals(
+    events: DataFrame, state_root: str
+) -> DataFrame:
+    """Streaming upsert via ``foreachBatch``: each micro-batch's partial
+    aggregates MERGE into a versioned parquet state table, and the final
+    state equals the batch groupBy over all data ever seen.
+
+    State is kept as ALGEBRAIC partials (count + decimal sum) in
+    ``state_root/v{batch_id}`` directories — each batch reads the latest
+    version and writes a NEW one (never overwriting what it reads; the
+    poor man's table-format snapshot, which is exactly how Delta/Iceberg
+    commit). This is the pattern for every "streaming materialized view"
+    the built-in sinks can't express: arbitrary merge logic, exactly-once
+    per batch via the checkpoint's batch_id (a replayed batch_id
+    overwrites its own version dir — idempotent). State shuffled per
+    batch is keyspace-sized, not history-sized."""
+    import glob as _glob
+
+    spark = events.sparkSession
+
+    def merge_batch(batch_df, batch_id):
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+        )
+        versions = sorted(
+            _glob.glob(os.path.join(state_root, "v*")),
+            key=lambda p: int(os.path.basename(p)[1:]),
+        )
+        prior = [v for v in versions if int(os.path.basename(v)[1:]) < batch_id]
+        if prior:
+            state = spark.read.parquet(prior[-1])
+            merged = (
+                state.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_dec").alias("value_dec"),
+                )
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        _glob.glob(os.path.join(state_root, "v*")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    return spark.read.parquet(versions[-1])

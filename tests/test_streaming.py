@@ -219,3 +219,47 @@ def test_stream_curation_matches_batch(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_foreachbatch_merge_across_batches(spark, tmp_path):
+    """The merge must be correct ACROSS micro-batches, not just within
+    one: split events into 3 arrival files, force maxFilesPerTrigger=1
+    (3 separate merges), and the final state must still equal the batch
+    group-by. Also: every batch leaves a version dir (snapshot history)."""
+    import glob
+
+    from crocus_spark.io import load
+    from crocus_spark.streaming.ops import (
+        EVENTS_STREAM_SCHEMA,
+        foreach_batch_merge_totals,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    arrivals = str(tmp_path / "arrivals")
+    # 3 arrival files; convert ts back to long ns to match the stream schema
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(arrivals)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    state_root = str(tmp_path / "state")
+    final = foreach_batch_merge_totals(stream, state_root)
+
+    expected = sorted(
+        map(
+            tuple,
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, final.collect()))
+    assert got == expected
+    assert len(glob.glob(f"{state_root}/v*")) >= 3, "one version per batch"
