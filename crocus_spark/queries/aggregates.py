@@ -464,3 +464,36 @@ def agg_incremental_merge(spark, sf_dir):
         )
         .orderBy("ship_month", "l_returnflag")
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle=None,  # approx_percentile is engine-specific (Spark GK sketch,
+    # DuckDB t-digest) — rank-error bound property-tested in
+    # tests/test_properties.py
+    tags=("agg", "approximate", "scale"),
+)
+def agg_approx_percentiles(spark, sf_dir):
+    """Approximate percentiles via the Greenwald-Khanna sketch (§2B#23's
+    scale path): accuracy=10000 bounds rank error to n/10000 with O(1/ε)
+    state per group — the exact percentile needs a per-group sort. This is
+    the form that survives 100 TB: mergeable sketch state, one
+    partial+final aggregation, no global ordering anywhere. The exact
+    twin (agg_percentiles) stays for small groups; the property test pins
+    the rank-error contract."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

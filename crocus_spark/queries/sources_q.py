@@ -308,3 +308,35 @@ def io_zorder_prune(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("io", "orc"),
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink → ORC scan round-trip (§2B#1's second columnar format):
+    same vectorized reader/pushdown machinery as parquet (ORC carries
+    row-group stats and bloom filters too), so the engine is
+    format-agnostic where the lake already standardized on ORC. The
+    aggregate proves values survive the round-trip bit-exactly."""
+    path = _scratch("orc_orders")
+    load(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )

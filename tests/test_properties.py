@@ -95,3 +95,31 @@ def test_jaccard_pairs_symmetric_under_id_relabel(spark):
         ).collect()
     }
     assert base == flipped
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """GK sketch contract: each returned value's true rank is within
+    n/accuracy of the target rank (accuracy=10000 ⇒ ±0.01% of rows)."""
+    from crocus_spark.io import load
+    from crocus_spark.queries.aggregates import agg_approx_percentiles
+
+    got = agg_approx_percentiles(spark, SF_SMOKE).collect()
+    li = load(spark, SF_SMOKE, "lineitem")
+    for r in got:
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, v in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import bisect
+
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            target = q * n
+            slack = max(1.0, n / 10000) + 1
+            assert lo - slack <= target <= hi + slack, (
+                r.l_returnflag, q, v, lo, hi, target, n,
+            )
