@@ -340,3 +340,36 @@ def io_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("io", "xml"),
+)
+def io_xml_roundtrip(spark, sf_dir):
+    """XML sink → XML source round-trip (the reference's native wire
+    format: it scrapes XHTML product pages, base_scraper.py:40-68 —
+    here the payload itself round-trips as XML rows). Spark 4 ships the
+    XML source built in; explicit schema on the way back (no inference
+    scan), md5 digests prove entity-escaping is lossless. XML is a
+    landing-zone format — the engine rewrites it to parquet on arrival;
+    this query verifies nothing is lost at that boundary."""
+    path = _scratch("xml_docs")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
+        path
+    )
+    back = (
+        spark.read.schema(FIXTURE_SCHEMAS["documents"])
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(path)
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
