@@ -69,6 +69,7 @@ def _load_modules() -> None:
         joins,
         joins_advanced,
         llm,
+        maintenance_q,
         quality_q,
         relational,
         scalars,

@@ -1,0 +1,126 @@
+"""Table-maintenance queries — small-file compaction and snapshot time
+travel (SURVEY.md §2B-ter lakehouse extensions).
+
+Both run the full maintenance operation inside the query (fragment →
+compact, commit → commit → commit → travel back), then reduce to a frame
+the oracle computes from the ORIGINAL fixture — a hash match proves the
+maintenance op preserved/reconstructed the data exactly, not merely that
+it ran. Layout assertions (file counts, clustering) live in
+tests/test_scale.py where they can inspect the directory.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import FIXTURE_SCHEMAS, load
+from crocus_spark.operators.maintenance import (
+    compact_small_files,
+    parquet_data_files,
+    read_snapshot,
+    snapshot_version_path,
+)
+from crocus_spark.queries import register
+from crocus_spark.queries._det import dsum_sql
+from crocus_spark.queries.sources_q import _scratch
+
+
+@register(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("maintenance", "compaction", "layout"),
+)
+def maintenance_compact_files(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction (lakehouse maintenance; the
+    reference's one-file-per-scrape-run layout, base_scraper.py:165-178,
+    is exactly how fragmentation accrues). Fragment documents into 64
+    shard files — the pathological daily-micro-batch layout — then
+    compact to a measured byte target with doc_id range-clustering, and
+    digest the compacted table. Hash match against the original proves
+    the rewrite is lossless; test_scale asserts the file count actually
+    collapsed and min/max clustering survived."""
+    frag = _scratch("compact_frag")
+    out = _scratch("compact_out")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    total = sum(sz for _p, sz in parquet_data_files(frag))
+    compacted, _stats = compact_small_files(
+        spark,
+        frag,
+        out,
+        target_file_bytes=max(1, total // 4),
+        sort_col="doc_id",
+        schema=FIXTURE_SCHEMAS["documents"],
+    )
+    return compacted.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "snapshot_time_travel",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "value_sum")}
+    FROM events
+    WHERE event_id % 3 <= 1
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "timetravel"),
+)
+def snapshot_time_travel(spark, sf_dir):
+    """``VERSION AS OF`` time travel over the copy-on-write snapshot
+    store (the directory scheme ``foreach_batch_merge_totals`` commits
+    into; the reference's per-date output files, ishares.py:190-198, are
+    the same idea without the read path). Three commits land batches
+    event_id%3 = 0,1,2 as merged running aggregates; the query reads the
+    table AS OF version 1 — so the oracle is the aggregate over batches
+    0-1 only, and a hash match proves the travel read reconstructs a
+    historical state exactly, untouched by the later commit."""
+    root = _scratch("snapshots")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    state = None
+    for v in range(3):
+        batch = events.filter(F.pmod("event_id", F.lit(3)) == v).groupBy(
+            "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+        )
+        merged = (
+            batch
+            if state is None
+            else state.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_dec").alias("value_dec"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            snapshot_version_path(root, v)
+        )
+        state = spark.read.parquet(snapshot_version_path(root, v))
+    return (
+        read_snapshot(spark, root, version=1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )

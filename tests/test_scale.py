@@ -147,3 +147,77 @@ def test_zorder_files_are_narrow_rectangles(spark):
     # file should cover well under half of each axis for most files.
     assert sorted(u_spans)[len(u_spans) // 2] <= 80, u_spans
     assert sorted(d_spans)[len(d_spans) // 2] <= 16, d_spans
+
+
+def test_compaction_collapses_files_and_keeps_clustering(spark):
+    """The compaction rewrite must (a) hit the byte-derived target file
+    count, (b) preserve every row, and (c) leave doc_id range-clustered
+    so footer min/max skipping still works — non-overlapping id ranges
+    across files. Footers are read directly, no Spark in the loop."""
+    from crocus_spark.operators.maintenance import parquet_data_files
+    from crocus_spark.queries.maintenance_q import maintenance_compact_files
+    from crocus_spark.queries.sources_q import SCRATCH
+
+    import pyarrow.parquet as pq
+
+    n = maintenance_compact_files(spark, SF_SMOKE).count()
+    frag = parquet_data_files(f"{SCRATCH}/compact_frag")
+    out = parquet_data_files(f"{SCRATCH}/compact_out")
+    assert len(frag) == 64
+    assert 1 <= len(out) <= 6  # target was total/4 (+range-split slack)
+    assert n == sum(
+        pq.ParquetFile(f).metadata.num_rows for f, _sz in out
+    )
+    spans = []
+    for f, _sz in out:
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(rg).column(0).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(rg).column(0).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (_a_lo, a_hi), (b_lo, _b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # disjoint ranges = clustering survived
+
+
+def test_time_travel_reads_are_isolated(spark):
+    """Each committed version must stay byte-stable after later commits:
+    v0 < v1 < v2 in coverage, v2 equals the full aggregate, and
+    re-reading v0 after v2 exists returns v0's original content."""
+    from crocus_spark.operators.maintenance import (
+        list_snapshot_versions,
+        read_snapshot,
+    )
+    from crocus_spark.queries.maintenance_q import snapshot_time_travel
+    from crocus_spark.queries.sources_q import SCRATCH
+
+    snapshot_time_travel(spark, SF_SMOKE).collect()
+    root = f"{SCRATCH}/snapshots"
+    assert list_snapshot_versions(root) == [0, 1, 2]
+    ev = load(spark, SF_SMOKE, "events")
+    full = {
+        (r.user_id, r.n_events)
+        for r in ev.groupBy("user_id").count().withColumnRenamed(
+            "count", "n_events"
+        ).collect()
+    }
+    v2 = {
+        (r.user_id, r.n_events)
+        for r in read_snapshot(spark, root).select(
+            "user_id", "n_events"
+        ).collect()
+    }
+    assert v2 == full
+    v0_events = sum(
+        r.n_events for r in read_snapshot(spark, root, 0).collect()
+    )
+    v1_events = sum(
+        r.n_events for r in read_snapshot(spark, root, 1).collect()
+    )
+    v2_events = sum(r.n_events for r in read_snapshot(spark, root).collect())
+    assert v0_events < v1_events < v2_events

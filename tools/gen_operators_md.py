@@ -34,6 +34,8 @@ GROUPS = [
     ("LLM pipeline: multimodal", ("multimodal",)),
     ("UDF surface", ("udf",)),
     ("Scale hardening", ("skew", "salt")),
+    ("Lakehouse maintenance & data quality",
+     ("maintenance", "quality", "validation")),
 ]
 
 
@@ -136,6 +138,9 @@ BEYOND_2B = [
     ("PII scrubbing / redaction", ["scrub_pii_redact"]),
     ("frequency-vocab tokenization to ids", ["text_tokenize_ids"]),
     ("streaming corpus curation", ["stream_corpus_curation"]),
+    ("small-file compaction (OPTIMIZE)", ["maintenance_compact_files"]),
+    ("snapshot time travel (VERSION AS OF)", ["snapshot_time_travel"]),
+    ("data-quality expectation suite", ["dq_expectations"]),
 ]
 
 
