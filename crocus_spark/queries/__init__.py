@@ -72,6 +72,7 @@ def _load_modules() -> None:
         maintenance_q,
         quality_q,
         relational,
+        runtime_q,
         scalars,
         setops,
         sources_q,

@@ -205,3 +205,37 @@ def test_shuffle_has_no_global_sort(spark):
     docs = load(spark, SF_SMOKE, "documents")
     plan = _plan(deterministic_shuffle(docs))
     assert "SinglePartition" not in plan
+
+
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
+    """The dim-side filter must reach the fact scan's PartitionFilters
+    as a dynamicpruning subquery — directory-level pruning decided at
+    runtime, the O(matching days) property for date-partitioned facts."""
+    from crocus_spark.queries.runtime_q import join_dpp_prune
+
+    df = join_dpp_prune(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark):
+    """With the application-side size gate lifted (the only knob that
+    misrepresents test scale), the urgent-orders key set must appear as
+    might_contain(xxhash64(l_orderkey)) in lineitem's scan-side filter —
+    row-level runtime pruning where the join key isn't a partition."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+    from crocus_spark.queries.runtime_q import BLOOM_TEST_CONFS, conf_overrides
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    o = load(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "l_returnflag"
+    ).count()
+    with conf_overrides(spark, BLOOM_TEST_CONFS):
+        plan = _plan(joined, "extended")
+    assert "might_contain" in plan, plan
+    assert "l_orderkey" in plan.split("might_contain", 1)[1][:120]

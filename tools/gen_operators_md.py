@@ -141,6 +141,8 @@ BEYOND_2B = [
     ("small-file compaction (OPTIMIZE)", ["maintenance_compact_files"]),
     ("snapshot time travel (VERSION AS OF)", ["snapshot_time_travel"]),
     ("data-quality expectation suite", ["dq_expectations"]),
+    ("dynamic partition pruning", ["join_dpp_prune"]),
+    ("runtime bloom-filter join", ["join_runtime_bloom_filter"]),
 ]
 
 
