@@ -42,6 +42,8 @@ __all__ = [
     "scrub_pii",
     "tokenize_to_ids",
     "curation_pipeline",
+    "word_ngrams",
+    "decontaminate",
 ]
 
 
@@ -370,4 +372,80 @@ def curation_pipeline(
     return pack_context_windows(
         deduped, text_col, id_col, seed=seed, n_shards=n_shards,
         window_tokens=window_tokens,
+    )
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams per document: (id, gram).
+
+    Built from ``posexplode`` + ``lead`` windows partitioned per document
+    — whole-stage-codegen throughout (no interpreted higher-order-function
+    lambdas, which run ~20× slower on this path), and the per-doc window
+    sort parallelizes across documents, so cost is O(tokens) with no
+    global order anywhere. ``concat_ws`` skips NULLs, so tail positions
+    are cut by requiring the (n-1)-th lead to exist.
+    """
+    from crocus_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        words.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .select("id", "gram")
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing any word
+    n-gram with the benchmark set, with per-doc contamination counts.
+
+    The standard pre-training hygiene step (n-gram eval-overlap removal:
+    Brown et al., "Language Models are Few-Shot Learners", 2020, §4 and
+    appendix C use 13-grams; Touvron et al. and most open pipelines use
+    8-10): any training document that contains a full n-gram from an
+    evaluation benchmark leaks the eval set and must be dropped or
+    flagged.
+
+    Scale shape: benchmark gram sets are eval-sized (MBs — tiny against
+    a 100 TB corpus), so the distinct benchmark grams BROADCAST and the
+    corpus side is one scan + explode + map-side hash probe; the only
+    shuffle is the final per-doc count. Returns
+    (id, n_grams, n_contaminated, contamination) for contaminated docs
+    only — the drop list.
+    """
+    cg = word_ngrams(corpus, text_col, id_col, n)
+    bg = word_ngrams(benchmark, text_col, id_col, n).select("gram").distinct()
+    per_doc = cg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(per_doc, "id").select(
+        "id",
+        "n_grams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+            "contamination"
+        ),
     )

@@ -337,3 +337,61 @@ def scrub_pii_redact(spark, sf_dir):
     shuffle, scrubbed output writes partition-parallel."""
     docs = load(spark, sf_dir, "documents")
     return C.scrub_pii(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_GRAMS_SQL = """
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           concat_ws(' ', tok,
+                     lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                     lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                     lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                     lead(tok, 7) OVER w) AS gram,
+           lead(tok, 7) OVER w AS last_tok
+    FROM (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS ord
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      )
+    )
+    WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  ) WHERE last_tok IS NOT NULL
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated
+      FROM corpus c JOIN bench b USING (gram)
+      GROUP BY 1
+    )
+    SELECT h.doc_id AS id, p.n_grams, h.n_contaminated,
+           round(CAST(h.n_contaminated AS DOUBLE) / p.n_grams, 6)
+             AS contamination
+    FROM hits h JOIN per_doc p USING (doc_id)
+    ORDER BY id
+    """,
+    tags=("corpus", "decontamination"),
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Train/eval decontamination (pre-training hygiene; Brown et al.
+    2020 §4 n-gram eval-overlap): documents sharing any full word 8-gram
+    with the benchmark split (doc_id % 7 — the fixture's stand-in for an
+    eval set) are flagged with per-doc contamination fractions. Benchmark
+    grams BROADCAST (eval sets are MBs against a 100 TB corpus); the
+    corpus side is one scan + explode + map-side probe, and the only
+    shuffle is the per-doc count."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return C.decontaminate(corpus, bench, "text", "doc_id", n=8).orderBy("id")

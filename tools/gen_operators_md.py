@@ -138,6 +138,7 @@ BEYOND_2B = [
     ("PII scrubbing / redaction", ["scrub_pii_redact"]),
     ("frequency-vocab tokenization to ids", ["text_tokenize_ids"]),
     ("streaming corpus curation", ["stream_corpus_curation"]),
+    ("train/eval decontamination", ["corpus_decontaminate"]),
     ("small-file compaction (OPTIMIZE)", ["maintenance_compact_files"]),
     ("snapshot time travel (VERSION AS OF)", ["snapshot_time_travel"]),
     ("data-quality expectation suite", ["dq_expectations"]),
