@@ -44,6 +44,7 @@ __all__ = [
     "curation_pipeline",
     "word_ngrams",
     "decontaminate",
+    "chunk_sliding_windows",
 ]
 
 
@@ -448,4 +449,58 @@ def decontaminate(
         F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
             "contamination"
         ),
+    )
+
+
+def chunk_sliding_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size chunking — the context-preparation step for
+    retrieval/embedding pipelines (chunk → embed → index) and for
+    long-doc training samples: token windows of ``chunk_tokens`` every
+    ``stride`` tokens (overlap = chunk_tokens - stride).
+
+    Pure per-row array arithmetic: ``sequence`` generates chunk starts,
+    ``slice``/``concat_ws`` cut the window — all JVM built-ins (slice is
+    a native expression, NOT an interpreted HOF lambda), no shuffle; the
+    op fuses into the scan and is embarrassingly parallel at any corpus
+    size. Final partial chunks are kept (standard; the embedder pads).
+
+    Returns (id, chunk_id, start_tok, n_chunk_tok, chunk_md5) — digests,
+    not bodies, so downstream joins move 16 bytes per chunk, not text.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            words.alias("ws"),
+            F.size(words).alias("n_tok"),
+        )
+        .select(
+            "id",
+            "ws",
+            "n_tok",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_tok") - 1, F.lit(stride)
+                )
+            ).alias("start_tok"),
+        )
+        .select(
+            "id",
+            (F.col("start_tok") / stride).cast("long").alias("chunk_id"),
+            "start_tok",
+            F.least(
+                F.lit(chunk_tokens), F.col("n_tok") - F.col("start_tok")
+            ).alias("n_chunk_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("start_tok") + 1, chunk_tokens)
+                )
+            ).alias("chunk_md5"),
+        )
     )

@@ -395,3 +395,38 @@ def corpus_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     return C.decontaminate(corpus, bench, "text", "doc_id", n=8).orderBy("id")
+
+
+@register(
+    "corpus_chunk_sliding",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, n_tok, unnest(range(0, n_tok, 48)) AS start_tok
+      FROM base
+    )
+    SELECT doc_id AS id,
+           start_tok // 48 AS chunk_id,
+           start_tok,
+           least(64, n_tok - start_tok) AS n_chunk_tok,
+           md5(array_to_string(
+             list_slice(ws, start_tok + 1, start_tok + 64), ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY id, chunk_id
+    """,
+    tags=("corpus", "chunking"),
+)
+def corpus_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking for retrieval/embedding pipelines: 64-token
+    windows every 48 tokens (16-token overlap), emitted as digests. Pure
+    per-row sequence/slice arithmetic — fuses into the scan, no shuffle;
+    the chunk relation is what feeds chunk-level embedding + ANN indexing
+    downstream (ann_* queries)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.chunk_sliding_windows(
+        docs, "text", "doc_id", chunk_tokens=64, stride=48
+    ).orderBy("id", "chunk_id")

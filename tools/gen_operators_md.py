@@ -139,6 +139,7 @@ BEYOND_2B = [
     ("frequency-vocab tokenization to ids", ["text_tokenize_ids"]),
     ("streaming corpus curation", ["stream_corpus_curation"]),
     ("train/eval decontamination", ["corpus_decontaminate"]),
+    ("sliding-window chunking (RAG prep)", ["corpus_chunk_sliding"]),
     ("small-file compaction (OPTIMIZE)", ["maintenance_compact_files"]),
     ("snapshot time travel (VERSION AS OF)", ["snapshot_time_travel"]),
     ("data-quality expectation suite", ["dq_expectations"]),
