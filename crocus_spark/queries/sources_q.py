@@ -373,3 +373,52 @@ def io_xml_roundtrip(spark, sf_dir):
     return back.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
     ).orderBy("doc_id")
+
+
+@register(
+    "io_python_datasource",
+    oracle="""
+    WITH cat AS (
+      SELECT i AS product_id, (i * 2654435761) % 4294967296 AS h
+      FROM generate_series(0, 499) t(i)
+    ), rec AS (
+      SELECT product_id,
+             CASE h % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                  ELSE 'GBP' END AS currency,
+             (h % 100000) / 100.0 AS price,
+             ((h // 7) % 10000) / 10000.0 AS weight
+      FROM cat
+    )
+    SELECT currency, COUNT(*) AS n_products,
+           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(weight AS DECIMAL(25,6))) AS DOUBLE) AS sum_weight
+    FROM rec
+    GROUP BY currency
+    ORDER BY currency
+    """,
+    tags=("io", "datasource"),
+)
+def io_python_datasource(spark, sf_dir):
+    """Custom Python Data Source (Spark 4 API): the reference's
+    sequential scraper loop (ishares.py:145-148, <1 product/s by
+    construction) re-expressed as a partition-parallel source — each
+    catalog page is an InputPartition fetched executor-side, so 1000
+    executors fetch 1000 pages at once and a failed page retries alone.
+    The page fetcher is a deterministic arithmetic stand-in (swap point
+    documented in sources/catalog_source.py), which is what lets a
+    CUSTOM SOURCE be DuckDB-oracle-checked end-to-end."""
+    from crocus_spark.sources import register_catalog_source
+
+    register_catalog_source(spark)
+    cat = (
+        spark.read.format("crocus_catalog").option("n_products", 500).load()
+    )
+    return (
+        cat.groupBy("currency")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            dsum("price", "sum_price"),
+            dsum("weight", "sum_weight"),
+        )
+        .orderBy("currency")
+    )

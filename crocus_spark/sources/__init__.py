@@ -1,0 +1,16 @@
+"""Custom sources — the engine's extensible ingestion boundary.
+
+The reference's only "source" is a hand-rolled scraper loop
+(``scripts/webscrapers/ishares.py:145-148``: one page fetch per product,
+sequential, <1 product/s). Spark's Python Data Source API is where that
+logic belongs in a distributed engine: the per-page fetch becomes
+``read(partition)``, pages become ``InputPartition``s, and the cluster
+fetches them in parallel with restarts/retries handled by the scheduler.
+"""
+
+from crocus_spark.sources.catalog_source import (
+    CatalogDataSource,
+    register_catalog_source,
+)
+
+__all__ = ["CatalogDataSource", "register_catalog_source"]

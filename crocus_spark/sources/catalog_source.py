@@ -1,0 +1,92 @@
+"""Python Data Source (Spark 4 API): the provider-catalog scraper as a
+partition-parallel source.
+
+The reference fetches one product page at a time in a driver-side loop
+(``ishares.py:145-148``, with politeness sleeps at :103/:187) — throughput
+is structurally <1 product/s and a crash loses the run. Re-expressed as a
+``DataSource``, each catalog *page* is an ``InputPartition``: executors
+fetch pages concurrently, a failed page retries alone, and everything
+downstream is a normal DataFrame. This file is the engine-side plumbing
+with a deterministic synthetic page fetcher standing in for HTTP (the
+real fetcher would swap into ``_fetch_page`` — clearly marked); the
+record derivation is pure modular arithmetic so the same rows are
+reproducible in ANY engine, which is what lets the driver's DuckDB
+oracle check a *custom source* end-to-end.
+
+Derivation (Knuth multiplicative hashing, exact in 64-bit integers):
+    h(id)    = (id * 2654435761) mod 2^32
+    price    = (h mod 100000) / 100  (exact same double in any engine)
+    currency = (USD, EUR, GBP)[h mod 3]
+    weight   = ((h // 7) mod 10000) / 10000
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+PAGE_SIZE = 20
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+SCHEMA_DDL = (
+    "product_id BIGINT, page INT, isin STRING, currency STRING, "
+    "price DOUBLE, weight DOUBLE"
+)
+
+
+def _record(pid: int, page: int) -> tuple:
+    h = (pid * _KNUTH) % _M32
+    price = (h % 100000) / 100.0
+    currency = ("USD", "EUR", "GBP")[h % 3]
+    weight = ((h // 7) % 10000) / 10000.0
+    isin = f"IE{pid:010d}"
+    return (pid, page, isin, currency, price, weight)
+
+
+def _fetch_page(page: int, n_products: int) -> list[tuple]:
+    """One catalog page → records. THE swap point for a real fetcher
+    (HTTP GET + parse, the reference's ``get_product_page`` analog); the
+    deterministic stand-in keeps the plumbing testable in-container."""
+    lo = page * PAGE_SIZE
+    hi = min(lo + PAGE_SIZE, n_products)
+    return [_record(pid, page) for pid in range(lo, hi)]
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int, n_products: int):
+        self.page = page
+        self.n_products = n_products
+
+
+class _CatalogReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_products = int(options.get("n_products", 100))
+
+    def partitions(self):
+        n_pages = -(-self.n_products // PAGE_SIZE)
+        return [_PagePartition(p, self.n_products) for p in range(n_pages)]
+
+    def read(self, partition):
+        yield from _fetch_page(partition.page, partition.n_products)
+
+
+class CatalogDataSource(DataSource):
+    """``spark.read.format("crocus_catalog").option("n_products", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crocus_catalog"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return _CatalogReader(self.options)
+
+
+def register_catalog_source(spark) -> None:
+    """Idempotent registration of the custom format on a session."""
+    try:
+        spark.dataSource.register(CatalogDataSource)
+    except Exception:
+        pass  # already registered on this session

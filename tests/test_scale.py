@@ -221,3 +221,23 @@ def test_time_travel_reads_are_isolated(spark):
     )
     v2_events = sum(r.n_events for r in read_snapshot(spark, root).collect())
     assert v0_events < v1_events < v2_events
+
+
+def test_python_datasource_reads_pages_in_parallel(spark):
+    """The custom source must expose one InputPartition per catalog page
+    — that's the property that turns the reference's sequential
+    <1 product/s loop into an executor-parallel fetch."""
+    from crocus_spark.sources import register_catalog_source
+    from crocus_spark.sources.catalog_source import PAGE_SIZE, _record
+
+    register_catalog_source(spark)
+    df = spark.read.format("crocus_catalog").option("n_products", 500).load()
+    assert df.rdd.getNumPartitions() == -(-500 // PAGE_SIZE)  # 25 pages
+    rows = {r.product_id: r for r in df.collect()}
+    assert len(rows) == 500
+    # spot-check the deterministic derivation against the pure function
+    for pid in (0, 137, 499):
+        expect = _record(pid, pid // PAGE_SIZE)
+        got = rows[pid]
+        assert (got.page, got.isin, got.currency) == expect[1:4]
+        assert abs(got.price - expect[4]) == 0.0

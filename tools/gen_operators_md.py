@@ -145,6 +145,7 @@ BEYOND_2B = [
     ("data-quality expectation suite", ["dq_expectations"]),
     ("dynamic partition pruning", ["join_dpp_prune"]),
     ("runtime bloom-filter join", ["join_runtime_bloom_filter"]),
+    ("custom Python Data Source (scraper-as-source)", ["io_python_datasource"]),
 ]
 
 
