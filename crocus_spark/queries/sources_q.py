@@ -422,3 +422,39 @@ def io_python_datasource(spark, sf_dir):
         )
         .orderBy("currency")
     )
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             AS o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("io", "schema-evolution"),
+)
+def io_schema_evolution(spark, sf_dir):
+    """Schema evolution across file generations (the lakehouse fact of
+    life the reference sidesteps by rewriting whole JSON files,
+    base_scraper.py:165-178): generation 1 lacks o_orderpriority,
+    generation 2 adds it. A ``mergeSchema`` read reconciles both — old
+    files surface NULL for the new column, no rewrite of history. At
+    100 TB this is the only affordable way to add a column: footer
+    schemas are unioned at planning time; data files are untouched.
+    mergeSchema is kept OFF by default engine-wide (it footer-scans
+    every file) and turned on only for this reconciling read."""
+    path = _scratch("evolve_orders")
+    o = load(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    o.filter(F.col("o_orderkey") % 2 == 0).select(*base_cols).write.mode(
+        "overwrite"
+    ).parquet(path + "/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        *base_cols, "o_orderpriority"
+    ).write.mode("overwrite").parquet(path + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).orderBy("o_orderkey")

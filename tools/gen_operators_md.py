@@ -146,6 +146,7 @@ BEYOND_2B = [
     ("dynamic partition pruning", ["join_dpp_prune"]),
     ("runtime bloom-filter join", ["join_runtime_bloom_filter"]),
     ("custom Python Data Source (scraper-as-source)", ["io_python_datasource"]),
+    ("schema evolution (mergeSchema read)", ["io_schema_evolution"]),
 ]
 
 
