@@ -28,6 +28,7 @@ __all__ = [
     "snapshot_version_path",
     "list_snapshot_versions",
     "read_snapshot",
+    "expire_snapshots",
 ]
 
 
@@ -137,3 +138,24 @@ def read_snapshot(
             f"version {version} not in {versions} under {state_root}"
         )
     return spark.read.parquet(snapshot_version_path(state_root, version))
+
+
+def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
+    """Retention expiry (VACUUM): delete all but the newest ``keep_last``
+    committed versions. Returns the versions removed.
+
+    The copy-on-write store trades write amplification for O(1) time
+    travel — retention is what bounds its storage: a daily-commit table
+    retains keep_last days of re-readable history, and expiry is pure
+    directory deletion (no data-file reachability analysis needed,
+    because each version is self-contained). Never expire a version a
+    running reader could hold: callers gate this on reader-lease age in
+    a real deployment, exactly as Delta VACUUM's retention check does.
+    """
+    import shutil
+
+    versions = list_snapshot_versions(state_root)
+    drop = versions[:-keep_last] if keep_last > 0 else versions
+    for v in drop:
+        shutil.rmtree(snapshot_version_path(state_root, v))
+    return drop

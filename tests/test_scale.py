@@ -241,3 +241,29 @@ def test_python_datasource_reads_pages_in_parallel(spark):
         got = rows[pid]
         assert (got.page, got.isin, got.currency) == expect[1:4]
         assert abs(got.price - expect[4]) == 0.0
+
+
+def test_expire_snapshots_keeps_newest_and_time_travel_survives(spark):
+    """VACUUM-style retention: oldest versions are deleted, the newest
+    keep_last stay readable, and the latest state is unchanged by
+    expiry (expiry touches history, never the live table)."""
+    from crocus_spark.operators.maintenance import (
+        expire_snapshots,
+        list_snapshot_versions,
+        read_snapshot,
+    )
+    from crocus_spark.queries.maintenance_q import snapshot_time_travel
+    from crocus_spark.queries.sources_q import SCRATCH
+
+    snapshot_time_travel(spark, SF_SMOKE).collect()
+    root = f"{SCRATCH}/snapshots"
+    assert list_snapshot_versions(root) == [0, 1, 2]
+    latest_before = {
+        tuple(r) for r in read_snapshot(spark, root).collect()
+    }
+    assert expire_snapshots(root, keep_last=2) == [0]
+    assert list_snapshot_versions(root) == [1, 2]
+    assert {tuple(r) for r in read_snapshot(spark, root).collect()} == (
+        latest_before
+    )
+    assert read_snapshot(spark, root, 1).count() > 0
