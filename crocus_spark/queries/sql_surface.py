@@ -88,3 +88,70 @@ def sql_setops_cohorts(spark, sf_dir):
     customer cohorts, one dialect-portable string for both engines."""
     _register_views(spark, sf_dir, ["orders"])
     return spark.sql(_SETOP_SQL)
+
+
+CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+}
+
+_CBO_JOIN_SQL = """
+SELECT n.n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS sum_revenue
+FROM {li} l
+JOIN {o} o ON l.l_orderkey = o.o_orderkey
+JOIN {c} c ON o.o_custkey = c.c_custkey
+JOIN {n} n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_17')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def _cbo_tables(spark, sf_dir):
+    """Catalog tables + ANALYZE — the stats CBO reorders from. At
+    100 TB, ANALYZE runs at ingest/compaction time, once per table, so
+    every subsequent query plans from real cardinalities for free.
+    External tables under scratch (DROP + path overwrite) so reruns
+    and fresh catalogs over a stale warehouse both work."""
+    import os
+
+    from crocus_spark.queries.sources_q import _scratch
+
+    root = _scratch("cbo_tables")
+    for t in ("lineitem", "orders", "customer", "nation"):
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        load(spark, sf_dir, t).write.option(
+            "path", os.path.join(root, t)
+        ).mode("overwrite").format("parquet").saveAsTable(f"cbo_{t}")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+@register(
+    "sql_cbo_join_reorder",
+    oracle=_CBO_JOIN_SQL.format(
+        li="lineitem", o="orders", c="customer", n="nation"
+    ),
+    tags=("sql", "cbo"),
+)
+def sql_cbo_join_reorder(spark, sf_dir):
+    """Cost-based join reordering (§4.2): the SQL is WRITTEN in the worst
+    order — the two fact tables joined first, the selective nation
+    filter last. With ANALYZE'd column stats and CBO on, Catalyst
+    reorders to build nation⋈customer first (estimated rowCount rides
+    every node; plan-asserted in test_plans) — the difference between
+    shuffling the whole fact join and shuffling only matching customers'
+    rows at 100 TB. Materialized eagerly under the CBO confs
+    (restore-on-exit), which the oracle hash-match proves is
+    semantics-neutral."""
+    from crocus_spark.queries.runtime_q import conf_overrides
+
+    _cbo_tables(spark, sf_dir)
+    sql = _CBO_JOIN_SQL.format(
+        li="cbo_lineitem", o="cbo_orders", c="cbo_customer", n="cbo_nation"
+    )
+    with conf_overrides(spark, CBO_CONFS):
+        result = spark.sql(sql).localCheckpoint(eager=True)
+    return result.orderBy("n_name")

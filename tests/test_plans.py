@@ -239,3 +239,34 @@ def test_bloom_filter_reaches_fact_scan(spark):
         plan = _plan(joined, "extended")
     assert "might_contain" in plan, plan
     assert "l_orderkey" in plan.split("might_contain", 1)[1][:120]
+
+
+def test_cbo_reorders_joins_by_cardinality(spark):
+    """With ANALYZE'd stats and CBO on, the deliberately-bad written
+    order (fact⋈fact first, selective dim last) must be rewritten so the
+    innermost join is customer⋈nation — the smallest estimated result —
+    and estimated rowCounts must ride the optimized plan."""
+    import re
+
+    from crocus_spark.queries.runtime_q import conf_overrides
+    from crocus_spark.queries.sql_surface import (
+        CBO_CONFS,
+        _CBO_JOIN_SQL,
+        _cbo_tables,
+    )
+
+    _cbo_tables(spark, SF_SMOKE)
+    sql = _CBO_JOIN_SQL.format(
+        li="cbo_lineitem", o="cbo_orders", c="cbo_customer", n="cbo_nation"
+    )
+    with conf_overrides(spark, CBO_CONFS):
+        cost = _plan(spark.sql(sql), "cost")
+    assert "rowCount=" in cost
+    joins = [
+        l for l in cost.splitlines() if re.search(r"\bJoin Inner\b", l)
+    ]
+    assert joins, cost
+    innermost = max(joins, key=lambda l: len(l) - len(l.lstrip(" :+-")))
+    assert "c_nationkey" in innermost and "n_nationkey" in innermost, (
+        innermost
+    )

@@ -147,6 +147,7 @@ BEYOND_2B = [
     ("runtime bloom-filter join", ["join_runtime_bloom_filter"]),
     ("custom Python Data Source (scraper-as-source)", ["io_python_datasource"]),
     ("schema evolution (mergeSchema read)", ["io_schema_evolution"]),
+    ("cost-based join reordering (ANALYZE + CBO)", ["sql_cbo_join_reorder"]),
 ]
 
 
