@@ -348,3 +348,74 @@ def stream_foreachbatch_merge(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    WITH days AS (SELECT d FROM generate_series(0, 2) t(d)),
+    rec AS (
+      SELECT d, d * 100 + i AS product_id,
+             ((d * 100 + i) * 2654435761) % 4294967296 AS h
+      FROM days, generate_series(0, 39) s(i)
+    )
+    SELECT d AS day, COUNT(*) AS n_products,
+           CAST(SUM(CAST((h % 100000) / 100.0 AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM rec
+    GROUP BY d
+    ORDER BY d
+    """,
+    tags=("streaming", "datasource"),
+)
+def stream_python_datasource(spark, sf_dir):
+    """Custom STREAMING Python Data Source: the reference's daily scrape
+    re-run (a fresh dated file per day, ishares.py:190-198) as a
+    checkpointed stream — each day is one micro-batch, offsets are
+    {day}, and a crashed run resumes at the day it died instead of
+    re-scraping history (readBetweenOffsets replays committed batches
+    deterministically). The bounded source reports no-new-data after
+    n_days; the query drains it to a memory sink and aggregates per
+    day. Arithmetic identical to the batch source, so a custom
+    streaming source is oracle-checked end-to-end."""
+    import tempfile
+    import time
+    import uuid
+
+    from crocus_spark.sources import register_catalog_stream_source
+
+    register_catalog_stream_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="crocus_catstream_ckpt")
+    # unique per invocation: memory-sink tables outlive their query in
+    # the session, so a reused name would double-ingest on a second call
+    name = f"catalog_stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("crocus_catalog_stream")
+        .option("n_days", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        expected = 3 * 40
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.sum(F.col("price").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("day")
+    )

@@ -10,7 +10,14 @@ fetches them in parallel with restarts/retries handled by the scheduler.
 
 from crocus_spark.sources.catalog_source import (
     CatalogDataSource,
+    CatalogStreamDataSource,
     register_catalog_source,
+    register_catalog_stream_source,
 )
 
-__all__ = ["CatalogDataSource", "register_catalog_source"]
+__all__ = [
+    "CatalogDataSource",
+    "CatalogStreamDataSource",
+    "register_catalog_source",
+    "register_catalog_stream_source",
+]

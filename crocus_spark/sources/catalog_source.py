@@ -22,7 +22,12 @@ Derivation (Knuth multiplicative hashing, exact in 64-bit integers):
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 PAGE_SIZE = 20
 _KNUTH = 2654435761
@@ -88,5 +93,74 @@ def register_catalog_source(spark) -> None:
     """Idempotent registration of the custom format on a session."""
     try:
         spark.dataSource.register(CatalogDataSource)
+    except Exception:
+        pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: the scrape *cadence* as a stream. The reference re-runs
+# the whole scraper per day and writes a dated file (ishares.py:190-198);
+# here each day is one micro-batch from a streaming source, checkpointed by
+# offset — a crashed run resumes at the day it died, instead of re-scraping.
+
+STREAM_PAGE = 40  # products per day-batch
+
+
+def _day_rows(day: int) -> list[tuple]:
+    """Deterministic 'one day of catalog': products day*100 .. +STREAM_PAGE
+    through the same arithmetic as the batch source."""
+    out = []
+    for i in range(STREAM_PAGE):
+        pid = day * 100 + i
+        rec = _record(pid, day)
+        out.append((day, pid, rec[3], rec[4]))  # (day, id, currency, price)
+    return out
+
+
+STREAM_SCHEMA_DDL = (
+    "day INT, product_id BIGINT, currency STRING, price DOUBLE"
+)
+
+
+class _CatalogStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_days = int(options.get("n_days", 3))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict):
+        day = int(start["day"])
+        if day >= self.n_days:  # caught up: no new data, offset unmoved
+            return iter([]), start
+        return iter(_day_rows(day)), {"day": day + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: offsets fully determine the rows
+        return iter(
+            r
+            for d in range(int(start["day"]), int(end["day"]))
+            for r in _day_rows(d)
+        )
+
+
+class CatalogStreamDataSource(DataSource):
+    """``spark.readStream.format("crocus_catalog_stream")`` — bounded to
+    ``n_days`` batches; after that the source reports no new data."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crocus_catalog_stream"
+
+    def schema(self) -> str:
+        return STREAM_SCHEMA_DDL
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CatalogStreamReader(self.options)
+
+
+def register_catalog_stream_source(spark) -> None:
+    try:
+        spark.dataSource.register(CatalogStreamDataSource)
     except Exception:
         pass  # already registered on this session

@@ -148,6 +148,7 @@ BEYOND_2B = [
     ("custom Python Data Source (scraper-as-source)", ["io_python_datasource"]),
     ("schema evolution (mergeSchema read)", ["io_schema_evolution"]),
     ("cost-based join reordering (ANALYZE + CBO)", ["sql_cbo_join_reorder"]),
+    ("custom streaming Python Data Source", ["stream_python_datasource"]),
 ]
 
 
