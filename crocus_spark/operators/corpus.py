@@ -45,6 +45,7 @@ __all__ = [
     "word_ngrams",
     "decontaminate",
     "chunk_sliding_windows",
+    "assign_global_row_ids",
 ]
 
 
@@ -503,4 +504,59 @@ def chunk_sliding_windows(
                 )
             ).alias("chunk_md5"),
         )
+    )
+
+
+def assign_global_row_ids(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Global consecutive row ids (0..n-1) in ``order_col`` order with NO
+    global sort and NO driver collect — the training-sample numbering
+    step (every packed corpus needs stable global sample ids).
+
+    The naive ``row_number() OVER (ORDER BY k)`` collapses the whole
+    table into ONE partition — the canonical 100 TB anti-pattern. Here:
+    range-shard on the key (shard bounds from a scalar max aggregate,
+    broadcast), rank WITHIN each shard in parallel, then add each
+    shard's cumulative predecessor count — a shard-count relation of
+    n_shards rows, windowed at trivial size and broadcast back. Three
+    narrow shuffles of metadata; document bodies move once.
+
+    Monotone ids: shard bounds follow key order, so
+    (shard asc, within-shard rank asc) enumerates keys globally.
+    """
+    mx = df.agg(
+        F.max(F.col(order_col)).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sharded = df.crossJoin(F.broadcast(mx)).withColumn(
+        "_shard",
+        F.least(
+            F.lit(n_shards - 1),
+            F.floor(
+                F.col(order_col)
+                / (F.floor(F.col("_mx") / n_shards) + 1)
+            ).cast("int"),
+        ),
+    )
+    in_shard = Window.partitionBy("_shard").orderBy(order_col)
+    counts = sharded.groupBy("_shard").agg(
+        F.count(F.lit(1)).alias("_shard_n")
+    )
+    w_off = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_shards rows total — a metadata-sized window, not a data one
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_shard_n").over(w_off), F.lit(0))
+    ).select("_shard", "_offset")
+    return (
+        sharded.withColumn("_rank", F.row_number().over(in_shard))
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn(
+            "row_id", (F.col("_offset") + F.col("_rank") - 1).cast("long")
+        )
+        .drop("_shard", "_rank", "_offset", "_mx", "_n")
     )

@@ -430,3 +430,28 @@ def corpus_chunk_sliding(spark, sf_dir):
     return C.chunk_sliding_windows(
         docs, "text", "doc_id", chunk_tokens=64, stride=48
     ).orderBy("id", "chunk_id")
+
+
+@register(
+    "corpus_global_row_ids",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "ids"),
+)
+def corpus_global_row_ids(spark, sf_dir):
+    """Global consecutive sample ids without a global sort: range-shard
+    on the key, rank per shard in parallel, add broadcast cumulative
+    shard offsets. Equivalent to ROW_NUMBER() OVER (ORDER BY doc_id) —
+    which is exactly what the oracle computes — but the single-partition
+    sort that window implies never exists in the plan (asserted in
+    test_plans)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.assign_global_row_ids(docs, "doc_id", n_shards=32)
+        .select("doc_id", "source", "row_id")
+        .orderBy("doc_id")
+    )

@@ -267,3 +267,31 @@ def test_expire_snapshots_keeps_newest_and_time_travel_survives(spark):
         latest_before
     )
     assert read_snapshot(spark, root, 1).count() > 0
+
+
+def test_global_row_ids_stay_distributed(spark):
+    """The row-id assignment must (a) equal the single-partition
+    ROW_NUMBER result exactly and (b) leave the document-bearing path on
+    many partitions — the whole point vs a global-window numbering,
+    which collapses the table to one partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crocus_spark.operators.corpus import assign_global_row_ids
+
+    from crocus_spark.plans import explain_str
+
+    docs = load(spark, SF_SMOKE, "documents")
+    got = assign_global_row_ids(docs, "doc_id", n_shards=32)
+    plan = explain_str(got)
+    # the ranking window hash-partitions on the shard key — the document
+    # path is never range/single-partitioned for a global sort (AQE may
+    # still coalesce tiny test data, so assert the plan, not partitions)
+    assert "hashpartitioning(_shard" in plan, plan
+    naive = docs.withColumn(
+        "row_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long"),
+    )
+    assert {(r.doc_id, r.row_id) for r in got.collect()} == {
+        (r.doc_id, r.row_id) for r in naive.collect()
+    }

@@ -140,6 +140,7 @@ BEYOND_2B = [
     ("streaming corpus curation", ["stream_corpus_curation"]),
     ("train/eval decontamination", ["corpus_decontaminate"]),
     ("sliding-window chunking (RAG prep)", ["corpus_chunk_sliding"]),
+    ("global row ids without global sort", ["corpus_global_row_ids"]),
     ("small-file compaction (OPTIMIZE)", ["maintenance_compact_files"]),
     ("snapshot time travel (VERSION AS OF)", ["snapshot_time_travel"]),
     ("data-quality expectation suite", ["dq_expectations"]),
