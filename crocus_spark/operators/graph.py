@@ -1,0 +1,105 @@
+"""Distributed graph primitives over edge-list DataFrames.
+
+The engine's dedup cluster collapse (``minhash_dedup_survivors``) is a
+special case of connected components with diameter ~1; this module is the
+general operator: min-label propagation with pointer jumping over an
+arbitrary edge list, run to a *checked* fixpoint. The reference's implied
+workload needs it for cross-provider entity resolution — ETFs linked by
+shared ISIN / shared holdings form equivalence classes exactly like
+near-dup documents do (SURVEY.md §2B#54/#59).
+
+Scale shape (the Kiveris et al. 2014 "Connected Components in MapReduce"
+family): every iteration is two key-partitioned joins + hash aggregates —
+no global structure, no driver-side graph. State per node is one (node,
+label) row; labels only ever decrease, so each round is monotone and the
+fixpoint test (zero changed labels) is a cheap anti-equality count.
+Pointer jumping (label := label(label)) halves tree heights each round, so
+rounds grow with log(diameter), not diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id in its connected
+    component. Returns (node, component).
+
+    Iterates min-label propagation over the symmetrized edge list plus a
+    pointer-jumping contraction, local-checkpointing each round to
+    truncate lineage (without it the plan doubles every iteration), until
+    no label changes. Labels are bounded below by the true component
+    minimum and decrease monotonically, so the checked fixpoint IS the
+    exact answer — the iteration cap only guards against degenerate
+    inputs, and hitting it raises instead of returning a wrong answer.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # closed-neighborhood min: comp'(u) = min(comp(u), min_{v∈N(u)} comp(v))
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp''(u) = min(comp'(u), comp'(comp'(u)))
+        a, b = stepped.alias("a"), stepped.alias("b")
+        jumped = (
+            a.join(b, F.col("a.comp") == F.col("b.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.comp"),
+                    F.coalesce(F.col("b.comp"), F.col("a.comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            und.unpersist()
+            return labels
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )

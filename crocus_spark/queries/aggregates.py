@@ -497,3 +497,60 @@ def agg_approx_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_histogram_buckets",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           bucket * 50000.0 AS lo,
+           CASE WHEN bucket = 9 THEN NULL
+                ELSE (bucket + 1) * 50000.0 END AS hi,
+           COUNT(*) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 10)
+             AS share
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_buckets(spark, sf_dir):
+    """Fixed-width histogram (width_bucket semantics, clamped top bucket)
+    over order totals — the profile-a-column primitive behind the TER /
+    price distribution reads the crocus workload implies (SURVEY §2B#24's
+    bucketed complement). Bucket id is pure row-local arithmetic (fused
+    into the scan); the aggregate is a 10-group hash agg with map-side
+    partials, and the share divides exact counts — one IEEE division,
+    deterministic at any parallelism. The grand total comes from an
+    unpartitioned window over the 10 bucket rows, not a second pass over
+    the data."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast(
+        "bigint"
+    )
+    grand = W.partitionBy()
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            F.when(F.col("bucket") == 9, F.lit(None).cast("double"))
+            .otherwise((F.col("bucket") + 1) * 50000.0)
+            .alias("hi"),
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(grand).cast("double"), 10
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )

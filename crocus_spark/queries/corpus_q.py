@@ -455,3 +455,48 @@ def corpus_global_row_ids(spark, sf_dir):
         .select("doc_id", "source", "row_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_bottomk_hash",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, hkey
+    FROM keyed WHERE rn <= 10
+    ORDER BY lang, hkey, doc_id
+    """,
+    tags=("corpus", "sampling"),
+)
+def sample_bottomk_hash(spark, sf_dir):
+    """Deterministic bottom-k-by-hash sampling: exactly 10 docs per
+    language, chosen by the smallest md5(seed:id) keys — a uniform sample
+    that is reproducible across engines, runs, partitionings, AND data
+    arrivals (a doc's in/out status never depends on what else is in the
+    corpus until the k boundary). This is the coordinated-sampling
+    complement to ``sample_stratified_docs``: Bernoulli sampling gives a
+    fraction (engine-RNG, rows-only-checkable); bottom-k gives an exact
+    per-stratum count and is oracle-exact because the hash IS the sample.
+    Spark rewrites rn<=k to a per-partition top-k (WindowGroupLimit): each
+    task keeps a k-heap per language, the shuffle carries k·languages
+    rows, never the corpus — the 100 TB shape for 'give me exactly N
+    examples per source'."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    hkey = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", hkey.alias("hkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars", "hkey")
+        .orderBy("lang", "hkey", "doc_id")
+    )

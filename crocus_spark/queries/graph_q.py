@@ -1,0 +1,142 @@
+"""Graph queries over relationship structure latent in the star schema.
+
+The crocus workload is entity resolution in disguise: products linked
+across providers by shared identifiers form equivalence classes
+(README.md:4 "confront them with eachover"), and funds linked by shared
+holdings form overlap clusters (FIXTURES.md B3 ``holding_isin`` exists for
+exactly that join). Both are connected components / co-occurrence
+problems; here they run on the fixture analog — parts linked by appearing
+in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crocus_spark.io import load
+from crocus_spark.operators.graph import connected_components
+from crocus_spark.queries import register
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Star edges per sampled order: min partkey ↔ every other partkey.
+    The star (not the clique) keeps edges linear in basket size — the
+    clique would be quadratic per order and changes nothing for
+    connectivity."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 20 == 0
+    )
+    stars = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("root"))
+    return (
+        li.join(stars, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE sampled AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+    ), stars AS (
+      SELECT l_orderkey, MIN(l_partkey) AS root FROM sampled
+      GROUP BY l_orderkey
+    ), edges AS (
+      SELECT DISTINCT s.root AS u, l.l_partkey AS v
+      FROM stars s JOIN sampled l USING (l_orderkey)
+      WHERE l.l_partkey <> s.root
+    ), und AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), reach (a, b) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
+    ), comp AS (
+      SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+    )
+    SELECT node, component,
+           COUNT(*) OVER (PARTITION BY component) AS comp_size
+    FROM comp
+    ORDER BY node
+    """,
+    tags=("graph", "components"),
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components over the co-purchase graph (parts linked by a
+    shared order) — the general form of the engine's dedup cluster
+    collapse and of cross-provider entity resolution (two catalogs ⋈
+    shared ISINs → product equivalence classes, crocus README.md:4). The
+    engine runs min-label propagation + pointer jumping to a CHECKED
+    fixpoint (operators/graph.py): per round two key-partitioned joins,
+    state = one row per node, rounds ~ log(diameter) — no driver-side
+    graph, no quadratic pair set. The oracle computes the same components
+    by brute-force recursive closure, which is exponential-in-spirit
+    (O(n·pairs)) and only viable at fixture scale — the gap between the
+    two IS the 100 TB design point. Output: every node with its
+    component id (min part key in the component) and component size."""
+    labels = connected_components(_copurchase_edges(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return (
+        labels.select("node", F.col("comp").alias("component"))
+        .withColumn("comp_size", F.count(F.lit(1)).over(w))
+        .orderBy("node")
+    )
+
+
+@register(
+    "basket_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("graph", "selfjoin", "headline"),
+)
+def basket_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 50 part pairs most often bought in
+    the same order — the fixture analog of 'funds most often holding the
+    same security', the overlap question the reference's unparsed holdings
+    files exist to answer (FIXTURES.md B3). Classic self-join fan-out:
+    distinct (order, part) first (dedups repeat lines BEFORE the join, not
+    after the explosion), then an equi-self-join on order key produces
+    O(Σ basket²) pairs — bounded because baskets are small (the per-order
+    line cap), not because the table is. The pair aggregate and the join
+    share the l_orderkey shuffle; the final top-50 is
+    TakeOrderedAndProject with a full (count, a, b) tiebreak, never a
+    global sort."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(50)

@@ -711,3 +711,90 @@ def ann_pq_topk(spark, sf_dir):
     return S.pq_topk(
         spark, queries, corpus, k=5, m=16, ksub=32, refine=50
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "search_inverted_index",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    postings AS (
+      SELECT tok, doc_id, COUNT(*) AS tf
+      FROM toks
+      WHERE tok IN ('spark', 'merge')
+      GROUP BY tok, doc_id
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    matched AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_terms,
+             round(SUM(p.tf * ln(n.n_docs / df.df)), 6) AS score
+      FROM postings p JOIN df USING (tok) CROSS JOIN n
+      GROUP BY p.doc_id
+      HAVING COUNT(*) = 2
+    )
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM matched
+    ORDER BY rk
+    LIMIT 20
+    """,
+    tags=("llm", "text", "search"),
+)
+def search_inverted_index(spark, sf_dir):
+    """Conjunctive full-text search over an inverted index: docs matching
+    ALL query terms ('spark' AND 'merge'), ranked by tf·idf — the
+    query-side twin of the TF-IDF vectorizer, and the 'find this holding
+    across every fund document' read the reference's factsheet/kid corpus
+    implies (ishares.json:9-10). The term filter lands BEFORE the
+    posting-list aggregate, so only query-term postings are ever built —
+    the engine touches O(df(terms)) rows, not the corpus; the AND is a
+    count-distinct-terms HAVING on the doc-grouped postings (posting-list
+    intersection as a hash agg, no self-join); df stats are term-count
+    sized and broadcast. Top-20 compiles to TakeOrderedAndProject. At
+    100 TB the postings table is the materialized artifact (partitioned
+    by term); this query IS its read path."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "merge"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    postings = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_stats = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    matched = (
+        postings.join(F.broadcast(df_stats), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(F.col("tf") * F.log(n_docs / F.col("df"))), 6
+            ).alias("score"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        matched.select(
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(20)
+    )

@@ -124,3 +124,84 @@ def snapshot_time_travel(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "snapshot_changelog_cdc",
+    oracle="""
+    WITH v0 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(25,6))) AS value_dec
+      FROM events WHERE event_id % 3 <= 1
+      GROUP BY user_id
+    ), v1 AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(25,6))) AS value_dec
+      FROM events WHERE user_id % 5 <> 0
+      GROUP BY user_id
+    )
+    SELECT COALESCE(v0.user_id, v1.user_id) AS user_id,
+           CASE WHEN v0.user_id IS NULL THEN 'insert'
+                WHEN v1.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           v0.n_events AS old_n,
+           v1.n_events AS new_n,
+           CAST(v0.value_dec AS DOUBLE) AS old_sum,
+           CAST(v1.value_dec AS DOUBLE) AS new_sum
+    FROM v0 FULL OUTER JOIN v1 ON v0.user_id = v1.user_id
+    WHERE v0.user_id IS NULL OR v1.user_id IS NULL
+       OR v0.n_events <> v1.n_events
+       OR v0.value_dec IS DISTINCT FROM v1.value_dec
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "cdc", "changelog"),
+)
+def snapshot_changelog_cdc(spark, sf_dir):
+    """Change-data-feed derivation between two snapshot versions — the
+    read side of the reference's date-partitioned snapshot store
+    ('what changed since yesterday's scrape', base_scraper.py:72-83). v0
+    is the per-user aggregate over the first two event batches; v1 is the
+    full-history aggregate with a user cohort erased (the GDPR-delete
+    shape). The diff is ONE full-outer join on the snapshot key emitting a
+    typed change feed: insert (new key), delete (gone key), update
+    (changed values) — no-op rows are filtered OUT, which is what keeps a
+    downstream incremental consumer proportional to the delta, not the
+    table. Value equality is tested on the exact decimal aggregates, never
+    on post-cast doubles. At 100 TB both sides are keyed aggregates and
+    the join partitions on the same key — one shuffle family end-to-end,
+    and the feed is as small as the day's churn."""
+    ev = load(spark, sf_dir, "events")
+
+    def _state(filtered):
+        return filtered.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+        )
+
+    v0 = _state(ev.filter(F.pmod("event_id", F.lit(3)) <= 1)).alias("v0")
+    v1 = _state(ev.filter(F.pmod("user_id", F.lit(5)) != 0)).alias("v1")
+    joined = v0.join(
+        v1, F.col("v0.user_id") == F.col("v1.user_id"), "full_outer"
+    )
+    changed = joined.filter(
+        F.col("v0.user_id").isNull()
+        | F.col("v1.user_id").isNull()
+        | (F.col("v0.n_events") != F.col("v1.n_events"))
+        | ~F.col("v0.value_dec").eqNullSafe(F.col("v1.value_dec"))
+    )
+    return (
+        changed.select(
+            F.coalesce(F.col("v0.user_id"), F.col("v1.user_id")).alias(
+                "user_id"
+            ),
+            F.when(F.col("v0.user_id").isNull(), "insert")
+            .when(F.col("v1.user_id").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("v0.n_events").alias("old_n"),
+            F.col("v1.n_events").alias("new_n"),
+            F.col("v0.value_dec").cast("double").alias("old_sum"),
+            F.col("v1.value_dec").cast("double").alias("new_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -208,3 +208,44 @@ def merge_upsert_snapshot(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "unpivot_wide_to_long",
+    oracle="""
+    SELECT p_partkey, p_brand, 'p_size' AS metric,
+           CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, p_brand, 'p_retailprice' AS metric,
+           p_retailprice AS val
+    FROM part
+    ORDER BY p_partkey, metric
+    """,
+    tags=("setop", "reshape"),
+)
+def unpivot_wide_to_long(spark, sf_dir):
+    """Wide→long reshape via ``unpivot``/``melt`` — the inverse of the
+    pivot 'confront' layout (§2B#26): one (entity, metric, value) row per
+    measure column. The crocus products record is exactly such a wide row
+    (13 fields, ishares.py:149-160); attribute-level diffing across
+    providers wants it long. Spark compiles unpivot to an Expand node —
+    each input row fans out to n_metrics rows in the same task, no
+    shuffle, no UDF; at 100 TB the output is n_metrics× rows but remains
+    a pure map-side transform fused into the scan."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(
+            ["p_partkey", "p_brand"],
+            ["p_size", "p_retailprice"],
+            "metric",
+            "val",
+        )
+        .orderBy("p_partkey", "metric")
+    )

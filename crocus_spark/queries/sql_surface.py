@@ -155,3 +155,35 @@ def sql_cbo_join_reorder(spark, sf_dir):
     with conf_overrides(spark, CBO_CONFS):
         result = spark.sql(sql).localCheckpoint(eager=True)
     return result.orderBy("n_name")
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk (custkey, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, CAST(FLOOR(cur / 10.0) AS BIGINT), depth + 1
+      FROM walk WHERE cur >= 10
+    )
+    SELECT cur AS root_digit, depth, COUNT(*) AS n_customers,
+           MIN(custkey) AS min_key, MAX(custkey) AS max_key
+    FROM walk
+    WHERE cur < 10
+    GROUP BY cur, depth
+    ORDER BY root_digit, depth
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive"))
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the iterate-in-SQL
+    primitive hierarchies need: org charts, BOM explosions, graph
+    reachability). Every customer key walks its ancestor chain in the
+    implicit decimal tree (parent = key/10) until the single-digit root;
+    the aggregate fingerprints each (root, depth) cohort. One
+    dialect-portable string executed verbatim by both engines. Each
+    recursion step is a full DataFrame iteration in Spark — rows retire
+    from the loop as they hit the root (WHERE cur >= 10), so the working
+    set shrinks every step; depth is bounded by key width (log10), not
+    row count, which is what makes recursive plans tractable at 100 TB."""
+    _register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_RECURSIVE_SQL)

@@ -363,3 +363,111 @@ def window_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "window_distribution_battery",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 10) AS pct_rank,
+           round(cume_dist() OVER w, 10) AS cume,
+           nth_value(s_acctbal, 2) OVER
+             (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_nationkey, pct_rank, s_suppkey
+    """,
+    tags=("window",),
+)
+def window_distribution_battery(spark, sf_dir):
+    """Distribution window functions (§2B#27 completed): percent_rank,
+    cume_dist, and nth_value per nation — the quantile-position analytics
+    the rank battery leaves out. Both ratios are a single IEEE division of
+    exact integer ranks, so they hash-match without rounding; the round(,10)
+    is belt-and-braces only. nth_value gets the explicit full frame because
+    the default frame stops at CURRENT ROW (same footgun as last_value)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(F.percent_rank().over(w), 10).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 10).alias("cume"),
+            F.nth_value("s_acctbal", 2).over(wfull).alias("second_bal"),
+        )
+        .orderBy("s_nationkey", "pct_rank", "s_suppkey")
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_custkey % 97 = 0
+      GROUP BY date_trunc('day', o_orderdate)
+    ), bounds AS (
+      SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+             date_trunc('day', MAX(o_orderdate)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT sp.day,
+           COALESCE(s.total, 0.0) AS day_total,
+           last_value(s.total IGNORE NULLS) OVER
+             (ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS carried_total,
+           CASE WHEN s.total IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine sp LEFT JOIN sparse s ON sp.day = s.day
+    ORDER BY sp.day
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Hypertable-style gap filling (TimescaleDB ``time_bucket_gapfill``
+    analog): a sparse daily series — revenue of a 1-in-97 customer cohort —
+    is re-gridded onto the full calendar spine and forward-filled
+    (locf). The crocus snapshot store is exactly this shape: providers skip
+    days (holidays, scrape failures), and 'price as of day D' needs the
+    last seen snapshot (SURVEY §2A D1, base_scraper.py:78). Spine =
+    ``sequence(min, max, interval 1 day)`` exploded — generated, never
+    materialized; the fill is one unpartitioned window over days (calendar-
+    sized, thousands of rows at any data scale — per-key fills would
+    partition by key first)."""
+    o = load(spark, sf_dir, "orders")
+    sparse = (
+        o.filter(F.col("o_custkey") % 97 == 0)
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"))
+    )
+    spine = (
+        o.agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    wfill = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(sparse, "day", "left")
+        .select(
+            "day",
+            F.coalesce("total", F.lit(0.0)).alias("day_total"),
+            F.last("total", ignorenulls=True).over(wfill).alias("carried_total"),
+            F.when(F.col("total").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("day")
+    )

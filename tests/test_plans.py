@@ -270,3 +270,38 @@ def test_cbo_reorders_joins_by_cardinality(spark):
     assert "c_nationkey" in innermost and "n_nationkey" in innermost, (
         innermost
     )
+
+
+def test_bottomk_sample_uses_window_group_limit(spark, registry):
+    """sample_bottomk_hash must compile rn<=k into WindowGroupLimit —
+    the per-task k-heap that keeps the shuffle at k·strata rows instead
+    of the whole corpus."""
+    plan = _plan(registry["sample_bottomk_hash"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_copurchase_topk_is_take_ordered(spark, registry):
+    """basket_copurchase_pairs' top-50 must be TakeOrderedAndProject —
+    a heap per partition + driver merge, never a global sort of the
+    pair set."""
+    plan = _plan(registry["basket_copurchase_pairs"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unpivot_is_mapside_expand(spark, registry):
+    """unpivot_wide_to_long must compile to an Expand node with no
+    exchange before it — the fan-out happens inside the scan's task."""
+    plan = _plan(registry["unpivot_wide_to_long"].fn(spark, SF_SMOKE))
+    assert "Expand" in plan
+
+
+def test_search_pushes_term_filter_into_postings(spark, registry):
+    """search_inverted_index must aggregate only query-term postings:
+    the IN-list filter sits below the first aggregate, so posting
+    construction touches O(df(terms)) rows, not the corpus."""
+    plan = _plan(registry["search_inverted_index"].fn(spark, SF_SMOKE))
+    low = plan.lower()
+    assert "spark" in low and "merge" in low  # the term literals
+    # the filter must appear before (deeper than) any HashAggregate
+    first_agg = low.index("hashaggregate")
+    assert "filter" in low[first_agg:], "term filter missing below aggregate"
