@@ -137,6 +137,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # session factory, so the table loads under caller-owned sessions
         # (e.g. the driver harness) too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # MICROS isAdjustedToUTC=false stamps must read as session-tz (UTC)
+    # TIMESTAMP, not TIMESTAMP_NTZ (see session.py); runtime-set for
+    # caller-owned sessions.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader,

@@ -72,6 +72,12 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns (events.ts) are read as long,
         # then converted in io.load — Spark has no native ns timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture parquet stamps are MICROS with isAdjustedToUTC=false, which
+        # Spark 4 would infer as TIMESTAMP_NTZ; read them as session-tz (UTC)
+        # TIMESTAMP instead so LTZ-only expressions (unix_micros etc.) resolve
+        # and values equal DuckDB's naive-UTC timestamps. A conf, not a cast:
+        # casting post-scan would break predicate pushdown on time columns.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -50,12 +50,13 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet (file-source micro-batches —
     the engine's stand-in for the reference's daily snapshot arrivals).
-    ts is parquet TIMESTAMP(NANOS) → read as long, converted to µs."""
-    raw = (
+    ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false); read as
+    session-tz TIMESTAMP (see session.py inferTimestampNTZ pin)."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(_stage_stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 DOCS_STREAM_SCHEMA = (

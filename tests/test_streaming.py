@@ -236,15 +236,12 @@ def test_foreachbatch_merge_across_batches(spark, tmp_path):
 
     ev = load(spark, SF_SMOKE, "events")
     arrivals = str(tmp_path / "arrivals")
-    # 3 arrival files; convert ts back to long ns to match the stream schema
-    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(3).write.mode(
-        "overwrite"
-    ).parquet(arrivals)
+    # 3 arrival files, same timestamp schema as the stream source
+    ev.repartition(3).write.mode("overwrite").parquet(arrivals)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     state_root = str(tmp_path / "state")
     final = foreach_batch_merge_totals(stream, state_root)
