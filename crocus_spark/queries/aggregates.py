@@ -554,3 +554,128 @@ def agg_histogram_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+           COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+           CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+                           FILTER (WHERE c_acctbal > 0), 0) AS DOUBLE)
+             AS sum_positive
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "filter"),
+)
+def agg_filter_clause(spark, sf_dir):
+    """Conditionally-filtered aggregates (ANSI FILTER clause; the engine
+    side is when/otherwise inside the aggregate — crocus C2's dispatch
+    pattern fused into aggregation). One pass computes every conditional
+    branch: Catalyst folds all four aggregates into a single hash agg with
+    map-side partials, so adding a condition never adds a scan — the
+    100 TB way to build the 'n valid / n invalid / sum of valid' triples
+    every DQ report needs."""
+    c = load(spark, sf_dir, "customer")
+    pos = F.col("c_acctbal") > 0
+    neg = F.col("c_acctbal") < 0
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count(F.when(pos, 1)).alias("n_positive"),
+            F.count(F.when(neg, 1)).alias("n_negative"),
+            F.coalesce(
+                F.sum(F.when(pos, F.col("c_acctbal")).cast("decimal(25,6)")),
+                F.lit(0).cast("decimal(25,6)"),
+            )
+            .cast("double")
+            .alias("sum_positive"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_rows
+    FROM ranked WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic mode (most frequent value per group). Engines disagree
+    on mode() tie-breaks, so the engine defines it: count per (group,
+    value), then window top-1 with an explicit (count DESC, value) order —
+    reproducible on any engine and any partitioning. Two stages total:
+    the count agg shrinks data to distinct (group, value) pairs BEFORE the
+    window, so the rank never sorts raw rows — at 100 TB the window input
+    is vocabulary-sized, not corpus-sized."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_bitwise_battery",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           BIT_OR(user_id)  AS bor,
+           BIT_AND(user_id) AS band,
+           BIT_XOR(user_id) AS bxor
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise_battery(spark, sf_dir):
+    """Bitwise aggregates (bit_or / bit_and / bit_xor) — the primitive
+    under bitmap indexes and feature-flag rollups. All three are
+    commutative+associative, so Spark runs them as map-side partials with
+    a tiny final merge: per-group state is ONE int64 regardless of row
+    count, the ideal 100 TB aggregate shape."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_or("user_id").alias("bor"),
+            F.bit_and("user_id").alias("band"),
+            F.bit_xor("user_id").alias("bxor"),
+        )
+        .orderBy("event_type")
+    )

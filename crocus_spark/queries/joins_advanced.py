@@ -212,3 +212,54 @@ def join_fuzzy_name(spark, sf_dir):
         F.col("r_s_name").alias("name_b"),
         "edit_distance",
     ).orderBy("suppkey_a", "suppkey_b")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 97 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS k
+      FROM orders
+    ), c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN NULL
+                  ELSE c_custkey % 100 END AS k
+      FROM customer
+    )
+    SELECT o.k AS k, COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (WHERE o.k IS NULL) AS n_null_pairs
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY o.k
+    ORDER BY k NULLS FIRST
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics entity resolution
+    needs when the join key (ISIN, ticker) is absent on both sides of a
+    candidate pair. Spark plans eqNullSafe as a plain hash join on the
+    coalesced key (null-safe equality IS hashable), so the 100 TB cost
+    equals an ordinary equi-join; the NULL bucket is one key and shows up
+    to AQE as just another (possibly skewed) partition."""
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 100)
+        .alias("ck")
+    )
+    return (
+        o.join(c, F.col("k").eqNullSafe(F.col("ck")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_pairs"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )

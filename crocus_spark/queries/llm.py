@@ -798,3 +798,75 @@ def search_inverted_index(spark, sf_dir):
         .orderBy("rk")
         .limit(20)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-30) / 127.0
+               AS scale
+      FROM prep
+    )
+    SELECT vec_id,
+           ROUND(scale, 12) AS scale,
+           CAST(list_aggregate(
+                  list_transform(v, x ->
+                    CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT)
+                         AS DECIMAL(10,0))),
+                  'sum') AS BIGINT) AS q_sum,
+           ROUND(list_aggregate(
+                   list_transform(v, x ->
+                     (x - FLOOR(x / scale + 0.5) * scale)
+                     * (x - FLOOR(x / scale + 0.5) * scale)),
+                   'sum') / len(v), 12) AS mse
+    FROM scaled
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the 4× memory cut every
+    100 TB vector corpus takes before ANN serving; the same ADC idea as
+    `ann_pq_topk` at codebook size 1): per-vector scale = max|x|/127,
+    code = floor(x/scale + 0.5) ∈ [-127, 127], plus the reconstruction
+    MSE the dequantized vector pays. Everything is per-row higher-order
+    array arithmetic — transform/aggregate fused into the scan, zero
+    shuffle, trivially parallel. floor(x+0.5) instead of round():
+    half-even vs half-away tie rules differ across engines, floor does
+    not. Returns code-sum + MSE per vector (codes themselves would be
+    an opaque-array hash mismatch)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+        )
+        / 127.0
+    )
+    d = d.withColumn("scale", scale)
+    err = lambda x: (x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"))  # noqa: E731
+    return d.select(
+        "vec_id",
+        F.round("scale", 12).alias("scale"),
+        F.aggregate(
+            F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("q_sum"),
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: err(x) * err(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("v"),
+            12,
+        ).alias("mse"),
+    ).orderBy("vec_id")

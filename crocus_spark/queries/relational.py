@@ -216,3 +216,58 @@ def global_sort(spark, sf_dir):
     return s.select("s_suppkey", "s_name", "s_acctbal").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey")
     )
+
+
+@register(
+    "lateral_explode_installments",
+    oracle="""
+    WITH plans AS (
+      SELECT o_orderkey,
+             o_totalprice,
+             (o_orderkey % 4) + 1 AS n_inst,
+             UNNEST(generate_series(1, CAST((o_orderkey % 4) + 1 AS BIGINT)))
+               AS inst
+      FROM orders
+    )
+    SELECT inst,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice / n_inst AS DECIMAL(25,6)))
+                AS DOUBLE) AS sum_amount
+    FROM plans
+    GROUP BY inst
+    ORDER BY inst
+    """,
+    tags=("relational", "lateral"),
+)
+def lateral_explode_installments(spark, sf_dir):
+    """Correlated lateral table function (§2B#63's set-returning shape in
+    relational form): each order expands into (orderkey % 4) + 1 equal
+    installment rows via explode(sequence(1, n)) — per-row cardinality
+    decided by the row itself, the LATERAL/UNNEST pattern. The expansion
+    is map-side (Generate node, no shuffle): a 100 TB fact fans out
+    in-place and only the downstream aggregate exchanges data. The
+    per-installment amount divides BEFORE aggregation — one deterministic
+    IEEE division per row, then the exact decimal sum."""
+    o = load(spark, sf_dir, "orders")
+    n_inst = (F.col("o_orderkey") % 4 + 1).cast("int")
+    return (
+        o.select(
+            "o_totalprice",
+            n_inst.alias("n_inst"),
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), n_inst.cast("long"))
+            ).alias("inst"),
+        )
+        .groupBy("inst")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice") / F.col("n_inst")).cast(
+                    "decimal(25,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_amount"),
+        )
+        .orderBy("inst")
+    )

@@ -471,3 +471,64 @@ def timeseries_gapfill(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "timeseries_ohlc_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rk_a,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rk_d
+      FROM events
+    )
+    SELECT day,
+           COUNT(*) AS n_ticks,
+           MAX(CASE WHEN rk_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rk_d = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("window", "timeseries"),
+)
+def timeseries_ohlc_resample(spark, sf_dir):
+    """OHLC downsampling (tick → daily bars) — the hypertable
+    ``time_bucket`` + first/last aggregate, the resample the reference's
+    daily price snapshots (`ishares.json:7-8`) imply at intraday
+    granularity. open/close are deterministic argmin/argmax over (ts,
+    event_id) — not first()/last(), which are partition-order-dependent —
+    expressed as rank-1 picks so ties break identically on any engine.
+    Both window passes and the aggregate share ONE day-hash partitioning;
+    at 100 TB each day's bar builds from its own partition with no
+    global sort."""
+    ev = load(spark, sf_dir, "events")
+    day_d = F.col("ts").cast("date")
+    wa = Window.partitionBy(day_d).orderBy("ts", "event_id")
+    wd = Window.partitionBy(day_d).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            F.date_format(day_d, "yyyy-MM-dd").alias("day"),
+            "value",
+            F.row_number().over(wa).alias("rk_a"),
+            F.row_number().over(wd).alias("rk_d"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max(F.when(F.col("rk_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rk_d") == 1, F.col("value"))).alias("close"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
+        )
+        .orderBy("day")
+    )

@@ -123,3 +123,19 @@ def test_approx_percentiles_rank_error_bound(spark):
             assert lo - slack <= target <= hi + slack, (
                 r.l_returnflag, q, v, lo, hi, target, n,
             )
+
+
+def test_pagerank_properties(spark):
+    """PageRank contract: deterministic across runs; ranks positive,
+    returned in nonincreasing order; every returned vertex has edges; and
+    no single vertex in a ~thousand-part graph hoards the rank mass."""
+    from crocus_spark.queries.graph_q import graph_pagerank
+
+    a = graph_pagerank(spark, SF_SMOKE).collect()
+    b = graph_pagerank(spark, SF_SMOKE).collect()
+    assert a == b, "iterative fixpoint must be run-to-run deterministic"
+    assert len(a) == 20
+    ranks = [r.rank for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 and r.deg > 0 for r in a)
+    assert ranks[0] < 0.5, "no vertex should hold half the total mass"
