@@ -263,3 +263,56 @@ def join_null_safe_eq(spark, sf_dir):
         )
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, o_totalprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), m AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_price
+      FROM j
+    )
+    SELECT s.strategy, m.n_rows, m.sum_price
+    FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) AS s(strategy)
+    CROSS JOIN m
+    ORDER BY s.strategy
+    """,
+    tags=("join", "hints", "scale"),
+)
+def join_strategy_hints(spark, sf_dir):
+    """Explicit physical join-strategy control (the escape hatch when
+    Catalyst's estimate is wrong at 100 TB): the SAME logical join run
+    under broadcast / merge / shuffle_hash hints must produce identical
+    results — the hint moves cost, never semantics. Each branch returns
+    its strategy label + aggregate; tests/test_plans.py pins that each
+    hint actually changed the physical operator (BroadcastHashJoin vs
+    SortMergeJoin vs ShuffledHashJoin). shuffle_hash is the one AQE can't
+    pick on its own pre-3.2-style: builds a hash map per partition,
+    skipping both the sort and the broadcast memory ceiling."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    outs = []
+    for strategy in ("broadcast", "merge", "shuffle_hash"):
+        j = li.join(o.hint(strategy), li.l_orderkey == o.o_orderkey)
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            ).select(F.lit(strategy).alias("strategy"), "n_rows", "sum_price")
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("strategy")

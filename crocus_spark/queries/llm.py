@@ -870,3 +870,98 @@ def embedding_quantize_int8(spark, sf_dir):
             12,
         ).alias("mse"),
     ).orderBy("vec_id")
+
+
+@register(
+    "ml_kmeans_iterations",
+    oracle=None,  # iterative fixpoint; property-tested (inertia monotone
+    # nonincreasing, run-to-run determinism) in tests/test_properties.py
+    tags=("similarity", "iterative", "ml"),
+)
+def ml_kmeans_iterations(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus (k=8, 6 rounds,
+    deterministic lowest-vec_id init) returning the CONVERGENCE HISTORY —
+    (iter, inertia, n_moved) per round — the distributed model-training
+    loop the curation pipeline runs before semantic clustering/IVF
+    serving. Spark shape: centroids are a k-row relation broadcast onto
+    the corpus each round (never collected to the driver loop state);
+    assignment is one narrow crossJoin + windowless argmin; the recompute
+    is a k-group decimal-exact aggregate, so inertia is order-independent
+    and the whole round is ONE shuffle of k×dim partial sums. History
+    rows, not the model, are returned: inertia must decrease every round
+    or the implementation is wrong — the property test pins it."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    k = 8
+    dist2 = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    emb = emb.persist()
+    history = []
+    prev_assign = None
+    for it in range(6):
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "v", "cell", dist2.alias("d2")
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cell")
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cell", "d2")
+            .persist()
+        )
+        inertia = assign.agg(
+            F.sum(F.col("d2").cast("decimal(30,9)")).cast("double")
+        ).collect()[0][0]
+        if prev_assign is None:
+            moved = assign.count()
+        else:
+            moved = (
+                assign.select("vec_id", "cell")
+                .join(
+                    prev_assign.select(
+                        "vec_id", F.col("cell").alias("prev_cell")
+                    ),
+                    "vec_id",
+                )
+                .filter(F.col("cell") != F.col("prev_cell"))
+                .count()
+            )
+        history.append((it, float(inertia), moved))
+        # Recompute: per-(cell, dim) decimal-exact mean via posexplode —
+        # per-group state is dim-sized (never collect_list of the member
+        # vectors, which would gather a whole cell's corpus into one row).
+        centroids = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("comp")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                    lambda s: s["comp"],
+                ).alias("centroid")
+            )
+        )
+        prev_assign = assign
+    return spark.createDataFrame(
+        history, "iter int, inertia double, n_moved long"
+    ).orderBy("iter")

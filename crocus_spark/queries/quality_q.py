@@ -110,3 +110,52 @@ def dq_expectations(spark, sf_dir):
     return checks.withColumn(
         "passed", F.col("metric_value") == F.lit(0.0)
     ).orderBy("check_name")
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_nonpositive,
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS n_null_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    """,
+    tags=("quality", "observe"),
+)
+def dq_observe_metrics(spark, sf_dir):
+    """Pipeline observability via ``df.observe`` (crocus C3's structured
+    logging, engine-side): data-quality counters ride the QUERY ITSELF as
+    accumulator-backed aggregates — computed executor-side during the one
+    pass the pipeline already makes, not as a second audit scan (at 100 TB
+    a separate metrics query doubles the read bill). The observed frame
+    here flows through a foreach sink to force the pass, then the captured
+    metrics are returned as a one-row frame; in production the same row
+    goes to the metrics log while the data continues to the real sink."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["n_nonpositive"],
+                row["n_null_date"],
+                row["sum_price"],
+            )
+        ],
+        "n_rows long, n_nonpositive long, n_null_date long, sum_price double",
+    )

@@ -204,3 +204,50 @@ def join_salted_skew(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow (§2B#61's zero-copy variant): the Python stage receives
+    raw Arrow RecordBatches — no pandas materialization at all — and emits
+    Arrow back. For byte-dense payloads (token-count over text here;
+    media bytes in the multimodal path) this skips the Arrow→pandas→Arrow
+    double conversion a pandas_udf pays, the cheapest possible
+    Python-side hop at 100 TB. The batch boundary is also the memory
+    contract: peak Python memory is one batch, never one partition."""
+    import pyarrow as pa
+
+    def count_tokens(batches):
+        for batch in batches:
+            langs = batch.column("lang")
+            texts = batch.column("text").to_pylist()
+            n = [len([t for t in (s or "").split(" ") if t]) for s in texts]
+            yield pa.RecordBatch.from_arrays(
+                [langs, pa.array(n, type=pa.int64())],
+                names=["lang", "n_tokens"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.mapInArrow(count_tokens, "lang string, n_tokens long")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

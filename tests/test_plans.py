@@ -305,3 +305,32 @@ def test_search_pushes_term_filter_into_postings(spark, registry):
     # the filter must appear before (deeper than) any HashAggregate
     first_agg = low.index("hashaggregate")
     assert "filter" in low[first_agg:], "term filter missing below aggregate"
+
+
+def test_null_safe_join_is_hash_join(spark, registry):
+    """eqNullSafe must plan as a HASH join on (coalesce(k), isnull(k))
+    composite keys — a nested-loop fallback would be quadratic at scale."""
+    plan = _plan(registry["join_null_safe_eq"].fn(spark, SF_SMOKE))
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "coalesce" in plan and "isnull" in plan
+
+
+def test_lateral_explode_is_map_side(spark, registry):
+    """The correlated explode must be a Generate node fed directly by the
+    scan — no exchange before the fan-out; only the downstream aggregate
+    may shuffle."""
+    plan = _plan(registry["lateral_explode_installments"].fn(spark, SF_SMOKE))
+    gen = plan.index("Generate")
+    scan = plan.index("Scan parquet", gen)
+    between = plan[gen:scan]
+    assert "Exchange" not in between, between
+
+
+def test_join_hints_change_physical_strategy(spark, registry):
+    """Each strategy hint must actually select its physical join — a hint
+    Catalyst ignores silently is a 100 TB incident waiting."""
+    plan = _plan(registry["join_strategy_hints"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan

@@ -139,3 +139,17 @@ def test_pagerank_properties(spark):
     assert ranks == sorted(ranks, reverse=True)
     assert all(r.rank > 0 and r.deg > 0 for r in a)
     assert ranks[0] < 0.5, "no vertex should hold half the total mass"
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's invariant: inertia never increases between rounds, and
+    membership churn collapses as the clustering settles."""
+    from crocus_spark.queries.llm import ml_kmeans_iterations
+
+    hist = ml_kmeans_iterations(spark, SF_SMOKE).collect()
+    assert len(hist) == 6
+    inertias = [r.inertia for r in hist]
+    assert all(
+        b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])
+    ), inertias
+    assert hist[-1].n_moved < hist[0].n_moved
