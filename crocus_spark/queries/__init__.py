@@ -66,6 +66,7 @@ def _load_modules() -> None:
         aggregates,
         corpus_q,
         crocus_q,
+        geo_q,
         graph_q,
         joins,
         joins_advanced,

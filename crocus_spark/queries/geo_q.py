@@ -1,0 +1,237 @@
+"""Geospatial operators — haversine distance, grid-cell blocking.
+
+No OSS-Spark ST_* library is assumed (none ships with pyspark): geodesic
+distance is plain column arithmetic (JVM-side, codegen'd), and the scale
+strategy for distance JOINS is integer grid-cell blocking — the spatial
+analog of the LSH band trick used by the dedup family: candidates come
+from a cell equi-join (shuffle on cell id), exactness from re-checking the
+true distance on the tiny candidate set. A cross join never appears.
+
+Coordinates are synthesized deterministically from integer keys (the
+fixtures carry no lat/lon): both engines derive byte-identical doubles, so
+the oracle comparison stays exact. Transcendental (sin/asin/cos) libm
+differences between engines sit ~1e-10 below the 1e-6 rounding grain used
+for outputs and ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crocus_spark.io import load
+from crocus_spark.queries import register
+
+EARTH_R_KM = 6371.0
+
+# lat in [-63, +63], lon in [-177, +177] via integer arithmetic on the key —
+# identical expression text in the SQL oracle below.
+_LAT = "(CAST((({k}) * 37) % 127 AS DOUBLE) - 63.0)"
+_LON = "((CAST((({k}) * 73) % 178 AS DOUBLE) - 89.0) * 2.0 - 0.5)"
+
+
+def _lat(k):
+    return ((k * 37) % 127).cast("double") - 63.0
+
+
+def _lon(k):
+    return (((k * 73) % 178).cast("double") - 89.0) * 2.0 - 0.5
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km, pure built-in math functions."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rl1) * F.cos(rl2) * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    return 2.0 * EARTH_R_KM * F.asin(F.sqrt(a))
+
+
+_HAVERSINE_SQL = (
+    "2.0 * 6371.0 * asin(sqrt("
+    " sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    "  * sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    "  * sin(radians(({lon2}) - ({lon1})) / 2.0)"
+    "  * sin(radians(({lon2}) - ({lon1})) / 2.0)))"
+)
+
+
+@register(
+    "geo_haversine_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_custkey AS query_id,
+             {_LAT.format(k="c_custkey")} AS qlat,
+             {_LON.format(k="c_custkey")} AS qlon
+      FROM customer WHERE c_custkey < 10
+    ), s AS (
+      SELECT s_suppkey AS supp_id,
+             {_LAT.format(k="s_suppkey + 1000")} AS slat,
+             {_LON.format(k="s_suppkey + 1000")} AS slon
+      FROM supplier
+    ), scored AS (
+      SELECT query_id, supp_id,
+             round({_HAVERSINE_SQL.format(
+                 lat1="qlat", lon1="qlon", lat2="slat", lon2="slon")},
+                   6) AS dist_km
+      FROM q CROSS JOIN s
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist_km, supp_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, supp_id, dist_km, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("geo", "similarity"),
+)
+def geo_haversine_knn(spark, sf_dir):
+    """k-nearest suppliers by great-circle distance for 10 query points —
+    the geodesic twin of `ann_bruteforce_topk`. The 10-row query side
+    broadcasts; distance is whole-stage-codegen column math (no UDF);
+    per-query top-5 is a rank window over the rounded distance with an id
+    tie-break, so ordering is engine-portable. At corpus scale the same
+    query drops the crossJoin for the grid-blocked candidates of
+    `geo_grid_distance_join`."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 10)
+    supp = load(spark, sf_dir, "supplier")
+    q = cust.select(
+        F.col("c_custkey").alias("query_id"),
+        _lat(F.col("c_custkey")).alias("qlat"),
+        _lon(F.col("c_custkey")).alias("qlon"),
+    )
+    s = supp.select(
+        F.col("s_suppkey").alias("supp_id"),
+        _lat(F.col("s_suppkey") + 1000).alias("slat"),
+        _lon(F.col("s_suppkey") + 1000).alias("slon"),
+    )
+    scored = s.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "supp_id",
+        F.round(
+            _haversine_km(
+                F.col("qlat"), F.col("qlon"), F.col("slat"), F.col("slon")
+            ),
+            6,
+        ).alias("dist_km"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_km", "supp_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "geo_grid_distance_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_LAT.format(k="c_custkey")} AS clat,
+             {_LON.format(k="c_custkey")} AS clon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_LAT.format(k="s_suppkey + 1000")} AS slat,
+             {_LON.format(k="s_suppkey + 1000")} AS slon
+      FROM supplier
+    ), pairs AS (
+      SELECT c_custkey, s_suppkey,
+             round({_HAVERSINE_SQL.format(
+                 lat1="clat", lon1="clon", lat2="slat", lon2="slon")},
+                   6) AS dist_km
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey,
+           COUNT(*) AS n_within,
+           MIN(dist_km) AS nearest_km
+    FROM pairs
+    WHERE dist_km <= 500.0
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("geo", "join", "scale"),
+)
+def geo_grid_distance_join(spark, sf_dir):
+    """Distance join ("all supplier sites within 500 km of each customer")
+    via GRID-CELL BLOCKING — the oracle states the O(n·m) cross-join
+    truth; the engine never builds it. Each point maps to an integer
+    (lat, lon) cell of ~500 km pitch; each customer probes its 3×3 cell
+    neighborhood (a 9-row map-side explode — longitude pitch is scaled by
+    sec(lat) so 500 km never spans more than one cell eastward); the join
+    is a plain equi-join on cell id, and only that candidate set pays the
+    exact haversine check. Candidates shuffle by cell — spatial locality
+    IS the partition key — so cost scales with occupied-cell density,
+    not with |left|×|right|. The exact re-check makes blocking
+    semantically invisible (identical to the oracle's full scan)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("clat"),
+        _lon(F.col("c_custkey")).alias("clon"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat(F.col("s_suppkey") + 1000).alias("slat"),
+        _lon(F.col("s_suppkey") + 1000).alias("slon"),
+    )
+    # Latitude bands of 4.5° (≈ 500.9 km); each band gets its OWN
+    # longitude pitch, 4.5° / cos(band's most-poleward edge), so one lon
+    # cell is ≥ 500 km at every latitude inside the band. Cell identity is
+    # (band, lon cell IN THAT BAND'S PITCH) — scaling by each point's own
+    # cos(lat) would drift cells apart across a band boundary. A customer
+    # probes, for each of the 3 neighboring bands, the lon cell computed
+    # in that band's pitch ±1: 9 candidate cells, each covering ≥ 500 km.
+    def _band(lat):
+        return F.floor(lat / 4.5)
+
+    def _pitch(band):
+        edge = F.greatest(F.abs(band * 4.5), F.abs((band + 1) * 4.5))
+        return 4.5 / F.cos(F.radians(edge))
+
+    sband = _band(F.col("slat"))
+    s_cells = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        sband.alias("band"),
+        F.floor(F.col("slon") / _pitch(sband)).alias("cell_lon"),
+    )
+    dlat = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlat")
+    dlon = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlon")
+    band2 = (_band(F.col("clat")) + F.col("dlat")).alias("band")
+    c_cells = (
+        cust.select("*", dlat)
+        .select("*", dlon)
+        .select("c_custkey", "clat", "clon", "dlon", band2)
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            "band",
+            (
+                F.floor(F.col("clon") / _pitch(F.col("band"))) + F.col("dlon")
+            ).alias("cell_lon"),
+        )
+    )
+    cand = c_cells.join(s_cells, ["band", "cell_lon"])
+    dist = F.round(
+        _haversine_km(
+            F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon")
+        ),
+        6,
+    )
+    return (
+        cand.select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 500.0)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min("dist_km").alias("nearest_km"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -249,3 +249,46 @@ def unpivot_wide_to_long(spark, sf_dir):
         )
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "set_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+         ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+         ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+           COUNT(DISTINCT k) AS n_keys FROM ea
+    UNION ALL
+    SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+           COUNT(DISTINCT k) AS n_keys FROM ia
+    ORDER BY op
+    """,
+    tags=("setop", "bag"),
+)
+def set_bag_semantics(spark, sf_dir):
+    """Bag (multiset) set operations — EXCEPT ALL / INTERSECT ALL keep
+    MULTIPLICITY: a key occurring 5 times on the left and twice on the
+    right survives EXCEPT ALL 3 times (the distinct variants in
+    `set_except`/`set_intersect` would say 0). Spark plans both as a
+    single hash aggregate computing per-row counts on each side then
+    replicating min/difference counts — one shuffle, no join, and no
+    row explosion beyond the true multiplicities at any scale."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    def stats(df, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+        ).select(F.lit(label).alias("op"), "n_rows", "n_keys")
+    return (
+        stats(a.exceptAll(b), "except_all")
+        .unionAll(stats(a.intersectAll(b), "intersect_all"))
+        .orderBy("op")
+    )

@@ -458,3 +458,117 @@ def io_schema_evolution(spark, sf_dir):
     return back.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "io_dynamic_partition_overwrite",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderstatus, o_orderkey, o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM kept
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("io", "partition", "maintenance"),
+)
+def io_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION):
+    rewriting one snapshot day must replace ONLY the partitions the new
+    data touches — static mode would silently truncate every other
+    partition of the table (the classic backfill data-loss incident).
+    Here the full table lands partitioned by status, then a corrected 'F'
+    batch (10% discount) overwrites in dynamic mode; 'O' and 'P'
+    partitions must read back untouched. At 100 TB this is the daily
+    restatement primitive: cost scales with the restated partition, not
+    the table."""
+    path = _scratch("dyn_overwrite_orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    corrected = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    (
+        corrected.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "io_csv_permissive_quarantine",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           7 AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    """,
+    tags=("io", "quality", "permissive"),
+)
+def io_csv_permissive_quarantine(spark, sf_dir):
+    """PERMISSIVE-mode corrupt-record quarantine (crocus C4: the
+    reference's try/except log-and-continue, `base_scraper.py:130-134`,
+    as an engine contract): a landing CSV with 7 injected malformed lines
+    must yield every good row PLUS a countable `_corrupt_record` column —
+    never a job failure (FAILFAST) and never silent loss (DROPMALFORMED).
+    The quarantined raw lines keep the original bytes for replay. The
+    corrupt-row filter happens on the cached parse, one pass: good rows
+    aggregate while bad rows count."""
+    import os
+
+    path = _scratch("csv_quarantine")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").option("header", "false").csv(path)
+    bad = os.path.join(path, "part-99999-injected.csv")
+    with open(bad, "w") as f:
+        for i in range(7):
+            f.write(f"not_a_number_{i},also|not?numeric,X,extra,cols\n")
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderstatus string, "
+        "_corrupt_record string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    n_corrupt = parsed.filter(F.col("_corrupt_record").isNotNull()).count()
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(int(n_corrupt)).cast("int").alias("n_corrupt"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -187,3 +187,70 @@ def sql_recursive_cte(spark, sf_dir):
     row count, which is what makes recursive plans tractable at 100 TB."""
     _register_views(spark, sf_dir, ["customer"])
     return spark.sql(_RECURSIVE_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL, tags=("sql",))
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics dialect both
+    Spark 4 and DuckDB converged on): grouping keys inferred as every
+    non-aggregate select item, ordering over the full output row. One
+    string, both engines, verbatim — the §2C portability contract
+    extended to the modern dialect. Catalyst plans it identically to the
+    explicit GROUP BY: inference is purely syntactic, so partial
+    aggregation and the single exchange survive."""
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_quantity > 10
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines, revenue
+    FROM big
+    WHERE n_lines >= 5
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 25
+    """,
+    tags=("sql", "pipe"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining — SQL in
+    dataflow order, the textual twin of the DataFrame API). The pipe
+    form parses to the SAME logical plan as the nested-CTE oracle: scan
+    with pushed filter → partial agg → HAVING-style filter → top-k, so
+    TakeOrderedAndProject still caps the result without a global sort.
+    Demonstrates the engine accepts both dialects over one catalog."""
+    _register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           GROUP BY l_orderkey
+        |> WHERE n_lines >= 5
+        |> ORDER BY revenue DESC, l_orderkey
+        |> LIMIT 25
+        |> SELECT l_orderkey, n_lines, revenue
+    """)

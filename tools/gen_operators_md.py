@@ -33,6 +33,7 @@ GROUPS = [
     ("LLM pipeline: text", ("text",)),
     ("LLM pipeline: multimodal", ("multimodal",)),
     ("UDF surface", ("udf",)),
+    ("Geospatial", ("geo",)),
     ("Scale hardening", ("skew", "salt")),
     ("Lakehouse maintenance & data quality",
      ("maintenance", "quality", "validation")),
