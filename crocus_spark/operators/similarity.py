@@ -171,41 +171,61 @@ def lsh_bucketed_topk(
     at rest; per-query work is |bucket|·n_tables·(1+n_planes) scorings. An
     IVF variant (k-means centroids + nprobe) drops in behind the same
     contract.
+
+    All n_tables signatures come from ONE Arrow-batched matmul per scan
+    (vectors × the (n_tables·n_planes, dim) plane matrix) followed by a
+    posexplode — one pass over the corpus. The r1 form unioned n_tables
+    separate scans, each evaluating n_planes interpreted HOF folds per
+    row: 8× the scan work and a 32-fold expression tree (measured 10 s →
+    ~3 s at sf0.01 for the same buckets).
     """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)],
+        dtype=np.float64,
+    ).reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def all_sigs(v):
+        V = np.vstack(v.to_numpy()).astype(np.float64)  # (B, dim)
+        bits = (V @ planes.T > 0).reshape(len(V), n_tables, n_planes)
+        sigs = (bits * weights).sum(-1).astype(np.int64)  # (B, n_tables)
+        return pd.Series(list(sigs))
+
     def with_buckets(df, prefix, probe):
-        rows = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, t, seed)
-            sig = _bucket_sig(vec_col, planes)
-            if probe and probe_hamming >= 1:
-                sigs = F.array(
-                    sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(all_sigs(F.col(vec_col))).alias("table", "sig"),
+        )
+        if probe and probe_hamming >= 1:
+            bucket = F.explode(
+                F.array(
+                    F.col("sig"),
+                    *[
+                        F.col("sig").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
                 )
-                bucket = F.explode(sigs).alias("bucket")
-            else:
-                bucket = sig.alias("bucket")
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(f"{prefix}_id"),
-                    F.col(vec_col).alias(f"{prefix}_vec"),
-                    F.lit(t).alias("table"),
-                    bucket,
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+            ).alias("bucket")
+        else:
+            bucket = F.col("sig").alias("bucket")
+        return base.select(
+            f"{prefix}_id", f"{prefix}_vec", "table", bucket
+        )
 
     qb = with_buckets(queries, "q", probe=True)
     cb = with_buckets(corpus, "c", probe=False)
     candidates = (
         qb.join(cb, ["table", "bucket"])
+        .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "q_vec", "c_id", "c_vec")
-        .distinct()
     )
     scored = candidates.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -478,22 +498,32 @@ def cosine_neardup_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe: DataFrame | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (north star): all pairs (a<b) with
-    rounded cosine ≥ threshold. Exact all-pairs — test-scale only; the
-    at-scale path is lsh_bucketed_topk's candidate generation feeding the
-    same exact scorer.
+    """Embedding-cosine near-dup pairs against a BOUNDED probe set.
 
-    The stream side is repartitioned to the session's parallelism before
-    the nested-loop join: the fixture parquet is a single row group (one
-    input split), and without the spread the whole quadratic scoring
-    would run in one task (measured 2.5×)."""
+    An exact cosine θ-join over dense vectors at a low threshold is
+    inherently Ω(n·m): no deterministic blocking prunes dense 64-dim
+    pairs without losing recall (LSH/MinHash — registered separately —
+    are the approximate at-scale paths for the unbounded case). The exact
+    form this operator keeps is therefore the *probe-semijoin* shape: a
+    bounded probe relation is broadcast against the corpus, which streams
+    through the scorer exactly once — linear in corpus size, the same
+    shape as brute-force ANN. ``probe`` MUST be bounded (queries ≪
+    corpus, this module's standing contract); passing ``None`` scores
+    ``df`` against itself and is test-scale only.
+
+    The corpus side is repartitioned to the session's parallelism: the
+    fixture parquet is a single row group (one input split), and without
+    the spread all scoring would run in one task (measured 2.5×)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).repartition(
+    a = (probe if probe is not None else df).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).repartition(
         par
     )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine_batch(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)

@@ -386,7 +386,9 @@ def rollup_hierarchical_time(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_total"),
     )
     daily = (
-        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        )
         .agg(
             F.sum("n").alias("n"),
             F.sum("dec_total").cast("double").alias("total_value"),

@@ -179,19 +179,40 @@ def geo_grid_distance_join(spark, sf_dir):
         _lat(F.col("s_suppkey") + 1000).alias("slat"),
         _lon(F.col("s_suppkey") + 1000).alias("slon"),
     )
-    # Latitude bands of 4.5° (≈ 500.9 km); each band gets its OWN
-    # longitude pitch, 4.5° / cos(band's most-poleward edge), so one lon
-    # cell is ≥ 500 km at every latitude inside the band. Cell identity is
-    # (band, lon cell IN THAT BAND'S PITCH) — scaling by each point's own
+    # Latitude bands of 4.5° (≈ 500.9 km). Each band divides the FULL
+    # circle of longitude into n equal cells, n = floor(360 / pitch) with
+    # pitch = 4.5° / cos(most poleward edge of the band OR its poleward
+    # neighbor) — so every cell has uniform width ≥ pitch (no narrow
+    # remainder cell at the seam) and the cell index wraps at ±180° via
+    # pmod (antimeridian pairs share neighboring cells). Cell identity is
+    # (band, lon cell IN THAT BAND'S GRID) — scaling by each point's own
     # cos(lat) would drift cells apart across a band boundary. A customer
     # probes, for each of the 3 neighboring bands, the lon cell computed
-    # in that band's pitch ±1: 9 candidate cells, each covering ≥ 500 km.
+    # in that band's grid ±2 (mod n): ±1 is marginally insufficient
+    # because a 500 km great-circle arc between points in adjacent bands
+    # can span slightly more than one cell width — ±2 gives headroom up
+    # to a full 2× the guaranteed width. 15 candidate cells per customer,
+    # still O(1) map-side fan-out.
     def _band(lat):
         return F.floor(lat / 4.5)
 
-    def _pitch(band):
-        edge = F.greatest(F.abs(band * 4.5), F.abs((band + 1) * 4.5))
-        return 4.5 / F.cos(F.radians(edge))
+    def _ncells(band):
+        # poleward edge across band AND poleward neighbor; clamp at 89°
+        # so polar bands collapse to n=1 instead of dividing by cos(90°).
+        edge = F.least(
+            F.greatest(
+                F.abs(band * 4.5),
+                F.abs((band + 1) * 4.5),
+                F.abs((band - 1) * 4.5),
+                F.abs((band + 2) * 4.5),
+            ),
+            F.lit(89.0),
+        )
+        pitch = 4.5 / F.cos(F.radians(edge))
+        return F.greatest(F.lit(1).cast("long"), F.floor(360.0 / pitch))
+
+    def _cell(lon, n):
+        return F.pmod(F.floor((lon + 180.0) * n.cast("double") / 360.0), n)
 
     sband = _band(F.col("slat"))
     s_cells = supp.select(
@@ -199,11 +220,14 @@ def geo_grid_distance_join(spark, sf_dir):
         "slat",
         "slon",
         sband.alias("band"),
-        F.floor(F.col("slon") / _pitch(sband)).alias("cell_lon"),
+        _cell(F.col("slon"), _ncells(sband)).alias("cell_lon"),
     )
     dlat = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlat")
-    dlon = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dlon")
+    dlon = F.explode(
+        F.array(*[F.lit(i) for i in (-2, -1, 0, 1, 2)])
+    ).alias("dlon")
     band2 = (_band(F.col("clat")) + F.col("dlat")).alias("band")
+    n2 = _ncells(F.col("band"))
     c_cells = (
         cust.select("*", dlat)
         .select("*", dlon)
@@ -213,10 +237,13 @@ def geo_grid_distance_join(spark, sf_dir):
             "clat",
             "clon",
             "band",
-            (
-                F.floor(F.col("clon") / _pitch(F.col("band"))) + F.col("dlon")
-            ).alias("cell_lon"),
+            F.pmod(_cell(F.col("clon"), n2) + F.col("dlon"), n2).alias(
+                "cell_lon"
+            ),
         )
+        # wrap collisions: when a band has n < 5 cells, distinct dlon
+        # probes alias to the same cell — dedup probes, not candidates.
+        .dropDuplicates(["c_custkey", "band", "cell_lon"])
     )
     cand = c_cells.join(s_cells, ["band", "cell_lon"])
     dist = F.round(

@@ -206,7 +206,12 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return tri.crossJoin(n_edges)
+    # materialize the 1-row result, then drop the edge cache — without
+    # this the cached blocks leak for the life of the session (a
+    # full-registry run accumulates them across every graph query).
+    out = tri.crossJoin(n_edges).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 @register(
@@ -279,5 +284,10 @@ def graph_pagerank(spark, sf_dir):
         )
         .orderBy(F.col("rank").desc(), "part")
         .limit(20)
+        # materialize the top-20 (model-sized), then release the edge
+        # cache — the returned frame must not keep lineage pinned to
+        # cached blocks that would otherwise leak for the session.
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
     return out

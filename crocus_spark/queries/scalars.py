@@ -88,7 +88,7 @@ def regex_battery(spark, sf_dir):
            date_part('month', o_orderdate)::INT AS mo,
            date_part('day', o_orderdate)::INT AS dy,
            date_part('dow', o_orderdate)::INT AS dow0,
-           date_trunc('month', o_orderdate) AS month_start,
+           date_trunc('month', o_orderdate)::DATE AS month_start,
            strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT
              AS days_since_95,
@@ -110,7 +110,7 @@ def datetime_battery(spark, sf_dir):
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
         (F.dayofweek("o_orderdate") - 1).alias("dow0"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
         F.datediff(
             F.col("o_orderdate").cast("date"),

@@ -499,12 +499,15 @@ def io_dynamic_partition_overwrite(spark, sf_dir):
         .partitionBy("o_orderstatus")
         .parquet(path)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     corrected = o.filter(F.col("o_orderstatus") == "F").withColumn(
         "o_totalprice", F.col("o_totalprice") * 0.9
     )
     (
+        # per-write option, NOT spark.conf.set: a session-level mode flip
+        # would silently switch every later partitioned overwrite in the
+        # same session to dynamic semantics (order-dependent results).
         corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("o_orderstatus")
         .parquet(path)
     )
@@ -565,10 +568,12 @@ def io_csv_permissive_quarantine(spark, sf_dir):
     )
     good = parsed.filter(F.col("_corrupt_record").isNull())
     n_corrupt = parsed.filter(F.col("_corrupt_record").isNotNull()).count()
-    return good.agg(
+    out = good.agg(
         F.count(F.lit(1)).alias("n_good"),
         F.lit(int(n_corrupt)).cast("int").alias("n_corrupt"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
         .cast("double")
         .alias("sum_price"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; lets the parse cache release
+    parsed.unpersist()
+    return out

@@ -73,24 +73,42 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive a streaming DataFrame to completion with availableNow into a
     memory sink; return the sink contents as a batch DataFrame.
 
     availableNow processes exactly the data present at start then stops —
     the deterministic-replay trigger (vs processingTime's wall-clock
     batching). Memory sink is test-scale only; production sinks are
-    partitioned parquet/Kafka via the same writeStream."""
+    partitioned parquet/Kafka via the same writeStream.
+
+    ``state_partitions`` scopes spark.sql.shuffle.partitions for the
+    query's lifetime (saved and restored in finally — never leaked into
+    the session): stateful operators pin their state-store count to this
+    conf at FIRST start and cannot use AQE, so the session's batch-tuned
+    32 means 32 state stores × per-batch commit fsyncs for a fixture-sized
+    stream (measured 2-3× the whole query's wall time). At production
+    scale a real deployment sizes this to the cluster before the query
+    first starts — same mechanism, bigger number."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    try:
+        spark.conf.set(key, str(state_partitions))
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def tumbling_window_agg(events: DataFrame, window: str = "6 hours") -> DataFrame:

@@ -37,6 +37,8 @@ def canon_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell) ≙ DuckDB dict
+        return canon_cell(v.asDict())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -44,31 +46,16 @@ def canon_cell(v) -> str:
     return str(v)
 
 
-def _canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
-    import numpy as np
-
-    cols = sorted(pdf.columns)
-    out = []
-    for _, row in pdf[cols].iterrows():
-        vals = []
-        for v in row:
-            if v is not None and type(v).__module__ == "numpy":
-                v = v.item() if getattr(v, "ndim", 0) == 0 else list(v)
-            if isinstance(v, float) and math.isnan(v):
-                v = None
-            try:
-                import pandas as pd
-
-                if v is pd.NaT:
-                    v = None
-                elif isinstance(v, pd.Timestamp):
-                    v = v.to_pydatetime()
-            except Exception:
-                pass
-            vals.append(canon_cell(v))
-        out.append(tuple(vals))
+def _canon_rows(cols, rows) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Canonicalize raw cursor rows (DuckDB fetchall keeps DATE as
+    datetime.date — matching the driver harness — where fetchdf() would
+    coerce it to datetime64 and add a spurious midnight)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [
+        tuple(canon_cell(row[i]) for i in order) for row in rows
+    ]
     out.sort()
-    return cols, out
+    return sorted(cols), out
 
 
 def compare_frames(spark_df, duck_con, sql: str, max_diffs: int = 5):
@@ -77,14 +64,23 @@ def compare_frames(spark_df, duck_con, sql: str, max_diffs: int = 5):
     Returns (ok, report). Mirrors the driver: row count, column-name set,
     and order-insensitive canonical value comparison.
     """
-    spdf = spark_df.toPandas()
-    odf = duck_con.execute(sql).fetchdf()
+    # collect(), not toPandas(): pandas coerces nullable int columns to
+    # float64 (rendering 51 as 51.0) and DATE to datetime64 (adding a
+    # spurious midnight) — both would mask or invent type mismatches the
+    # driver harness sees on raw values.
+    scols_raw = spark_df.columns
+    srows_raw = [tuple(r) for r in spark_df.collect()]
+    cur = duck_con.execute(sql)
+    ocols_raw = [d[0] for d in cur.description]
+    orows_raw = cur.fetchall()
 
     problems = []
-    if len(spdf) != len(odf):
-        problems.append(f"row count: spark={len(spdf)} oracle={len(odf)}")
-    scols, srows = _canon_frame(spdf)
-    ocols, orows = _canon_frame(odf)
+    if len(srows_raw) != len(orows_raw):
+        problems.append(
+            f"row count: spark={len(srows_raw)} oracle={len(orows_raw)}"
+        )
+    scols, srows = _canon_rows(scols_raw, srows_raw)
+    ocols, orows = _canon_rows(ocols_raw, orows_raw)
     if scols != ocols:
         problems.append(f"columns: spark={scols} oracle={ocols}")
     if not problems:

@@ -327,6 +327,19 @@ def test_lateral_explode_is_map_side(spark, registry):
     assert "Exchange" not in between, between
 
 
+def test_neardup_cosine_broadcasts_bounded_probe(spark, registry):
+    """neardup_embedding_cosine must be the probe-semijoin shape: the
+    bounded (vec_id < 50) probe side is BROADCAST and the corpus streams
+    through the scorer once. A corpus×corpus nested loop (both sides
+    unbounded) is quadratic — the r1 scale-killer this pins against."""
+    plan = _plan(registry["neardup_embedding_cosine"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan  # theta-join, probe broadcast
+    # the broadcast exchange must sit above the FILTERED probe scan:
+    # the probe bound must be pushed into its parquet scan.
+    assert "LessThan(vec_id,50)" in plan or "vec_id#" in plan and "< 50" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_join_hints_change_physical_strategy(spark, registry):
     """Each strategy hint must actually select its physical join — a hint
     Catalyst ignores silently is a 100 TB incident waiting."""
