@@ -119,6 +119,59 @@ def file_type_from_url(col: Column | str, default: str = "csv") -> Column:
     return F.coalesce(param, F.lit(default))
 
 
+# Bloomberg exchange-code suffix → (MIC, venue name). The reference left
+# this as a TODO on the Vanguard ticker column ("VWCE IM",
+# vanguard.py:74-76); codes and MICs are public reference data (Bloomberg
+# exchange-code tables / ISO 10383 MIC registry). Deliberately a bounded
+# dimension literal: it broadcast-joins or folds into the scan for free.
+BBG_EXCH = {
+    "IM": ("XMIL", "Borsa Italiana"),
+    "LN": ("XLON", "London Stock Exchange"),
+    "GY": ("XETR", "Deutsche Boerse Xetra"),
+    "GR": ("XFRA", "Deutsche Boerse Frankfurt"),
+    "FP": ("XPAR", "Euronext Paris"),
+    "NA": ("XAMS", "Euronext Amsterdam"),
+    "SW": ("XSWX", "SIX Swiss Exchange"),
+    "SM": ("XMAD", "Bolsa de Madrid"),
+    "UN": ("XNYS", "New York Stock Exchange"),
+    "UW": ("XNAS", "Nasdaq"),
+}
+
+
+def ticker_symbol(col: Column | str) -> Column:
+    """Bare symbol of a Bloomberg-style ticker: text before the exchange
+    suffix ('VWCE IM' → 'VWCE'; suffix-less tickers pass through)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(F.trim(c), " ", 1)
+
+
+def ticker_mic(col: Column | str) -> Column:
+    """ISO 10383 MIC for the Bloomberg exchange suffix; NULL when the
+    ticker has no suffix or the suffix is unmapped (emit, don't guess —
+    the quarantine pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    suffix = F.when(
+        F.trim(c).rlike(r"^\S+ \S+$"), F.substring_index(F.trim(c), " ", -1)
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in BBG_EXCH.items() for x in (kv[0], kv[1][0])]
+    )
+    return mapping[suffix]
+
+
+def ticker_exchange_name(col: Column | str) -> Column:
+    """Human-readable venue for the Bloomberg suffix (same contract as
+    ticker_mic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    suffix = F.when(
+        F.trim(c).rlike(r"^\S+ \S+$"), F.substring_index(F.trim(c), " ", -1)
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in BBG_EXCH.items() for x in (kv[0], kv[1][1])]
+    )
+    return mapping[suffix]
+
+
 def normalize_products(df, provider: str):
     """Full normalization of a raw provider catalog into the typed reconciled
     schema: typed ter/price/date + provider tag. The engine-side analog of

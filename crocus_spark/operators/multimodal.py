@@ -57,17 +57,38 @@ def to_media_table(
 
 
 def decode_image(content: bytes) -> tuple[int, int, int]:
-    """REAL image decode — STUB.
+    """REAL image decode: dependency-free PNG / BMP / PPM-PGM codecs
+    (crocus_spark.operators.imagecodec — full zlib inflate + scanline
+    unfilter for PNG, not a header sniff). Formats outside those three
+    raise ValueError; route exotic codecs through a site-installed
+    library by passing a different ``decoder`` to decode_media_batch."""
+    from crocus_spark.operators.imagecodec import decode_image_bytes
 
-    The container ships no image codec (no PIL/opencv); at deploy time this
-    body is replaced with the actual decoder. The Spark-side contract
-    (bytes in, (width, height, channels) out, called from the Arrow batch
-    loop below) is what's engineered and tested here.
-    """
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_decode_image for deterministic plumbing tests"
-    )
+    return decode_image_bytes(content)
+
+
+def synth_image_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fixture images from integer keys (the fixtures carry
+    no real media bytes): key k becomes a (4 + k%13) × (3 + k%11) RGB
+    image with LCG-pattern pixels, encoded as PPM / BMP / PNG by k%3 —
+    all three engine codecs exercised in one relation. Encoding runs in
+    the Arrow batch loop (bytes never visit the driver)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators import imagecodec as C
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(ids):
+        out = []
+        for k in ids:
+            k = int(k)
+            w, h = 4 + k % 13, 3 + k % 11
+            px = C.synth_pixels(w, h, k)
+            enc = (C.encode_ppm, C.encode_bmp, C.encode_png)[k % 3]
+            out.append(enc(w, h, px))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), encode(F.col(id_col)).alias("img"))
 
 
 def fake_decode_image(content: bytes) -> tuple[int, int, int]:

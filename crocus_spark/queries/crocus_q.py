@@ -361,3 +361,72 @@ def url_parse_filetype(spark, sf_dir):
     return df.select(
         "isin", file_type_from_url("holdings_file").alias("file_type")
     ).orderBy("isin")
+
+
+@register(
+    "normalize_ticker_exchange",
+    oracle="""
+    WITH t(isin, ticker) AS (VALUES
+      ('IE00BK5BQT80', 'VWCE IM'),
+      ('IE00BK5BQT80', 'VWCE GY'),
+      ('IE00B3XXRP09', 'VUSA LN'),
+      ('IE00B4L5Y983', 'IWDA NA'),
+      ('IE00B3RBWM25', 'VWRL SW'),
+      ('US9229087690', 'VTI UN'),
+      ('US0000000XX1', 'ZZZZ QQ'),
+      ('IE00NOSUFFIX', 'VGWL'),
+      ('IE00NULLTICK', NULL)
+    )
+    SELECT isin, ticker,
+           CASE WHEN ticker IS NULL THEN NULL
+                ELSE split_part(trim(ticker), ' ', 1) END AS symbol,
+           CASE split_part(trim(ticker), ' ', 2)
+                WHEN 'IM' THEN 'XMIL' WHEN 'LN' THEN 'XLON'
+                WHEN 'GY' THEN 'XETR' WHEN 'GR' THEN 'XFRA'
+                WHEN 'FP' THEN 'XPAR' WHEN 'NA' THEN 'XAMS'
+                WHEN 'SW' THEN 'XSWX' WHEN 'SM' THEN 'XMAD'
+                WHEN 'UN' THEN 'XNYS' WHEN 'UW' THEN 'XNAS'
+                END AS mic,
+           CASE split_part(trim(ticker), ' ', 2)
+                WHEN 'IM' THEN 'Borsa Italiana'
+                WHEN 'LN' THEN 'London Stock Exchange'
+                WHEN 'GY' THEN 'Deutsche Boerse Xetra'
+                WHEN 'GR' THEN 'Deutsche Boerse Frankfurt'
+                WHEN 'FP' THEN 'Euronext Paris'
+                WHEN 'NA' THEN 'Euronext Amsterdam'
+                WHEN 'SW' THEN 'SIX Swiss Exchange'
+                WHEN 'SM' THEN 'Bolsa de Madrid'
+                WHEN 'UN' THEN 'New York Stock Exchange'
+                WHEN 'UW' THEN 'Nasdaq'
+                END AS exchange_name
+    FROM t
+    ORDER BY isin, ticker
+    """,
+    tags=("crocus", "normalize"),
+)
+def normalize_ticker_exchange(spark, sf_dir):
+    """Bloomberg ticker → exchange mapping — the reference's open TODO on
+    the Vanguard ticker column (vanguard.py:74-76, 'VWCE IM'): split the
+    bare symbol from the Bloomberg suffix and map the suffix to its ISO
+    10383 MIC + venue name via a bounded dimension literal (normalize.py
+    BBG_EXCH). Unknown suffixes and suffix-less tickers surface NULL —
+    quarantine semantics, never a guessed venue."""
+    rows = [
+        ("IE00BK5BQT80", "VWCE IM"),
+        ("IE00BK5BQT80", "VWCE GY"),
+        ("IE00B3XXRP09", "VUSA LN"),
+        ("IE00B4L5Y983", "IWDA NA"),
+        ("IE00B3RBWM25", "VWRL SW"),
+        ("US9229087690", "VTI UN"),
+        ("US0000000XX1", "ZZZZ QQ"),
+        ("IE00NOSUFFIX", "VGWL"),
+        ("IE00NULLTICK", None),
+    ]
+    df = spark.createDataFrame(rows, "isin string, ticker string")
+    return df.select(
+        "isin",
+        "ticker",
+        N.ticker_symbol("ticker").alias("symbol"),
+        N.ticker_mic("ticker").alias("mic"),
+        N.ticker_exchange_name("ticker").alias("exchange_name"),
+    ).orderBy("isin", "ticker")

@@ -601,6 +601,40 @@ def multimodal_fake_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 11 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels
+    FROM documents
+    WHERE doc_id % 2 = 0
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_real_decode(spark, sf_dir):
+    """END-TO-END real decode (§2B#60, no stub): deterministic PPM / BMP /
+    PNG payloads are synthesized from doc keys in the Arrow batch loop,
+    then decoded by the engine's dependency-free codecs (full PNG inflate
+    + unfilter — operators/imagecodec.py). The oracle states the expected
+    (width, height, channels) arithmetically, so a codec that misparses a
+    header or mangles a scanline fails the hash, not just a unit test."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+    )
+    imgs = M.synth_image_table(docs, "doc_id")
+    media = M.to_media_table(imgs, "doc_id", "img", "image")
+    return (
+        M.decode_media_batch(media, M.decode_image)
+        .select("media_id", "width", "height", "n_channels")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "multimodal_audio_chunks",
     oracle=None,  # RMS runs over UTF-8 *bytes* of the payload; DuckDB SQL
     # sees characters, so no faithful oracle — chunk math and features are

@@ -66,13 +66,38 @@ class _PagePartition(InputPartition):
 class _CatalogReader(DataSourceReader):
     def __init__(self, options):
         self.n_products = int(options.get("n_products", 100))
+        # Real-HTTP mode: pages served as JSON arrays at
+        # {base_url}/page/{p}, fetched executor-side with retry/backoff
+        # (sources/http_fetch.py). Absent base_url, the deterministic
+        # arithmetic stand-in keeps the plumbing oracle-checkable.
+        self.base_url = options.get("base_url")
+        self.retries = int(options.get("retries", 3))
+        self.politeness_s = float(options.get("politeness_s", 0.0))
 
     def partitions(self):
         n_pages = -(-self.n_products // PAGE_SIZE)
         return [_PagePartition(p, self.n_products) for p in range(n_pages)]
 
     def read(self, partition):
-        yield from _fetch_page(partition.page, partition.n_products)
+        if self.base_url:
+            from crocus_spark.sources.http_fetch import fetch_json_page
+
+            for r in fetch_json_page(
+                self.base_url,
+                partition.page,
+                retries=self.retries,
+                politeness_s=self.politeness_s,
+            ):
+                yield (
+                    int(r["product_id"]),
+                    int(r["page"]),
+                    r["isin"],
+                    r["currency"],
+                    float(r["price"]),
+                    float(r["weight"]),
+                )
+        else:
+            yield from _fetch_page(partition.page, partition.n_products)
 
 
 class CatalogDataSource(DataSource):

@@ -1,0 +1,121 @@
+"""Real-HTTP path of the catalog Python Data Source: a local fixture
+server (stdlib http.server) serves catalog pages as JSON and injects one
+transient 503 per page; the executor-side fetch must retry through it and
+produce exactly the rows the synthetic arithmetic source produces."""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import Counter
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from crocus_spark.sources.catalog_source import PAGE_SIZE, _record
+from crocus_spark.sources.http_fetch import fetch_with_retry
+
+N_PRODUCTS = 60  # 3 pages
+
+
+class _CatalogHandler(BaseHTTPRequestHandler):
+    hits: Counter = Counter()
+    fail_first = True
+
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        cls = type(self)
+        cls.hits[self.path] += 1
+        if self.path.startswith("/page/"):
+            # one transient 503 on the first hit of every page: the
+            # retry loop must absorb it invisibly.
+            if cls.fail_first and cls.hits[self.path] == 1:
+                self.send_response(503)
+                self.end_headers()
+                return
+            page = int(self.path.rsplit("/", 1)[1])
+            lo = page * PAGE_SIZE
+            hi = min(lo + PAGE_SIZE, N_PRODUCTS)
+            rows = []
+            for pid in range(lo, hi):
+                rec = _record(pid, page)
+                rows.append(
+                    dict(
+                        zip(
+                            (
+                                "product_id",
+                                "page",
+                                "isin",
+                                "currency",
+                                "price",
+                                "weight",
+                            ),
+                            rec,
+                        )
+                    )
+                )
+            body = json.dumps(rows).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/gone":
+            self.send_response(404)
+            self.end_headers()
+        else:
+            self.send_response(500)
+            self.end_headers()
+
+    def log_message(self, *a):  # keep test output quiet
+        pass
+
+
+@pytest.fixture()
+def http_fixture():
+    _CatalogHandler.hits = Counter()
+    _CatalogHandler.fail_first = True
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CatalogHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_source_retries_through_503(spark, http_fixture):
+    from crocus_spark.sources import register_catalog_source
+
+    register_catalog_source(spark)
+    df = (
+        spark.read.format("crocus_catalog")
+        .option("n_products", N_PRODUCTS)
+        .option("base_url", http_fixture)
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(_record(pid, pid // PAGE_SIZE) for pid in range(N_PRODUCTS))
+    assert got == want
+    # every page was hit at least twice: the injected 503 plus the retry
+    for p in range(N_PRODUCTS // PAGE_SIZE):
+        assert _CatalogHandler.hits[f"/page/{p}"] >= 2
+
+
+def test_retry_gives_up_after_budget(http_fixture):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        fetch_with_retry(
+            f"{http_fixture}/boom", retries=2, backoff_s=0.01
+        )
+    assert _CatalogHandler.hits["/boom"] == 3  # initial + 2 retries
+
+
+def test_non_retryable_4xx_fails_fast(http_fixture):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        fetch_with_retry(
+            f"{http_fixture}/gone", retries=3, backoff_s=0.01
+        )
+    assert _CatalogHandler.hits["/gone"] == 1  # no retry on 404
