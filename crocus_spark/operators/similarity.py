@@ -423,7 +423,11 @@ def ivf_topk(
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "q_vec", "cell")
     )
-    scored = probes.join(c, "cell").withColumn(
+    # probes is (queries × nprobe) rows — tiny by the module's standing
+    # queries ≪ corpus contract. The explicit broadcast keeps the corpus
+    # from ever shuffling on cell for this join (and skips AQE's
+    # stage-materialization round-trip that reaches the same plan).
+    scored = c.join(F.broadcast(probes), "cell").withColumn(
         "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(

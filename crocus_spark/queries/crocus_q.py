@@ -430,3 +430,104 @@ def normalize_ticker_exchange(spark, sf_dir):
         N.ticker_mic("ticker").alias("mic"),
         N.ticker_exchange_name("ticker").alias("exchange_name"),
     ).orderBy("isin", "ticker")
+
+
+@register(
+    "holdings_overlap_confront",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region, p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT nation, region, brand,
+             round(CAST(rev AS DOUBLE)
+                   / CAST(SUM(rev) OVER (PARTITION BY nation) AS DOUBLE),
+                   12) AS wt
+      FROM rev
+    )
+    SELECT a.region AS region,
+           a.nation AS nation_a, b.nation AS nation_b,
+           round(SUM(least(a.wt, b.wt)), 6) AS overlap
+    FROM w a JOIN w b
+      ON a.brand = b.brand AND a.region = b.region AND a.nation < b.nation
+    GROUP BY a.region, a.nation, b.nation
+    ORDER BY overlap DESC, a.region, nation_a, nation_b
+    LIMIT 20
+    """,
+    tags=("crocus", "confront", "headline"),
+)
+def holdings_overlap_confront(spark, sf_dir):
+    """Weighted portfolio overlap — the reference's declared north star
+    ('confront ETFs with eachother', README.md:3-5) applied to holdings
+    WEIGHTS, not just metadata: each nation's supplier revenue across part
+    brands is a portfolio; overlap(a,b) = Σ_brand min(w_a, w_b), the
+    standard fund-overlap measure. Spark shape: facts join only BROADCAST
+    dims, weights come from one grouped aggregate plus a nation-partition
+    window (no second scan), and the pair join keys on (brand, region) —
+    the pair space is dimension-sized, never fact-sized. Weights are
+    rounded to 12 before the pair sum so both engines fold identical
+    doubles; the 6-digit output round absorbs sum-order ulps."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    pa = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .join(F.broadcast(pa.select("p_partkey", "p_brand")),
+              li.l_partkey == pa.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    wnation = Window.partitionBy("nation")
+    w = rev.select(
+        "nation",
+        "region",
+        "brand",
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wnation).cast("double"),
+            12,
+        ).alias("wt"),
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.region") == F.col("b.region"))
+        & (F.col("a.nation") < F.col("b.nation")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.region").alias("region"),
+            F.col("a.nation").alias("nation_a"),
+            F.col("b.nation").alias("nation_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.least(F.col("a.wt"), F.col("b.wt"))), 6
+            ).alias("overlap")
+        )
+        .orderBy(F.desc("overlap"), "region", "nation_a", "nation_b")
+        .limit(20)
+    )

@@ -205,7 +205,24 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate — recall@5 vs brute force property-tested
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
     tags=("llm", "similarity"),
 )
 def ann_lsh_topk(spark, sf_dir):
@@ -213,7 +230,13 @@ def ann_lsh_topk(spark, sf_dir):
     (§2B#55 scale path): 8 tables × 4-bit buckets, queries probe their
     bucket plus 1-bit-flip neighbors, candidates from bucket equi-joins,
     exact re-scoring. The at-scale ANN shape: per-query cost is
-    bucket-local."""
+    bucket-local.
+
+    The oracle is the EXACT brute-force top-5: with the pinned seeds the
+    measured recall on both fixtures is 1.0, so the approximate plan must
+    keep reproducing the exact answer — a silent recall regression (seed
+    drift, bucket bug, probe change) now fails the hash instead of only
+    nudging a recall bound."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -1058,3 +1081,120 @@ def ml_kmeans_iterations(spark, sf_dir):
     return spark.createDataFrame(
         history, "iter int, inertia double, n_moved long"
     ).orderBy("iter")
+
+
+@register(
+    "text_entropy_quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, tok
+    ), per_doc AS (
+      SELECT doc_id, SUM(c) AS n,
+             round(log2(SUM(c)::DOUBLE)
+                   - SUM(c::DOUBLE * log2(c::DOUBLE)) / SUM(c)::DOUBLE,
+                   6) AS token_entropy
+      FROM counts
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n::BIGINT AS n_tokens, token_entropy,
+           CASE WHEN n > 1
+                THEN round(token_entropy / log2(n::DOUBLE), 6) ELSE 0.0
+           END AS entropy_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_entropy_quality(spark, sf_dir):
+    """Token-distribution entropy as a quality/diversity score — the
+    repetition-collapse detector quality pipelines pair with the marker
+    heuristics (a doc of one token repeated 500× scores entropy 0; rich
+    prose approaches log2(n)): Shannon entropy of the per-doc token
+    histogram plus its ratio to the max possible. Spark shape: ONE
+    explode + two keyed aggregates, all on (doc, token) cells — the same
+    shuffle family as TF-IDF, nothing corpus-quadratic. The 6-digit round
+    sits ~9 orders above cross-engine libm log2 ulps."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # H = log2(n) - (Σ c·log2 c)/n — the windowless form: one keyed
+    # aggregate instead of a per-doc window + re-aggregate (identical
+    # algebra, one fewer shuffle pass over the (doc, token) cells).
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("token_entropy"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        "token_entropy",
+        F.when(
+            F.col("n") > 1,
+            F.round(F.col("token_entropy") / F.log2(F.col("n").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_second_moment",
+    oracle="""
+    WITH cells AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS x,
+             vec_id
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.dim AS i, b.dim AS j,
+             SUM(CAST(a.x * b.x AS DECIMAL(30,9))) AS sxx,
+             COUNT(*) AS n
+      FROM cells a JOIN cells b
+        ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    ), m AS (
+      SELECT i, j, round(CAST(sxx AS DOUBLE) / n, 6) AS moment
+      FROM pairs
+    )
+    SELECT i, j, moment
+    FROM m
+    WHERE i <> j
+    ORDER BY abs(moment) DESC, i, j
+    LIMIT 20
+    """,
+    tags=("llm", "similarity", "linalg"),
+)
+def embedding_second_moment(spark, sf_dir):
+    """Distributed Gram / second-moment matrix over the embedding corpus
+    (operators/linalg.py) — the one-pass kernel under PCA, whitening, and
+    linear probes: per-Arrow-batch d×d partials (numpy matmul), then a
+    MODEL-sized (i, j) decimal-exact reduce; the corpus shuffles nothing.
+    Output: the 20 strongest off-diagonal couplings — the correlated
+    dimension pairs a whitening step would rotate away. The DuckDB oracle
+    states the same moments via the per-vector dim pair join (quadratic
+    in d, linear in corpus — fine at fixture scale, which is the point of
+    keeping the oracle's truth separate from the engine's plan)."""
+    from crocus_spark.operators import linalg as L
+
+    emb = load(spark, sf_dir, "embeddings")
+    m = L.second_moment_matrix(emb, "embedding")
+    return (
+        m.filter(F.col("i") != F.col("j"))
+        .select("i", "j", F.round("moment", 6).alias("moment"))
+        .orderBy(F.abs(F.col("moment")).desc(), "i", "j")
+        .limit(20)
+    )

@@ -577,3 +577,67 @@ def io_csv_permissive_quarantine(spark, sf_dir):
     ).localCheckpoint(eager=True)  # 1 row; lets the parse cache release
     parsed.unpersist()
     return out
+
+
+@register(
+    "io_python_datasink",
+    oracle="""
+    WITH cat AS (
+      SELECT i AS product_id, (i * 2654435761) % 4294967296 AS h
+      FROM generate_series(0, 499) t(i)
+    ), rec AS (
+      SELECT product_id,
+             CASE h % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                  ELSE 'GBP' END AS currency,
+             (h % 100000) / 100.0 AS price
+      FROM cat
+    )
+    SELECT currency, COUNT(*) AS n_products,
+           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM rec
+    GROUP BY currency
+    ORDER BY currency
+    """,
+    tags=("io", "datasource", "sink"),
+)
+def io_python_datasink(spark, sf_dir):
+    """Custom Python Data Source WRITER (Spark 4 API) — the write half of
+    the scraper parity story: the reference rewrites one whole products
+    JSON on the driver (base_scraper.py:165-170); here every partition
+    writes its own newline-JSON file through a two-phase commit (temp
+    file per task → atomic rename at driver commit; aborted attempts
+    leave nothing). The round-trip proves durability: catalog source →
+    custom sink → plain spark.read.json → aggregate must equal the
+    source-side oracle."""
+    import shutil
+
+    from crocus_spark.sources import (
+        register_catalog_sink,
+        register_catalog_source,
+    )
+
+    register_catalog_source(spark)
+    register_catalog_sink(spark)
+    path = _scratch("catalog_sink_out")
+    shutil.rmtree(path, ignore_errors=True)
+    cat = (
+        spark.read.format("crocus_catalog").option("n_products", 500).load()
+    )
+    (
+        cat.select("product_id", "currency", "price")
+        .write.format("crocus_catalog_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("product_id BIGINT, currency STRING, price DOUBLE").json(
+        path
+    )
+    return (
+        back.groupBy("currency")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            dsum("price", "sum_price"),
+        )
+        .orderBy("currency")
+    )

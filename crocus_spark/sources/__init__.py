@@ -10,14 +10,18 @@ fetches them in parallel with restarts/retries handled by the scheduler.
 
 from crocus_spark.sources.catalog_source import (
     CatalogDataSource,
+    CatalogJsonSink,
     CatalogStreamDataSource,
+    register_catalog_sink,
     register_catalog_source,
     register_catalog_stream_source,
 )
 
 __all__ = [
     "CatalogDataSource",
+    "CatalogJsonSink",
     "CatalogStreamDataSource",
+    "register_catalog_sink",
     "register_catalog_source",
     "register_catalog_stream_source",
 ]

@@ -189,3 +189,76 @@ def register_catalog_stream_source(spark) -> None:
         spark.dataSource.register(CatalogStreamDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Write side: the reference's JSON catalog sink (base_scraper.py:165-170
+# rewrites one whole products JSON on the driver) as a partition-parallel
+# custom sink with two-phase commit.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _CatalogJsonWriter(DataSourceWriter):
+    """Each task writes its partition to a temp file and reports it in a
+    commit message; the driver's commit() atomically renames the batch
+    into place (task retries/speculation leave only orphan temps, which
+    abort() removes) — the standard two-phase custom-sink recipe, and the
+    executor-parallel answer to the reference's single-threaded
+    whole-file rewrite."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("crocus_catalog_sink requires option 'path'")
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonCommit(tmp, n)
+
+    def commit(self, messages):
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = _os.path.join(self.path, f"part-{i:05d}.json")
+            _os.replace(m.tmp_path, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class CatalogJsonSink(DataSource):
+    """``df.write.format("crocus_catalog_sink").option("path", dir)`` —
+    newline-delimited JSON, one file per partition, two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crocus_catalog_sink"
+
+    def writer(self, schema, overwrite):
+        return _CatalogJsonWriter(self.options)
+
+
+def register_catalog_sink(spark) -> None:
+    try:
+        spark.dataSource.register(CatalogJsonSink)
+    except Exception:
+        pass  # already registered on this session
