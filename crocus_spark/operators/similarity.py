@@ -709,3 +709,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_topk_at_rest(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF serving from a CELL-PARTITIONED store — the at-rest layout the
+    in-memory ``ivf_topk`` docstring promises, made concrete: the indexed
+    corpus is written ``partitionBy("cell")`` and the probe read carries a
+    ``cell IN (...)`` predicate, so the scan opens only the probed cells'
+    directories (PartitionFilters — asserted in tests/test_plans.py).
+    nprobe/n_cells is thus a *bytes-read* fraction, not just a
+    candidate-count fraction — the property that makes IVF pay at 100 TB.
+
+    Same centroids, probes, scoring, and tie rules as ``ivf_topk``; the
+    two must return identical rows (pinned in tests/test_llm.py). The
+    probed-cell list is collected — ≤ n_cells integers, model-sized —
+    because a partition-pruning predicate must be a literal at plan time.
+    """
+    centroids = ivf_fit_centroids(corpus, n_cells, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    assigned = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+    ).select(F.col("id").alias("neighbor_id"), "cell")
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(assigned, "neighbor_id")
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    q_normed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm_vec(F.col(vec_col)).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("q_dot"), F.col("cell")
+    )
+    probes = (
+        q_normed.crossJoin(F.broadcast(centroids))
+        .withColumn("q_dot", dot_batch(F.col("qn"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    probe_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )  # ≤ n_cells ints — the partition-pruning literal
+    back = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = back.join(F.broadcast(probes), "cell").withColumn(
+        "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

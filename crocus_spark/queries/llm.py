@@ -95,16 +95,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # probabilistic recall — verified by property tests
-    # (pairs ⊆ exact-Jaccard pairs; recall ≥ bound) in tests/test_llm.py
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    sizes AS (SELECT id, len(toks) AS sz FROM base),
+    toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup dedup (§2B#54 scale path): 32 perms, 8 bands ×
     4 rows (S-curve knee ≈ 0.7), candidates from band-bucket equi-joins,
-    exact-Jaccard verification at 0.9. Precision 1.0 by construction;
-    recall property-tested. This is the operator that replaces the exact
-    path at 100 TB: cost is O(n·perms) + bucket-local joins."""
+    exact-Jaccard verification at 0.9. Precision 1.0 by construction.
+    This is the operator that replaces the exact path at 100 TB: cost is
+    O(n·perms) + bucket-local joins.
+
+    The oracle is the EXACT Jaccard pair set: with the pinned permutation
+    seeds, measured recall on both fixtures is 1.0 (verification already
+    guarantees precision 1.0), so the banded plan must keep reproducing
+    the exact answer — a band/permutation regression now fails the hash
+    instead of only nudging the recall bound in tests/test_llm.py."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, "text", "doc_id", n_perm=32, bands=8, verify_threshold=0.9
@@ -1198,3 +1225,33 @@ def embedding_second_moment(spark, sf_dir):
         .orderBy(F.abs(F.col("moment")).desc(), "i", "j")
         .limit(20)
     )
+
+
+@register(
+    "ann_ivf_at_rest",
+    oracle=None,  # nprobe < n_cells is approximate; pinned EQUAL to
+    # ann_ivf_topk (same centroids/probes/ties) in tests/test_llm.py, and
+    # the partition-pruned scan shape is pinned in tests/test_plans.py
+    tags=("llm", "similarity", "storage"),
+)
+def ann_ivf_at_rest(spark, sf_dir):
+    """IVF serving from the cell-partitioned store (§2B#55 at its storage
+    formulation): the indexed corpus lands partitionBy(cell); probing
+    reads ONLY the probed cells' directories (cell IN (...) reaches the
+    scan as a PartitionFilter), so nprobe/n_cells bounds bytes read, not
+    just candidates scored. Results are identical to the in-memory
+    ann_ivf_topk by construction."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "ivf_store_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    return S.ivf_topk_at_rest(
+        spark, queries, corpus, path, k=5, n_cells=8, nprobe=4
+    ).orderBy("query_id", "rank")

@@ -312,3 +312,16 @@ def test_pq_topk_recall_and_determinism(spark):
     for qid, nid, cos, _rank in rows1:
         if (qid, nid) in exact_cos:
             assert cos == exact_cos[(qid, nid)]
+
+
+def test_ivf_at_rest_equals_in_memory(spark):
+    """The cell-partitioned store must serve byte-identical results to the
+    in-memory IVF path — same centroids, probes, scoring, tie rules."""
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    from tests.conftest import SF_SMOKE
+
+    mem = REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    rest = REGISTRY["ann_ivf_at_rest"].fn(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in rest]

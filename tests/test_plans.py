@@ -347,3 +347,15 @@ def test_join_hints_change_physical_strategy(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_ivf_at_rest_prunes_partitions(spark, registry):
+    """The probe read must reach the store as a PartitionFilter on cell —
+    directory-level pruning is what turns nprobe/n_cells into a bytes-read
+    fraction at 100 TB, and a filter that degrades to a post-scan predicate
+    silently re-reads the whole corpus."""
+    plan = _plan(registry["ann_ivf_at_rest"].fn(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan, re.I)
+    assert m, plan[plan.index("PartitionFilters"):][:300]
