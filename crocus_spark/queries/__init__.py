@@ -64,6 +64,7 @@ def _load_modules() -> None:
         return
     from crocus_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_q,
         corpus_q,
         crocus_q,
         geo_q,

@@ -500,3 +500,81 @@ def sample_bottomk_hash(spark, sf_dir):
         .select("lang", "doc_id", "n_chars", "hkey")
         .orderBy("lang", "hkey", "doc_id")
     )
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (
+      SELECT lang, n,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                  WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1
+                  WHEN 'zh' THEN 0.1 ELSE 0.0 END AS share
+      FROM counts
+    ),
+    th AS (
+      SELECT lang,
+             LEAST(1.0, 250.0 * share / n) AS frac,
+             lpad(lower(to_hex(CAST(floor(LEAST(1.0, 250.0 * share / n)
+                                          * 4294967296.0) AS BIGINT))),
+                  8, '0') AS thresh
+      FROM tgt
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN th ON d.lang = th.lang
+    WHERE th.frac >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thresh
+    ORDER BY d.doc_id
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def corpus_mixture_resample(spark, sf_dir):
+    """Target-mixture resampling — reshape the corpus toward a target
+    LANGUAGE mixture (en .5 / de .15 / fr .15 / es .1 / zh .1 of a
+    250-doc budget): per-language acceptance fraction = min(1,
+    budget·share / count), applied as a DETERMINISTIC md5-threshold
+    draw — a doc is kept iff the first 8 hex chars of md5(doc_id) sort
+    below the fraction's hex threshold, so the same doc set is selected
+    on any engine, any partitioning, any run (the oracle is exact, not
+    statistical). This is the mixture-weighting step every pre-training
+    pipeline runs after quotas: quotas CAP heavy sources;
+    mixture-resampling HITS a target composition. Scale shape: the
+    (lang, count) relation is vocabulary-sized and broadcasts; the draw
+    is one stateless scan — no shuffle of document bodies at all."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    share = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.15)
+        .when(F.col("lang") == "fr", 0.15)
+        .when(F.col("lang") == "es", 0.1)
+        .when(F.col("lang") == "zh", 0.1)
+        .otherwise(0.0)
+    )
+    frac = F.least(F.lit(1.0), F.lit(250.0) * share / F.col("n"))
+    th = counts.select(
+        "lang",
+        frac.alias("frac"),
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.floor(frac * F.lit(4294967296.0)).cast("long")
+                )
+            ),
+            8,
+            "0",
+        ).alias("thresh"),
+    )
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(
+            (F.col("frac") >= 1.0)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < F.col("thresh")
+            )
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -251,14 +251,18 @@ def graph_pagerank(spark, sf_dir):
     )
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n_v = deg.count()
+    # deg is loop-INVARIANT: weight the edge list once (src, dst, deg)
+    # instead of re-joining deg inside every round — one join per round
+    # saved, and the persisted weighted edges are the only edge-sized
+    # state the loop touches.
+    wedges = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ranks = deg.select("src", F.lit(1.0 / n_v).alias("rank"))
     for _ in range(8):
         contribs = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            wedges.join(ranks, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("recv"))
@@ -289,5 +293,6 @@ def graph_pagerank(spark, sf_dir):
         # cached blocks that would otherwise leak for the session.
         .localCheckpoint(eager=True)
     )
-    edges.unpersist()
+    wedges.unpersist()
+    deg.unpersist()
     return out

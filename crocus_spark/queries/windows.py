@@ -532,3 +532,88 @@ def timeseries_ohlc_resample(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "series_vwap_twap",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             date_trunc('day', ts)::DATE AS day,
+             ts, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_s,
+             event_id
+      FROM events
+    )
+    SELECT user_id, day,
+           COUNT(*) AS n_obs,
+           round(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+             AS vwap,
+           round(CAST(SUM(CAST(value * COALESCE(dt_s, 0) AS DECIMAL(25,6)))
+                      AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(COALESCE(dt_s, 0) AS DECIMAL(25,6)))
+                               AS DOUBLE), 0.0), 6)
+             AS twap
+    FROM pts
+    GROUP BY user_id, day
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, day
+    """,
+    tags=("window", "timeseries", "finance"),
+)
+def series_vwap_twap(spark, sf_dir):
+    """Volume- and time-weighted averages per (user, day) — the price
+    time-series reductions the reference's daily NAV/price snapshots feed
+    (price column, ishares.json:7): VWAP weights each observation by its
+    own magnitude (value doubling as size, the fixture's only volume
+    proxy); TWAP weights by the seconds until the next observation (lead
+    within the day — last point carries no weight, the standard
+    right-open convention). Spark shape: ONE window (lead over user+day)
+    then ONE grouped aggregate — both partition on the same keys, so the
+    second shuffle collapses into the first's partitioning; all sums
+    accumulate in decimal (engine-order-independent), ratios round at 6.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+        # exact integer microseconds — unix_timestamp would floor each
+        # side to seconds and drift against the oracle's exact interval
+        (
+            F.unix_micros(F.lead("ts").over(w))
+            - F.unix_micros(F.col("ts"))
+        ).alias("dt_s"),
+    )
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    return (
+        pts.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.sum(dec(F.col("value") * F.col("value"))).cast("double")
+                / F.sum(dec(F.col("value"))).cast("double"),
+                6,
+            ).alias("vwap"),
+            F.round(
+                F.sum(
+                    dec(F.col("value") * F.coalesce(F.col("dt_s"), F.lit(0)))
+                ).cast("double")
+                / F.nullif(
+                    F.sum(dec(F.coalesce(F.col("dt_s"), F.lit(0)))).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("n_obs") >= 3)
+        .orderBy("user_id", "day")
+    )
