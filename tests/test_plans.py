@@ -359,3 +359,33 @@ def test_ivf_at_rest_prunes_partitions(spark, registry):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan, re.I)
     assert m, plan[plan.index("PartitionFilters"):][:300]
+
+
+def test_mixture_resample_broadcasts_and_prunes(spark, registry):
+    """corpus_mixture_resample: the (lang, threshold) relation must
+    BROADCAST onto the corpus scan, and the scan must prune the document
+    body (text) — the draw touches only (doc_id, lang, source). A text
+    column in the ReadSchema means the whole corpus streams through the
+    filter for a metadata decision."""
+    spark.catalog.clearCache()  # other suites cache full-column documents
+    plan = _plan(registry["corpus_mixture_resample"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    wide = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "doc_id" in l
+    )
+    assert "text" not in wide, wide
+
+
+def test_second_moment_shuffles_only_model_cells(spark, registry):
+    """embedding_second_moment: ONE exchange total — the model-sized
+    (i, j) partial reduce after mapInArrow. The corpus scan must read
+    only the embedding column, and the top-k must be TakeOrdered, not a
+    global sort exchange."""
+    import re
+
+    plan = _plan(registry["embedding_second_moment"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "embedding" in read_schema and "vec_id" not in read_schema
+    assert "TakeOrderedAndProject" in plan
