@@ -302,3 +302,68 @@ def foreach_batch_merge_totals(
         key=lambda p: int(os.path.basename(p)[1:]),
     )
     return spark.read.parquet(versions[-1])
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-key running totals via transformWithStateInPandas — the
+    Spark-4 stateful API succeeding applyInPandasWithState (same §2B#50
+    semantics as ``stateful_user_totals``, kept as a twin so both API
+    generations stay covered): explicit typed ValueState on a
+    StatefulProcessor, Arrow-batched rows per key per micro-batch, state
+    in the executor state stores partitioned by key. Integer-cent
+    accumulation keeps totals exact and order-free.
+
+    NOT registered as a driver query: transformWithState's Python driver
+    worker imports google.protobuf, which this container does not ship
+    (verified failure: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+    ImportError google.protobuf.descriptor). The operator is correct
+    Spark-4 API usage and runs wherever protobuf is present;
+    ``stateful_user_totals`` (applyInPandasWithState) carries the
+    oracle-checked §2B#50 coverage in-container."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("cents", LongType())]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                count, cents = self._state.get()
+            else:
+                count, cents = 0, 0
+            for pdf in rows:
+                count += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100).round().astype("int64").sum()
+                )
+            self._state.update((count, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
