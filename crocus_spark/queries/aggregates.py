@@ -681,3 +681,100 @@ def agg_bitwise_battery(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_kll_quantile_sketch",
+    oracle=None,  # Datasketches KLL binary images are engine-specific —
+    # rows-only; estimate-vs-exact error is property-tested in
+    # tests/test_properties.py
+    tags=("agg", "approx", "sketch"),
+)
+def agg_kll_quantile_sketch(spark, sf_dir):
+    """Mergeable KLL quantile sketches (§2B#24 at its 100 TB formulation,
+    the quantile complement of the HLL rollup): one KLL sketch of
+    o_totalprice per order-priority group, merged into GLOBAL
+    p50/p90/p99 estimates without rescanning the data. Mergeability is
+    the point: per-day/per-partition sketches roll up at sketch size
+    (KBs), which is how a 100 TB store serves percentiles over any date
+    range — the exact percentile query would re-shuffle the range every
+    time."""
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_group.agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.select(
+        F.lit("all_priorities").alias("scope"),
+        F.col("n_rows"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)), 2).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@register(
+    "agg_theta_set_algebra",
+    oracle=None,  # Theta sketch binaries are engine-specific — rows-only;
+    # estimates vs exact distinct-set algebra property-tested in
+    # tests/test_properties.py
+    tags=("agg", "approx", "sketch"),
+)
+def agg_theta_set_algebra(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA over distinct customer sets (beyond
+    HLL, which can only union): customers with urgent orders vs
+    customers with non-urgent orders — union, intersection, and
+    difference cardinalities, all computed on sketch images without a
+    distinct-shuffle of the raw keys. At 100 TB this answers 'how many
+    entities appear in BOTH cohorts' from per-cohort sketches alone —
+    the cross-snapshot audience-overlap question the reference's
+    provider comparison implies (same ISIN universe, two providers)."""
+    o = load(spark, sf_dir, "orders")
+    cohorts = o.select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+    sk = cohorts.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("is_urgent"), F.col("o_custkey"))
+        ).alias("sk_urgent"),
+        F.theta_sketch_agg(
+            F.when(~F.col("is_urgent"), F.col("o_custkey"))
+        ).alias("sk_other"),
+    )
+    return sk.select(
+        F.round(F.theta_sketch_estimate(F.col("sk_urgent")), 0)
+        .cast("long")
+        .alias("n_urgent"),
+        F.round(F.theta_sketch_estimate(F.col("sk_other")), 0)
+        .cast("long")
+        .alias("n_other"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("sk_urgent"), F.col("sk_other"))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("n_union"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk_urgent"), F.col("sk_other"))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("sk_urgent"), F.col("sk_other"))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("n_urgent_only"),
+    )

@@ -153,3 +153,59 @@ def test_kmeans_inertia_monotone(spark):
         b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])
     ), inertias
     assert hist[-1].n_moved < hist[0].n_moved
+
+
+def test_kll_sketch_quantiles_near_exact(spark):
+    """KLL quantile estimates must sit within the sketch's rank-error
+    bound of the exact percentiles (k=200 ⇒ ~1.3% rank error; assert a
+    generous 3% rank tolerance by value-bracketing)."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    row = REGISTRY["agg_kll_quantile_sketch"].fn(spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    for q, est in (("0.5", row.p50), ("0.9", row.p90), ("0.99", row.p99)):
+        lo, hi = (
+            o.agg(
+                F.expr(
+                    f"percentile(o_totalprice, {max(0.0, float(q)-0.03)})"
+                ),
+                F.expr(
+                    f"percentile(o_totalprice, {min(1.0, float(q)+0.03)})"
+                ),
+            ).collect()[0]
+        )
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_theta_set_algebra_consistent_with_exact(spark):
+    """Theta estimates must match exact distinct-set algebra on the
+    fixture (sketch is exact below its nominal-entries threshold) and be
+    internally consistent: union = urgent + other - both;
+    urgent_only = urgent - both."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    row = REGISTRY["agg_theta_set_algebra"].fn(spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    urgent = {
+        r.o_custkey
+        for r in o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct().collect()
+    }
+    other = {
+        r.o_custkey
+        for r in o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey").distinct().collect()
+    }
+    def close(est, exact):
+        return abs(est - exact) <= max(2, 0.05 * exact)
+    assert close(row.n_urgent, len(urgent))
+    assert close(row.n_other, len(other))
+    assert close(row.n_union, len(urgent | other))
+    assert close(row.n_both, len(urgent & other))
+    assert close(row.n_urgent_only, len(urgent - other))
