@@ -159,3 +159,85 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     for v in drop:
         shutil.rmtree(snapshot_version_path(state_root, v))
     return drop
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative int columns into
+    one long — the multi-dimensional clustering key lakehouse OPTIMIZE
+    ZORDER uses: sorting by the interleaved key co-locates rows that are
+    close in BOTH dimensions, so parquet footer min/max stats prune
+    row groups for predicates on either column (a single-column sort
+    only skips for that column). Pure shift/or expressions — JVM-side,
+    codegen'd, no UDF.
+
+    Columns are first rank-compressed by the caller (or already dense
+    ints); ``bits`` bounds the per-dimension range at 2^bits."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    ca = F.col(a).cast("long").bitwiseAND(F.lit(mask)) if isinstance(a, str) else a
+    cb = F.col(b).cast("long").bitwiseAND(F.lit(mask)) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(ca.bitwiseAND(F.lit(1 << i)), i)
+            ).bitwiseOR(
+                F.shiftleft(cb.bitwiseAND(F.lit(1 << i)), i + 1)
+            )
+        )
+    return z
+
+
+def zorder_rewrite(
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key of (col_a, col_b). The write is the whole
+    cost — one range shuffle + local sort, the same bill OPTIMIZE ZORDER
+    pays — and afterwards every file covers a narrow rectangle of the
+    (a, b) space, so footer stats skip files for predicates on either
+    column. tests/test_scale.py measures the per-file min/max shrinkage
+    directly from the parquet footers.
+
+    Both dimensions are min/max-scaled to the same ``bits`` width before
+    interleaving — a raw interleave lets the wider-ranged column's high
+    bits dominate the sort, leaving the narrow column unclustered
+    (measured: suppkey per-file extent stayed ~1.0 unscaled). The stats
+    pass is one 1-row aggregate broadcast onto the scan."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    stats = df.agg(
+        F.min(col_a).alias("_amin"),
+        F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"),
+        F.max(col_b).alias("_bmax"),
+    )
+
+    def scaled(c, lo, hi):
+        return F.floor(
+            (F.col(c).cast("double") - F.col(lo))
+            * top
+            / F.greatest(F.lit(1.0), (F.col(hi) - F.col(lo)).cast("double"))
+        ).cast("long")
+
+    z = zorder_key(
+        scaled(col_a, "_amin", "_amax"),
+        scaled(col_b, "_bmin", "_bmax"),
+        bits,
+    ).alias("_zkey")
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_zkey", z)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", "_amin", "_amax", "_bmin", "_bmax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

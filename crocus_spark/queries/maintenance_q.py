@@ -205,3 +205,51 @@ def snapshot_changelog_cdc(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "maintenance_zorder_rewrite",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+    tags=("maintenance", "layout", "zorder"),
+)
+def maintenance_zorder_rewrite(spark, sf_dir):
+    """Z-order clustering rewrite (OPTIMIZE ZORDER BY (l_partkey,
+    l_suppkey)): one range shuffle + local sort by the Morton-interleaved
+    key, after which every parquet file covers a narrow rectangle of the
+    key space and footer min/max stats skip files for predicates on
+    EITHER column — the multi-dimensional data-skipping layout a
+    single-column sort cannot give. The oracle checks the rewrite is
+    lossless under the two-sided predicate; the layout win itself (per-
+    file range shrinkage, measured from the real parquet footers) is
+    pinned in tests/test_scale.py."""
+    import os
+    import tempfile
+
+    from crocus_spark.operators.maintenance import zorder_rewrite
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "zorder_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    zorder_rewrite(li, path, "l_partkey", "l_suppkey", n_files=16)
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 300)
+        & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
