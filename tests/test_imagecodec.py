@@ -83,3 +83,26 @@ def test_bmp_row_padding():
     data = C.encode_bmp(3, 2, px)
     assert C.decode_bmp(data) == (3, 2, 3)
     assert len(data) == 54 + 12 * 2
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_roundtrip_property(w, h, seed):
+        """Any (w, h, seed): encode→decode returns exactly (w, h, 3) for
+        every codec — including the BMP row-padding edge cases (w % 4)
+        and PNG single-pixel rows."""
+        px = C.synth_pixels(w, h, seed)
+        for enc in (C.encode_ppm, C.encode_bmp, C.encode_png):
+            data = enc(w, h, px)
+            assert C.decode_image_bytes(data) == (w, h, 3)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
