@@ -423,3 +423,95 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), at token granularity: every ``span_len``-token
+    window whose exact content appears in MORE THAN ONE document is
+    removed from all of them; surviving tokens reassemble in order.
+
+    Shape (all relational, no UDF):
+      1. tokens explode with positions;
+      2. each position's forward ``span_len``-gram is hashed via a
+         collect_list window over (pos .. pos+L-1) — corpus × L cells,
+         the inherent cost of substring-level work;
+      3. grams occurring in ≥2 DISTINCT docs form the duplicate set —
+         a gram-keyed aggregate (vocabulary-shaped, shrinks fast with L);
+      4. a position is covered iff some duplicated gram STARTS within
+         the trailing L-1 window — one max() window per doc, no
+         range join;
+      5. uncovered tokens re-assemble with a sorted collect_list.
+
+    Returns (id, n_tokens, n_removed, cleaned_md5) — the digest stands
+    in for the rewritten body so the relation stays narrow; callers
+    wanting the text swap the md5 for the concat. At 100 TB every stage
+    keys on (doc, pos) or gram hash — nothing is pairwise in documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    )
+    w_fwd = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, span_len - 1)
+    )
+    grams = toks.withColumn(
+        "gram",
+        F.when(
+            F.size(F.collect_list("tok").over(w_fwd)) == span_len,
+            F.md5(F.concat_ws(" ", F.collect_list("tok").over(w_fwd))),
+        ),
+    )
+    dup_grams = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(dup_grams.withColumn("dup", F.lit(1))), "gram", "left"
+    ).select(
+        "id", "pos", "tok", F.coalesce("dup", F.lit(0)).alias("dup_start")
+    )
+    w_back = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(span_len - 1), Window.currentRow)
+    )
+    covered = flagged.withColumn(
+        "covered", F.max("dup_start").over(w_back)
+    )
+    return (
+        covered.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("covered").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("covered") == 0,
+                                    F.struct("pos", "tok"),
+                                )
+                            )
+                        ),
+                        lambda s: s.tok,
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )

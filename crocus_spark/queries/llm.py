@@ -1255,3 +1255,71 @@ def ann_ivf_at_rest(spark, sf_dir):
     return S.ivf_topk_at_rest(
         spark, queries, corpus, path, k=5, n_cells=8, nprobe=4
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             generate_subscripts(string_split({_NORM_SQL}, ' '), 1) - 1 AS pos,
+             unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, pos, tok,
+             CASE WHEN COUNT(*) OVER w = 8
+                  THEN md5(string_agg(tok, ' ') OVER w) END AS gram
+      FROM toks
+      WINDOW w AS (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    dup AS (
+      SELECT gram FROM grams WHERE gram IS NOT NULL
+      GROUP BY gram HAVING COUNT(DISTINCT id) >= 2
+    ),
+    flagged AS (
+      SELECT g.id, g.pos, g.tok,
+             CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END AS dup_start
+      FROM grams g LEFT JOIN dup d ON g.gram = d.gram
+    ),
+    covered AS (
+      SELECT id, pos, tok,
+             MAX(dup_start) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS covered
+      FROM flagged
+    )
+    SELECT id AS doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(covered) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+                              ORDER BY pos), '')) AS cleaned_md5
+    FROM covered
+    GROUP BY id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_span_removal(spark, sf_dir):
+    """Exact duplicated-SPAN removal (Lee et al. ACL'22, token-level):
+    every 8-token window whose exact content appears in ≥2 documents is
+    cut from all of them, and the surviving tokens re-assemble in order
+    — substring-level dedup, the step document-level dedup cannot do
+    (boilerplate shared between otherwise-distinct pages survives
+    doc-level hashing). Fully relational: gram hashes via per-doc
+    windows, the duplicate set as a gram-keyed aggregate that BROADCASTS
+    back, coverage as one trailing-window max — nothing is
+    document-pairwise. The oracle rebuilds the identical cleaned-text
+    digest in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.duplicated_span_removal(docs, "text", "doc_id", span_len=8)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "n_removed",
+            "cleaned_md5",
+        )
+        .orderBy("doc_id")
+    )

@@ -641,3 +641,42 @@ def io_python_datasink(spark, sf_dir):
         )
         .orderBy("currency")
     )
+
+
+@register(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("io", "orc"),
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink → ORC scan round-trip — the second columnar format a
+    lakehouse ingests beside parquet (Hive-ecosystem landing zones):
+    predicate pushdown and column pruning work through the same
+    DataSource V2 scan surface, and the aggregate must equal the parquet
+    original's. (Avro would complete the row-format trio but is an
+    external Spark module not deployed in this container — gated out
+    rather than stubbed.)"""
+    path = _scratch("orc_orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").format("orc").save(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).format("orc").load(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
