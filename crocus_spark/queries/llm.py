@@ -3,10 +3,14 @@ multimodal over the documents and embeddings fixtures (driver north star;
 SURVEY.md §2B #53-60).
 
 Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
-oracle (exact dedup, n-gram Jaccard, cosine near-dup, brute-force ANN, all
-text stats, multimodal metadata/fake-decode). Probabilistic candidate
-generation (MinHash LSH, SimHash, hyperplane LSH) is rows-only here and
-property-tested against the exact operators in tests/test_llm.py.
+oracle (exact dedup, n-gram Jaccard, span removal, cosine near-dup,
+brute-force ANN, all text stats, multimodal metadata + real decode).
+Probabilistic candidate generation keeps property tests in
+tests/test_llm.py; where measured recall is exactly 1.0 with the pinned
+seeds (hyperplane-LSH ANN, MinHash pair dedup) the EXACT result doubles
+as the oracle, so seed/band regressions fail the hash. Genuinely
+engine-specific ops (SimHash/xxhash64, survivor propagation, IVF/PQ at
+nprobe<cells) stay rows-only by design.
 """
 
 from __future__ import annotations

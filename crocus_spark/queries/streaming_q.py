@@ -419,3 +419,45 @@ def stream_python_datasource(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "rocksdb"),
+)
+def stream_stateful_rocksdb(spark, sf_dir):
+    """Stateful per-key streaming on the ROCKSDB state store — the
+    production backend (state spills to executor-local disk with
+    changelog checkpointing instead of living JVM-heap-resident like the
+    default HDFS-backed provider, which is what bounds state by MEMORY at
+    100 TB key cardinalities). Identical semantics and oracle to
+    stream_stateful_totals: the backend swap must be invisible to
+    results — that invariance is exactly what this query pins."""
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        stateful_user_totals(ev),
+        "update",
+        state_provider=(
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_cents").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id")
+    )

@@ -74,7 +74,10 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+    stream_df: DataFrame,
+    output_mode: str,
+    state_partitions: int = 8,
+    state_provider: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with availableNow into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -91,13 +94,23 @@ def run_available_now(
     32 means 32 state stores × per-batch commit fsyncs for a fixture-sized
     stream (measured 2-3× the whole query's wall time). At production
     scale a real deployment sizes this to the cluster before the query
-    first starts — same mechanism, bigger number."""
+    first starts — same mechanism, bigger number.
+
+    ``state_provider`` optionally scopes
+    spark.sql.streaming.stateStore.providerClass the same way (e.g. the
+    RocksDB provider — the production backend whose state spills to local
+    disk instead of living JVM-heap-resident like the default HDFS-backed
+    store)."""
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key)
+    prev_provider = spark.conf.get(pkey, None)
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set(key, str(state_partitions))
+        if state_provider:
+            spark.conf.set(pkey, state_provider)
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -108,6 +121,11 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set(key, prev)
+        if state_provider:
+            if prev_provider is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, prev_provider)
     return spark.table(name)
 
 

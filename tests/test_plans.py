@@ -389,3 +389,13 @@ def test_second_moment_shuffles_only_model_cells(spark, registry):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "embedding" in read_schema and "vec_id" not in read_schema
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_removal_broadcasts_duplicate_grams(spark, registry):
+    """dedup_span_removal: the duplicate-gram set must BROADCAST back onto
+    the token stream — a shuffle join there would re-partition the whole
+    corpus×L gram relation; and nothing in the plan may join two
+    corpus-sized sides (no document-pairwise work)."""
+    plan = _plan(registry["dedup_span_removal"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -345,3 +345,51 @@ def test_zorder_rewrite_shrinks_file_ranges(spark, tmp_path):
         # z-order with 16 files must cut both dimensions' extents hard.
         assert hash_ext > 0.9, (col, hash_ext)
         assert z_ext < 0.55 * hash_ext, (col, z_ext, hash_ext)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The SCALE.md skew claim, executed: a sort-merge join with one
+    pathological hot key must come out of AQE with the skewed side SPLIT
+    (skew=true on the SortMergeJoin) instead of one straggler task owning
+    the whole key — the mechanism that replaces manual salting when skew
+    is runtime-discovered. Thresholds are lowered test-scope (fixture
+    partitions are KBs; production defaults trigger at 256 MB) and
+    restored in finally."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # coalescing first merges the KB-sized test partitions and masks
+        # the skew detection at this scale; at production sizes (256 MB
+        # default threshold) the two optimizations compose.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 100 < 99, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            # md5 payload: sequential longs compress to almost nothing
+            # and the hot partition would duck under the byte threshold
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        j = left.join(right.hint("merge"), "k").groupBy().count()
+        [row] = j.collect()
+        assert row["count"] == 300_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
