@@ -253,3 +253,78 @@ def maintenance_zorder_rewrite(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "maintenance_scd2_merge",
+    oracle="""
+    WITH hist AS (
+      SELECT s_suppkey AS key, round(s_acctbal, 0) AS attr,
+             1 AS valid_from, CAST(NULL AS INT) AS valid_to
+      FROM supplier
+    ),
+    upd AS (
+      SELECT s_suppkey AS key, round(s_acctbal, 0) + 100.0 AS attr
+      FROM supplier WHERE s_suppkey % 5 = 0
+    ),
+    changed AS (
+      SELECT h.key FROM hist h JOIN upd u ON h.key = u.key
+      WHERE h.valid_to IS NULL AND h.attr <> u.attr
+    )
+    SELECT key, attr, valid_from,
+           CASE WHEN key IN (SELECT key FROM changed) THEN 2 END AS valid_to
+    FROM hist
+    UNION ALL
+    SELECT u.key, u.attr, 2 AS valid_from, CAST(NULL AS INT) AS valid_to
+    FROM upd u WHERE u.key IN (SELECT key FROM changed)
+    ORDER BY key, valid_from
+    """,
+    tags=("maintenance", "scd", "dimension"),
+)
+def maintenance_scd2_merge(spark, sf_dir):
+    """Slowly-changing-dimension TYPE 2 merge — the warehouse op behind
+    'track every attribute change with validity intervals' (the history
+    the reference's daily catalog snapshots imply: a fund's TER changes
+    and both values must remain queryable as-of their dates). One batch
+    of updates folds into the history with: (1) a key-join marking OPEN
+    rows whose attribute actually changed — unchanged updates are no-ops
+    and must NOT spawn versions; (2) those rows CLOSED (valid_to = new
+    version); (3) one new OPEN row per change. Spark shape: the change
+    set is key-bucketed (one equi-join family, broadcast when the batch
+    is small); history is never rewritten wholesale — only touched keys
+    change, which at 100 TB pairs with partition overwrite on the key
+    bucket. Versions are integers here so the oracle is exact (real
+    deployments use event dates — same plan)."""
+    su = load(spark, sf_dir, "supplier")
+    hist = su.select(
+        F.col("s_suppkey").alias("key"),
+        F.round("s_acctbal", 0).alias("attr"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    upd = su.filter(F.col("s_suppkey") % 5 == 0).select(
+        F.col("s_suppkey").alias("key"),
+        (F.round("s_acctbal", 0) + 100.0).alias("attr"),
+    )
+    changed = (
+        hist.filter(F.col("valid_to").isNull())
+        .alias("h")
+        .join(upd.alias("u"), "key")
+        .filter(F.col("h.attr") != F.col("u.attr"))
+        .select("key")
+    )
+    closed_or_kept = hist.join(
+        F.broadcast(changed.withColumn("c", F.lit(1))), "key", "left"
+    ).select(
+        "key",
+        "attr",
+        "valid_from",
+        F.when(F.col("c") == 1, F.lit(2)).cast("int").alias("valid_to"),
+    )
+    new_rows = upd.join(F.broadcast(changed), "key").select(
+        "key",
+        "attr",
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    return closed_or_kept.unionByName(new_rows).orderBy("key", "valid_from")

@@ -235,22 +235,9 @@ def io_bucketed_join(spark, sf_dir):
     )
 
 
-def zorder_key(a: "F.Column", b: "F.Column", bits: int = 8) -> "F.Column":
-    """Bit-interleaved Z-order key over two integer dimensions (low
-    ``bits`` of each). Purely JVM-side bit arithmetic — no UDF. Layout
-    only: wrap-around past 2^bits degrades clustering, never correctness
-    (reads re-apply their predicates). Production quantization would be
-    range-rank per dimension; the interleave is identical."""
-    z = F.lit(0)
-    for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(
-                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
-            )
-        )
-    return z
+# one Morton-interleave implementation engine-wide; the min/max-scaled
+# rewrite wrapper lives beside it (operators/maintenance.py)
+from crocus_spark.operators.maintenance import zorder_key  # noqa: E402
 
 
 @register(

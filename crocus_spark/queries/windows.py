@@ -617,3 +617,74 @@ def series_vwap_twap(spark, sf_dir):
         .filter(F.col("n_obs") >= 3)
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_seq
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, session_seq
+    """,
+    tags=("window", "sessionize", "timeseries"),
+)
+def sessionize_batch(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a session breaks when the
+    per-user gap exceeds 30 minutes; session ids are running sums of
+    break flags — two windows over the SAME (user_id, ts) partitioning,
+    so Catalyst plans one sort, not two. This is the offline twin of the
+    streaming session_window query (same semantics, no watermark): batch
+    backfills and the live stream must cut identical sessions, or
+    downstream funnel metrics fork. Timestamps emit as strings so the
+    micros survive both engines' result paths."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .orderBy("user_id", "session_seq")
+    )
