@@ -578,3 +578,48 @@ def corpus_mixture_resample(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+                / 4294967296.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("corpus", "sampling", "weighted"),
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    each doc draws a deterministic uniform u from a Knuth multiplicative
+    hash of its id and gets key u^(1/w) (equivalently ln(u)/w, monotone);
+    the global top-k by key is an exact weighted sample — here weighted
+    by length (n_chars), the 'sample long documents preferentially' knob
+    quality-weighted curation uses. One stateless scan + a
+    TakeOrderedAndProject top-k: no shuffle of the corpus, no RNG state,
+    and the same 100 docs are selected on any engine, partitioning, or
+    rerun — which is what makes a SAMPLING operator oracle-checkable at
+    all."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+        ).cast("double")
+        + 1.0
+    ) / 4294967296.0
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )
