@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crocus_spark.io import load
+from crocus_spark.io import load, register_views
 from crocus_spark.operators.graph import connected_components
 from crocus_spark.queries import register
 
@@ -296,3 +296,40 @@ def graph_pagerank(spark, sf_dir):
     wedges.unpersist()
     deg.unpersist()
     return out
+
+
+_BFS_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_orderkey % 50 = 0
+    ),
+    walk(node, d) AS (
+      SELECT src, 0 FROM edges WHERE src % 97 = 0
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, MIN(d) AS hops
+    FROM walk
+    GROUP BY node
+    ORDER BY hops, node
+"""
+
+
+@register("graph_bfs_distances", oracle=_BFS_SQL, tags=("graph", "sql", "iterative"))
+def graph_bfs_distances(spark, sf_dir):
+    """BFS hop distances over the co-purchase graph via RECURSIVE CTE —
+    the third iterative-graph primitive beside components (fixpoint) and
+    PageRank (power iteration), and the only one both engines can state
+    in ONE portable SQL string, which is what makes an ITERATIVE graph
+    query hash-checkable. Seeds are parts with key ≤ 10; the walk
+    expands frontier-by-frontier with UNION-distinct dedup (bounding
+    state at V×depth, never path-enumeration) and a 3-hop cap; min-hop
+    per node is the distance. Spark executes each recursion step as a
+    DataFrame iteration — the frontier join shuffles on the edge key,
+    exactly the components loop's shape, but driven from SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BFS_SQL)
