@@ -120,23 +120,6 @@ def _hyperplanes(dim: int, n_planes: int, table: int, seed: int = 42):
     ]
 
 
-def _bucket_sig(vec_col: str, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bits of the vector's dot products with each
-    hyperplane, packed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
-    return sig
-
-
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
