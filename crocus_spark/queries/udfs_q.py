@@ -251,3 +251,81 @@ def udf_map_in_arrow(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           (SELECT c.click_id FROM clicks c
+            WHERE c.user_id = p.user_id AND c.click_ts <= p.purchase_ts
+            ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1) AS last_click_id
+    FROM purchases p
+    ORDER BY p.user_id, p.purchase_id
+    """,
+    tags=("udf", "cogroup", "asof"),
+)
+def udf_cogrouped_asof(spark, sf_dir):
+    """Cogrouped-map pandas (§2B#64's two-sided sibling —
+    ``groupBy().cogroup().applyInPandas``): both relations shuffle by
+    user_id ONCE and arrive at the UDF as a pandas frame PAIR per key —
+    the API for per-key logic that needs both sides at once (here an
+    as-of backward merge via pandas merge_asof, the imperative twin of
+    the declarative join_asof_events). At 100 TB this is one co-shuffle
+    and per-key Arrow batches; the declarative as-of stays the default —
+    cogroup is for semantics Catalyst can't express (model scoring per
+    key, custom alignment, per-entity curve fitting)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+    def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # left = purchases, right = clicks for ONE user_id
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "last_click_id"]
+            )
+        left = left.sort_values(["purchase_ts", "purchase_id"])
+        # ties on click_ts break to the HIGHEST click_id (the SQL
+        # correlated subquery orders click_ts DESC, click_id DESC)
+        right = right.sort_values(["click_ts", "click_id"])
+        merged = pd.merge_asof(
+            left,
+            right.rename(columns={"user_id": "r_user"})[
+                ["r_user", "click_id", "click_ts"]
+            ],
+            left_on="purchase_ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        out = merged[["user_id", "purchase_id"]].copy()
+        out["last_click_id"] = merged["click_id"].astype("object").where(
+            merged["click_id"].notna(), None
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof, "user_id long, purchase_id long, last_click_id long"
+        )
+        .orderBy("user_id", "purchase_id")
+    )
