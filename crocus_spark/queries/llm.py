@@ -7,10 +7,13 @@ oracle (exact dedup, n-gram Jaccard, span removal, cosine near-dup,
 brute-force ANN, all text stats, multimodal metadata + real decode).
 Probabilistic candidate generation keeps property tests in
 tests/test_llm.py; where measured recall is exactly 1.0 with the pinned
-seeds (hyperplane-LSH ANN, MinHash pair dedup) the EXACT result doubles
-as the oracle, so seed/band regressions fail the hash. Genuinely
-engine-specific ops (SimHash/xxhash64, survivor propagation, IVF/PQ at
-nprobe<cells) stay rows-only by design.
+seeds AT EVERY FIXTURE SCALE (MinHash pair dedup, verified sf0.001-0.1)
+the EXACT result doubles as the oracle, so seed/band regressions fail
+the hash. Hyperplane-LSH ANN stays rows-only: its recall is 1.0 on the
+500-vector fixtures but provably dips at sf0.1's 2000 vectors —
+an equality oracle there would be data luck. Genuinely engine-specific
+ops (SimHash/xxhash64, survivor propagation, IVF/PQ at nprobe<cells)
+are rows-only by design.
 """
 
 from __future__ import annotations
@@ -132,7 +135,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     O(n·perms) + bucket-local joins.
 
     The oracle is the EXACT Jaccard pair set: with the pinned permutation
-    seeds, measured recall on both fixtures is 1.0 (verification already
+    seeds, measured recall is 1.0 at sf0.001, sf0.01 AND sf0.1 (verification already
     guarantees precision 1.0), so the banded plan must keep reproducing
     the exact answer — a band/permutation regression now fails the hash
     instead of only nudging the recall bound in tests/test_llm.py."""
@@ -236,24 +239,12 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_topk",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-               WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
-          WHERE vec_id >= 10),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
-      FROM q CROSS JOIN c
-    ), ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cos, rank
-    FROM ranked WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
+    oracle=None,  # approximate by nature: recall vs brute force is 1.0 on
+    # the 500-vector fixtures with pinned seeds but drops below 1.0 at the
+    # 2000-vector sf0.1 corpus (near-orthogonal neighbors sit at the flat
+    # part of the hyperplane-LSH S-curve) — an exact-equality oracle would
+    # be data luck, the failure class the r1 advisor flagged on the geo
+    # join. Recall >= 0.8 is property-tested at tests/test_llm.py instead.
     tags=("llm", "similarity"),
 )
 def ann_lsh_topk(spark, sf_dir):
@@ -261,13 +252,7 @@ def ann_lsh_topk(spark, sf_dir):
     (§2B#55 scale path): 8 tables × 4-bit buckets, queries probe their
     bucket plus 1-bit-flip neighbors, candidates from bucket equi-joins,
     exact re-scoring. The at-scale ANN shape: per-query cost is
-    bucket-local.
-
-    The oracle is the EXACT brute-force top-5: with the pinned seeds the
-    measured recall on both fixtures is 1.0, so the approximate plan must
-    keep reproducing the exact answer — a silent recall regression (seed
-    drift, bucket bug, probe change) now fails the hash instead of only
-    nudging a recall bound."""
+    bucket-local."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -910,17 +895,18 @@ def search_inverted_index(spark, sf_dir):
       FROM prep
     )
     SELECT vec_id,
-           ROUND(scale, 12) AS scale,
+           CAST(scale AS FLOAT) AS scale,
            CAST(list_aggregate(
                   list_transform(v, x ->
                     CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT)
                          AS DECIMAL(10,0))),
                   'sum') AS BIGINT) AS q_sum,
-           ROUND(list_aggregate(
-                   list_transform(v, x ->
-                     (x - FLOOR(x / scale + 0.5) * scale)
-                     * (x - FLOOR(x / scale + 0.5) * scale)),
-                   'sum') / len(v), 12) AS mse
+           CAST(CAST(list_aggregate(
+                  list_transform(v, x ->
+                    CAST((x - FLOOR(x / scale + 0.5) * scale)
+                         * (x - FLOOR(x / scale + 0.5) * scale)
+                         AS DECIMAL(38,30))),
+                  'sum') AS DOUBLE) / len(v) AS FLOAT) AS mse
     FROM scaled
     ORDER BY vec_id
     """,
@@ -946,25 +932,41 @@ def embedding_quantize_int8(spark, sf_dir):
         )
         / 127.0
     )
-    d = d.withColumn("scale", scale)
-    err = lambda x: (x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"))  # noqa: E731
+    # internal name differs from the output alias: naming the float32
+    # output "scale" in the same select would rebind err's reference to
+    # the narrowed column (observed: float32-level mse drift)
+    d = d.withColumn("scale_d", scale)
+    err = lambda x: (x - F.floor(x / F.col("scale_d") + 0.5) * F.col("scale_d"))  # noqa: E731
     return d.select(
         "vec_id",
-        F.round("scale", 12).alias("scale"),
+        # float32 cast, not round(12): decimal rounding of a ~1e-7
+        # double sits on half-digit boundaries where Spark and DuckDB
+        # round differently (observed at sf0.1); binary float rounding
+        # is IEEE round-to-nearest-even in BOTH engines — bit-exact.
+        F.col("scale_d").cast("float").alias("scale"),
         F.aggregate(
             F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x.cast("long"),
         ).alias("q_sum"),
-        F.round(
+        # per-term decimal cast makes the accumulation ORDER-EXACT
+        # (DuckDB's list sum is not strictly sequential — observed
+        # 3-ulp double drift at sf0.1); decimal sum → double → /n →
+        # float32 is then bit-identical in both engines.
+        (
             F.aggregate(
-                F.transform("v", lambda x: err(x) * err(x)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size("v"),
-            12,
-        ).alias("mse"),
+                F.transform(
+                    "v",
+                    lambda x: (err(x) * err(x)).cast("decimal(38,30)"),
+                ),
+                F.lit(0).cast("decimal(38,30)"),
+                # re-pin the accumulator type each step: Spark's decimal
+                # + widens (38,30)+(38,30)→(38,29); addition creates no
+                # new fractional digits, so the cast never rounds
+                lambda acc, x: (acc + x).cast("decimal(38,30)"),
+            ).cast("double")
+            / F.size("v")
+        ).cast("float").alias("mse"),
     ).orderBy("vec_id")
 
 
