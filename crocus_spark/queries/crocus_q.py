@@ -531,3 +531,63 @@ def holdings_overlap_confront(spark, sf_dir):
         .orderBy(F.desc("overlap"), "region", "nation_a", "nation_b")
         .limit(20)
     )
+
+
+@register(
+    "normalize_fx_convert",
+    oracle="""
+    WITH prices(isin, amount, ccy) AS (VALUES
+      ('IE00B5BMR087', 632.42, 'USD'),
+      ('IE00B4L5Y983', 105.87, 'USD'),
+      ('IE00BK5BQT80', 144.12, 'EUR'),
+      ('IE00B3XXRP09',  92.30, 'GBP'),
+      ('IE00B3RBWM25', 130.05, 'CHF'),
+      ('IE00UNKNOWN1',  50.00, 'JPY')
+    ), fx(ccy, to_eur) AS (VALUES
+      ('EUR', 1.0), ('USD', 0.92), ('GBP', 1.17), ('CHF', 1.04)
+    )
+    SELECT p.isin, p.amount, p.ccy,
+           round(p.amount * f.to_eur, 4) AS amount_eur,
+           f.to_eur IS NULL AS fx_missing
+    FROM prices p LEFT JOIN fx f ON p.ccy = f.ccy
+    ORDER BY p.isin
+    """,
+    tags=("crocus", "normalize", "fx"),
+)
+def normalize_fx_convert(spark, sf_dir):
+    """Currency normalization — the step the reference's cross-provider
+    price comparison silently requires (prices arrive as 'USD 632,42' vs
+    '144,12 EUR' vs '5,66 €', ishares.json:7 / vanguard.json:8,:20; a
+    confront across them is meaningless until amounts share a
+    denomination). The FX table is a bounded dimension literal that
+    BROADCASTS onto the price scan; unknown currencies surface
+    fx_missing = true with a NULL amount instead of silently dropping or
+    guessing — the same quarantine discipline as the ticker mapping. At
+    100 TB the FX dim is dated (valid_from per rate) and the join adds
+    the as-of condition — same broadcast shape."""
+    rows = [
+        ("IE00B5BMR087", 632.42, "USD"),
+        ("IE00B4L5Y983", 105.87, "USD"),
+        ("IE00BK5BQT80", 144.12, "EUR"),
+        ("IE00B3XXRP09", 92.30, "GBP"),
+        ("IE00B3RBWM25", 130.05, "CHF"),
+        ("IE00UNKNOWN1", 50.00, "JPY"),
+    ]
+    prices = spark.createDataFrame(
+        rows, "isin string, amount double, ccy string"
+    )
+    fx = spark.createDataFrame(
+        [("EUR", 1.0), ("USD", 0.92), ("GBP", 1.17), ("CHF", 1.04)],
+        "ccy string, to_eur double",
+    )
+    return (
+        prices.join(F.broadcast(fx), "ccy", "left")
+        .select(
+            "isin",
+            "amount",
+            "ccy",
+            F.round(F.col("amount") * F.col("to_eur"), 4).alias("amount_eur"),
+            F.col("to_eur").isNull().alias("fx_missing"),
+        )
+        .orderBy("isin")
+    )
