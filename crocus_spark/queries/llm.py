@@ -128,9 +128,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup dedup (§2B#54 scale path): 32 perms, 8 bands ×
-    4 rows (S-curve knee ≈ 0.7), candidates from band-bucket equi-joins,
-    exact-Jaccard verification at 0.9. Precision 1.0 by construction.
+    """MinHash+LSH near-dup dedup (§2B#54 scale path): 48 perms, 12 bands
+    × 4 rows, candidates from band-bucket equi-joins, exact-Jaccard
+    verification at 0.9. Precision 1.0 by construction. 12 bands (not the
+    operator's default 8) because this query carries an EXACT oracle: at
+    J = 0.9 the per-pair miss probability drops from ~2e-4 to ~3e-6, so
+    the recall-1.0 contract has two orders of magnitude of margin against
+    fixture changes rather than riding the S-curve edge.
     This is the operator that replaces the exact path at 100 TB: cost is
     O(n·perms) + bucket-local joins.
 
@@ -141,7 +145,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     instead of only nudging the recall bound in tests/test_llm.py."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        docs, "text", "doc_id", n_perm=32, bands=8, verify_threshold=0.9
+        docs, "text", "doc_id", n_perm=48, bands=12, verify_threshold=0.9
     ).orderBy("id_a", "id_b")
 
 
