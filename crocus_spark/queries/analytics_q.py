@@ -1,19 +1,22 @@
-"""Behavioral analytics queries — funnel conversion and cohort retention
-over the events stream. The reference's daily snapshots imply exactly this
-workload once products are compared over time ('confront ... as a starting
-point for later evolutions', reference README.md:3-8): who progressed
-through a sequence, and who came back.
+"""Behavioral analytics queries — funnel conversion, cohort retention,
+rolling-window anomaly detection, and EWMA smoothing over the events
+stream. The reference's daily snapshots imply exactly this workload once
+products are compared over time ('confront ... as a starting point for
+later evolutions', reference README.md:3-8): who progressed through a
+sequence, who came back, and which readings look wrong.
 
-Both queries are windowless-join shapes that scale: funnels reduce each
+All of these are key-partitioned shapes that scale: funnels reduce each
 user to a handful of per-stage minimum timestamps (one grouped aggregate
 over the fact scan — conditional min, no self-join of events); cohorts
 join a user-sized dimension (first-seen week) back to the fact table on
-user_id — broadcast- or shuffle-joinable, never event×event.
-"""
+user_id — broadcast- or shuffle-joinable, never event×event; the rolling
+z-score and EWMA are per-user windows (one shuffle on user_id, bounded
+ROWS frames — no global sort, no unpartitioned window)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crocus_spark.io import load
 from crocus_spark.queries import register
@@ -163,3 +166,145 @@ def cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH framed AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS n_prev,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, value, n_prev,
+             (s2 - (s1 * s1) / n_prev) / (n_prev - 1) AS var,
+             s1 / n_prev AS mean
+      FROM framed
+      WHERE n_prev >= 10
+    )
+    SELECT user_id, event_id, value,
+           CAST((value - mean) / sqrt(var) AS REAL) AS z
+    FROM scored
+    WHERE var > 1e-12 AND abs((value - mean) / sqrt(var)) > 2.5
+    ORDER BY user_id, event_id
+    """,
+    tags=("analytics", "timeseries", "quality"),
+)
+def anomaly_rolling_zscore(spark, sf_dir):
+    """Rolling-window anomaly detection: each event's value scored against
+    the mean/std of its user's previous 20 readings (trailing frame,
+    current row excluded — no self-leakage), flagged when |z| > 2.5. The
+    moments come from exact DECIMAL partial sums (sum, sum-of-squares)
+    so the variance is order-independent and bit-identical to the oracle
+    — double SUM over a window frame is order-dependent and would drift
+    between engines (see _det.py). Spark shape: one shuffle on user_id,
+    a bounded ROWS frame (constant state per row), and the z arithmetic
+    as identical double expression trees in both engines; output cast to
+    float32 so the hash is binary-stable. At 100 TB this is the streaming
+    sensor-QC shape: key-partitioned, bounded state, no global pass."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    ev = load(spark, sf_dir, "events")
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("value").over(w).alias("n_prev"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+         .alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).over(w)
+         .cast("double").alias("s2"),
+    ).filter(F.col("n_prev") >= 10)
+    scored = framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n_prev"))
+         / (F.col("n_prev") - 1)).alias("var"),
+        (F.col("s1") / F.col("n_prev")).alias("mean"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        scored.filter((F.col("var") > 1e-12) & (F.abs(z) > 2.5))
+        .select("user_id", "event_id", "value", z.cast("float").alias("z"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "series_ewma_smooth",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, value,
+             lag(value, 1) OVER w AS x1,
+             lag(value, 2) OVER w AS x2,
+             lag(value, 3) OVER w AS x3,
+             lag(value, 4) OVER w AS x4
+      FROM events
+      WHERE user_id % 20 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, value,
+           (value
+            + CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 * x1 END
+            + CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 * x2 END
+            + CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 * x3 END
+            + CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 * x4 END)
+           / (1.0
+              + CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END
+              + CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END
+              + CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END
+              + CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END) AS ewma
+    FROM lagged
+    ORDER BY user_id, event_id
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_ewma_smooth(spark, sf_dir):
+    """EWMA smoothing (α = 0.5, 5-tap truncation): the classic recursive
+    filter unrolled into lag() taps so it stays a pure window expression
+    — no UDF, no recursion, one shuffle on user_id. α = 0.5 makes every
+    weight an exact binary fraction (0.5, 0.25, 0.125, 0.0625), every
+    product a power-of-two scaling (exact in IEEE double), and the 5-term
+    sum a fixed left-to-right expression tree — so the result is
+    bit-identical across engines with NO rounding or decimal casts at
+    all. Ramp-up uses renormalized partial weights (standard adjusted-EWMA
+    semantics, as in pandas ewm(adjust=True)). At 100 TB the frame is
+    O(1) per row and the only movement is the user_id shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("x1"),
+        F.lag("value", 2).over(w).alias("x2"),
+        F.lag("value", 3).over(w).alias("x3"),
+        F.lag("value", 4).over(w).alias("x4"),
+    )
+    def tap(col, wt):
+        return F.when(F.col(col).isNull(), 0.0).otherwise(wt * F.col(col))
+    def wt_of(col, wt):
+        return F.when(F.col(col).isNull(), 0.0).otherwise(F.lit(wt))
+    num = (
+        F.col("value")
+        + tap("x1", 0.5) + tap("x2", 0.25)
+        + tap("x3", 0.125) + tap("x4", 0.0625)
+    )
+    den = (
+        F.lit(1.0)
+        + wt_of("x1", 0.5) + wt_of("x2", 0.25)
+        + wt_of("x3", 0.125) + wt_of("x4", 0.0625)
+    )
+    return lagged.select(
+        "user_id", "event_id", "value", (num / den).alias("ewma")
+    ).orderBy("user_id", "event_id")

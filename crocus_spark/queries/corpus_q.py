@@ -623,3 +623,55 @@ def corpus_weighted_sample(spark, sf_dir):
         .limit(100)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "corpus_train_test_split",
+    oracle="""
+    WITH split AS (
+      SELECT source, lang, n_chars,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       <= 'c'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM split
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("corpus", "llm"),
+)
+def corpus_train_test_split(spark, sf_dir):
+    """Deterministic train/test split for a training corpus: membership is
+    a pure function of doc_id — first hex nibble of md5('split:'||id),
+    '0'..'c' → train (13/16 ≈ 81%), 'd'..'f' → test — so the split is
+    reproducible across engines, runs, and cluster sizes with NO stored
+    assignment table, and any join against either half is a filter, not
+    a lookup. (The seeded-md5 trick is the same portable-hash pattern as
+    corpus_shuffle_deterministic; Spark's xxhash64 and DuckDB's hash()
+    disagree, md5 doesn't.) The query itself audits the split: per
+    source × split doc counts and char volumes — one hash aggregate over
+    the scan, no shuffle beyond the group-by, trivially 100 TB-safe."""
+    docs = load(spark, sf_dir, "documents")
+    split = docs.select(
+        "source",
+        "n_chars",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 1,
+            ) <= "c",
+            "train",
+        ).otherwise("test").alias("split"),
+    )
+    return (
+        split.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )

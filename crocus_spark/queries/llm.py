@@ -1333,3 +1333,117 @@ def dedup_span_removal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "search_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)
+               / (SELECT COUNT(*) FROM documents) AS avgdl,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+    ),
+    postings AS (
+      SELECT tok, doc_id, COUNT(*) AS tf
+      FROM toks
+      WHERE tok IN ('spark', 'merge')
+      GROUP BY tok, doc_id
+    ),
+    dfs AS (
+      SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok
+    ),
+    term_scores AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+               AS tscore
+      FROM postings p
+      JOIN dfs d USING (tok)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    matched AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(tscore AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM term_scores GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM matched
+    ORDER BY rk
+    LIMIT 20
+    """,
+    tags=("llm", "text", "search"),
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 ranking (Robertson-Spärck Jones; k1 = 1.2, b = 0.75) over the
+    same inverted-index read path as search_inverted_index, disjunctive
+    semantics: any doc containing ≥1 query term scores. The length
+    normalization needs dl/avgdl — dl is the doc-sized token-count
+    relation joined onto the postings (postings are already term-filtered,
+    so the join touches O(df(terms)) rows), avgdl and N are two exact
+    integer scalars. Per-term scores are pure double expression trees
+    (identical in both engines); the per-doc sum over ≤|q| terms goes
+    through the DECIMAL quantize-then-sum pattern (_det.py) so term order
+    can't drift the hash. Top-20 via row_number compiles to
+    TakeOrderedAndProject. At 100 TB the postings table is the
+    materialized artifact partitioned by term, dl lives beside it, and
+    this query reads O(df(terms)) postings — never the corpus.
+
+    k1+1 = 2.2 and 1-b = 0.25 are written as literals so both engines
+    fold the same constants."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "merge"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    n_toks = toks.count()
+    avgdl = float(n_toks) / n_docs
+    postings = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tscore = idf * (
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+    )
+    term_scores = (
+        postings.join(F.broadcast(dfs), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", tscore.alias("tscore"))
+    )
+    matched = term_scores.groupBy("doc_id").agg(
+        F.sum(F.col("tscore").cast("decimal(25,6)")).cast("double")
+         .alias("score")
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        matched.select(
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(20)
+    )

