@@ -364,18 +364,20 @@ def simhash(
     toks = tokenize_distinct(df, text_col, id_col).withColumn(
         "x", F.xxhash64("tok")
     )
-    # bit test via unsigned shift: (1 << 63) is not a valid long literal
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned("x", i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{i}")
+    # The ±1 vote sum is 2·ones − n, so "vote > 0" ⟺ "2·ones > n": summing
+    # the raw bit ((x >> i) & 1, no CASE) keeps the 64 aggregate expressions
+    # tiny — the sign test moves to the post-agg projection where n is a
+    # single count column. (Unsigned shift: (1 << 63) isn't a valid long.)
+    ones = [
+        F.sum(F.shiftrightunsigned("x", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
     sim = F.lit(0).cast("long")
     for i in range(bits - 1):  # top bit left clear: keep the value positive
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
+        sim = sim + F.when(
+            F.col(f"o{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(0)
     return agg.select("id", sim.alias("simhash"))
 
 
@@ -388,41 +390,68 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit bands of the simhash (a pair
     within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands —
-    pigeonhole), then verify with bit_count(xor) ≤ max_hamming."""
+    pigeonhole), then verify with bit_count(xor) ≤ max_hamming.
+
+    Shape: the signature relation feeds ONE (band, piece) shuffle and pairs
+    are generated bucket-locally with array lambdas — no self-join, so the
+    64-agg signature aggregate is computed once, not once per join side.
+    The Hamming verify runs INSIDE the pair-generation lambda, so a bucket
+    of B members holds only its verified near-dup pairs, never the B²
+    candidate array. Bucket skew: a flood of identical documents collapses
+    onto one (band, piece) bucket in ANY banded scheme and its pair OUTPUT
+    is quadratic by definition — the 100 TB pipeline runs exact dedup
+    (text_exact_dedup) first, after which bucket membership is bounded by
+    distinct near-identical signatures."""
     sh = simhash(df, text_col, id_col)
-    pieces = []
-    for b in range(bands):
-        pieces.append(
-            sh.select(
-                "id",
-                "simhash",
-                F.lit(b).alias("band"),
-                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("piece"),
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for b in range(bands)
+                ]
             )
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.piece") == F.col("b.piece"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+        ).alias("band", "piece"),
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    buckets = (
+        banded.groupBy("band", "piece")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pair = lambda x, y: F.struct(  # noqa: E731
+        x["id"].alias("id_a"),
+        y["id"].alias("id_b"),
+        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(
+                                F.col("ms"), i + 2, F.size(F.col("ms"))
+                            ),
+                            lambda y: pair(x, y),
+                        ),
+                        lambda p: p["hamming"] <= max_hamming,
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()  # a pair may collide on more than one band
+    )
 
 
 def duplicated_span_removal(
