@@ -96,7 +96,16 @@ def _verify_jaccard(candidates: DataFrame, sets: DataFrame) -> DataFrame:
     """Score candidate (id_a, id_b) pairs exactly: join both token-id
     arrays, intersection via array_intersect over bigint ids (primitive
     fast path — see _token_sets.toks_h) — pair-local work, no
-    re-explode."""
+    re-explode.
+
+    The trailing keys-only aggregate is an optimizer BARRIER, not a dedup
+    (candidates are already distinct): without it, Catalyst pushes the
+    caller's ``jaccard >= t`` filter into the verify join's condition,
+    where array_intersect is evaluated a second time per candidate on top
+    of the output projection. The aggregate pins the intersection to ONE
+    map-side evaluation; it costs no exchange because the broadcast verify
+    joins preserve the candidate relation's (id_a, id_b) hash
+    partitioning from its distinct."""
     sa = sets.select(F.col("id").alias("id_a"), F.col("toks_h").alias("toks_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("toks_h").alias("toks_b"))
     return (
@@ -108,6 +117,12 @@ def _verify_jaccard(candidates: DataFrame, sets: DataFrame) -> DataFrame:
             F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
             F.size("toks_a").alias("sz_a"),
             F.size("toks_b").alias("sz_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("n_inter").alias("n_inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
         .withColumn(
             "jaccard",

@@ -214,11 +214,55 @@ def graph_triangle_count(spark, sf_dir):
     return out
 
 
+def _pagerank_oracle(rounds: int) -> str:
+    """Unrolled PageRank oracle: one CTE per round, mirroring the engine's
+    decimal-quantized contribution sums (each round's recv is an exact
+    DECIMAL(25,12) sum of per-edge rank/deg contributions — see _det.py),
+    which is exactly what makes an 8-round double-valued fixpoint
+    bit-comparable across engines at all."""
+    head = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), half AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+      SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nv AS (SELECT COUNT(*) AS n FROM deg
+    ), wedges AS (
+      SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+    ), r0 AS (
+      SELECT src, 1.0 / (SELECT n FROM nv) AS rank FROM deg
+    )"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(f""", r{k} AS (
+      SELECT v.src,
+             0.15 / (SELECT n FROM nv)
+               + 0.85 * COALESCE(c.recv, 0.0) AS rank
+      FROM deg v LEFT JOIN (
+        SELECT w.dst,
+               CAST(SUM(CAST(r.rank / w.deg AS DECIMAL(25,12))) AS DOUBLE)
+                 AS recv
+        FROM wedges w JOIN r{k - 1} r ON w.src = r.src
+        GROUP BY w.dst
+      ) c ON v.src = c.dst
+    )""")
+    tail = f"""
+    SELECT r.src AS part, round(r.rank, 9) AS rank, d.deg AS deg
+    FROM r{rounds} r JOIN deg d USING (src)
+    ORDER BY round(r.rank, 9) DESC, part
+    LIMIT 20
+    """
+    return head + "".join(rounds_sql) + tail
+
+
 @register(
     "graph_pagerank",
-    oracle=None,  # iterative fixpoint — not single-statement ANSI SQL;
-    # property-tested in tests/test_properties.py (rank mass conservation,
-    # degree-rank correlation)
+    oracle=_pagerank_oracle(8),
     tags=("graph", "iterative"),
 )
 def graph_pagerank(spark, sf_dir):
@@ -230,7 +274,13 @@ def graph_pagerank(spark, sf_dir):
     localCheckpoint()ed every round so the lineage (and its replay cost)
     stays O(1) instead of O(rounds) — the difference between 8 rounds and
     8! plan nodes at 100 TB. No dangling mass: every vertex of an
-    undirected edge list has degree ≥ 1."""
+    undirected edge list has degree ≥ 1.
+
+    Each round's received mass goes through the DECIMAL quantize-then-sum
+    contract (_det.py), so every round's rank vector — and therefore the
+    8-round fixpoint — is order-independent and bit-identical to the
+    unrolled SQL oracle: an ITERATIVE double-valued algorithm under the
+    full hash gate, not a rows-only check."""
     items = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -265,7 +315,10 @@ def graph_pagerank(spark, sf_dir):
             wedges.join(ranks, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("recv"))
+            # decimal quantize-then-sum (_det.py): received mass is exact
+            # and order-independent, which is what lets an 8-round double
+            # fixpoint carry a bit-exact oracle
+            .agg(F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("recv"))
         )
         ranks = (
             deg.select("src")
