@@ -778,3 +778,72 @@ def agg_theta_set_algebra(spark, sf_dir):
         .cast("long")
         .alias("n_urgent_only"),
     )
+
+
+@register(
+    "agg_regr_battery",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6)))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL) AS slope,
+           CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS REAL) AS intercept,
+           CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS REAL) AS r2
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "ml"),
+)
+def agg_regr_battery(spark, sf_dir):
+    """Per-group simple linear regression (§2B#25 extension): slope,
+    intercept, R² of extendedprice on quantity via the closed-form
+    normal equations, NOT the builtin regr_* aggregates — the five
+    moment sums are decimal-exact (order-independent, see _det), the
+    closed-form combination is a fixed double expression tree evaluated
+    identically by both engines, and the outputs are float32-cast to
+    absorb the last-ulp libm noise. At 100 TB this is one map-side
+    partial aggregate carrying 6 numbers per (group × partition) — the
+    same shuffle shape as q1; a regression per group costs no more than
+    a sum per group."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            slope.cast("float").alias("slope"),
+            ((sy - slope * sx) / n).cast("float").alias("intercept"),
+            (
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            )
+            .cast("float")
+            .alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

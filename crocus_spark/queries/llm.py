@@ -1447,3 +1447,145 @@ def search_bm25_topk(spark, sf_dir):
         .orderBy("rk")
         .limit(20)
     )
+
+
+@register(
+    "text_unigram_prob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n_total FROM toks
+    ), per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(f.c) AS sum_freq
+      FROM toks t JOIN freq f ON t.tok = f.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_freq,
+           CAST(sum_freq AS DOUBLE) / (n_tokens * n_total) AS mean_prob
+    FROM per_doc, total
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_unigram_prob_score(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet/fastText-style
+    corpus-frequency filter): each document scored by its mean unigram
+    probability under the corpus's own unigram distribution — rare-word
+    gibberish scores low, common-word text scores high. Kept fully
+    rational: per-doc Σ count(token) is an INTEGER sum (exact, order-free)
+    and the single double division (sum_freq / (n_tokens · N)) is
+    bit-identical across engines — no logs, no float accumulation. At
+    100 TB the unigram table is vocab-sized → broadcast; the corpus is
+    touched by exactly two scans (count pass, score pass), each a
+    map-side-combined hash aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()  # one scalar, not a data-sized collect
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens") * F.lit(n_total))
+        ).alias("mean_prob"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ml_auc_evaluation",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+    ), dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM corpus WHERE label = 0
+    ), means AS (
+      SELECT dim,
+             round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM dims GROUP BY dim
+    ), cent AS (
+      SELECT list(m ORDER BY dim) AS centroid FROM means
+    ), scored AS (
+      SELECT vec_id, (label = 0) AS is_pos,
+             round(list_cosine_similarity(embedding::DOUBLE[], centroid), 6)
+               AS score
+      FROM corpus, cent
+    ), ranked AS (
+      SELECT is_pos,
+             RANK() OVER (ORDER BY score) AS r,
+             COUNT(*) OVER (PARTITION BY score) AS c
+      FROM scored
+    ), agg AS (
+      SELECT SUM(CASE WHEN is_pos THEN 2 * r + c - 1 ELSE 0 END) AS s2,
+             SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nn
+      FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(s2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+    FROM agg
+    """,
+    tags=("llm", "ml"),
+)
+def ml_auc_evaluation(spark, sf_dir):
+    """Model-evaluation AUC at corpus scale: score every vector by cosine
+    to the label-0 centroid (a broadcast scorer — the 'model' is one
+    d-dim vector), then AUC of label-0 vs rest via the Mann-Whitney
+    rank-sum with midrank tie handling. The whole statistic reduces to
+    THREE integers (Σ over positives of 2·rank + tiecount − 1, n_pos,
+    n_neg) and one final double division — exact and engine-identical;
+    no per-threshold ROC sweep, no sort-and-collect. The rank window is
+    the only global-order step; at 100 TB replace it with the range-shard
+    rank pattern of corpus_global_row_ids (same module) — the statistic
+    is unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb.filter(F.col("label") == 0))
+    scored = emb.crossJoin(F.broadcast(cents.select("centroid"))).select(
+        (F.col("label") == 0).alias("is_pos"),
+        F.round(S.cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = scored.select(
+        "is_pos",
+        F.rank().over(W.orderBy("score")).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("score")).alias("c"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("is_pos"), 2 * F.col("r") + F.col("c") - 1).otherwise(
+                0
+            )
+        ).alias("s2"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )
