@@ -11,6 +11,7 @@ them viable at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crocus_spark.io import load, register_views
 from crocus_spark.queries import register
@@ -844,6 +845,75 @@ def agg_regr_battery(spark, sf_dir):
             )
             .cast("float")
             .alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(25,6)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    ), hit AS (
+      SELECT l_returnflag, l_extendedprice, totw,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      FROM w WHERE 2 * cumw >= totw
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS weighted_median,
+           CAST(totw AS DOUBLE) AS total_weight
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (§2B#24 extension): the price at which half the
+    QUANTITY-weighted mass lies on each side — the portfolio-weighted
+    percentile the reference's holdings comparison implies (median
+    holding price weighted by position size). Exact, not sketched: one
+    cumulative decimal-weight window per group with a total-order
+    tie-break, then the first row crossing half the total weight. The
+    cumulative sum is DECIMAL so every prefix is exact and
+    order-identical across engines. At 100 TB swap the per-group sort
+    for the two-pass histogram narrowing of agg_percentiles — same
+    answer, no full sort; the window form is the semantic spec."""
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    wrn = Window.partitionBy("l_returnflag").orderBy(*order)
+    wt = F.col("l_quantity").cast(DEC)
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(wt).over(wcum).alias("cumw"),
+        F.sum(wt).over(wtot).alias("totw"),
+    ).filter(2 * F.col("cumw") >= F.col("totw"))
+    return (
+        w.withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median"),
+            F.col("totw").cast("double").alias("total_weight"),
         )
         .orderBy("l_returnflag")
     )

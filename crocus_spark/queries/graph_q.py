@@ -310,7 +310,7 @@ def graph_pagerank(spark, sf_dir):
     # state the loop touches.
     wedges = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ranks = deg.select("src", F.lit(1.0 / n_v).alias("rank"))
-    for _ in range(8):
+    for rnd in range(8):
         contribs = (
             wedges.join(ranks, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -330,8 +330,12 @@ def graph_pagerank(spark, sf_dir):
                     + 0.85 * F.coalesce(F.col("recv"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        # truncate lineage every OTHER round: a depth-2 plan replays one
+        # extra join on recompute (cheap) while halving the checkpoint
+        # materializations — rounds stay O(1) lineage either way.
+        if rnd % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=False)
     out = (
         ranks.join(deg, "src")
         .select(

@@ -316,3 +316,77 @@ def join_strategy_hints(spark, sf_dir):
     for x in outs[1:]:
         out = out.unionAll(x)
     return out.orderBy("strategy")
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    ), matched AS (
+      SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_value
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE WHEN click_ts >= ts - INTERVAL 2 HOUR
+                THEN strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') END
+             AS recent_click_ts,
+           CASE WHEN click_ts >= ts - INTERVAL 2 HOUR
+                THEN click_value END AS recent_click_value,
+           CASE WHEN click_ts IS NULL THEN 'no_click'
+                WHEN click_ts >= ts - INTERVAL 2 HOUR THEN 'within_tolerance'
+                ELSE 'stale' END AS match_status
+    FROM matched
+    ORDER BY user_id, event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (§2B#16, the pandas
+    ``merge_asof(tolerance=...)`` semantics): each purchase takes the
+    user's latest prior click only if it happened within the last 2
+    hours — older matches are demoted to NULL but the left row survives
+    (attribution windows, stale-quote suppression in the crocus NAV
+    confront). Implementation: the same single-shuffle union+window
+    as-of, carrying the matched timestamp so the tolerance is one
+    post-hoc row-local CASE — no second join, no inequality-join blowup;
+    the oracle applies the identical CASE over DuckDB's native ASOF."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_value"],
+        suffix="",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    in_tol = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.when(in_tol, F.date_format("click_ts", fmt)).alias(
+            "recent_click_ts"
+        ),
+        F.when(in_tol, F.col("click_value")).alias("recent_click_value"),
+        F.when(F.col("click_ts").isNull(), "no_click")
+        .when(in_tol, "within_tolerance")
+        .otherwise("stale")
+        .alias("match_status"),
+    ).orderBy("user_id", "event_id")

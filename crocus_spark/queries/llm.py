@@ -1589,3 +1589,117 @@ def ml_auc_evaluation(spark, sf_dir):
             / (2 * F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+@register(
+    "ml_confusion_metrics",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ), means AS (
+      SELECT label, dim,
+             round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM dims GROUP BY label, dim
+    ), cent AS (
+      SELECT label AS clabel, list(m ORDER BY dim) AS centroid
+      FROM means GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.clabel,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6)
+               AS cos
+      FROM embeddings e CROSS JOIN cent c
+    ), pred AS (
+      SELECT vec_id, true_label, clabel AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, clabel) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ), labels AS (
+      SELECT DISTINCT label FROM embeddings
+    ), m AS (
+      SELECT l.label,
+             (SELECT COUNT(*) FROM pred
+              WHERE true_label = l.label AND pred_label = l.label) AS tp,
+             (SELECT COUNT(*) FROM pred
+              WHERE pred_label = l.label AND true_label <> l.label) AS fp,
+             (SELECT COUNT(*) FROM pred
+              WHERE true_label = l.label AND pred_label <> l.label) AS fn
+      FROM labels l
+    )
+    SELECT label, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+    FROM m
+    ORDER BY label
+    """,
+    tags=("llm", "ml"),
+)
+def ml_confusion_metrics(spark, sf_dir):
+    """Classifier evaluation at corpus scale (the companion to
+    ml_auc_evaluation): nearest-centroid predictions for EVERY vector,
+    reduced to per-label tp/fp/fn and precision/recall/F1. The metric
+    table is labels-sized; everything data-sized is one broadcast-scored
+    pass plus one per-vector argmax window. tp/fp/fn are exact integers,
+    each rate is one double division — engine-identical with no float
+    accumulation anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb).select(
+        F.col("label").alias("clabel"), "centroid"
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "clabel",
+        F.round(S.cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+            "cos"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    wv = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "clabel")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("clabel").alias("pred_label"))
+    )
+    per_true = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("pred_label") != F.col("true_label"), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    per_pred = pred.filter(F.col("pred_label") != F.col("true_label")).groupBy(
+        F.col("pred_label").alias("label")
+    ).agg(F.count(F.lit(1)).alias("fp"))
+    m = per_true.join(per_pred, "label", "left").select(
+        "label",
+        "tp",
+        F.coalesce("fp", F.lit(0)).alias("fp"),
+        "fn",
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp == 0, F.lit(None).cast("double"))
+        .otherwise(tp.cast("double") / (tp + fp))
+        .alias("prec"),
+        F.when(tp + fn == 0, F.lit(None).cast("double"))
+        .otherwise(tp.cast("double") / (tp + fn))
+        .alias("rec"),
+        F.when(2 * tp + fp + fn == 0, F.lit(None).cast("double"))
+        .otherwise((2 * tp).cast("double") / (2 * tp + fp + fn))
+        .alias("f1"),
+    ).orderBy("label")

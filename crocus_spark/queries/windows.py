@@ -688,3 +688,110 @@ def sessionize_batch(spark, sf_dir):
         .filter(F.col("n_events") >= 2)
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "series_linear_interp",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_custkey % 97 = 0
+      GROUP BY date_trunc('day', o_orderdate)
+    ), bounds AS (
+      SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+             date_trunc('day', MAX(o_orderdate)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), gridded AS (
+      SELECT sp.day, s.total,
+             last_value(s.total IGNORE NULLS) OVER
+               (ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_val,
+             last_value(CASE WHEN s.total IS NOT NULL THEN sp.day END
+                        IGNORE NULLS) OVER
+               (ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_day,
+             first_value(s.total IGNORE NULLS) OVER
+               (ORDER BY sp.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_val,
+             first_value(CASE WHEN s.total IS NOT NULL THEN sp.day END
+                         IGNORE NULLS) OVER
+               (ORDER BY sp.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_day
+      FROM spine sp LEFT JOIN sparse s ON sp.day = s.day
+    )
+    SELECT day,
+           CASE WHEN total IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+             ELSE prev_val + (next_val - prev_val)
+                  * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                     / date_diff('day', prev_day, next_day))
+           END AS interp_total
+    FROM gridded
+    ORDER BY day
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def series_linear_interp(spark, sf_dir):
+    """Linear-interpolation gap fill — the locf twin of
+    ``timeseries_gapfill`` for series where a straight line between the
+    surrounding observations beats carrying the last one (prices between
+    snapshot days, the crocus NAV-alignment case). Bracketing
+    observations come from two ignorenulls windows (last-preceding,
+    first-following); the interpolation weight is an exact integer day
+    ratio, so the single fused multiply-add per row is bit-identical
+    across engines. Same scale shape as gapfill: the spine is generated,
+    never stored, and the two windows are one calendar-sized sort."""
+    o = load(spark, sf_dir, "orders")
+    sparse = (
+        o.filter(F.col("o_custkey") % 97 == 0)
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"))
+    )
+    spine = (
+        o.agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("total").isNotNull(), F.col("day"))
+    g = (
+        spine.join(sparse, "day", "left")
+        .select(
+            "day",
+            "total",
+            F.last("total", ignorenulls=True).over(wprev).alias("prev_val"),
+            F.last(known_day, ignorenulls=True).over(wprev).alias("prev_day"),
+            F.first("total", ignorenulls=True).over(wnext).alias("next_val"),
+            F.first(known_day, ignorenulls=True).over(wnext).alias("next_day"),
+        )
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    )
+    return g.select(
+        "day",
+        F.when(F.col("total").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(
+            F.col("prev_val").isNull() | F.col("next_val").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+        .alias("interp_total"),
+    ).orderBy("day")
