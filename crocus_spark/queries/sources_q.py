@@ -608,7 +608,13 @@ def io_python_datasink(spark, sf_dir):
     path = _scratch("catalog_sink_out")
     shutil.rmtree(path, ignore_errors=True)
     cat = (
-        spark.read.format("crocus_catalog").option("n_products", 500).load()
+        spark.read.format("crocus_catalog")
+        .option("n_products", 500)
+        # 5 pages per fetch task: the write half is what this query
+        # proves; 25 one-page tasks would just be Python-worker spawn
+        # overhead (page stays the retry unit either way).
+        .option("pages_per_task", 5)
+        .load()
     )
     (
         cat.select("product_id", "currency", "price")

@@ -58,14 +58,22 @@ def _fetch_page(page: int, n_products: int) -> list[tuple]:
 
 
 class _PagePartition(InputPartition):
-    def __init__(self, page: int, n_products: int):
-        self.page = page
+    """A contiguous RANGE of catalog pages. One page stays the retry
+    unit (a failed fetch re-raises and Spark retries the whole task,
+    replaying only this range); ``pages_per_task`` only controls how
+    many sequential fetches share one task's scheduling overhead —
+    task count tracks catalog size / pages_per_task, not page count."""
+
+    def __init__(self, page_lo: int, page_hi: int, n_products: int):
+        self.page_lo = page_lo
+        self.page_hi = page_hi  # exclusive
         self.n_products = n_products
 
 
 class _CatalogReader(DataSourceReader):
     def __init__(self, options):
         self.n_products = int(options.get("n_products", 100))
+        self.pages_per_task = max(1, int(options.get("pages_per_task", 1)))
         # Real-HTTP mode: pages served as JSON arrays at
         # {base_url}/page/{p}, fetched executor-side with retry/backoff
         # (sources/http_fetch.py). Absent base_url, the deterministic
@@ -76,28 +84,33 @@ class _CatalogReader(DataSourceReader):
 
     def partitions(self):
         n_pages = -(-self.n_products // PAGE_SIZE)
-        return [_PagePartition(p, self.n_products) for p in range(n_pages)]
+        step = self.pages_per_task
+        return [
+            _PagePartition(lo, min(lo + step, n_pages), self.n_products)
+            for lo in range(0, n_pages, step)
+        ]
 
     def read(self, partition):
-        if self.base_url:
-            from crocus_spark.sources.http_fetch import fetch_json_page
+        for page in range(partition.page_lo, partition.page_hi):
+            if self.base_url:
+                from crocus_spark.sources.http_fetch import fetch_json_page
 
-            for r in fetch_json_page(
-                self.base_url,
-                partition.page,
-                retries=self.retries,
-                politeness_s=self.politeness_s,
-            ):
-                yield (
-                    int(r["product_id"]),
-                    int(r["page"]),
-                    r["isin"],
-                    r["currency"],
-                    float(r["price"]),
-                    float(r["weight"]),
-                )
-        else:
-            yield from _fetch_page(partition.page, partition.n_products)
+                for r in fetch_json_page(
+                    self.base_url,
+                    page,
+                    retries=self.retries,
+                    politeness_s=self.politeness_s,
+                ):
+                    yield (
+                        int(r["product_id"]),
+                        int(r["page"]),
+                        r["isin"],
+                        r["currency"],
+                        float(r["price"]),
+                        float(r["weight"]),
+                    )
+            else:
+                yield from _fetch_page(page, partition.n_products)
 
 
 class CatalogDataSource(DataSource):

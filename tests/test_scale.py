@@ -243,6 +243,24 @@ def test_python_datasource_reads_pages_in_parallel(spark):
         assert abs(got.price - expect[4]) == 0.0
 
 
+def test_python_datasource_pages_per_task_groups_ranges(spark):
+    """pages_per_task groups contiguous pages into one task: task count
+    shrinks (ceil(25/5) = 5), while every row — including the logical
+    page ids, which stay pid // PAGE_SIZE — is unchanged. The knob
+    trades scheduling overhead for per-task fetch sequentiality; it
+    must never change WHAT is read."""
+    from crocus_spark.sources import register_catalog_source
+
+    register_catalog_source(spark)
+    base = spark.read.format("crocus_catalog").option("n_products", 500)
+    one = base.load()
+    grouped = base.option("pages_per_task", 5).load()
+    assert grouped.rdd.getNumPartitions() == 5
+    assert sorted(map(tuple, grouped.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+
 def test_expire_snapshots_keeps_newest_and_time_travel_survives(spark):
     """VACUUM-style retention: oldest versions are deleted, the newest
     keep_last stay readable, and the latest state is unchanged by
