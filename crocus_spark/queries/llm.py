@@ -1703,3 +1703,80 @@ def ml_confusion_metrics(spark, sf_dir):
         .otherwise((2 * tp).cast("double") / (2 * tp + fp + fn))
         .alias("f1"),
     ).orderBy("label")
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings WHERE label = 0
+    ), means AS (
+      SELECT dim,
+             round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM dims GROUP BY dim
+    ), cent AS (
+      SELECT list(m ORDER BY dim) AS centroid FROM means
+    ), scored AS (
+      SELECT (label = 0) AS is_pos,
+             round((list_cosine_similarity(embedding::DOUBLE[], centroid)
+                    + 1) / 2, 6) AS p
+      FROM embeddings, cent
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, is_pos, p
+      FROM scored
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+           CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS mean_score,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_pos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("llm", "ml"),
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Calibration (reliability) table for the centroid scorer: scores
+    mapped to [0,1], bucketed into deciles, each bin reporting mean
+    predicted score vs empirical positive rate — the curve ECE is read
+    off of. Rounding the score BEFORE binning makes the bin id an exact
+    integer function of an engine-identical decimal; mean_score uses the
+    decimal quantize-then-sum contract and frac_pos is an integer ratio.
+    One hash aggregate over 10 cells — fused into the scan at any
+    scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(emb.filter(F.col("label") == 0))
+    scored = emb.crossJoin(F.broadcast(cents.select("centroid"))).select(
+        (F.col("label") == 0).alias("is_pos"),
+        F.round(
+            (S.cosine(F.col("embedding"), F.col("centroid")) + 1) / 2, 6
+        ).alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "is_pos",
+        "p",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("n_pos"),
+            (
+                F.sum(F.col("p").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+            (
+                F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

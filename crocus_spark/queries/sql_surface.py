@@ -254,3 +254,37 @@ def sql_pipe_syntax(spark, sf_dir):
         |> LIMIT 25
         |> SELECT l_orderkey, n_lines, revenue
     """)
+
+
+_CORRELATED_SQL = """
+    SELECT c_custkey, c_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST((SELECT MAX(o2.o_totalprice) FROM orders o2
+                 WHERE o2.o_custkey = c.c_custkey) AS DOUBLE) AS max_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o3
+                  WHERE o3.o_custkey = c.c_custkey
+                    AND o3.o_totalprice > 400000)
+      AND c_custkey NOT IN (SELECT o4.o_custkey FROM orders o4
+                            WHERE o4.o_orderstatus = 'F'
+                              AND o4.o_totalprice < 1000)
+    ORDER BY c_custkey
+"""
+
+
+@register("sql_correlated_subqueries", oracle=_CORRELATED_SQL, tags=("sql",))
+def sql_correlated_subqueries(spark, sf_dir):
+    """Correlated scalar subqueries + EXISTS + NOT IN, run verbatim
+    (§2C): the imperative per-customer lookup loop a scraper would
+    write, stated declaratively. Catalyst DECORRELATES every clause —
+    the two scalar subqueries become one aggregated left join each, the
+    EXISTS a left-semi join, the NOT IN a null-aware left-anti join —
+    so the plan is four key-partitioned joins over the orders table,
+    not O(customers) point queries: the difference between a plan that
+    survives 100 TB and one that re-scans orders per row. NOT IN's
+    three-valued NULL semantics are preserved by the null-aware anti
+    join, matching DuckDB exactly."""
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_CORRELATED_SQL)
