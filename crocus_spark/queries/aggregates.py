@@ -917,3 +917,79 @@ def agg_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                  AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(25,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(25,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           CAST(mu AS REAL) AS mean_qty,
+           CAST(SQRT(m2) AS REAL) AS pop_std,
+           CAST(m3 / (m2 * SQRT(m2)) AS REAL) AS skewness,
+           CAST(m4 / (m2 * m2) - 3 AS REAL) AS excess_kurtosis
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis per group (§2B#25
+    extension, the distribution-shape tail of the moments battery) —
+    computed from decimal-exact raw power sums (Σx..Σx⁴) combined by a
+    fixed double expression tree written identically in both engines
+    (sqrt instead of pow(1.5), no library-dependent transcendentals),
+    float32-cast at the boundary. Same 100 TB shape as every moments
+    aggregate: one map-side-combined hash agg carrying 5 numbers per
+    (group × partition); a 4th-moment profile costs what a sum costs."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("s1"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(DEC)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(DEC)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            mu.cast("float").alias("mean_qty"),
+            F.sqrt(m2).cast("float").alias("pop_std"),
+            (m3 / (m2 * F.sqrt(m2))).cast("float").alias("skewness"),
+            (m4 / (m2 * m2) - 3).cast("float").alias("excess_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )
