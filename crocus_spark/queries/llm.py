@@ -1681,7 +1681,9 @@ def ml_confusion_metrics(spark, sf_dir):
     per_pred = pred.filter(F.col("pred_label") != F.col("true_label")).groupBy(
         F.col("pred_label").alias("label")
     ).agg(F.count(F.lit(1)).alias("fp"))
-    m = per_true.join(per_pred, "label", "left").select(
+    # both metric relations are labels-sized — broadcast the smaller so
+    # the static plan never shows a sort-merge exchange for model rows
+    m = per_true.join(F.broadcast(per_pred), "label", "left").select(
         "label",
         "tp",
         F.coalesce("fp", F.lit(0)).alias("fp"),

@@ -399,3 +399,47 @@ def test_span_removal_broadcasts_duplicate_grams(spark, registry):
     plan = _plan(registry["dedup_span_removal"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_evaluation_queries_broadcast_the_model(spark, registry):
+    """ml_auc_evaluation / ml_confusion_metrics / ml_calibration_bins
+    score the corpus against a model-sized relation (one centroid or a
+    labels-sized table). The corpus must NEVER shuffle for that scoring:
+    the model arrives by broadcast, and the only nested-loop join
+    allowed is the broadcast 1-row cross (a corpus×corpus BNLJ is the
+    quadratic failure mode)."""
+    for name in (
+        "ml_auc_evaluation",
+        "ml_confusion_metrics",
+        "ml_calibration_bins",
+    ):
+        plan = _plan(registry[name].fn(spark, SF_SMOKE))
+        assert "BroadcastExchange" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_unigram_score_broadcasts_vocab(spark, registry):
+    """text_unigram_prob_score probes the vocab-sized frequency table —
+    the token relation must join it by broadcast, not shuffle the
+    exploded corpus on the token key."""
+    plan = _plan(registry["text_unigram_prob_score"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_is_single_shuffle_no_second_join(spark, registry):
+    """join_asof_tolerance must stay the union+window as-of: exactly the
+    as-of's one exchange family, and no join node at all — the tolerance
+    is a row-local CASE, not a re-join of the click stream."""
+    plan = _plan(registry["join_asof_tolerance"].fn(spark, SF_SMOKE))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_regression_battery_is_partial_agg(spark, registry):
+    """agg_regr_battery / agg_skew_kurtosis carry their power sums as
+    partial aggregates — map-side combine before the exchange, so the
+    shuffle is (groups × partitions) cells."""
+    for name in ("agg_regr_battery", "agg_skew_kurtosis"):
+        plan = _plan(registry[name].fn(spark, SF_SMOKE))
+        assert "partial_" in plan or "HashAggregate" in plan, name
+        assert "SortMergeJoin" not in plan, name
