@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from crocus_spark.io import load
 from crocus_spark.queries import register
+from crocus_spark.queries._det import DEC
 
 
 @register(
@@ -308,3 +309,121 @@ def series_ewma_smooth(spark, sf_dir):
     return lagged.select(
         "user_id", "event_id", "value", (num / den).alias("ewma")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "series_max_drawdown",
+    oracle="""
+    WITH path AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value AS DECIMAL(25,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events WHERE event_type = 'purchase'
+    ), peaks AS (
+      SELECT user_id, ts, event_id, cum,
+             MAX(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM path
+    )
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS max_peak
+    FROM peaks
+    GROUP BY user_id
+    HAVING COUNT(*) >= 10
+    ORDER BY max_drawdown DESC, user_id
+    LIMIT 50
+    """,
+    tags=("analytics", "timeseries", "finance"),
+)
+def series_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per entity — THE risk statistic the reference's
+    NAV time-series comparison implies (largest peak-to-trough fall of a
+    cumulative value path). Two stacked windows on one partitioning
+    (running decimal sum → running max) then a plain group-by: every
+    prefix sum is DECIMAL-exact with a total-order tie-break, so peak,
+    trough, and their difference are engine-identical. One shuffle on
+    the entity key; path length per key is unbounded but streamed — no
+    per-key buffering, no self-join over time."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    return (
+        peaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.max(F.col("peak") - F.col("cum")).cast("double").alias(
+                "max_drawdown"
+            ),
+            F.max("peak").cast("double").alias("max_peak"),
+        )
+        .filter(F.col("n_points") >= 10)
+        .orderBy(F.col("max_drawdown").desc(), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "holdings_concentration_hhi",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey AS portfolio,
+             COUNT(*) AS n_positions,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(25,6)))
+                  AS DOUBLE) AS tot_sq
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 5
+    )
+    SELECT portfolio, n_positions,
+           CAST(tot_sq / (tot * tot) AS REAL) AS hhi,
+           CAST(1.0 / n_positions AS REAL) AS hhi_floor
+    FROM w
+    ORDER BY hhi DESC, portfolio
+    LIMIT 50
+    """,
+    tags=("analytics", "finance"),
+)
+def holdings_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration per portfolio — the
+    diversification screen on the reference's holdings files (is this
+    ETF 40 positions or effectively 3?). HHI = Σ(wᵢ/Σw)² collapses to
+    Σw²/(Σw)², so NO per-position weight normalization pass exists: one
+    hash aggregate carrying (count, Σw, Σw²) per portfolio, then a
+    single float32-cast division. The floor 1/n is reported so the
+    consumer reads concentration relative to equal-weight. Same shuffle
+    shape as a sum at any scale."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    w = (
+        o.groupBy(F.col("o_custkey").alias("portfolio"))
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(p.cast(DEC)).cast("double").alias("tot"),
+            F.sum((p * p).cast(DEC)).cast("double").alias("tot_sq"),
+        )
+        .filter(F.col("n_positions") >= 5)
+    )
+    return w.select(
+        "portfolio",
+        "n_positions",
+        (F.col("tot_sq") / (F.col("tot") * F.col("tot")))
+        .cast("float")
+        .alias("hhi"),
+        (F.lit(1.0) / F.col("n_positions")).cast("float").alias("hhi_floor"),
+    ).orderBy(F.col("hhi").desc(), "portfolio").limit(50)
