@@ -209,3 +209,90 @@ def test_theta_set_algebra_consistent_with_exact(spark):
     assert close(row.n_union, len(urgent | other))
     assert close(row.n_both, len(urgent & other))
     assert close(row.n_urgent_only, len(urgent - other))
+
+
+def test_weighted_median_defining_property(spark):
+    """For each group: at least half the total weight sits at or below
+    the reported weighted median, and strictly less than half sits
+    strictly below it — the definition, checked against the raw table
+    rather than any oracle."""
+    from crocus_spark.io import load
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    med = {
+        r.l_returnflag: r.weighted_median
+        for r in REGISTRY["agg_weighted_median"].fn(spark, SF_SMOKE).collect()
+    }
+    li = load(spark, SF_SMOKE, "lineitem")
+    for flag, m in med.items():
+        g = li.filter(F.col("l_returnflag") == flag)
+        tot = g.agg(F.sum("l_quantity")).first()[0]
+        at_or_below = (
+            g.filter(F.col("l_extendedprice") <= m)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        )
+        below = (
+            g.filter(F.col("l_extendedprice") < m)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+            or 0.0
+        )
+        assert 2 * at_or_below >= tot, flag
+        assert 2 * below < tot + 1e-9, flag
+
+
+def test_auc_bounds_and_counts(spark):
+    """AUC ∈ [0,1]; pos+neg covers the corpus; the label-0 centroid must
+    rank its own class above the rest (AUC > 0.5) on every fixture."""
+    from crocus_spark.io import load
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    row = REGISTRY["ml_auc_evaluation"].fn(spark, SF_SMOKE).first()
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    assert row.n_pos + row.n_neg == n
+    assert 0.0 <= row.auc <= 1.0
+    assert row.auc > 0.5
+
+
+def test_hhi_bounds(spark):
+    """HHI lies in [1/n_positions, 1] — equal-weight floor to
+    single-position ceiling — for every reported portfolio."""
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["holdings_concentration_hhi"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.hhi_floor - 1e-6 <= r.hhi <= 1.0 + 1e-6, r
+
+
+def test_drawdown_nonnegative_and_bounded_by_peak(spark):
+    """0 ≤ max drawdown ≤ max peak: the trough can't fall further than
+    the peak is high (values are non-negative purchase amounts)."""
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["series_max_drawdown"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown <= r.max_peak + 1e-9, r
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """Decile bins partition the scored corpus: counts sum to corpus
+    size, every frac_pos ∈ [0,1], every mean_score inside its bin's
+    [lo, hi] envelope."""
+    from crocus_spark.io import load
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["ml_calibration_bins"].fn(spark, SF_SMOKE).collect()
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.frac_pos <= 1.0
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
+        assert lo - 1e-6 <= r.mean_score <= hi + 1e-6, r
