@@ -461,3 +461,62 @@ def stream_stateful_rocksdb(spark, sf_dir):
         .select("user_id", "n_events", "total_cents")
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts < click_ts + INTERVAL '30 minutes'
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_outer(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (§2B#51's hardest
+    form): clicks with no purchase in the next 30 minutes must still
+    emit — but an outer result only flushes once the watermark passes
+    the click's window, so a finite replay needs the end-of-stream
+    sentinel (stage_stream_with_flush_sentinel) to push both sides'
+    watermarks past every real window. With the sentinel the streamed
+    result equals the batch LEFT JOIN bit-for-bit — the oracle is that
+    batch join; no emission-horizon carve-outs. State stays bounded by
+    watermark+window exactly as in the inner form."""
+    from crocus_spark.streaming.ops import (
+        EVENTS_STREAM_SCHEMA,
+        stage_stream_with_flush_sentinel,
+    )
+
+    stage = stage_stream_with_flush_sentinel(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ev = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
+    out = run_available_now(
+        stream_stream_attribution(ev, "30 minutes", "1 hour", "left_outer"),
+        "append",
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)  # drop the sentinel's own row
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "click_ts"
+            ),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -205,6 +205,7 @@ def stream_stream_attribution(
     events: DataFrame,
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join (beyond §2B#51's stream-static): attribute
     each purchase to the user's clicks in the preceding
@@ -242,7 +243,13 @@ def stream_stream_attribution(
             < F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         )
     )
-    return clicks.join(purchases, cond).select(
+    # left_outer: a click with no purchase in its window emits a null
+    # purchase row — but only once the watermark has passed click_ts +
+    # attribution_window (before that a match could still arrive). The
+    # emission horizon is therefore part of the operator's SEMANTICS on
+    # a finite replay: clicks younger than final_watermark - window stay
+    # unreported. Same state-expiry bound as inner.
+    return clicks.join(purchases, cond, join_type).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -385,3 +392,53 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stage_stream_with_flush_sentinel(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> str:
+    """Stage a stream directory = fixture file + one FLUSH SENTINEL file
+    (a click and a purchase for the reserved user_id -1, timestamped 10
+    days past the fixture's max event time).
+
+    Why: outer stream-stream join results for a left row emit only once
+    the watermark passes its join window, and the watermark only advances
+    from rows that REACH the watermark operator. On a finite replay the
+    youngest unmatched rows would stay unreported. The sentinel pair (one
+    row per join SIDE — a row filtered out before ``withWatermark`` moves
+    no watermark) drives both watermarks past every real window, so the
+    final result equals the batch outer join exactly. This is the
+    file-stream analog of closing a Kafka topic with an end-of-day marker
+    message — the production pattern for deterministic daily cutoffs
+    (the reference's scrape-day boundary)."""
+    import glob
+    import shutil
+
+    src = os.path.realpath(f"{sf_dir}/{table}.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"{table}_flush",
+    )
+    done = os.path.join(stage, "_SENTINEL_DONE")
+    if os.path.exists(done):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    os.symlink(src, os.path.join(stage, f"{table}.parquet"))
+    maxts = spark.read.parquet(src).agg(F.max("ts")).first()[0]  # one scalar
+    sent = spark.createDataFrame(
+        [
+            (-1, maxts, -1, "click", 0.0, "{}"),
+            (-2, maxts, -1, "purchase", 0.0, "{}"),
+        ],
+        schema=EVENTS_STREAM_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 240 HOURS"))
+    tmp = os.path.join(stage, "_sentinel_build")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(stage, f"zz_{table}_sentinel.parquet"))
+    shutil.rmtree(tmp)
+    open(done, "w").close()
+    return stage
