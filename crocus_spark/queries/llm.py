@@ -974,10 +974,81 @@ def embedding_quantize_int8(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _kmeans_oracle(rounds: int, k: int = 8) -> str:
+    """Unrolled Lloyd's k-means oracle — the iterative-ML twin of
+    _pagerank_oracle (graph_q.py): one CTE chain per round, mirroring the
+    engine's arithmetic EXPRESSION FOR EXPRESSION. What makes a 6-round
+    double-valued training loop hash-comparable across engines:
+
+    - d2 is a LEFT-TO-RIGHT double fold of per-dim squared differences —
+      DuckDB ``list_reduce`` replays Spark's ``F.aggregate`` IEEE add
+      sequence bit-for-bit (verified: 1e16 + 1 - 1e16 = 0 in both);
+    - argmin ties break on (d2, cell) with d2 bit-identical, so the
+      assignment — and therefore every downstream sum — is identical;
+    - inertia and centroid means go through the DECIMAL(30,9)
+      quantize-then-sum contract (_det.py), so each round's model state
+      is order-independent in both engines.
+    """
+    head = f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS centroid
+      FROM emb ORDER BY vec_id LIMIT {k}
+    )"""
+    parts = []
+    for r in range(1, rounds + 1):
+        it = r - 1
+        moved = (
+            f"""SELECT {it} AS iter,
+             CAST(SUM(CAST(d2 AS DECIMAL(30,9))) AS DOUBLE) AS inertia,
+             COUNT(*) AS n_moved
+      FROM a{r}"""
+            if r == 1
+            else f"""SELECT {it} AS iter,
+             CAST(SUM(CAST(a.d2 AS DECIMAL(30,9))) AS DOUBLE) AS inertia,
+             SUM(CASE WHEN p.cell IS NULL OR a.cell <> p.cell
+                      THEN 1 ELSE 0 END) AS n_moved
+      FROM a{r} a LEFT JOIN a{r - 1} p ON a.vec_id = p.vec_id"""
+        )
+        parts.append(f""", s{r} AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(e.v, c.centroid),
+                              x -> (x[1] - x[2]) * (x[1] - x[2]))),
+               (acc, x) -> acc + x) AS d2
+      FROM emb e CROSS JOIN c{r - 1} c
+    ), a{r} AS (
+      SELECT vec_id, v, cell, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+        FROM s{r}) WHERE rn = 1
+    ), h{r} AS (
+      {moved}
+    ), m{r} AS (
+      SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+      FROM a{r}
+    ), g{r} AS (
+      SELECT cell, dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS comp
+      FROM m{r} GROUP BY cell, dim
+    ), rc{r} AS (
+      SELECT cell, list(comp ORDER BY dim) AS centroid FROM g{r} GROUP BY cell
+    ), c{r} AS (
+      SELECT c.cell, COALESCE(rc.centroid, c.centroid) AS centroid
+      FROM c{r - 1} c LEFT JOIN rc{r} rc ON c.cell = rc.cell
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM h{r}" for r in range(1, rounds + 1))
+    tail = f"""
+    SELECT iter, inertia, n_moved FROM ({union}) ORDER BY iter
+    """
+    return head + "".join(parts) + tail
+
+
 @register(
     "ml_kmeans_iterations",
-    oracle=None,  # iterative fixpoint; property-tested (inertia monotone
-    # nonincreasing, run-to-run determinism) in tests/test_properties.py
+    oracle=_kmeans_oracle(6),
     tags=("similarity", "iterative", "ml"),
 )
 def ml_kmeans_iterations(spark, sf_dir):
@@ -991,7 +1062,9 @@ def ml_kmeans_iterations(spark, sf_dir):
     is a k-group decimal-exact aggregate, so inertia is order-independent
     and the whole round is ONE shuffle of k×dim partial sums. History
     rows, not the model, are returned: inertia must decrease every round
-    or the implementation is wrong — the property test pins it."""
+    or the implementation is wrong — the property test pins it, and the
+    unrolled _kmeans_oracle holds the whole 6-round loop to the full
+    hash gate (verified MATCH at sf0.001 / sf0.01 / sf0.1)."""
     from pyspark.sql.window import Window as W
 
     emb = load(spark, sf_dir, "embeddings").select(
