@@ -795,3 +795,53 @@ def series_linear_interp(spark, sf_dir):
         )
         .alias("interp_total"),
     ).orderBy("day")
+
+
+@register(
+    "window_interval_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           COUNT(*) OVER w AS n_prior_24h,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             AS value_24h
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def window_interval_range_frame(spark, sf_dir):
+    """Time-interval RANGE frame (§2B#29's event-time form): each
+    purchase aggregated with every purchase by the same user in the
+    PRECEDING 24 HOURS — frame membership decided by timestamp
+    arithmetic, not row position, so ties and irregular spacing are
+    handled exactly (the rolling-exposure / velocity-check shape:
+    'how much did this account buy in the last day'). One shuffle on the
+    user key, one in-partition sort; the frame slides without
+    re-scanning (Spark keeps a running frame over the sorted partition).
+    The aggregate under the frame is the DECIMAL quantize-then-sum, so
+    every sliding sum is exact."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # frame arithmetic in MICROSECONDS: a seconds-truncated cast would
+    # disagree with the oracle's exact INTERVAL for pairs straddling the
+    # 24 h boundary by under a second — the sf0.01-passes-on-data-luck
+    # class of bug.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_prior_24h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+            "value_24h"
+        ),
+    ).orderBy("user_id", "event_id")
