@@ -993,3 +993,42 @@ def agg_skew_kurtosis(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_boolean_battery",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+             = COUNT(*) AS all_open,
+           min(o_orderkey) AS first_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_boolean_battery(spark, sf_dir):
+    """Boolean/conditional aggregate battery (§2B#19 breadth):
+    count_if, every/bool_and, some/bool_or, an all-rows predicate, and a
+    deterministic representative (min, NOT any_value — any_value is
+    partition-order-dependent and can never sit under a hash gate). All
+    map-side-combinable: booleans fold as partial AND/OR bits, so the
+    battery shuffles a handful of bits per (group × partition)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+            (
+                F.count_if(F.col("o_orderstatus") == "O") == F.count(F.lit(1))
+            ).alias("all_open"),
+            F.min("o_orderkey").alias("first_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

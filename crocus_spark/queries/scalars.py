@@ -337,3 +337,74 @@ def try_functions_battery(spark, sf_dir):
         ),
         F.col("p_name").try_cast("date").isNull().alias("name_not_a_date"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "map_higher_order_battery",
+    oracle="""
+    WITH cells AS (
+      SELECT l_orderkey, l_linestatus AS k, COUNT(*) AS v
+      FROM lineitem GROUP BY l_orderkey, l_linestatus
+    )
+    SELECT l_orderkey,
+           string_agg(k || ':' || v, ',' ORDER BY k) AS entries,
+           string_agg(lower(k) || ':' || (v * 2), ',' ORDER BY k)
+             AS doubled_entries,
+           string_agg(CASE WHEN v > 1 THEN k || ':' || v END, ','
+                      ORDER BY k) AS multi_entries,
+           SUM(v * v) AS zip_dot
+    FROM cells
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("scalar", "map"),
+)
+def map_higher_order_battery(spark, sf_dir):
+    """Map higher-order functions (§2B#43 breadth): build a per-order
+    map linestatus→count with map_from_entries(sorted), then
+    transform_keys (lower), transform_values (×2), map_filter (v>1) and
+    map_zip_with (self dot product) — every lambda-over-map primitive in
+    one pass. Maps are flattened to key-sorted entry strings at the
+    boundary because a map cell has no canonical engine order; the
+    oracle recomputes each result from the raw cells, so the functions
+    are checked against independent arithmetic, not against themselves.
+    All per-row expression work — fused into the scan, no extra
+    shuffle beyond the one grouping."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_orderkey", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    m = cells.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linestatus").alias("k"), "v"))
+            )
+        ).alias("m")
+    )
+    def entries(mp):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(mp)),
+                lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+            ),
+            ",",
+        )
+    doubled = F.transform_values(
+        F.transform_keys(F.col("m"), lambda k, v: F.lower(k)),
+        lambda k, v: v * 2,
+    )
+    multi = F.map_filter(F.col("m"), lambda k, v: v > 1)
+    zipped = F.map_zip_with(
+        F.col("m"), F.col("m"), lambda k, a, b: a * b
+    )
+    return m.select(
+        "l_orderkey",
+        entries(F.col("m")).alias("entries"),
+        entries(doubled).alias("doubled_entries"),
+        F.when(F.size(F.map_entries(multi)) > 0, entries(multi)).alias(
+            "multi_entries"
+        ),
+        F.aggregate(
+            F.map_values(zipped), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("zip_dot"),
+    ).orderBy("l_orderkey")
