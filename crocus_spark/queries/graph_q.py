@@ -390,3 +390,125 @@ def graph_bfs_distances(spark, sf_dir):
     exactly the components loop's shape, but driven from SQL."""
     register_views(spark, sf_dir)
     return spark.sql(_BFS_SQL)
+
+
+def _bellman_ford_oracle(rounds: int) -> str:
+    """Unrolled weighted-shortest-path oracle (the min-plus sibling of
+    _pagerank_oracle): K relaxation rounds over the co-purchase graph
+    with edge weight 1/m (m = co-purchase multiplicity). Why the whole
+    loop sits under the hash gate with PLAIN doubles: each candidate
+    distance is a chain of IEEE adds along one path — identical in both
+    engines — and MIN over candidates is exact (no accumulation, unlike
+    SUM), so no decimal quantization is even needed."""
+    head = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), half AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS m
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), wedges AS (
+      SELECT src, dst, 1.0 / m AS w FROM half WHERE m >= 2
+      UNION ALL
+      SELECT dst, src, 1.0 / m FROM half WHERE m >= 2
+    ), verts AS (
+      SELECT DISTINCT src AS v FROM wedges
+    ), src0 AS (
+      SELECT MIN(v) AS s FROM verts
+    ), d0 AS (
+      SELECT v, CASE WHEN v = (SELECT s FROM src0)
+                     THEN 0.0 ELSE NULL END AS dist
+      FROM verts
+    )"""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f""", d{k} AS (
+      SELECT v, MIN(dist) AS dist FROM (
+        SELECT v, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS v, d.dist + e.w AS dist
+        FROM d{k - 1} d JOIN wedges e ON d.v = e.src
+        WHERE d.dist IS NOT NULL
+      ) GROUP BY v
+    )""")
+    tail = f"""
+    SELECT v AS part, dist
+    FROM d{rounds}
+    WHERE dist IS NOT NULL
+    ORDER BY dist, part
+    LIMIT 100
+    """
+    return head + "".join(parts) + tail
+
+
+@register(
+    "graph_weighted_shortest_path",
+    oracle=_bellman_ford_oracle(4),
+    tags=("graph", "iterative"),
+)
+def graph_weighted_shortest_path(spark, sf_dir):
+    """Bellman-Ford weighted shortest paths (4 relaxation rounds) from
+    the smallest vertex of the co-purchase graph, edge weight 1/m —
+    strongly co-purchased parts are 'closer'. Completes the iterative
+    family: PageRank (sum-fixpoint), connected components
+    (min-label-fixpoint), BFS (unweighted hops), and now min-PLUS. Spark
+    shape: one equi-join + min-agg shuffle per round, frontier rows only
+    (dist IS NOT NULL); distances need NO decimal contract because
+    min-plus never accumulates across rows — a candidate is one
+    add-chain along a path (IEEE-identical in both engines) and MIN is
+    exact. localCheckpoint per round keeps lineage O(1)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("src", "dst", (F.lit(1.0) / F.col("m")).alias("w"))
+    )
+    wedges = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).persist()
+    verts = wedges.select(F.col("src").alias("v")).distinct()
+    s = verts.agg(F.min("v")).first()[0]  # one scalar: the source vertex
+    d = verts.select(
+        "v",
+        F.when(F.col("v") == s, F.lit(0.0)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("dist"),
+    )
+    for _ in range(4):
+        relaxed = (
+            d.filter(F.col("dist").isNotNull())
+            .join(wedges, d.v == wedges.src)
+            .select(
+                F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
+            )
+        )
+        d = (
+            d.select("v", "dist")
+            .unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        d.filter(F.col("dist").isNotNull())
+        .orderBy("dist", "v")
+        .limit(100)
+        .select(F.col("v").alias("part"), "dist")
+        .localCheckpoint(eager=True)
+    )
+    wedges.unpersist()
+    return out
