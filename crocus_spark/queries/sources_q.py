@@ -674,3 +674,60 @@ def io_orc_pruned_scan(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "io_text_source",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY nationkey
+    """,
+    tags=("io", "text"),
+)
+def io_text_source(spark, sf_dir):
+    """Whole-line ``text`` source round-trip — the landing format for
+    logs and the reference's raw scrape dumps: supplier rows serialized
+    as pipe-delimited LINES (the pre-schema world), read back with
+    ``spark.read.text`` as one string column, re-parsed with
+    regexp_extract, and aggregated. The parse runs scan-side per line —
+    schema-on-read with no shuffle added; money re-parses through
+    integer cents so the round-trip is exact, not float-laundered. The
+    oracle aggregates the original table: any loss in serialize → text
+    scan → regex parse breaks the hash."""
+    import shutil
+
+    s = load(spark, sf_dir, "supplier")
+    path = _scratch("supplier_text")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        s.select(
+            F.concat_ws(
+                "|",
+                F.col("s_suppkey"),
+                F.col("s_nationkey"),
+                F.round(F.col("s_acctbal") * 100).cast("bigint"),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^([^|]+)\|([^|]+)\|([^|]+)$", 2)
+        .cast("bigint")
+        .alias("nationkey"),
+        F.regexp_extract("value", r"^([^|]+)\|([^|]+)\|([^|]+)$", 3)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        parsed.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("nationkey")
+    )
