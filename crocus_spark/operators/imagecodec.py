@@ -270,3 +270,120 @@ def synth_pixels(width: int, height: int, seed: int) -> bytes:
         x = (x * 1103515245 + 12345) & 0xFFFFFFFF
         out[i] = (x >> 16) & 0xFF
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# pixel-returning decode + resize
+# ---------------------------------------------------------------------------
+
+
+def decode_pnm_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """decode_pnm, plus the raw sample buffer (8-bit only here — the
+    engine's synth fixtures never exceed maxval 255)."""
+    width, height, channels = decode_pnm(data)
+    pos = 2
+    for _ in range(3):
+        _, pos = _pnm_token(data, pos)
+    pos += 1
+    need = width * height * channels
+    return width, height, channels, bytes(data[pos : pos + need])
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """decode_bmp, plus pixels re-ordered to row-major TOP-DOWN RGB —
+    undoing the format's bottom-up BGR row layout and 4-byte row
+    padding, so every decoder in the module yields the same canonical
+    buffer."""
+    width, height, channels = decode_bmp(data)
+    if channels != 3:
+        raise ValueError("pixel decode supports 24-bit BMP only")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    raw_h = struct.unpack_from("<i", data, 22)[0]
+    row_raw = 3 * width
+    row_bytes = (row_raw + 3) // 4 * 4
+    out = bytearray(row_raw * height)
+    for y in range(height):
+        src_y = height - 1 - y if raw_h > 0 else y
+        off = pixel_off + src_y * row_bytes
+        bgr = data[off : off + row_raw]
+        row = bytearray(bgr)
+        row[0::3], row[2::3] = bgr[2::3], bgr[0::3]
+        out[y * row_raw : (y + 1) * row_raw] = row
+    return width, height, 3, bytes(out)
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """decode_png, plus the unfiltered scanline buffer. Re-runs the
+    shared validation path, then repeats the unfilter keeping lines."""
+    width, height, channels = decode_png(data)
+    pos = 8
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = channels * width
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Sniff + full pixel decode to the canonical top-down row-major
+    interleaved buffer."""
+    if data[:8] == _PNG_SIG:
+        return decode_png_pixels(data)
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:2] in (b"P5", b"P6"):
+        return decode_pnm_pixels(data)
+    raise ValueError(f"unrecognized image format: magic={data[:8]!r}")
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int,
+    out_w: int, out_h: int,
+) -> bytes:
+    """Nearest-neighbor resize on the canonical buffer: output pixel
+    (x, y) samples source (x·w // out_w, y·h // out_h) — pure integer
+    index arithmetic, no interpolation, bit-deterministic on any
+    platform (the thumbnail/downsample stage of a multimodal pipeline;
+    swap in a library resampler via the same operator signature for
+    quality-sensitive paths)."""
+    out = bytearray(out_w * out_h * channels)
+    for y in range(out_h):
+        sy = y * height // out_h
+        src_row = sy * width * channels
+        dst_row = y * out_w * channels
+        for x in range(out_w):
+            sx = x * width // out_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)

@@ -199,3 +199,60 @@ def sample_frames(
         "media_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_out_bytes", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+
+def resize_media_batch(
+    media: DataFrame, out_w: int, out_h: int, reference_pixels=None
+) -> DataFrame:
+    """Decode → nearest-neighbor resize in one Arrow batch pass (§2B#60
+    resize stage). Emits geometry plus, when ``reference_pixels(media_id)
+    -> (w, h, ch, bytes)`` is given, a per-row ``resize_ok`` comparing
+    every resized byte against a resize of the independently generated
+    reference — which makes the whole encode → decode → resize chain
+    pixel-exact-checkable by an arithmetic oracle (the check is
+    vacuously NULL when no reference exists, e.g. for real scraped
+    media)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators.imagecodec import (
+        decode_image_pixels,
+        resize_nearest,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = decode_image_pixels(bytes(content))
+                rz = resize_nearest(px, w, h, ch, out_w, out_h)
+                ok = None
+                if reference_pixels is not None:
+                    rw, rh, rch, ref = reference_pixels(int(mid))
+                    ok = (rw, rh, rch) == (w, h, ch) and rz == resize_nearest(
+                        ref, rw, rh, rch, out_w, out_h
+                    )
+                rows.append(
+                    (int(mid), w, h, out_w, out_h, len(rz), ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "in_w", "in_h", "out_w", "out_h",
+                    "n_out_bytes", "resize_ok",
+                ],
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)

@@ -1855,3 +1855,47 @@ def ml_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS INT) AS in_w,
+           CAST(3 + doc_id % 11 AS INT) AS in_h,
+           CAST(8 AS INT) AS out_w,
+           CAST(6 AS INT) AS out_h,
+           CAST(8 * 6 * 3 AS INT) AS n_out_bytes,
+           TRUE AS resize_ok
+    FROM documents
+    WHERE doc_id % 2 = 0
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_resize(spark, sf_dir):
+    """Decode → RESIZE, pixel-exact end-to-end (the §2B#60 resize stage,
+    completing decode / feature-extract / resize / frame-sample): synth
+    PPM/BMP/PNG payloads are decoded to canonical pixel buffers by the
+    real codecs and nearest-neighbor downsampled to 8×6 in one Arrow
+    pass. Every resized byte is compared against a resize of the
+    independently regenerated LCG reference pattern — so ``resize_ok``
+    collapses a pixel-level assertion into a column the arithmetic
+    oracle pins to TRUE: a codec row-order bug, BGR swap, padding slip,
+    or index-math off-by-one fails the hash, not a unit test. Per-row
+    work is O(pixels); bytes never leave the executor."""
+    from crocus_spark.operators.imagecodec import synth_pixels
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+    )
+    imgs = M.synth_image_table(docs, "doc_id")
+    media = M.to_media_table(imgs, "doc_id", "img", "image")
+
+    def reference(mid: int):
+        w, h = 4 + mid % 13, 3 + mid % 11
+        return w, h, 3, synth_pixels(w, h, mid)
+
+    return M.resize_media_batch(media, 8, 6, reference).orderBy("media_id")
