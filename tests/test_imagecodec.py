@@ -104,5 +104,31 @@ try:
             data = enc(w, h, px)
             assert C.decode_image_bytes(data) == (w, h, 3)
 
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        ow=st.integers(min_value=1, max_value=16),
+        oh=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_pixel_decode_and_resize_property(w, h, ow, oh, seed):
+        """Any (w, h, seed): every codec's pixel decode returns the
+        EXACT original buffer (BMP's bottom-up BGR re-canonicalized, PNG
+        unfiltered), and nearest-neighbor resize to any (ow, oh) equals
+        the direct index-map of the original — decode and resize commute
+        with encoding."""
+        px = C.synth_pixels(w, h, seed)
+        expect = bytes(
+            px[(y * h // oh * w + x * w // ow) * 3 + c]
+            for y in range(oh)
+            for x in range(ow)
+            for c in range(3)
+        )
+        for enc in (C.encode_ppm, C.encode_bmp, C.encode_png):
+            got = C.decode_image_pixels(enc(w, h, px))
+            assert got == (w, h, 3, px)
+            assert C.resize_nearest(px, w, h, 3, ow, oh) == expect
+
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
