@@ -1899,3 +1899,150 @@ def multimodal_image_resize(spark, sf_dir):
         return w, h, 3, synth_pixels(w, h, mid)
 
     return M.resize_media_batch(media, 8, 6, reference).orderBy("media_id")
+
+
+def _pca_power_oracle(rounds: int) -> str:
+    """Unrolled power-iteration oracle (the linear-algebra member of the
+    unrolled-loop family: _pagerank_oracle, _kmeans_oracle,
+    _bellman_ford_oracle). Every matvec term G_ij·v_j and every squared
+    component w_i² is quantized to a SCALED INTEGER (round(x·1e12) as
+    BIGINT) before summation — NOT to a high-scale DECIMAL: Spark's
+    double→decimal cast goes through the 17-digit shortest string
+    (BigDecimal.valueOf), which at scale 18 rounds differently from
+    DuckDB's exact-expansion cast in the last digit (measured: last-ulp
+    drift compounding per round). round(x·1e12) is one IEEE multiply +
+    one half-away-from-zero round — both engines bit-identical — and the
+    BIGINT sums are exact, so each round's vector and the final eigenpair
+    hash-match; sqrt and the normalizing division are single IEEE ops on
+    identical inputs."""
+    head = """
+    WITH cells AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS x,
+             vec_id
+      FROM embeddings
+    ), gup AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS g
+      FROM cells a JOIN cells b
+        ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    ), gm AS (
+      SELECT i, j, g FROM gup
+      UNION ALL
+      SELECT j, i, g FROM gup WHERE i <> j
+    ), dims AS (
+      SELECT DISTINCT i AS dim FROM gm
+    ), v0 AS (
+      SELECT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS val
+      FROM dims
+    )"""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""", w{r} AS (
+      SELECT g.i AS dim,
+             CAST(SUM(CAST(ROUND(g.g * v.val * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS w
+      FROM gm g JOIN v{r - 1} v ON g.j = v.dim
+      GROUP BY g.i
+    ), n{r} AS (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(w * w * 1e14) AS BIGINT)) AS DOUBLE)
+                  / 1e14) AS nrm FROM w{r}
+    ), v{r} AS (
+      SELECT dim, w / (SELECT nrm FROM n{r}) AS val FROM w{r}
+    )""")
+    tail = f"""
+    SELECT v.dim, v.val AS component,
+           (SELECT nrm FROM n{rounds}) AS eigenvalue_est
+    FROM v{rounds} v
+    ORDER BY v.dim
+    """
+    return head + "".join(parts) + tail
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=_pca_power_oracle(4),
+    tags=("llm", "ml", "linalg", "iterative"),
+)
+def ml_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    on the second-moment matrix — the PCA/whitening kernel run entirely
+    as dataflow: G is a d²-cell relation (model-sized), v a d-row
+    relation; each round is one broadcast matvec join + two decimal-exact
+    reductions, nothing ever collects to the driver. 4 rounds from e₀,
+    every accumulation (matvec terms, norm²) decimal-quantized, so the
+    eigenpair sits under the full hash gate like the engine's other
+    unrolled loops (PageRank, k-means, Bellman-Ford). At 100 TB only the
+    Gram BUILD touches the corpus — here the hash-gated per-row-quantized
+    sum; the one-Arrow-pass matmul variant (operators/linalg.py
+    gram_cells, embedding_second_moment) is the throughput path, agreeing
+    to the round-6 oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    a, b = cells.alias("a"), cells.alias("b")
+    gup = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            (
+                F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(30,9)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("g")
+        )
+    )
+    gm = gup.unionAll(
+        gup.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).localCheckpoint(eager=True)  # d² rows — model-sized
+    v = (
+        gm.select(F.col("i").alias("dim"))
+        .distinct()
+        .select(
+            "dim",
+            F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("val"),
+        )
+    )
+    for _ in range(4):
+        w = (
+            gm.join(F.broadcast(v), gm.j == v.dim)
+            .groupBy(F.col("i").alias("dim"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("g") * F.col("val") * 1e12).cast("long")
+                    ).cast("double")
+                    / 1e12
+                ).alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w") * 1e14).cast("long")
+                ).cast("double")
+                / 1e14
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("w") / F.col("nrm")).alias("val")
+        )
+        last_nrm = nrm
+    return (
+        v.crossJoin(F.broadcast(last_nrm))
+        .select(
+            "dim",
+            F.col("val").alias("component"),
+            F.col("nrm").alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )
