@@ -159,3 +159,136 @@ def dq_observe_metrics(spark, sf_dir):
         ],
         "n_rows long, n_nonpositive long, n_null_date long, sum_price double",
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    WITH orphan_li AS (
+      SELECT COUNT(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    ), orphan_o AS (
+      SELECT COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ), childless AS (
+      SELECT COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+    )
+    SELECT 'lineitem->orders' AS fk, (SELECT n FROM orphan_li) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer', (SELECT n FROM orphan_o)
+    UNION ALL
+    SELECT 'orders_childless', (SELECT n FROM childless)
+    ORDER BY fk
+    """,
+    tags=("quality", "join"),
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity audit — the FK checks a
+    warehouse runs before trusting a snapshot (the reference's analog:
+    every holdings file must have a products-catalog row). Each check is
+    a LEFT ANTI join counted: key-partitioned, map-side-combinable, no
+    row ever leaves the cluster — at 100 TB an FK audit costs one
+    shuffle per edge of the schema graph. Childless-parent detection is
+    the same anti join reversed."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("fk"), "n_orphans")
+    )
+    childless = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("orders_childless").alias("fk"), "n_orphans")
+    )
+    return orphan_li.unionAll(orphan_o).unionAll(childless).orderBy("fk")
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ), tagged AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN epoch(o_orderdate) - epoch((SELECT lo FROM bounds))
+                       <= (epoch((SELECT hi FROM bounds))
+                           - epoch((SELECT lo FROM bounds))) / 2
+                  THEN 0 ELSE 1 END AS half
+      FROM orders
+    ), counts AS (
+      SELECT cat,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM tagged GROUP BY cat
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+    )
+    SELECT cat, n_ref, n_cur,
+           CAST(
+             (CAST(n_ref AS DOUBLE) / (SELECT t_ref FROM tot)
+              - CAST(n_cur AS DOUBLE) / (SELECT t_cur FROM tot))
+             * (CAST(n_ref AS DOUBLE) / (SELECT t_ref FROM tot)
+                - CAST(n_cur AS DOUBLE) / (SELECT t_cur FROM tot))
+             / (CAST(n_ref AS DOUBLE) / (SELECT t_ref FROM tot)
+                + CAST(n_cur AS DOUBLE) / (SELECT t_cur FROM tot))
+             AS REAL) AS drift_term
+    FROM counts
+    ORDER BY cat
+    """,
+    tags=("quality", "drift"),
+)
+def dq_distribution_drift(spark, sf_dir):
+    """Distribution-drift monitor between the first and second half of
+    the order history — the χ²-style per-category statistic
+    (p−q)²/(p+q) a pipeline watches to catch a provider silently
+    changing its mix (the PSI use case without PSI's ln, which is not
+    bit-portable across engines; this statistic is integer counts + a
+    fixed double expression tree + a float32 boundary cast, so the
+    monitor itself sits under the hash gate). One scan, one
+    category-sized aggregate; the time split is computed from the data's
+    own epoch bounds."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(
+            F.unix_timestamp("o_orderdate") - F.unix_timestamp("lo")
+            <= (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / 2,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    counts = tagged.groupBy("cat").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref")
+    q = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            "n_ref",
+            "n_cur",
+            ((p - q) * (p - q) / (p + q)).cast("float").alias("drift_term"),
+        )
+        .orderBy("cat")
+    )
