@@ -138,7 +138,7 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
         T.StructField("chunk_idx", T.IntegerType()),
         T.StructField("byte_start", T.LongType()),
         T.StructField("byte_len", T.LongType()),
-        T.StructField("rms", T.DoubleType()),  # stand-in feature
+        T.StructField("rms", T.FloatType()),  # stand-in feature
     ]
 )
 
@@ -156,6 +156,8 @@ def chunk_audio(
     Python-computed per-chunk features — the explode-then-extract pattern
     every audio featurizer at scale uses. Chunk boundaries are pure
     arithmetic; only the feature touches Python, Arrow-batched."""
+    import math  # noqa: PLC0415
+
     import pandas as pd  # noqa: PLC0415
 
     def fn(batches):
@@ -168,12 +170,18 @@ def chunk_audio(
                     chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
                     if not chunk:
                         break
-                    rms = (sum(b * b for b in chunk) / len(chunk)) ** 0.5
+                    ssum = sum(b * b for b in chunk)
+                    # math.sqrt (correctly-rounded IEEE) then a float32
+                    # boundary cast — not **0.5 + round(6): pow is not
+                    # guaranteed correctly rounded and decimal rounding of
+                    # a double hits half-digit boundaries; float32 is the
+                    # engine-portable emit (verify-skill contract).
+                    rms = math.sqrt(ssum / len(chunk))
                     out["media_id"].append(mid)
                     out["chunk_idx"].append(i)
                     out["byte_start"].append(i * chunk_bytes)
                     out["byte_len"].append(len(chunk))
-                    out["rms"].append(round(rms, 6))
+                    out["rms"].append(rms)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, AUDIO_CHUNK_SCHEMA)

@@ -679,9 +679,42 @@ def multimodal_real_decode(spark, sf_dir):
 
 @register(
     "multimodal_audio_chunks",
-    oracle=None,  # RMS runs over UTF-8 *bytes* of the payload; DuckDB SQL
-    # sees characters, so no faithful oracle — chunk math and features are
-    # unit-tested against a Python reference in tests/test_llm.py
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), chunks AS (
+      SELECT media_id, text, n,
+             unnest(range(least(16, CAST(ceil(n / 64.0) AS INT))))
+               AS chunk_idx
+      FROM docs
+    ), sized AS (
+      SELECT media_id, text, chunk_idx,
+             chunk_idx * 64 AS byte_start,
+             least(64, n - chunk_idx * 64) AS byte_len
+      FROM chunks
+    ), samples AS (
+      SELECT media_id, chunk_idx, byte_start, byte_len,
+             unnest(range(1, byte_len + 1)) AS off, text
+      FROM sized
+    )
+    SELECT media_id, chunk_idx,
+           CAST(byte_start AS BIGINT) AS byte_start,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           CAST(SQRT(CAST(SUM(ascii(substring(text, byte_start + off, 1))
+                              * ascii(substring(text, byte_start + off, 1)))
+                          AS DOUBLE) / byte_len) AS REAL) AS rms
+    FROM samples
+    GROUP BY media_id, chunk_idx, byte_start, byte_len
+    ORDER BY media_id, chunk_idx
+    """,
+    # Faithful for the fixture because every document is pure ASCII
+    # (verified octet_length == length at all three scales), so SQL
+    # character positions == payload byte offsets. RMS is an integer
+    # Σb² → one division → IEEE sqrt → float32 cast, identical in both
+    # engines. Arbitrary UTF-8 corpora would need a byte-level oracle;
+    # the Python-reference unit test in tests/test_llm.py covers that
+    # (multi-byte αβγ case).
     tags=("llm", "multimodal"),
 )
 def multimodal_audio_chunks(spark, sf_dir):

@@ -224,7 +224,9 @@ def test_audio_chunks_match_python_reference(spark):
             chunk = data[i * 16 : (i + 1) * 16]
             if not chunk:
                 break
-            rms = round((sum(b * b for b in chunk) / len(chunk)) ** 0.5, 6)
+            import math
+            import numpy as np
+            rms = np.float32(math.sqrt(sum(b * b for b in chunk) / len(chunk)))
             assert got[(doc_id, i)] == (i * 16, len(chunk), rms)
     assert len(got) == sum(
         min(4, max(1, -(-len(t.encode('utf-8')) // 16))) for _, t in rows
