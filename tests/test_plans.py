@@ -443,3 +443,30 @@ def test_regression_battery_is_partial_agg(spark, registry):
         plan = _plan(registry[name].fn(spark, SF_SMOKE))
         assert "partial_" in plan or "HashAggregate" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_bellman_ford_has_no_nested_loop(spark, registry):
+    """graph_weighted_shortest_path must relax via key-partitioned
+    equi-joins — a BroadcastNestedLoopJoin would mean the frontier is
+    cross-joining the edge list."""
+    plan = _plan(registry["graph_weighted_shortest_path"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_matvec_broadcasts_the_vector(spark, registry):
+    """ml_pca_power_iteration's matvec joins the d-row vector onto the
+    d²-cell Gram relation — the vector side must broadcast; neither side
+    is ever corpus-sized after the Gram build."""
+    # (the only nested-loop joins permitted are the broadcast 1-row
+    # norm-scalar crosses, which have no join condition by construction)
+    plan = _plan(registry["ml_pca_power_iteration"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_referential_checks_are_anti_joins(spark, registry):
+    """dq_referential_integrity: every FK check is a left-anti hash join
+    (key-partitioned or broadcast) — no subquery-per-row shape."""
+    plan = _plan(registry["dq_referential_integrity"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
