@@ -675,3 +675,105 @@ def corpus_train_test_split(spark, sf_dir):
         )
         .orderBy("source", "split")
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE-style merge-training oracle. Each round: count
+    adjacent token pairs corpus-wide (integer counts), pick the argmax
+    with a total-order tie-break, splice that pair everywhere via plain
+    string replace. Replace-all semantics (left-to-right, resume after
+    the replacement) are identical in Spark and DuckDB, so the merge
+    table — the trained artifact — is hash-comparable. Boundary-sharing
+    occurrences (x a b a b → the second 'a b' lost its leading space to
+    the first splice) defer to a later round in BOTH engines — a
+    documented, portable quirk of the space-delimited splice, not a
+    divergence."""
+    head = """
+    WITH d0 AS (
+      SELECT doc_id, ' ' || text || ' ' AS s
+      FROM documents WHERE length(text) > 0
+    )"""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""", t{r} AS (
+      SELECT doc_id, string_split(trim(s), ' ') AS l FROM d{r - 1}
+    ), p{r} AS (
+      SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                               list_slice(l, 2, len(l)))) AS pr
+        FROM t{r} WHERE len(l) > 1
+      )
+      GROUP BY pr[1], pr[2]
+    ), m{r} AS (
+      SELECT {r} AS merge_round, a, b, cnt
+      FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), d{r} AS (
+      SELECT d.doc_id,
+             replace(d.s, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || '+' || m.b || ' ') AS s
+      FROM d{r - 1} d CROSS JOIN m{r} m
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    tail = f"""
+    SELECT merge_round, a, b, cnt FROM ({union}) ORDER BY merge_round
+    """
+    return head + "".join(parts) + tail
+
+
+@register(
+    "corpus_bpe_merge_training",
+    oracle=_bpe_oracle(6),
+    tags=("corpus", "text", "iterative"),
+)
+def corpus_bpe_merge_training(spark, sf_dir):
+    """BPE-style subword merge TRAINING over the corpus (the tokenizer-
+    fitting stage of a training-data pipeline, word-level formulation):
+    6 rounds of count-adjacent-pairs → argmax (total-order tie-break) →
+    splice-everywhere, returning the learned merge table. Spark shape
+    per round: one map-side-combined pair count (the only corpus-sized
+    aggregate), a 1-row argmax broadcast back for the splice — the
+    corpus never shuffles for the merge itself, and the loop is pure
+    dataflow (no driver-side vocabulary). Joins the engine's unrolled
+    hash-gated loop family (PageRank, k-means, Bellman-Ford, PCA);
+    replace-all splice semantics are engine-portable (documented
+    boundary-sharing quirk defers equally in both engines)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.concat(F.lit(" "), "text", F.lit(" ")).alias("s"))
+    )
+    history = None
+    for r in range(1, 7):
+        toks = docs.select(
+            "doc_id", F.split(F.trim("s"), " ").alias("l")
+        ).filter(F.size("l") > 1)
+        pairs = (
+            toks.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("l", 1, F.size("l") - 1),
+                        F.slice("l", 2, F.size("l") - 1),
+                    )
+                ).alias("pr")
+            )
+            .select(F.col("pr.0").alias("a"), F.col("pr.1").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top1 = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .select(F.lit(r).alias("merge_round"), "a", "b", "cnt")
+            .localCheckpoint(eager=True)  # 1 row — the round's artifact
+        )
+        history = top1 if history is None else history.unionAll(top1)
+        docs = docs.crossJoin(F.broadcast(top1)).select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                F.concat(F.lit(" "), "a", F.lit("+"), "b", F.lit(" ")),
+            ).alias("s"),
+        )
+    return history.orderBy("merge_round")
