@@ -777,3 +777,77 @@ def corpus_bpe_merge_training(spark, sf_dir):
             ).alias("s"),
         )
     return history.orderBy("merge_round")
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    """Same unrolled merge chain as _bpe_oracle, but the tail TOKENIZES
+    with the learned merges and returns the top-20 subword counts — the
+    apply step that turns the trained artifact into corpus statistics."""
+    base = _bpe_oracle(rounds)
+    head_and_parts = base[: base.rindex("\n    SELECT merge_round")]
+    tail = f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split(trim(s), ' ')) AS tok FROM d{rounds}
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """
+    return head_and_parts + tail
+
+
+@register(
+    "corpus_bpe_tokenize_apply",
+    oracle=_bpe_apply_oracle(6),
+    tags=("corpus", "text", "iterative"),
+)
+def corpus_bpe_tokenize_apply(spark, sf_dir):
+    """APPLY the learned BPE merges (corpus_bpe_merge_training's 6-round
+    chain) and count the resulting subword vocabulary — top-20 tokens
+    after merging, merged units spelled a+b. Training and application in
+    one lazy plan: at 100 TB the merge table is 6 rows broadcast through
+    6 splice projections fused into the final scan; the only shuffles
+    are the per-round pair counts and the final vocab aggregate."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.concat(F.lit(" "), "text", F.lit(" ")).alias("s"))
+    )
+    for _ in range(6):
+        toks = docs.select(
+            "doc_id", F.split(F.trim("s"), " ").alias("l")
+        ).filter(F.size("l") > 1)
+        pairs = (
+            toks.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("l", 1, F.size("l") - 1),
+                        F.slice("l", 2, F.size("l") - 1),
+                    )
+                ).alias("pr")
+            )
+            .select(F.col("pr.0").alias("a"), F.col("pr.1").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top1 = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        docs = docs.crossJoin(F.broadcast(top1)).select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                F.concat(F.lit(" "), "a", F.lit("+"), "b", F.lit(" ")),
+            ).alias("s"),
+        )
+    return (
+        docs.select(F.explode(F.split(F.trim("s"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
