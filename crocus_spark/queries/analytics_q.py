@@ -427,3 +427,75 @@ def holdings_concentration_hhi(spark, sf_dir):
         .alias("hhi"),
         (F.lit(1.0) / F.col("n_positions")).cast("float").alias("hhi_floor"),
     ).orderBy(F.col("hhi").desc(), "portfolio").limit(50)
+
+
+@register(
+    "sessionize_batch_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("analytics", "sessionization"),
+)
+def sessionize_batch_gaps(spark, sf_dir):
+    """Batch sessionization by inactivity gap (30 min) — the batch twin of
+    the streaming session window (streaming_q.py): a new session starts
+    when a user's gap from their previous event exceeds the threshold;
+    ``session_seq`` is the running count of session starts. The classic
+    lag → flag → running-sum → group-by chain.
+
+    Spark shape: ONE shuffle on user_id serves both windows (lag and the
+    running sum share the same partitioning and ordering — Catalyst
+    collapses them into a single Window node pair over one sort), then
+    the session aggregate reuses the same user_id clustering. No global
+    sort, no self-join of events against itself; at 100 TB this is
+    exactly as scalable as any per-user window. Gap math is integer
+    microseconds (``unix_micros``) — no float drift between engines."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("ts"))
+    marked = ev.withColumn("gap_us", us - F.lag(us).over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn("session_seq", F.sum("is_new").over(run))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

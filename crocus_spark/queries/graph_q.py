@@ -512,3 +512,105 @@ def graph_weighted_shortest_path(spark, sf_dir):
     )
     wedges.unpersist()
     return out
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), supp AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey
+    ), tot AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+    ), pair AS (
+      SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+             COUNT(*) AS n_both
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT antecedent, consequent, n_both,
+           sa.n_item AS n_ante, sc.n_item AS n_cons,
+           round(CAST(n_both AS DOUBLE) / sa.n_item, 6) AS confidence,
+           round(CAST(n_both AS DOUBLE) * t.n_orders
+                 / (CAST(sa.n_item AS DOUBLE) * sc.n_item), 6) AS lift
+    FROM pair
+    JOIN supp sa ON sa.l_partkey = antecedent
+    JOIN supp sc ON sc.l_partkey = consequent
+    CROSS JOIN tot t
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 50
+    """,
+    tags=("graph", "selfjoin", "analytics"),
+)
+def basket_association_rules(spark, sf_dir):
+    """Association rules (a → b) over the co-purchase baskets: support,
+    confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)) — the directional
+    step past ``basket_copurchase_pairs`` (pair counting alone can't say
+    which item drives the other). This is the 2-itemset core of Apriori;
+    min-support 3 prunes the rule set before any ranking.
+
+    Spark shape: distinct items once, then the pair self-join and the
+    pair aggregate share one l_orderkey shuffle (bounded by Σ basket²,
+    same argument as copurchase); per-item supports are a parts-sized
+    relation joined back — Catalyst broadcasts both sides' supports and
+    the 1-row total. Top-50 is TakeOrderedAndProject with a full
+    deterministic tiebreak, never a global sort. The double division
+    happens on exact integer counts, so round(…, 6) is engine-stable."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    sc = supp.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    rules = (
+        pair.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_ante"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(),
+        "antecedent", "consequent",
+    ).limit(50)

@@ -2079,3 +2079,72 @@ def ml_pca_power_iteration(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "ml_feature_scaling",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), st AS (
+      SELECT dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+               AS m2
+      FROM ex GROUP BY dim
+    )
+    SELECT ex.vec_id, ex.dim,
+           round((ex.x - st.mu) / sqrt(st.m2 - st.mu * st.mu), 6) AS z
+    FROM ex JOIN st ON ex.dim = st.dim
+    WHERE ex.vec_id < 50
+    ORDER BY ex.vec_id, ex.dim
+    """,
+    tags=("ml", "similarity"),
+)
+def ml_feature_scaling(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass before distance-based ops (k-means, PQ)
+    whose objectives are dominated by high-variance dimensions.
+
+    Spark shape: posexplode → ONE dims-sized aggregate of decimal-exact
+    power sums (Σx, Σx² per dim — order-independent, the _det.py
+    contract), then the 64-row stats relation broadcast-joins back onto
+    the exploded corpus. Nothing model-sized is collected; at 100 TB the
+    stats pass is a map-side-combined aggregate over dims × partitions
+    partials, and the apply pass is embarrassingly parallel. Variance
+    uses the power-sum identity m2 − μ² so both passes share one scan
+    shape; z is a pure double expression on engine-identical inputs, so
+    round(…, 6) is hash-stable."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ex = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    st = ex.groupBy("dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    return (
+        ex.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(st), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                (F.col("x") - F.col("mu"))
+                / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
