@@ -559,3 +559,61 @@ def duplicated_span_removal(
             ).alias("cleaned_md5"),
         )
     )
+
+
+def minhash_verified_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 48,
+    bands: int = 12,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Connected components over the VERIFIED near-dup graph: LSH band
+    buckets propose candidates, exact Jaccard ≥ ``threshold`` keeps only
+    true edges, then min-label propagation collapses each component to
+    its lowest id. The middle ground between ``minhash_lsh_pairs`` (pairs
+    only, no clusters) and ``minhash_dedup_survivors`` (clusters over the
+    unverified bucket graph, where a band collision below the threshold
+    can merge two clusters).
+
+    Because verification makes the edge set EXACTLY the Jaccard-threshold
+    graph whenever banding recall is 1.0 (measured at every fixture scale
+    for 48 perms × 12 bands at 0.9 — see ``dedup_minhash_lsh``), the
+    result is deterministic and SQL-expressible: the registered query
+    carries a recursive-CTE oracle over the exact pair graph.
+
+    Scale shape: component labeling runs over EDGE-TOUCHED nodes only
+    (a dup-pairs-sized relation, tiny next to the corpus); untouched docs
+    are their own survivor by a final left join. Labeling delegates to
+    ``operators.graph.connected_components`` — min-label propagation with
+    pointer jumping to a CHECKED fixpoint, so arbitrary component
+    diameters (chained near-dups A~B~C~... where A and C are not
+    themselves a pair) are handled exactly, in O(log diameter) rounds of
+    O(E) work. Returns (id, cluster_id, is_survivor) for every input
+    doc.
+    """
+    from crocus_spark.operators.graph import connected_components
+
+    edges = minhash_lsh_pairs(
+        df, text_col, id_col, n_perm, bands, seed, threshold
+    ).select("id_a", "id_b")
+    labels = connected_components(edges, "id_a", "id_b")
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        # no broadcast hint: the dup-node label relation is corpus-dependent
+        # (could be huge at 100 TB) — AQE picks broadcast when it is small
+        all_ids.join(
+            labels.select(
+                F.col("node").alias("id"), F.col("comp").alias("cluster_id")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("cluster_id") == F.col("id"))
+    )

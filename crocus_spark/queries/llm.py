@@ -1022,6 +1022,20 @@ def _kmeans_oracle(rounds: int, k: int = 8) -> str:
       quantize-then-sum contract (_det.py), so each round's model state
       is order-independent in both engines.
     """
+    union = " UNION ALL ".join(
+        f"SELECT * FROM h{r}" for r in range(1, rounds + 1)
+    )
+    tail = f"""
+    SELECT iter, inertia, n_moved FROM ({union}) ORDER BY iter
+    """
+    return _kmeans_cte(rounds, k) + tail
+
+
+def _kmeans_cte(rounds: int, k: int = 8) -> str:
+    """The unrolled Lloyd CTE chain shared by ``_kmeans_oracle`` (which
+    appends the convergence-history tail) and the SemDeDup oracle (which
+    consumes the final assignment ``a{rounds}``). See ``_kmeans_oracle``
+    for the cross-engine determinism contract."""
     head = f"""
     WITH emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1072,11 +1086,7 @@ def _kmeans_oracle(rounds: int, k: int = 8) -> str:
       SELECT c.cell, COALESCE(rc.centroid, c.centroid) AS centroid
       FROM c{r - 1} c LEFT JOIN rc{r} rc ON c.cell = rc.cell
     )""")
-    union = " UNION ALL ".join(f"SELECT * FROM h{r}" for r in range(1, rounds + 1))
-    tail = f"""
-    SELECT iter, inertia, n_moved FROM ({union}) ORDER BY iter
-    """
-    return head + "".join(parts) + tail
+    return head + "".join(parts)
 
 
 @register(
@@ -2147,4 +2157,183 @@ def ml_feature_scaling(spark, sf_dir):
             ).alias("z"),
         )
         .orderBy("vec_id", "dim")
+    )
+
+
+@register(
+    "dedup_minhash_verified_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ), sizes AS (SELECT id, len(toks) AS sz FROM base),
+    toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+            >= 0.9
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.id
+    )
+    SELECT id, MIN(lbl) AS cluster_id, (MIN(lbl) = id) AS is_survivor
+    FROM reach GROUP BY id ORDER BY id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_verified_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS over the verified edge set (§2B#54): LSH banding
+    proposes, exact Jaccard ≥ 0.9 verifies, min-label propagation
+    collapses — each doc gets its component's lowest id as cluster_id and
+    one survivor per cluster. Unlike ``dedup_minhash_survivors`` (bucket
+    graph, engine-specific), the verified edge set IS the exact
+    Jaccard-0.9 graph whenever banding recall is 1.0 — measured true at
+    sf0.001 / sf0.01 / sf0.1 with 48 perms × 12 bands (two orders of
+    magnitude of S-curve margin, see ``dedup_minhash_lsh``) — so the
+    whole clustering is held to a recursive-CTE transitive-closure
+    oracle. Label loop cost is O(dup edges) per round, corpus-free."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_verified_components(
+        docs, "text", "doc_id", n_perm=48, bands=12, threshold=0.9
+    ).orderBy("id")
+
+
+def _semdedup_oracle() -> str:
+    """Unrolled 2-round Lloyd chain + cell-local cosine pair pruning."""
+    return (
+        _kmeans_cte(2)
+        + """
+    , members AS (SELECT vec_id, v, cell FROM a2)
+    , dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    )
+    SELECT m.vec_id, m.cell, (d.vid IS NULL) AS is_kept
+    FROM members m LEFT JOIN dropped d ON m.vec_id = d.vid
+    ORDER BY m.vec_id
+    """
+    )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "ml"),
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    k-means clustering the embedding corpus, then dropping any vector
+    with a LOWER-id same-cluster neighbor at cosine ≥ 0.4 (min-id stands
+    in for the paper's keep-one-per-ε-ball rule — deterministic and
+    engine-portable). Returns (vec_id, cell, is_kept) for every vector.
+
+    Scale shape — the reason SemDeDup exists: the pair stage is
+    CELL-LOCAL (k grows with the corpus so cells stay bounded; the paper
+    uses k = 50k for 600M docs), so candidate pairs are O(Σ cell²), never
+    corpus². The clustering is the same declarative Lloyd chain as
+    ml_kmeans_iterations (2 unrolled rounds, first-k seeds, decimal-exact
+    means, empty-cell fallback) but with NO driver action anywhere — one
+    lazy plan end to end; centroids stay k-row broadcast relations. The
+    whole pipeline (clustering included) is held to the hash gate by an
+    unrolled-CTE oracle reusing _kmeans_cte."""
+    from pyspark.sql.window import Window as W
+
+    k, rounds, tau = 8, 2, 0.4
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)  # k rows; stops seed-plan replay
+    )
+    assign = None
+    for r in range(rounds):
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "v", "cell", dist2.alias("d2")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cell")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("m.cell").alias("cell"))
+        )
+        if r < rounds - 1:
+            recomputed = (
+                assign.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(30,9)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("comp")
+                )
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                        lambda s: s["comp"],
+                    ).alias("new_centroid")
+                )
+            )
+            centroids = (
+                centroids.withColumnRenamed("centroid", "old_centroid")
+                .join(F.broadcast(recomputed), "cell", "left")
+                .select(
+                    "cell",
+                    F.coalesce("new_centroid", "old_centroid").alias(
+                        "centroid"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    members = assign
+    a, b = members.alias("a"), members.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vid"),
+            F.round(S.cosine_batch(F.col("a.v"), F.col("b.v")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vid")
+        .distinct()
+    )
+    return (
+        members.join(dropped, members["vec_id"] == dropped["vid"], "left")
+        .select("vec_id", "cell", F.col("vid").isNull().alias("is_kept"))
+        .orderBy("vec_id")
     )
