@@ -369,27 +369,41 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_hash60(c: Column) -> Column:
+    """60-bit token hash both engines can compute bit-identically: the
+    first 15 hex digits of md5, parsed base-16 (Spark ``conv``; the DuckDB
+    oracle expands the same parse as positional nibble arithmetic). 60 bits
+    fit a signed BIGINT with headroom, so shifts/masks stay portable."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
-    """SimHash (§2B#54): per-token xxhash64, each bit votes ±1, sign of the
-    vote sum becomes the output bit. Near-dups land at small Hamming
-    distance. Computed as bits× conditional-sum aggregates over the token
-    relation — one shuffle."""
+    """SimHash (§2B#54): per-token hash (xxhash64 by default;
+    ``portable_hash60`` for the oracle-checked variant), each bit votes ±1,
+    sign of the vote sum becomes the output bit. Near-dups land at small
+    Hamming distance. Computed as bits× conditional-sum aggregates over the
+    token relation — one shuffle."""
     toks = tokenize_distinct(df, text_col, id_col).withColumn(
-        "x", F.xxhash64("tok")
+        "x", hash_fn(F.col("tok"))
     )
     # The ±1 vote sum is 2·ones − n, so "vote > 0" ⟺ "2·ones > n": summing
     # the raw bit ((x >> i) & 1, no CASE) keeps the 64 aggregate expressions
     # tiny — the sign test moves to the post-agg projection where n is a
     # single count column. (Unsigned shift: (1 << 63) isn't a valid long.)
+    keep = min(bits, 63)  # top bit of a 64-bit hash left clear: stay positive
     ones = [
         F.sum(F.shiftrightunsigned("x", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-        for i in range(bits)
+        for i in range(keep)
     ]
     agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
     sim = F.lit(0).cast("long")
-    for i in range(bits - 1):  # top bit left clear: keep the value positive
+    for i in range(keep):
         sim = sim + F.when(
             F.col(f"o{i}") * 2 > F.col("n"), F.lit(1 << i)
         ).otherwise(0)
@@ -402,6 +416,8 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit bands of the simhash (a pair
     within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands —
@@ -417,15 +433,18 @@ def simhash_pairs(
     is quadratic by definition — the 100 TB pipeline runs exact dedup
     (text_exact_dedup) first, after which bucket membership is bounded by
     distinct near-identical signatures."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    width = min(bits, 63) // bands  # band width; pigeonhole needs
+    # max_hamming < bands, which holds for both the 64-bit (4×15+3 spare)
+    # and 60-bit portable (4×15) layouts
     banded = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
                     for b in range(bands)
                 ]
             )

@@ -164,20 +164,61 @@ def dedup_minhash_survivors(spark, sf_dir):
     return D.minhash_dedup_survivors(docs, "text", "doc_id").orderBy("id")
 
 
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB twin of the PORTABLE SimHash: the 60-bit token hash is the
+    first 15 hex digits of md5 parsed base-16 (expanded as positional
+    nibble arithmetic — DuckDB has no ``conv``), then the same per-bit
+    sign-vote and an all-pairs Hamming filter. All-pairs is fine for an
+    oracle; the engine side must NOT be (it band-blocks)."""
+    nibble = (
+        "(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)::BIGINT"
+    )
+    hash60 = " + ".join(
+        f"{nibble.format(k=k)} * {16 ** (15 - k)}" for k in range(1, 16)
+    )
+    sums = ", ".join(f"SUM((x >> {i}) & 1) AS o{i}" for i in range(bits))
+    sim = " + ".join(
+        f"CASE WHEN o{i} * 2 > n THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ), toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    hashed AS (SELECT id, ({hash60}) AS x FROM toks),
+    agg AS (SELECT id, COUNT(*) AS n, {sums} FROM hashed GROUP BY id),
+    sh AS (SELECT id, ({sim})::BIGINT AS simhash FROM agg)
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; no DuckDB twin — determinism +
-    # self-consistency property-tested in tests/test_llm.py
+    oracle=_simhash_oracle(),
     tags=("llm", "dedup"),
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (§2B#54): 64-bit sign-vote fingerprints,
-    16-bit band blocking (pigeonhole guarantees Hamming≤3 pairs collide on
-    ≥1 band), bit_count(xor) verification."""
+    """SimHash near-dup pairs (§2B#54): 60-bit sign-vote fingerprints over
+    a PORTABLE md5-derived token hash (operators/dedup.py:portable_hash60),
+    15-bit band blocking, bit_count(xor) verification. The 4-band
+    pigeonhole bound makes the verified pair set EXACTLY the Hamming≤3
+    set — deterministic, not recall-lucky — so the whole operator is held
+    to an all-pairs DuckDB oracle. The xxhash64 64-bit variant stays the
+    default in the operator for production throughput."""
     docs = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return D.simhash_pairs(
+        docs,
+        "text",
+        "doc_id",
+        max_hamming=3,
+        bits=60,
+        hash_fn=D.portable_hash60,
+    ).orderBy("id_a", "id_b")
 
 
 @register(
