@@ -73,22 +73,27 @@ def _token_sets(
             "toks_raw"
         ),
     )
-    exploded = base.select("id", "blk", F.explode("toks_raw").alias("tok"))
-    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Tokens become 64-bit xxhash64 ids at the EXPLODE, before any shuffle:
+    # the df-count aggregate, the broadcast back-join, and the per-doc
+    # array rebuild all move primitive longs instead of strings, and
+    # array_intersect in the verifier takes the primitive fast path.
+    # Distinct tokens stay distinct under xxhash64 (collisions ~2^-64), so
+    # intersection COUNTS are unchanged and the Jaccard oracle still
+    # holds; rarity ties break by hash instead of lexicographically —
+    # still a global total order, which is all prefix-filter exactness
+    # needs.
+    exploded = base.select(
+        "id", "blk", F.explode("toks_raw").alias("tok")
+    ).select("id", "blk", F.xxhash64("tok").alias("h"))
+    tok_df = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
-        exploded.join(F.broadcast(tok_df), "tok")
+        exploded.join(F.broadcast(tok_df), "h")
         .groupBy("id", "blk")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s.tok
-            ).alias("toks")
+                F.array_sort(F.collect_list(F.struct("df", "h"))), lambda s: s.h
+            ).alias("toks_h")
         )
-        # 64-bit token ids for verification: array_intersect over
-        # array<bigint> takes the primitive fast path, where the string
-        # form pays the interpreted non-primitive comparator. Distinct
-        # tokens stay distinct under xxhash64 (collisions ~2^-64), so
-        # intersection COUNTS are unchanged and the oracle still holds.
-        .withColumn("toks_h", F.transform("toks", lambda t: F.xxhash64(t)))
     )
 
 
@@ -169,13 +174,13 @@ def ngram_jaccard_pairs(
     is corpus-sized."""
     sets = _token_sets(df, text_col, id_col, block_col)
     plen = (
-        F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + F.lit(1)
+        F.size("toks_h") - F.ceil(F.lit(threshold) * F.size("toks_h")) + F.lit(1)
     ).cast("int")
     prefix = sets.select(
         "id",
         "blk",
-        F.size("toks").alias("sz"),
-        F.posexplode(F.slice("toks", 1, plen)).alias("pos", "tok"),
+        F.size("toks_h").alias("sz"),
+        F.posexplode(F.slice("toks_h", 1, plen)).alias("pos", "tok"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     min_overlap = F.ceil(

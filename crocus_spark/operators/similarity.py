@@ -285,26 +285,75 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     return best
 
 
+def collect_centroid_model(centroids: DataFrame):
+    """Collect the fitted (cell, centroid) relation into a dense cell
+    list + k×dim float64 matrix. The collect is MODEL-sized (k·dim
+    doubles — bytes to kilobytes), the same serving layout FAISS and
+    MLlib KMeans use; it is never on a data-sized path."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cells = np.array([int(r["cell"]) for r in rows], dtype=np.int32)
+    mat = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    return cells, mat
+
+
+def _centroid_df(spark, cells, mat) -> DataFrame:
+    """(cell, centroid) DataFrame rebuilt from the collected model —
+    plan-time literal rows, so referencing it never re-runs the fit."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat)],
+        "cell int, centroid array<double>",
+    )
+
+
+def assign_cells_projection(vectors: DataFrame, cells, mat) -> DataFrame:
+    """Shuffle-free nearest-centroid assignment: the k×dim model rides
+    into a map-side Arrow UDF as a closure (Spark broadcasts the
+    serialized task), so assignment is a pure projection — the corpus is
+    never shuffled or replicated k× the way the crossJoin+groupBy argmax
+    does. At 100 TB this removes a full corpus exchange per assignment,
+    the single biggest avoidable cost in IVF indexing.
+
+    Value parity with ``_assign_cells``: the dimension loop accumulates
+    each (vector, centroid) dot in the same left-to-right IEEE order as
+    ``dot_batch``, and ``np.argmax``'s first-max rule over ascending cell
+    ids reproduces the max-dot / lowest-cell tie rule."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(T.IntegerType())
+    def best_cell(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        D = np.zeros((V.shape[0], mat.shape[0]))
+        for i in range(V.shape[1]):
+            D = D + V[:, i : i + 1] * mat[None, :, i]
+        return pd.Series(cells[np.argmax(D, axis=1)], dtype="int32")
+
+    return vectors.withColumn("cell", best_cell(F.col("v")))
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Deterministic IVF centroid fit (spherical k-means) — fully
-    declarative: the centroids stay a (cell, centroid) DataFrame from
-    seed to convergence, NOTHING is collected to the driver.
+    """Deterministic IVF centroid fit (spherical k-means).
 
     Seeds = the ``n_cells`` corpus vectors with the smallest xxhash64(id)
     — a seedless deterministic pseudo-random sample, stable across
-    partitionings. Each Lloyd iteration broadcast-joins the (cells-sized)
-    centroid relation onto the corpus for assignment, then recomputes
-    per-cell means via posexplode → groupBy(cell, dim) with the decimal
-    accumulation contract (queries/_det.py) so centroid components are
-    bit-identical at any parallelism. Per iteration the corpus is
-    touched exactly twice (assign + mean); everything that shuffles is
-    cells × dims — model-sized."""
+    partitionings. Each Lloyd iteration collects the MODEL (k×dim
+    doubles — the MLlib-KMeans layout; never data-sized), assigns cells
+    as a shuffle-free map-side projection, then recomputes per-cell means
+    with the decimal accumulation contract (queries/_det.py) so centroid
+    components are bit-identical at any parallelism. Per iteration the
+    corpus is read once and shuffled never; the only exchange carries
+    cells × dims of aggregate state — model-sized."""
     normed = corpus.select(
         F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
     )
@@ -320,24 +369,49 @@ def ivf_fit_centroids(
         ).select("cell", F.col("v").alias("centroid"))
     )
     for _ in range(lloyd_iters):
-        assigned = _assign_cells(normed, centroids)
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
+        # model-sized collect per iteration (MLlib-KMeans-style), so the
+        # assignment is a map-side projection, not a corpus shuffle
+        assigned = assign_cells_projection(
+            normed, *collect_centroid_model(centroids)
+        )
+        if dim is not None:
+            # dim known up front: ONE aggregation with dim per-component
+            # decimal sums (map-side partials, cells × dim state) replaces
+            # the posexplode → groupBy(cell, dim) → groupBy(cell) pair —
+            # same values (exact decimal sums, same rounding), one shuffle
+            # instead of two, and no corpus × dim intermediate relation.
+            n = F.count(F.lit(1))
+            comps = [
                 F.round(
-                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
-                    / F.count(F.lit(1)),
+                    F.sum(
+                        F.element_at("v", i + 1).cast("decimal(25,12)")
+                    ).cast("double")
+                    / n,
                     9,
-                ).alias("m")
+                )
+                for i in range(dim)
+            ]
+            unnormed = assigned.groupBy("cell").agg(
+                F.array(*comps).alias("mv")
             )
-        )
-        unnormed = means.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s.m,
-            ).alias("mv")
-        )
+        else:
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                        / F.count(F.lit(1)),
+                        9,
+                    ).alias("m")
+                )
+            )
+            unnormed = means.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("mv")
+            )
         centroids = unnormed.select(
             "cell", _norm_vec(F.col("mv")).alias("centroid")
         )
@@ -353,6 +427,7 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 4,
     lloyd_iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat (§2B#55, the inverted-file scale
     path complementing ``lsh_bucketed_topk``).
@@ -367,29 +442,31 @@ def ivf_topk(
     ``partitionBy("cell")``, so a probe reads nprobe/n_cells of the
     data); queries replicate nprobe× and equi-join on cell — never an
     unbounded cross join. The centroid relation is cells-sized and
-    broadcast everywhere it appears; the whole pipeline — fit, assign,
-    probe, rescore — is one lazy plan with no driver-side collection, so
-    n_cells can grow to √n without an expression-size or driver
-    bottleneck. Recall is tunable with nprobe; precision is 1.0 because
-    re-scoring is exact.
+    broadcast everywhere it appears, and assignment is a map-side
+    projection against the collected k×dim model (model-sized driver
+    state, FAISS-style — n_cells can still grow to √n). Recall is
+    tunable with nprobe; precision is 1.0 because re-scoring is exact.
     """
-    # materialize the fitted model eagerly: the centroid relation is
-    # referenced three times downstream and each unmaterialized reference
-    # would re-run the whole fit. localCheckpoint (n_cells rows — bytes)
-    # truncates the fit lineage and is auto-released when the query is
-    # garbage collected, unlike persist() which leaks until session end.
-    centroids = ivf_fit_centroids(
-        corpus, n_cells, id_col, vec_col, lloyd_iters
-    ).localCheckpoint(eager=True)
-    corpus_cells = _assign_cells(
+    # materialize the fitted model ONCE as the collected k×dim matrix;
+    # the (cells-sized) centroid DataFrame the probe ranking needs is
+    # rebuilt from the collected rows, so no downstream reference can
+    # re-run the fit lineage and no checkpoint state lingers.
+    cells, mat = collect_centroid_model(
+        ivf_fit_centroids(corpus, n_cells, id_col, vec_col, lloyd_iters, dim=dim)
+    )
+    centroids = _centroid_df(corpus.sparkSession, cells, mat)
+    # cell assignment as a projection ON the corpus scan itself — no
+    # corpus self-join, no shuffle; the raw vector stays alongside for
+    # exact re-scoring
+    c = assign_cells_projection(
         corpus.select(
-            F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm_vec(F.col(vec_col)).alias("v"),
         ),
-        centroids,
-    ).select(F.col("id").alias("neighbor_id"), F.col("cell"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(corpus_cells, "neighbor_id")
+        cells,
+        mat,
+    ).drop("v")
     # per-query probe list: top-nprobe centroid cells by dot product
     q_normed = queries.select(
         F.col(id_col).alias("query_id"),
@@ -704,6 +781,7 @@ def ivf_topk_at_rest(
     vec_col: str = "embedding",
     n_cells: int = 8,
     nprobe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF serving from a CELL-PARTITIONED store — the at-rest layout the
     in-memory ``ivf_topk`` docstring promises, made concrete: the indexed
@@ -718,18 +796,19 @@ def ivf_topk_at_rest(
     probed-cell list is collected — ≤ n_cells integers, model-sized —
     because a partition-pruning predicate must be a literal at plan time.
     """
-    centroids = ivf_fit_centroids(corpus, n_cells, id_col, vec_col).localCheckpoint(
-        eager=True
+    cells, mat = collect_centroid_model(
+        ivf_fit_centroids(corpus, n_cells, id_col, vec_col, dim=dim)
     )
-    assigned = _assign_cells(
+    centroids = _centroid_df(spark, cells, mat)
+    indexed = assign_cells_projection(
         corpus.select(
-            F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm_vec(F.col(vec_col)).alias("v"),
         ),
-        centroids,
-    ).select(F.col("id").alias("neighbor_id"), "cell")
-    indexed = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(assigned, "neighbor_id")
+        cells,
+        mat,
+    ).drop("v")
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
 
     q_normed = queries.select(

@@ -368,7 +368,7 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=4).orderBy(
+    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=4, dim=64).orderBy(
         "query_id", "rank"
     )
 
@@ -403,7 +403,7 @@ def ann_ivf_fullprobe_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=8).orderBy(
+    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=8, dim=64).orderBy(
         "query_id", "rank"
     )
 
@@ -1420,7 +1420,7 @@ def ann_ivf_at_rest(spark, sf_dir):
         "ivf_store_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     return S.ivf_topk_at_rest(
-        spark, queries, corpus, path, k=5, n_cells=8, nprobe=4
+        spark, queries, corpus, path, k=5, n_cells=8, nprobe=4, dim=64
     ).orderBy("query_id", "rank")
 
 
