@@ -499,3 +499,69 @@ def sessionize_batch_gaps(spark, sf_dir):
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "series_ohlc_resample",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts)::DATE AS bar, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bar,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume
+    FROM base
+    GROUP BY user_id, bar
+    ORDER BY user_id, bar
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_ohlc_resample(spark, sf_dir):
+    """Time-series downsampling to OHLC bars (the hypertable
+    ``time_bucket`` + first/last/max/min resample): each (user, day)
+    bucket keeps its open (first value by event time), high, low, close
+    (last value) plus tick count and decimal-exact volume.
+
+    First/last are row_number picks over the SAME (user_id, bar)
+    partitioning the aggregate groups by, so the window's exchange is
+    reused by the groupBy — ONE shuffle end-to-end (no min_by/arg_min,
+    whose composite-key tie rules differ between engines). At 100 TB the
+    bar key is (entity, bucket) — exactly the hypertable rollup
+    partitioning; no global sort anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id", "bar").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    base = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("bar"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    return (
+        base.groupBy("user_id", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
+        )
+        .orderBy("user_id", "bar")
+    )

@@ -164,18 +164,29 @@ def dedup_minhash_survivors(spark, sf_dir):
     return D.minhash_dedup_survivors(docs, "text", "doc_id").orderBy("id")
 
 
-def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
-    """DuckDB twin of the PORTABLE SimHash: the 60-bit token hash is the
-    first 15 hex digits of md5 parsed base-16 (expanded as positional
-    nibble arithmetic — DuckDB has no ``conv``), then the same per-bit
-    sign-vote and an all-pairs Hamming filter. All-pairs is fine for an
-    oracle; the engine side must NOT be (it band-blocks)."""
+def _hash60_sql(expr: str) -> str:
+    """DuckDB twin of ``operators.dedup.portable_hash60``: first 15 md5
+    hex digits parsed base-16, expanded as positional nibble arithmetic
+    (DuckDB has no ``conv``). Bit-identical to the Spark side."""
     nibble = (
-        "(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)::BIGINT"
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {{k}}, 1)) - 1)"
+        "::BIGINT"
     )
-    hash60 = " + ".join(
-        f"{nibble.format(k=k)} * {16 ** (15 - k)}" for k in range(1, 16)
+    return (
+        "("
+        + " + ".join(
+            f"{nibble.format(k=k)} * {16 ** (15 - k)}" for k in range(1, 16)
+        )
+        + ")"
     )
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB twin of the PORTABLE SimHash: portable 60-bit token hash,
+    then the same per-bit sign-vote and an all-pairs Hamming filter.
+    All-pairs is fine for an oracle; the engine side must NOT be (it
+    band-blocks)."""
+    hash60 = _hash60_sql("tok")
     sums = ", ".join(f"SUM((x >> {i}) & 1) AS o{i}" for i in range(bits))
     sim = " + ".join(
         f"CASE WHEN o{i} * 2 > n THEN {1 << i} ELSE 0 END" for i in range(bits)
@@ -2377,4 +2388,252 @@ def dedup_semantic_semdedup(spark, sf_dir):
         members.join(dropped, members["vec_id"] == dropped["vid"], "left")
         .select("vec_id", "cell", F.col("vid").isNull().alias("is_kept"))
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle=f"""
+    WITH dtok AS (
+      SELECT doc_id, lang,
+             unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ), doc_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c, MIN(lang) AS lang
+      FROM dtok GROUP BY doc_id, tok
+    ), cls_tok AS (
+      SELECT lang AS cls, tok, SUM(c) AS cnt
+      FROM doc_counts GROUP BY lang, tok
+    ), nc AS (
+      SELECT cls, SUM(cnt) AS n_c FROM cls_tok GROUP BY cls
+    ), vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM dtok),
+    priors AS (
+      SELECT lang AS cls, COUNT(*) AS prior_cnt FROM documents GROUP BY lang
+    ), total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    cand AS (
+      SELECT d.doc_id, d.tok, d.c, p.cls
+      FROM doc_counts d CROSS JOIN priors p
+    ), scored AS (
+      SELECT cand.doc_id, cand.cls,
+             SUM(cand.c * (CAST(ROUND(ln(COALESCE(ct.cnt, 0) + 1) * 1e6)
+                                AS BIGINT)
+                           - CAST(ROUND(ln(nc.n_c + vocab.v) * 1e6)
+                                  AS BIGINT))) AS s
+      FROM cand
+      LEFT JOIN cls_tok ct ON ct.cls = cand.cls AND ct.tok = cand.tok
+      JOIN nc ON nc.cls = cand.cls
+      CROSS JOIN vocab
+      GROUP BY cand.doc_id, cand.cls
+    ), full_score AS (
+      SELECT s.doc_id, s.cls,
+             s.s + CAST(ROUND(ln(p.prior_cnt) * 1e6) AS BIGINT)
+                 - CAST(ROUND(ln(t.n_docs) * 1e6) AS BIGINT) AS score
+      FROM scored s JOIN priors p ON p.cls = s.cls CROSS JOIN total t
+    ), ranked AS (
+      SELECT doc_id, cls, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rn
+      FROM full_score
+    )
+    SELECT r.doc_id, r.cls AS pred_lang, r.score AS best_score,
+           (r.cls = d.lang) AS is_correct
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE rn = 1
+    ORDER BY r.doc_id
+    """,
+    tags=("llm", "ml"),
+)
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language identification, trained and
+    scored in one declarative plan: Laplace-smoothed per-class token
+    likelihoods, class priors, argmax posterior per document (ties to
+    the lexicographically smallest class).
+
+    Determinism contract: every log-likelihood is quantized to a scaled
+    integer — CAST(ROUND(ln(x)*1e6) AS BIGINT), one libm call + one
+    half-away round, bit-identical across engines (the verify-skill
+    pattern) — so per-document scores are exact BIGINT sums and the
+    argmax admits no float drift. The hash gate covers the whole
+    train+predict pipeline.
+
+    Scale shape: the model is (vocab × classes) + (classes) relations —
+    vocabulary-shaped, broadcast (a production langid model caps vocab
+    by frequency; text_tokenize_ids is that path). Scoring explodes each
+    document's distinct-token counts × n_classes (a small constant) and
+    aggregates back on (doc, class) — the only corpus-sized shuffles are
+    the token-count aggregate and the score aggregate, both map-side
+    combinable."""
+    docs = load(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    doc_counts = dtok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"), F.min("lang").alias("lang")
+    )
+    cls_tok = doc_counts.groupBy(
+        F.col("lang").alias("cls"), F.col("tok")
+    ).agg(F.sum("c").alias("cnt"))
+    nc = cls_tok.groupBy("cls").agg(F.sum("cnt").alias("n_c"))
+    vocab = dtok.select(
+        F.countDistinct("tok").alias("v")
+    )
+    priors = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("prior_cnt")
+    )
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+
+    def qlog(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+
+    cand = doc_counts.select("doc_id", "tok", "c").crossJoin(
+        F.broadcast(priors.select("cls"))
+    )
+    scored = (
+        cand.join(F.broadcast(cls_tok), ["cls", "tok"], "left")
+        .join(F.broadcast(nc), "cls")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("c")
+                * (
+                    qlog(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    - qlog(F.col("n_c") + F.col("v"))
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("term").alias("s"))
+    )
+    full = (
+        scored.join(F.broadcast(priors), "cls")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("s")
+                + qlog(F.col("prior_cnt"))
+                - qlog(F.col("n_docs"))
+            ).alias("score"),
+        )
+    )
+    best = full.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("cls"))).alias(
+            "b"
+        )
+    )
+    return (
+        best.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("b.cls").alias("pred_lang"),
+            (-F.col("b.neg")).alias("best_score"),
+            (F.col("b.cls") == F.col("lang")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    _hash60_sql(f"unnest(string_split({_NORM_SQL}, ' '))") + " % 1024"
+)
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             {_DSIR_BUCKET_SQL} AS b
+      FROM documents
+    ), raw AS (
+      SELECT b, COUNT(*) AS r_cnt FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*) AS t_cnt FROM tok WHERE lang = 'en' GROUP BY b
+    ), totals AS (
+      SELECT (SELECT COUNT(*) FROM tok) AS r_total,
+             (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_total
+    ), ratio AS (
+      SELECT r.b,
+             CAST(ROUND(ln(COALESCE(t.t_cnt, 0) + 1) * 1e6) AS BIGINT)
+             - CAST(ROUND(ln(tt.t_total + 1024) * 1e6) AS BIGINT)
+             - CAST(ROUND(ln(r.r_cnt + 1) * 1e6) AS BIGINT)
+             + CAST(ROUND(ln(tt.r_total + 1024) * 1e6) AS BIGINT) AS logr
+      FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN totals tt
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(ratio.logr) AS log_weight
+    FROM tok JOIN ratio ON ratio.b = tok.b
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): hashed
+    unigram features (portable 60-bit md5 hash mod 1024 buckets), bucket
+    unigram models of the TARGET distribution (lang='en' here — stand-in
+    for any target domain) and the RAW crawl, add-one smoothing, and a
+    per-document log importance weight Σ_tokens log(p_target/p_raw).
+    Downstream, resampling keeps documents with the largest weights
+    (sample_bottomk_hash / corpus_quota_by_source are those paths).
+
+    Determinism: every log is quantized to a scaled integer
+    (ROUND(ln·1e6) — the repo's cross-engine contract), so per-doc
+    weights are exact BIGINT sums under any partitioning/order.
+
+    Scale shape: the feature space is FIXED (1024 buckets) — both bucket
+    models and the log-ratio table are broadcast literals at any corpus
+    size; the only corpus-sized work is one token explode fused into the
+    scan and one map-side-combinable per-doc sum. This is the property
+    that makes DSIR run on full CommonCrawl."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("t"),
+    ).select(
+        "doc_id", "lang", (D.portable_hash60(F.col("t")) % 1024).alias("b")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+    )
+
+    def qlog(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+
+    ratio = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                qlog(F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1))
+                - qlog(F.col("t_total") + F.lit(1024))
+                - qlog(F.col("r_cnt") + F.lit(1))
+                + qlog(F.col("r_total") + F.lit(1024))
+            ).alias("logr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logr").alias("log_weight"),
+        )
+        .orderBy("doc_id")
     )

@@ -845,3 +845,51 @@ def window_interval_range_frame(spark, sf_dir):
             "value_24h"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_ntile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM binned
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+    tags=("window",),
+)
+def window_ntile_binning(spark, sf_dir):
+    """Equal-frequency discretization via ntile (completing the §2B#27
+    ranking-window family): per-segment account-balance quartiles with
+    per-bin count/range/decimal-exact totals. ntile's remainder rule
+    (first bins get the extra row) is SQL-standard and identical in both
+    engines; the (c_acctbal, c_custkey) order key makes tie placement
+    deterministic. The window partitions by segment — the per-partition
+    sort is segment-local, never global. At 100 TB equal-frequency
+    boundaries come from approx quantiles broadcast back
+    (agg_approx_percentiles is that path); ntile is the exact
+    per-group semantic spec."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cust = load(spark, sf_dir, "customer")
+    binned = cust.select(
+        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        binned.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
