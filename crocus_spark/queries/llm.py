@@ -1503,6 +1503,44 @@ def dedup_span_removal(spark, sf_dir):
     )
 
 
+def _bm25_matched(docs, terms):
+    """(doc_id, score) BM25 relation shared by ``search_bm25_topk`` and
+    the RRF fusion — same constants, same decimal quantize-then-sum
+    determinism contract (see search_bm25_topk's docstring)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    n_toks = toks.count()
+    avgdl = float(n_toks) / n_docs
+    postings = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tscore = idf * (
+        (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+    )
+    term_scores = (
+        postings.join(F.broadcast(dfs), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", tscore.alias("tscore"))
+    )
+    return term_scores.groupBy("doc_id").agg(
+        F.sum(F.col("tscore").cast("decimal(25,6)")).cast("double")
+         .alias("score")
+    )
+
+
 @register(
     "search_bm25_topk",
     oracle=rf"""
@@ -1569,39 +1607,7 @@ def search_bm25_topk(spark, sf_dir):
     k1+1 = 2.2 and 1-b = 0.25 are written as literals so both engines
     fold the same constants."""
     docs = load(spark, sf_dir, "documents")
-    terms = ["spark", "merge"]
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
-        ).alias("tok"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    n_toks = toks.count()
-    avgdl = float(n_toks) / n_docs
-    postings = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tscore = idf * (
-        (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
-    )
-    term_scores = (
-        postings.join(F.broadcast(dfs), "tok")
-        .join(dl, "doc_id")
-        .select("doc_id", tscore.alias("tscore"))
-    )
-    matched = term_scores.groupBy("doc_id").agg(
-        F.sum(F.col("tscore").cast("decimal(25,6)")).cast("double")
-         .alias("score")
-    )
+    matched = _bm25_matched(docs, ["spark", "merge"])
     from pyspark.sql.window import Window as W
 
     return (
@@ -2636,4 +2642,200 @@ def corpus_dsir_importance(spark, sf_dir):
             F.sum("logr").alias("log_weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)
+               / (SELECT COUNT(*) FROM documents) AS avgdl,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+    ),
+    postings AS (
+      SELECT tok, doc_id, COUNT(*) AS tf
+      FROM toks WHERE tok IN ('spark', 'merge')
+      GROUP BY tok, doc_id
+    ),
+    dfs AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+    term_scores AS (
+      SELECT p.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+               AS tscore
+      FROM postings p
+      JOIN dfs d USING (tok)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    matched AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(tscore AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM term_scores GROUP BY doc_id
+    ),
+    ltop AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk_lex
+        FROM matched
+      ) WHERE rk_lex <= 50
+    ),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    vtop AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk_vec
+        FROM vec
+      ) WHERE rk_vec <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rk_lex, v.rk_vec,
+             COALESCE(CAST(ROUND(1e9 / (60 + l.rk_lex)) AS BIGINT), 0)
+             + COALESCE(CAST(ROUND(1e9 / (60 + v.rk_vec)) AS BIGINT), 0)
+               AS rrf
+      FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rk_lex, rk_vec, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "search", "similarity"),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): a lexical BM25 ranking and an embedding-cosine ranking
+    (query = vec_id 0's vector, the doc↔vector ids being 1:1) are each
+    cut to their top-50, full-outer-joined on doc id, and fused by
+    Σ 1/(60+rank). The fused contribution is quantized to a scaled
+    BIGINT (ROUND(1e9/(60+rk)) — one IEEE divide + one half-away round,
+    bit-identical across engines) so fusion order can't drift the hash.
+
+    Scale shape: both rankers end in TakeOrderedAndProject top-50s —
+    list-sized relations — so the fusion join is trivially broadcast;
+    the expensive sides keep their own scale paths (term-filtered
+    postings for BM25; ANN cell/bucket probes for the vector side — the
+    brute-force ranking here is the exactness oracle's requirement, with
+    ann_ivf_topk as the production probe)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    matched = _bm25_matched(docs, ["spark", "merge"])
+    ltop = (
+        matched.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .alias("rk_lex"),
+        )
+        .filter(F.col("rk_lex") <= 50)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(S.cosine_batch(F.col("embedding"), F.col("q_vec")), 6).alias(
+            "cos"
+        ),
+    )
+    vtop = (
+        vec.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "doc_id"))
+            .alias("rk_vec"),
+        )
+        .filter(F.col("rk_vec") <= 50)
+    )
+    contrib = lambda rk: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e9) / (F.lit(60) + rk)).cast("long"), F.lit(0)
+    )
+    fused = (
+        ltop.join(vtop, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rk_lex",
+            "rk_vec",
+            (contrib(F.col("rk_lex")) + contrib(F.col("rk_vec"))).alias(
+                "rrf"
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+@register(
+    "ml_target_encoding_kfold",
+    oracle="""
+    WITH folded AS (
+      SELECT event_type, user_id % 5 AS fold, value FROM events
+    ), per_fold AS (
+      SELECT event_type, fold,
+             COUNT(*) AS n_in,
+             SUM(CAST(value AS DECIMAL(25,6))) AS s_in
+      FROM folded GROUP BY event_type, fold
+    ), tot AS (
+      SELECT event_type,
+             SUM(n_in) AS n_tot,
+             SUM(s_in) AS s_tot
+      FROM per_fold GROUP BY event_type
+    )
+    SELECT p.event_type, p.fold, p.n_in,
+           (t.n_tot - p.n_in) AS n_out,
+           CAST(t.s_tot - p.s_in AS DOUBLE) / (t.n_tot - p.n_in)
+             AS encoded_mean
+    FROM per_fold p JOIN tot t ON t.event_type = p.event_type
+    ORDER BY p.event_type, p.fold
+    """,
+    tags=("llm", "ml"),
+)
+def ml_target_encoding_kfold(spark, sf_dir):
+    """K-fold target encoding (the leakage-free categorical encoder):
+    each (category, fold) cell gets the target mean computed over every
+    OTHER fold — complement arithmetic (total − fold) over exact decimal
+    sums, so no row's own fold leaks into its encoding and the final
+    division is one IEEE double op (engine-portable).
+
+    Scale shape: state is (categories × K) partial sums — two map-side
+    combinable aggregates on the same key prefix, the category totals
+    derived from the fold partials (the fact table is scanned ONCE, and
+    never joined to itself). Encoding rows back onto the corpus is a
+    broadcast of this model-sized relation."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("fold"), "value"
+    )
+    per_fold = ev.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s_in"),
+    )
+    tot = per_fold.groupBy("event_type").agg(
+        F.sum("n_in").alias("n_tot"), F.sum("s_in").alias("s_tot")
+    )
+    return (
+        per_fold.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            "n_in",
+            (F.col("n_tot") - F.col("n_in")).alias("n_out"),
+            (
+                (F.col("s_tot") - F.col("s_in")).cast("double")
+                / (F.col("n_tot") - F.col("n_in"))
+            ).alias("encoded_mean"),
+        )
+        .orderBy("event_type", "fold")
     )
