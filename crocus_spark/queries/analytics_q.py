@@ -565,3 +565,141 @@ def series_ohlc_resample(spark, sf_dir):
         )
         .orderBy("user_id", "bar")
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) % 4 END
+               AS touch_channel
+      FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(touch_channel IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS channel
+      FROM tagged
+    )
+    SELECT COALESCE(channel, -1) AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics",),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase's value is
+    credited to the channel of the most recent preceding touch (view or
+    click; channel derived from the event's JSON props), via one
+    ``last(ignorenulls)`` running window per user — the classic
+    attribution shape with NO self-join of the fact table. Purchases
+    with no prior touch fall into channel −1. Revenue sums are
+    decimal-exact.
+
+    Scale: one user_id shuffle for the window, then a channels-sized
+    aggregate; at 100 TB this is the same plan — the window frame is
+    running (O(1) state per row) and channels ≪ corpus."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.get_json_object("props", "$.k").cast("long") % 4,
+        ).alias("touch_channel"),
+    )
+    carried = tagged.withColumn(
+        "channel", F.last("touch_channel", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit(-1)).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v'
+                          WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p'
+                          WHEN 'signup' THEN 's'
+                          ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(s) AS n_events,
+           length(list_aggregate(regexp_extract_all(s, 'v[ce]*p'),
+                                 'string_agg', '')) AS matched_len,
+           len(regexp_extract_all(s, 'v[ce]*p')) AS n_conversions
+    FROM seq
+    ORDER BY user_id
+    """,
+    tags=("analytics",),
+)
+def sequence_pattern_match(spark, sf_dir):
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE workload):
+    each user's ordered event stream collapses to a one-char-per-event
+    string, and conversions are counted as non-overlapping matches of
+    the regex ``v[ce]*p`` (a view, any clicks/errors, then a purchase).
+    Left-to-right non-overlapping greedy matching is identical across
+    regex engines for this alternation-free pattern, so the match count
+    and total matched span are hash-comparable.
+
+    Scale: the per-user sequence string is ordered-collected in ONE
+    grouped aggregate (sessions bound the string length in practice —
+    sessionize_batch_gaps is the upstream that keeps it bounded);
+    matching is then a per-row regexp, fused into the aggregate's
+    output projection — no joins, no windows, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+            ).alias("s")
+        )
+    )
+    matches = F.regexp_extract_all(F.col("s"), F.lit("v[ce]*p"), 0)
+    return seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        F.length(F.concat_ws("", matches)).alias("matched_len"),
+        F.size(matches).alias("n_conversions"),
+    ).orderBy("user_id")
