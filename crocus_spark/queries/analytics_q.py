@@ -703,3 +703,203 @@ def sequence_pattern_match(spark, sf_dir):
         F.length(F.concat_ws("", matches)).alias("matched_len"),
         F.size(matches).alias("n_conversions"),
     ).orderBy("user_id")
+
+
+@register(
+    "stats_winsorized_agg",
+    oracle="""
+    WITH binned AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(20) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS vigintile
+      FROM customer
+    ), bounds AS (
+      SELECT c_mktsegment,
+             MAX(CASE WHEN vigintile = 1 THEN c_acctbal END) AS lo,
+             MIN(CASE WHEN vigintile = 20 THEN c_acctbal END) AS hi
+      FROM binned GROUP BY c_mktsegment
+    )
+    SELECT b.c_mktsegment, bd.lo, bd.hi,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN b.c_acctbal < bd.lo
+                        OR b.c_acctbal > bd.hi THEN 1 END) AS n_clipped,
+           CAST(SUM(CAST(LEAST(GREATEST(b.c_acctbal, bd.lo), bd.hi)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS winsorized_sum
+    FROM binned b JOIN bounds bd USING (c_mktsegment)
+    GROUP BY b.c_mktsegment, bd.lo, bd.hi
+    ORDER BY b.c_mktsegment
+    """,
+    tags=("analytics", "statistics"),
+)
+def stats_winsorized_agg(spark, sf_dir):
+    """Winsorized aggregation (robust-statistics outlier handling): per
+    segment, clip account balances to the [5th, 95th] percentile band
+    and aggregate the clipped values. The band edges are INTEGER-RANK
+    picks (max of the 1st / min of the 20th vigintile under a
+    deterministic total order) — no interpolated percentile arithmetic,
+    so the edges are exact data values and hash-portable.
+
+    Scale: one per-group window for binning (the same exchange feeds the
+    bounds aggregate), then the groups-sized bounds relation broadcasts
+    back onto the rows — the 100 TB swap is approx-percentile edges
+    (agg_approx_percentiles) with this exact query as the semantic
+    spec."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    binned = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(20).over(w).alias("vigintile"),
+    )
+    bounds = binned.groupBy("c_mktsegment").agg(
+        F.max(F.when(F.col("vigintile") == 1, F.col("c_acctbal"))).alias("lo"),
+        F.min(F.when(F.col("vigintile") == 20, F.col("c_acctbal"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        binned.join(F.broadcast(bounds), "c_mktsegment")
+        .groupBy("c_mktsegment", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    (F.col("c_acctbal") < F.col("lo"))
+                    | (F.col("c_acctbal") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_clipped"),
+            F.sum(clipped.cast(DEC)).cast("double").alias("winsorized_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH seg_nat AS (
+      SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, nation, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY segment) AS DOUBLE)
+             AS share_of_segment
+    FROM seg_nat
+    ORDER BY segment, nation
+    """,
+    tags=("analytics", "window"),
+)
+def window_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report (contribution analysis): each (segment, nation)
+    cell's revenue share of its segment, via an unbounded window sum
+    over the ALREADY-AGGREGATED cells — the window runs on the
+    groups-sized relation (segments × nations), never the fact table.
+    Numerator and denominator are exact decimal sums cast to double,
+    so the share is one IEEE division. At 100 TB the fact scan feeds
+    one map-side-combinable aggregate; everything after is model-sized."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("segment")
+    return cells.select(
+        "segment",
+        "nation",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("share_of_segment"),
+    ).orderBy("segment", "nation")
+
+
+@register(
+    "ml_ctr_wilson_interval",
+    oracle="""
+    WITH chan AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+      FROM events
+      WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    )
+    SELECT channel, views, clicks,
+           CAST(CAST(clicks AS DOUBLE) / (views + clicks)
+                AS REAL) AS rate,
+           CAST(
+             ((CAST(clicks AS DOUBLE) / (views + clicks))
+              + (1.96 * 1.96) / (2.0 * (views + clicks))
+              - 1.96 * sqrt(
+                  ((CAST(clicks AS DOUBLE) / (views + clicks))
+                   * (1.0 - CAST(clicks AS DOUBLE) / (views + clicks)))
+                    / (views + clicks)
+                  + (1.96 * 1.96)
+                      / (4.0 * (views + clicks) * (views + clicks))))
+             / (1.0 + (1.96 * 1.96) / (views + clicks))
+             AS REAL) AS wilson_lower
+    FROM chan
+    ORDER BY channel
+    """,
+    tags=("analytics", "ml", "statistics"),
+)
+def ml_ctr_wilson_interval(spark, sf_dir):
+    """Per-channel click-through rate with the Wilson score lower bound
+    (z = 1.96) — the ranking statistic that doesn't over-trust small
+    samples. Inputs are exact integer counts from ONE conditional
+    aggregate over the fact scan; the interval is a fixed IEEE double
+    expression tree (sqrt is correctly rounded, so both engines produce
+    the same doubles given the same parenthesization), emitted at
+    float32 to stand clear of last-ulp formatting drift. State is
+    channels-sized; the plan has one shuffle."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    chan = ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("channel")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+    )
+    n = (F.col("views") + F.col("clicks")).cast("double")
+    p = F.col("clicks").cast("double") / (F.col("views") + F.col("clicks"))
+    z2 = F.lit(1.96 * 1.96)
+    wilson = (
+        p
+        + z2 / (F.lit(2.0) * (F.col("views") + F.col("clicks")))
+        - F.lit(1.96)
+        * F.sqrt(
+            (p * (F.lit(1.0) - p)) / (F.col("views") + F.col("clicks"))
+            + z2
+            / (
+                F.lit(4.0)
+                * (F.col("views") + F.col("clicks"))
+                * (F.col("views") + F.col("clicks"))
+            )
+        )
+    ) / (F.lit(1.0) + z2 / (F.col("views") + F.col("clicks")))
+    return chan.select(
+        "channel",
+        "views",
+        "clicks",
+        p.cast("float").alias("rate"),
+        wilson.cast("float").alias("wilson_lower"),
+    ).orderBy("channel")

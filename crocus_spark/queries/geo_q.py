@@ -262,3 +262,97 @@ def geo_grid_distance_join(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# Literal test polygons (vertex coords at .25/.75 offsets so no synthesized
+# point ever sits exactly on an edge or vertex ray): a rectangle, a
+# triangle, and a CONCAVE arrow — ray casting must handle all three.
+_POLYGONS = {
+    0: [(-100.25, -40.25), (-20.25, -40.25), (-20.25, 30.75), (-100.25, 30.75)],
+    1: [(0.25, -50.25), (120.25, -50.25), (60.25, 55.75)],
+    2: [(130.25, -20.25), (170.25, -20.25), (170.25, 40.75), (130.25, 40.75),
+        (150.25, 10.25)],
+}
+
+_EDGES = [
+    (pid, vs[i][0], vs[i][1], vs[(i + 1) % len(vs)][0], vs[(i + 1) % len(vs)][1])
+    for pid, vs in _POLYGONS.items()
+    for i in range(len(vs))
+]
+
+_EDGES_SQL = ", ".join(
+    f"({pid}, {x1}, {y1}, {x2}, {y2})" for pid, x1, y1, x2, y2 in _EDGES
+)
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES {_EDGES_SQL}),
+    pts AS (
+      SELECT s_suppkey AS supp_id,
+             {_LON.format(k="s_suppkey + 1000")} AS px,
+             {_LAT.format(k="s_suppkey + 1000")} AS py
+      FROM supplier
+    ), crossings AS (
+      SELECT p.supp_id, e.poly_id,
+             COUNT(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                         AND p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                                      / (e.y2 - e.y1) + e.x1
+                        THEN 1 END) AS n_cross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.supp_id, e.poly_id
+    )
+    SELECT supp_id, poly_id
+    FROM crossings WHERE n_cross % 2 = 1
+    ORDER BY supp_id, poly_id
+    """,
+    tags=("geo",),
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon containment join via PNPOLY ray casting
+    (Franklin's even-odd rule): each point counts the polygon edges its
+    rightward ray crosses — the identical double expression in both
+    engines, so even geometric edge cases hash-match. Handles concave
+    polygons (the test set includes one).
+
+    Scale: the polygon-edge relation is geometry-sized and BROADCAST;
+    points never shuffle — the crossing count is a map-side-combinable
+    aggregate keyed (point, polygon). With a country-scale polygon set
+    the production path adds grid-cell blocking (geo_grid_distance_join)
+    so each point only tests polygons whose bounding box shares its
+    cell; the even-odd test itself is unchanged."""
+    supp = load(spark, sf_dir, "supplier")
+    pts = supp.select(
+        F.col("s_suppkey").alias("supp_id"),
+        _lon(F.col("s_suppkey") + 1000).alias("px"),
+        _lat(F.col("s_suppkey") + 1000).alias("py"),
+    )
+    edges = spark.createDataFrame(
+        _EDGES, "poly_id int, x1 double, y1 double, x2 double, y2 double"
+    )
+    crossed = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("supp_id", "poly_id")
+        .agg(
+            F.count(
+                F.when(
+                    ((F.col("y1") > F.col("py"))
+                     != (F.col("y2") > F.col("py")))
+                    & (
+                        F.col("px")
+                        < (F.col("x2") - F.col("x1"))
+                        * (F.col("py") - F.col("y1"))
+                        / (F.col("y2") - F.col("y1"))
+                        + F.col("x1")
+                    ),
+                    1,
+                )
+            ).alias("n_cross")
+        )
+    )
+    return (
+        crossed.filter(F.col("n_cross") % 2 == 1)
+        .select("supp_id", "poly_id")
+        .orderBy("supp_id", "poly_id")
+    )
