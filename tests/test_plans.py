@@ -470,3 +470,59 @@ def test_referential_checks_are_anti_joins(spark, registry):
     plan = _plan(registry["dq_referential_integrity"].fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_is_projection_not_shuffle(spark, registry):
+    """ann_ivf_topk's corpus cell assignment must be a map-side Arrow
+    projection against the collected model — no corpus self-join on id
+    and no corpus-wide argmax aggregate. The only joins in the plan are
+    the list-sized probe join and the window machinery."""
+    plan = _plan(registry["ann_ivf_topk"].fn(spark, SF_SMOKE))
+    # the old shape: crossJoin(centroids) + groupBy(id) argmax +
+    # corpus self-join on neighbor_id — all three must be gone
+    assert "SortMergeJoin [neighbor_id" not in plan
+    assert plan.count("ArrowEvalPython") >= 1  # the projection UDF
+
+
+def test_point_in_polygon_broadcasts_edges(spark, registry):
+    """geo_point_in_polygon: the polygon-edge relation is geometry-sized
+    and must broadcast; the point side never shuffles before the
+    (point, polygon) partial aggregate."""
+    plan = _plan(registry["geo_point_in_polygon"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine of crossing counts
+
+
+def test_hybrid_rrf_fuses_list_sized_rankings(spark, registry):
+    """search_hybrid_rrf: both rankers end in top-50 cuts, so the fusion
+    join must be over list-sized inputs (broadcast or tiny sort-merge),
+    and the final top-20 must be TakeOrderedAndProject — never a global
+    sort of anything corpus-sized."""
+    plan = _plan(registry["search_hybrid_rrf"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_target_encoding_single_scan_no_self_join(spark, registry):
+    """ml_target_encoding_kfold derives out-of-fold means from complement
+    arithmetic — the events table must be scanned once, with NO join of
+    the fact table to itself (the per-fold and total relations are both
+    model-sized)."""
+    plan = _plan(registry["ml_target_encoding_kfold"].fn(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dsir_model_is_broadcast(spark, registry):
+    """corpus_dsir_importance: the 1024-bucket log-ratio model must
+    broadcast onto the token stream; the corpus-sized side never
+    shuffles for the model join."""
+    plan = _plan(registry["corpus_dsir_importance"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_naive_bayes_model_joins_broadcast(spark, registry):
+    """ml_naive_bayes_langid: every model relation (class-token counts,
+    class totals, priors, vocab scalar) joins by broadcast — the only
+    exchanges carry (doc, tok) counts and (doc, class) scores."""
+    plan = _plan(registry["ml_naive_bayes_langid"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
