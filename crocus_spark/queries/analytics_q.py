@@ -903,3 +903,102 @@ def ml_ctr_wilson_interval(spark, sf_dir):
         p.cast("float").alias("rate"),
         wilson.cast("float").alias("wilson_lower"),
     ).orderBy("channel")
+
+
+@register(
+    "stats_robust_median_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, MIN(n) AS n,
+             (MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2.0
+               AS median
+      FROM ranked GROUP BY event_type
+    ), devs AS (
+      SELECT e.event_type, abs(e.value - m.median) AS dev,
+             m.median, m.n,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY abs(e.value - m.median), e.event_id)
+               AS rn
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type, MIN(n) AS n, MIN(median) AS median,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+            + MAX(CASE WHEN rn = (n + 2) // 2 THEN dev END)) / 2.0 AS mad
+    FROM devs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("analytics", "statistics", "ml"),
+)
+def stats_robust_median_mad(spark, sf_dir):
+    """Robust location/scale per group — exact median and MAD (median
+    absolute deviation), the outlier-immune alternative to mean/stddev
+    feature scaling. Both medians are INTEGER-RANK picks (the two middle
+    ranks under a deterministic total order, averaged with one IEEE
+    divide) — no interpolated-percentile arithmetic, so values are exact
+    data points and hash-portable; even-sized groups are handled by the
+    (n+1)//2, (n+2)//2 pair collapsing to the same rank when n is odd.
+
+    Scale: two window passes on the SAME group key (one shuffle each) +
+    a groups-sized broadcast of the medians back onto the fact scan. The
+    100 TB swap for the windows is two-pass approx-quantile narrowing
+    (the weighted-median discipline); this query is the semantic spec."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda rk: F.max(  # noqa: E731
+        F.when(F.col("rn") == rk, F.col("value"))
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        (
+            (
+                pick(F.floor((F.col("n") + 1) / 2))
+                + pick(F.floor((F.col("n") + 2) / 2))
+            )
+            / 2.0
+        ).alias("median"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    devs = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "median",
+            F.abs(F.col("value") - F.col("median")).alias("dev"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    pickd = lambda rk: F.max(  # noqa: E731
+        F.when(F.col("rn") == rk, F.col("dev"))
+    )
+    return (
+        devs.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("median").alias("median"),
+            (
+                (
+                    pickd(F.floor((F.col("n") + 1) / 2))
+                    + pickd(F.floor((F.col("n") + 2) / 2))
+                )
+                / 2.0
+            ).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

@@ -2822,11 +2822,14 @@ def ml_target_encoding_kfold(spark, sf_dir):
         F.count(F.lit(1)).alias("n_in"),
         F.sum(F.col("value").cast("decimal(25,6)")).alias("s_in"),
     )
-    tot = per_fold.groupBy("event_type").agg(
-        F.sum("n_in").alias("n_tot"), F.sum("s_in").alias("s_tot")
-    )
+    # totals come from a WINDOW over the (categories × K)-sized partials —
+    # one fact scan total; a groupBy-then-join would rescan or reshuffle
+    from pyspark.sql.window import Window as W
+
+    wt = W.partitionBy("event_type")
     return (
-        per_fold.join(F.broadcast(tot), "event_type")
+        per_fold.withColumn("n_tot", F.sum("n_in").over(wt))
+        .withColumn("s_tot", F.sum("s_in").over(wt))
         .select(
             "event_type",
             "fold",
@@ -2838,4 +2841,86 @@ def ml_target_encoding_kfold(spark, sf_dir):
             ).alias("encoded_mean"),
         )
         .orderBy("event_type", "fold")
+    )
+
+
+@register(
+    "dedup_golden_record",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, lang, n_chars,
+             md5({_NORM_SQL}) AS content_hash
+      FROM documents
+    ), lang_votes AS (
+      SELECT content_hash, lang, COUNT(*) AS votes
+      FROM keyed GROUP BY content_hash, lang
+    ), lang_pick AS (
+      SELECT content_hash, lang AS canonical_lang
+      FROM (
+        SELECT content_hash, lang,
+               row_number() OVER (PARTITION BY content_hash
+                                  ORDER BY votes DESC, lang) AS rn
+        FROM lang_votes
+      ) WHERE rn = 1
+    )
+    SELECT k.content_hash,
+           MIN(k.doc_id) AS canonical_id,
+           COUNT(*) AS n_members,
+           MIN(k.source) AS canonical_source,
+           MIN(l.canonical_lang) AS canonical_lang,
+           MAX(k.n_chars) AS max_chars
+    FROM keyed k JOIN lang_pick l USING (content_hash)
+    GROUP BY k.content_hash
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_golden_record(spark, sf_dir):
+    """Golden-record survivorship over exact-dup clusters (the master-
+    data step AFTER dedup finds the clusters): every multi-member
+    content-hash cluster collapses to one record with per-attribute
+    survivorship rules — lowest id as canonical key, highest-priority
+    source (lexicographic here; a real deployment broadcasts a source-
+    rank dim), majority-vote language with deterministic ties, longest
+    body. The reference's cross-provider union (`products_union_dedup`)
+    is the 2-source special case of this.
+
+    Scale: everything keys on content_hash — the vote, the pick, and
+    the survivorship aggregate share one partitioning; the vote
+    relation is (clusters × langs)-sized. No member lists are ever
+    collected; each rule is an aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(D.normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    votes = keyed.groupBy("content_hash", "lang").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("content_hash").orderBy(
+        F.desc("votes"), F.col("lang")
+    )
+    lang_pick = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", F.col("lang").alias("canonical_lang"))
+    )
+    return (
+        keyed.join(lang_pick, "content_hash")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("source").alias("canonical_source"),
+            F.min("canonical_lang").alias("canonical_lang"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("canonical_id")
     )
