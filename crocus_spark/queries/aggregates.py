@@ -1032,3 +1032,63 @@ def agg_boolean_battery(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "maintenance_incremental_join",
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "lakehouse"),
+)
+def maintenance_incremental_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance: with both sides split into
+    base + delta (orders by date, customers by key — the arriving-data
+    layout), the join view is maintained as the delta algebra
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — base⋈base is NEVER recomputed;
+    each term aggregates to algebraic partials that merge-sum into the
+    standing view (the agg_incremental_merge discipline applied to a
+    join view). The oracle is the monolithic join — the incremental
+    union must be indistinguishable from it.
+
+    Scale: the nightly cost is |Δ|-sized joins (delta sides broadcast
+    when small — asserted by AQE at runtime), not a base rescan; the
+    merge shuffles only (nation)-sized partials."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    o_delta = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    c_base = c.filter(F.col("c_custkey") % 10 < 9)
+    c_delta = c.filter(F.col("c_custkey") % 10 >= 9)
+
+    def part(orders, custs):
+        return (
+            orders.join(custs, orders["o_custkey"] == custs["c_custkey"])
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("o_totalprice").cast(DEC)).alias("ps"),
+            )
+        )
+
+    partials = (
+        part(o_base, c_base)
+        .unionByName(part(o_delta, c_base))
+        .unionByName(part(o_base, c_delta))
+        .unionByName(part(o_delta, c_delta))
+    )
+    return (
+        partials.groupBy("nation")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("ps").cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )

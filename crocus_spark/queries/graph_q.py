@@ -614,3 +614,85 @@ def basket_association_rules(spark, sf_dir):
         F.col("lift").desc(), F.col("confidence").desc(),
         "antecedent", "consequent",
     ).limit(50)
+
+
+@register(
+    "reco_item2item_cosine",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS cooc
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), scored AS (
+      SELECT p.part_a, p.part_b, p.cooc,
+             CAST(p.cooc AS DOUBLE) / sqrt(CAST(fa.f AS DOUBLE) * fb.f)
+               AS cosine
+      FROM pairs p
+      JOIN freq fa ON fa.l_partkey = p.part_a
+      JOIN freq fb ON fb.l_partkey = p.part_b
+      WHERE p.cooc >= 2
+    )
+    SELECT part_a, part_b, cooc, cosine
+    FROM scored
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("graph", "ml"),
+)
+def reco_item2item_cosine(spark, sf_dir):
+    """Item-to-item collaborative filtering (the Amazon item2item
+    formulation): co-occurrence counts normalized to cosine similarity
+    cooc/√(f_a·f_b), so prevalence doesn't masquerade as affinity — the
+    popularity-corrected twin of basket_copurchase_pairs. A cooc ≥ 2
+    support floor drops noise pairs BEFORE the frequency joins.
+
+    Scale: same Σ basket²-bounded self-join as the co-purchase query
+    (one l_orderkey shuffle); the item-frequency relation is
+    items-sized, broadcast onto the pair aggregate; cosine is exact
+    integer counts through one IEEE sqrt+divide; top-50 is
+    TakeOrderedAndProject."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("f").alias("fa")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("f").alias("fb")))
+    scored = (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cooc",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt(F.col("fa").cast("double") * F.col("fb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "part_a", "part_b").limit(50)

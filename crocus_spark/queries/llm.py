@@ -2924,3 +2924,71 @@ def dedup_golden_record(spark, sf_dir):
         .filter(F.col("n_members") > 1)
         .orderBy("canonical_id")
     )
+
+
+@register(
+    "embedding_matryoshka_quality",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n16,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n64
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id, round(n16 / n64, 6) AS energy_ratio
+      FROM norms
+    )
+    SELECT LEAST(CAST(FLOOR(energy_ratio * 10) AS INTEGER), 9) AS bucket,
+           COUNT(*) AS n,
+           round(MIN(energy_ratio), 6) AS lo,
+           round(MAX(energy_ratio), 6) AS hi
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "similarity", "ml"),
+)
+def embedding_matryoshka_quality(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022 — serve a 16-dim prefix of a
+    64-dim embedding): for truncate-and-renormalize retrieval the
+    information kept is exactly the energy ratio ‖v[:16]‖/‖v‖, so the
+    audit histograms that ratio across the corpus — the go/no-go check
+    before switching ANN serving to the cheaper prefix.
+
+    Everything is per-row column math fused into the scan (sequential
+    list folds match DuckDB's list_sum order; one rounded ratio), then a
+    10-cell histogram — zero joins, one model-sized aggregate. At 100 TB
+    this is a single pass."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def energy(sl):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(sl, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            energy(F.slice("embedding", 1, 16)) / energy(F.col("embedding")),
+            6,
+        ).alias("energy_ratio"),
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.floor(F.col("energy_ratio") * 10).cast("int"), F.lit(9)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("energy_ratio"), 6).alias("lo"),
+            F.round(F.max("energy_ratio"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
