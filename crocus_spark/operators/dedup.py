@@ -62,10 +62,12 @@ def tokenize_distinct(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _token_sets(
     df: DataFrame, text_col: str, id_col: str, block_col: str | None
 ) -> DataFrame:
-    """(id, blk, toks) with each doc's distinct tokens sorted by global
-    rarity (ascending document frequency, ties by token) — the canonical
-    ordering that makes prefix filtering exact. The (token → df) relation
-    is vocabulary-sized, broadcast onto the exploded tokens."""
+    """(id, blk, toks_h) with each doc's distinct tokens as xxhash64 ids
+    sorted by global rarity (ascending document frequency, ties by hash)
+    — a global total order, which is all prefix-filter exactness needs.
+    The (hash → df) relation is vocabulary-sized, broadcast onto the
+    exploded tokens; hashing happens AT the explode so every shuffle in
+    the PPJoin family moves primitive longs, never strings."""
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
@@ -424,9 +426,11 @@ def simhash_pairs(
     bits: int = 64,
     hash_fn=F.xxhash64,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit bands of the simhash (a pair
-    within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands —
-    pigeonhole), then verify with bit_count(xor) ≤ max_hamming.
+    """SimHash near-dup pairs: block on ``min(bits,63)//bands``-wide bands
+    of the simhash (any pair within Hamming ≤ 3 must agree exactly on ≥1
+    of the 4 bands — ≤3 differing bits can break at most 3 bands, whether
+    banded or spare — pigeonhole), then verify with
+    bit_count(xor) ≤ max_hamming.
 
     Shape: the signature relation feeds ONE (band, piece) shuffle and pairs
     are generated bucket-locally with array lambdas — no self-join, so the

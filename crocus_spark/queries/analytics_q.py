@@ -651,8 +651,12 @@ def attribution_last_touch(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT user_id, length(s) AS n_events,
-           length(list_aggregate(regexp_extract_all(s, 'v[ce]*p'),
-                                 'string_agg', '')) AS matched_len,
+           -- list_aggregate('string_agg') of an EMPTY match list is NULL
+           -- in DuckDB where Spark's concat_ws gives '' (caught by the
+           -- sf0.1 sweep: zero-conversion users exist only there)
+           COALESCE(length(list_aggregate(regexp_extract_all(s, 'v[ce]*p'),
+                                          'string_agg', '')), 0)
+             AS matched_len,
            len(regexp_extract_all(s, 'v[ce]*p')) AS n_conversions
     FROM seq
     ORDER BY user_id
@@ -879,7 +883,6 @@ def ml_ctr_wilson_interval(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
     )
-    n = (F.col("views") + F.col("clicks")).cast("double")
     p = F.col("clicks").cast("double") / (F.col("views") + F.col("clicks"))
     z2 = F.lit(1.96 * 1.96)
     wilson = (

@@ -181,6 +181,15 @@ def _hash60_sql(expr: str) -> str:
     )
 
 
+def _qlog(c):
+    """Scaled-integer log quantization — CAST(ROUND(ln(x)*1e6) AS BIGINT):
+    one libm call + one half-away round, bit-identical across engines (the
+    verify-skill contract). Every cross-engine log-likelihood in this
+    module (Naive Bayes, DSIR) goes through THIS helper so the 1e6 scale
+    cannot drift between a query and its oracle."""
+    return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+
+
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     """DuckDB twin of the PORTABLE SimHash: portable 60-bit token hash,
     then the same per-bit sign-vote and an all-pairs Hamming filter.
@@ -1059,6 +1068,90 @@ def embedding_quantize_int8(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _lloyd_dist2():
+    """Squared-distance fold shared by every Lloyd loop in this module —
+    sequential zip_with/aggregate over "v"/"centroid", the exact IEEE
+    sequence the _kmeans_cte DuckDB oracle replays with list_reduce."""
+    return F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd_seeds(emb, k):
+    """First-k-by-vec_id seed centroids (cell = rank), checkpointed so the
+    global-window seed plan never replays inside later rounds. The window
+    spans only the k seed rows."""
+    from pyspark.sql.window import Window as W
+
+    return (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _lloyd_assign(emb, centroids, keep_d2=False):
+    """One Lloyd assignment pass: broadcast the k-row centroid relation,
+    argmin via min(struct(d2, cell)) — a partial-aggregating hash agg with
+    ties to the lowest cell; no window sort. Shared by
+    ml_kmeans_iterations and dedup_semantic_semdedup so the
+    determinism-critical tie/fold rules can never drift between the two
+    hash-gated queries."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cell", _lloyd_dist2().alias("d2")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cell")).alias("m"),
+        F.first("v").alias("v"),  # v is functionally dependent on vec_id
+    )
+    cols = ["vec_id", "v", F.col("m.cell").alias("cell")]
+    if keep_d2:
+        cols.append(F.col("m.d2").alias("d2"))
+    return assign.select(*cols)
+
+
+def _lloyd_recompute(centroids, assign):
+    """Per-(cell, dim) decimal-exact mean via posexplode (per-group state
+    is dim-sized — never a collect_list of member vectors), with the
+    empty-cell fallback (left join + coalesce keeps the previous centroid
+    so k never silently shrinks mid-run). Explicit broadcasts on the
+    k-row sides skip AQE's stage-materialization round-trips; the
+    checkpoint truncates cross-round lineage so round r's analysis cost
+    doesn't grow with r."""
+    recomputed = (
+        assign.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("comp")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("new_centroid")
+        )
+    )
+    return (
+        centroids.withColumnRenamed("centroid", "old_centroid")
+        .join(F.broadcast(recomputed), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("new_centroid", "old_centroid").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _kmeans_oracle(rounds: int, k: int = 8) -> str:
     """Unrolled Lloyd's k-means oracle — the iterative-ML twin of
     _pagerank_oracle (graph_q.py): one CTE chain per round, mirroring the
@@ -1160,47 +1253,16 @@ def ml_kmeans_iterations(spark, sf_dir):
     or the implementation is wrong — the property test pins it, and the
     unrolled _kmeans_oracle holds the whole 6-round loop to the full
     hash gate (verified MATCH at sf0.001 / sf0.01 / sf0.1)."""
-    from pyspark.sql.window import Window as W
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     k = 8
-    dist2 = F.aggregate(
-        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     emb = emb.persist()
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("v").alias("centroid"),
-        )
-        # checkpoint the seed relation too: without it the global-window
-        # seed plan re-executes inside every round's broadcast build.
-        .localCheckpoint(eager=True)
-    )
+    centroids = _lloyd_seeds(emb, k)
     history = []
     prev_assign = None
     for it in range(6):
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "v", "cell", dist2.alias("d2")
-        )
-        # argmin via min(struct(d2, cell)): a partial-aggregating hash agg
-        # (ties break to the lowest cell lexicographically) — cheaper than
-        # the row_number window, which must sort every partition.
-        assign = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cell")).alias("m"),
-                F.first("v").alias("v"),  # v is functionally dep. on vec_id
-            )
-            .select("vec_id", "v", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2"))
-            .persist()
-        )
+        assign = _lloyd_assign(emb, centroids, keep_d2=True).persist()
         # ONE action per round: inertia and membership churn in the same
         # job (the r1 version ran separate inertia/moved jobs — 2-3× the
         # scheduling + shuffle overhead of the whole loop).
@@ -1235,49 +1297,7 @@ def ml_kmeans_iterations(spark, sf_dir):
                 .collect()[0]
             )
         history.append((it, float(row.i), int(row.mv)))
-        # Recompute: per-(cell, dim) decimal-exact mean via posexplode —
-        # per-group state is dim-sized (never collect_list of the member
-        # vectors, which would gather a whole cell's corpus into one row).
-        # An empty cell keeps its previous centroid (left-join + coalesce)
-        # so k never silently shrinks mid-run.
-        recomputed = (
-            assign.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("comp")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "comp"))),
-                    lambda s: s["comp"],
-                ).alias("new_centroid")
-            )
-        )
-        # The previous centroid relation always holds all k cells, so the
-        # empty-cell fallback is ONE left join (old ⟕ recomputed) keeping
-        # the prior centroid where a cell lost every member — k never
-        # silently shrinks mid-run. Explicit broadcasts on the k-row
-        # sides: AQE would pick broadcast too, but only after
-        # materializing each tiny shuffle as its own query stage — the
-        # hint saves ~2 stage-scheduling round-trips per iteration.
-        centroids = (
-            centroids.withColumnRenamed("centroid", "old_centroid")
-            .join(F.broadcast(recomputed), "cell", "left")
-            .select(
-                "cell",
-                F.coalesce("new_centroid", "old_centroid").alias("centroid"),
-            )
-        )
-        # localCheckpoint truncates the cross-round lineage: the centroid
-        # relation stays a k-row distributed dataset (never collected),
-        # but its plan no longer chains through every previous round —
-        # without this, round r's analysis cost grows with r and the
-        # unpersist below would cascade recomputation.
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = _lloyd_recompute(centroids, assign)
         if prev_assign is not None:
             prev_assign.unpersist()
         prev_assign = assign
@@ -2309,69 +2329,17 @@ def dedup_semantic_semdedup(spark, sf_dir):
     lazy plan end to end; centroids stay k-row broadcast relations. The
     whole pipeline (clustering included) is held to the hash gate by an
     unrolled-CTE oracle reusing _kmeans_cte."""
-    from pyspark.sql.window import Window as W
-
     k, rounds, tau = 8, 2, 0.4
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    dist2 = F.aggregate(
-        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("v").alias("centroid"),
-        )
-        .localCheckpoint(eager=True)  # k rows; stops seed-plan replay
-    )
+    centroids = _lloyd_seeds(emb, k)
     assign = None
     for r in range(rounds):
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "v", "cell", dist2.alias("d2")
-        )
-        assign = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cell")).alias("m"),
-                F.first("v").alias("v"),
-            )
-            .select("vec_id", "v", F.col("m.cell").alias("cell"))
-        )
+        assign = _lloyd_assign(emb, centroids)
         if r < rounds - 1:
-            recomputed = (
-                assign.select("cell", F.posexplode("v").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(30,9)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("comp")
-                )
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "comp"))),
-                        lambda s: s["comp"],
-                    ).alias("new_centroid")
-                )
-            )
-            centroids = (
-                centroids.withColumnRenamed("centroid", "old_centroid")
-                .join(F.broadcast(recomputed), "cell", "left")
-                .select(
-                    "cell",
-                    F.coalesce("new_centroid", "old_centroid").alias(
-                        "centroid"
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
+            centroids = _lloyd_recompute(centroids, assign)
     members = assign
     a, b = members.alias("a"), members.alias("b")
     dropped = (
@@ -2490,9 +2458,6 @@ def ml_naive_bayes_langid(spark, sf_dir):
     )
     total = docs.select(F.count(F.lit(1)).alias("n_docs"))
 
-    def qlog(c):
-        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
-
     cand = doc_counts.select("doc_id", "tok", "c").crossJoin(
         F.broadcast(priors.select("cls"))
     )
@@ -2506,8 +2471,8 @@ def ml_naive_bayes_langid(spark, sf_dir):
             (
                 F.col("c")
                 * (
-                    qlog(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
-                    - qlog(F.col("n_c") + F.col("v"))
+                    _qlog(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    - _qlog(F.col("n_c") + F.col("v"))
                 )
             ).alias("term"),
         )
@@ -2522,8 +2487,8 @@ def ml_naive_bayes_langid(spark, sf_dir):
             "cls",
             (
                 F.col("s")
-                + qlog(F.col("prior_cnt"))
-                - qlog(F.col("n_docs"))
+                + _qlog(F.col("prior_cnt"))
+                - _qlog(F.col("n_docs"))
             ).alias("score"),
         )
     )
@@ -2618,19 +2583,16 @@ def corpus_dsir_importance(spark, sf_dir):
         F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
     )
 
-    def qlog(c):
-        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
-
     ratio = (
         raw.join(F.broadcast(tgt), "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
-                qlog(F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1))
-                - qlog(F.col("t_total") + F.lit(1024))
-                - qlog(F.col("r_cnt") + F.lit(1))
-                + qlog(F.col("r_total") + F.lit(1024))
+                _qlog(F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1))
+                - _qlog(F.col("t_total") + F.lit(1024))
+                - _qlog(F.col("r_cnt") + F.lit(1))
+                + _qlog(F.col("r_total") + F.lit(1024))
             ).alias("logr"),
         )
     )

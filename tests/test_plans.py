@@ -500,6 +500,13 @@ def test_hybrid_rrf_fuses_list_sized_rankings(spark, registry):
     sort of anything corpus-sized."""
     plan = _plan(registry["search_hybrid_rrf"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+    # the top-50 cuts must still guard both fusion inputs — without them
+    # the full-outer join goes corpus-sized and this test must fail
+    assert "rk_lex" in plan and "rk_vec" in plan
+    import re
+
+    assert re.search(r"rk_lex#\d+ <= 50", plan), "lexical top-50 cut missing"
+    assert re.search(r"rk_vec#\d+ <= 50", plan), "vector top-50 cut missing"
 
 
 def test_target_encoding_single_scan_no_self_join(spark, registry):
