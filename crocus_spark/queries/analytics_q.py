@@ -1005,3 +1005,178 @@ def stats_robust_median_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "series_period_over_period",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate)::DATE AS week,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT week, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_abs,
+           round(CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE), 6)
+             AS wow_pct
+    FROM weekly
+    ORDER BY week
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_period_over_period(spark, sf_dir):
+    """Period-over-period growth (the WoW/MoM reporting primitive):
+    weekly order counts and decimal-exact revenue, with absolute and
+    percentage week-over-week deltas via lag. The lag window runs on the
+    AGGREGATED weeks relation (calendar-sized), so the single-partition
+    window is trivially small at any fact-table size; deltas subtract
+    exact decimals before the one double division."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "week",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - prev).cast("double").alias("wow_abs"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("wow_pct"),
+    ).orderBy("week")
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH freqs AS (
+      SELECT l_partkey, COUNT(*) AS f FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f, l_partkey) AS i FROM freqs
+    ), sums AS (
+      SELECT COUNT(*) AS n_keys, SUM(f) AS n_rows, MAX(f) AS max_f,
+             SUM(i * f) AS iwsum
+      FROM ranked
+    )
+    SELECT n_keys, n_rows, max_f,
+           round(CAST(max_f AS DOUBLE) / n_rows, 6) AS top_share,
+           round(2.0 * iwsum / (CAST(n_keys AS DOUBLE) * n_rows)
+                 - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+    FROM sums
+    """,
+    tags=("dq", "statistics"),
+)
+def dq_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the pre-flight check before a 100 TB
+    shuffle: key count, max key frequency, hottest-key share, and the
+    Gini coefficient of the frequency distribution (0 = uniform,
+    →1 = one hot key), computed from exact integer rank-weighted sums
+    (G = 2·Σi·fᵢ/(n·Σf) − (n+1)/n over ascending-frequency ranks).
+
+    The ranked window runs on the KEY-FREQUENCY relation (keys-sized,
+    already aggregated), not the fact table; the profile is one row.
+    Feeding this into the salting decision (join_salted_skew /
+    AQE skew-join thresholds) is the operational loop."""
+    li = load(spark, sf_dir, "lineitem")
+    freqs = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy("f", "l_partkey")
+    ranked = freqs.select("f", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_f"),
+        F.sum(F.col("i") * F.col("f")).alias("iwsum"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_f",
+        F.round(F.col("max_f").cast("double") / F.col("n_rows"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("iwsum")
+            / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "funnel_latency_quartiles",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT user_id,
+             date_diff('second', t_view, t_buy) AS secs
+      FROM stage
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+    ), ranked AS (
+      SELECT secs, row_number() OVER (ORDER BY secs, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lat
+    )
+    SELECT MIN(n) AS n_converted,
+           (MAX(CASE WHEN rn = (n + 1) // 4 + 1 THEN secs END)) AS p25_secs,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN secs END)
+            + MAX(CASE WHEN rn = (n + 2) // 2 THEN secs END)) / 2.0
+             AS median_secs,
+           (MAX(CASE WHEN rn = (3 * (n + 1)) // 4 THEN secs END)) AS p75_secs
+    FROM ranked
+    """,
+    tags=("analytics", "funnel", "statistics"),
+)
+def funnel_latency_quartiles(spark, sf_dir):
+    """Time-to-convert distribution: per converting user, seconds from
+    first view to first purchase; quartiles as INTEGER-RANK picks over
+    the converter-sized latency relation (median averages the two middle
+    ranks — the stats_robust_median_mad discipline; p25/p75 are single
+    deterministic rank picks). One grouped aggregate over the fact scan
+    reduces each user to two timestamps; everything after is user-sized."""
+    ev = load(spark, sf_dir, "events")
+    tmin = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stage = ev.groupBy("user_id").agg(
+        tmin("view").alias("t_view"), tmin("purchase").alias("t_buy")
+    )
+    lat = stage.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
+        ).alias("secs"),
+    )
+    w = Window.orderBy("secs", "user_id")
+    wn = Window.partitionBy()
+    ranked = lat.select(
+        "secs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda rk: F.max(F.when(F.col("rn") == rk, F.col("secs")))  # noqa: E731
+    return ranked.agg(
+        F.min("n").alias("n_converted"),
+        pick(F.floor((F.col("n") + 1) / 4) + 1).alias("p25_secs"),
+        (
+            (
+                pick(F.floor((F.col("n") + 1) / 2))
+                + pick(F.floor((F.col("n") + 2) / 2))
+            )
+            / 2.0
+        ).alias("median_secs"),
+        pick(F.floor(3 * (F.col("n") + 1) / 4)).alias("p75_secs"),
+    )
