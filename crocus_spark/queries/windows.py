@@ -893,3 +893,49 @@ def window_ntile_binning(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT e.user_id, e.event_id,
+           (SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+            WHERE e2.user_id = e.user_id
+              AND (e2.ts < e.ts
+                   OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+             AS n_distinct_types
+    FROM events e
+    WHERE e.user_id % 50 = 0
+    ORDER BY e.user_id, e.event_id
+    """,
+    tags=("window",),
+)
+def window_running_distinct(spark, sf_dir):
+    """Running DISTINCT count over an ordered window — the aggregate
+    Spark's window functions don't support natively (COUNT(DISTINCT) OVER
+    raises); the engine pattern is size(collect_set() OVER (...rows
+    unbounded preceding)) — set state is bounded by the distinct-value
+    cardinality (5 event types here), NOT the frame length, so the state
+    per row is tiny even on unbounded frames. The oracle phrases the same
+    frame as a correlated subquery (DuckDB's decorrelation makes it a
+    join), proving the workaround exact.
+
+    Scale: one user_id shuffle; per-row state = the distinct set (small
+    by domain); for high-cardinality domains the swap is the sum-over-
+    dense_rank-firsts trick or an approx sketch (agg_hll battery)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias(
+                "n_distinct_types"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

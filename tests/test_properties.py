@@ -296,3 +296,52 @@ def test_calibration_bins_partition_the_corpus(spark):
         assert 0.0 <= r.frac_pos <= 1.0
         lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
         assert lo - 1e-6 <= r.mean_score <= hi + 1e-6, r
+
+
+def test_dedup_operators_handle_empty_and_singleton_input(spark):
+    """Degenerate inputs — empty corpus and a single document — must flow
+    through the dedup family without error: no pairs, one self-cluster.
+    At 100 TB these shapes appear per-partition (an empty shard, a
+    1-doc block) even when the corpus is huge."""
+    from crocus_spark.operators import dedup as D
+
+    schema = "doc_id long, text string, lang string"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "hello world", "en")], schema)
+
+    assert D.ngram_jaccard_pairs(empty, block_col="lang").count() == 0
+    assert D.ngram_jaccard_pairs(one, block_col="lang").count() == 0
+    assert D.simhash_pairs(empty).count() == 0
+    assert D.simhash_pairs(one).count() == 0
+    assert D.exact_dedup(empty).count() == 0
+    assert D.exact_dedup(one).count() == 1
+    labels = D.minhash_verified_components(one).collect()
+    assert [(r.id, r.cluster_id, r.is_survivor) for r in labels] == [
+        (1, 1, True)
+    ]
+
+
+def test_similarity_operators_handle_empty_query_side(spark):
+    """Zero queries against a non-empty corpus → zero result rows (not an
+    error): the Arrow scorers must tolerate empty batches, and top-k
+    windows over nothing are nothing."""
+    from crocus_spark.operators import similarity as S
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(8)], schema
+    )
+    no_queries = spark.createDataFrame([], schema)
+    assert S.brute_force_topk(no_queries, corpus, k=3).count() == 0
+
+
+def test_golden_record_no_duplicates_is_empty(spark):
+    """A corpus with zero exact duplicates produces an EMPTY golden-record
+    relation (the HAVING > 1 contract), not one row per document."""
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    out = REGISTRY["dedup_golden_record"].fn(spark, SF_SMOKE)
+    got = out.collect()
+    for r in got:
+        assert r.n_members > 1
