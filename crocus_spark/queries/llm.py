@@ -2954,3 +2954,111 @@ def embedding_matryoshka_quality(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dedup_incremental_against_base",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS h,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    base AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
+    delta AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+    exact AS (
+      SELECT d.doc_id, MIN(b.doc_id) AS dup_of
+      FROM delta d JOIN base b ON b.h = d.h
+      GROUP BY d.doc_id
+    ),
+    near AS (
+      SELECT d.doc_id, MIN(b.doc_id) AS dup_of
+      FROM delta d JOIN base b
+        ON round(CAST(len(list_intersect(d.toks, b.toks)) AS DOUBLE)
+                 / (len(d.toks) + len(b.toks)
+                    - len(list_intersect(d.toks, b.toks))), 6) >= 0.9
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           COALESCE(e.dup_of, n.dup_of) AS dup_of
+    FROM delta d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near n ON n.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_incremental_against_base(spark, sf_dir):
+    """Incremental dedup — the PRODUCTION dedup shape: an arriving batch
+    (doc_id % 10 = 0 stands in for today's crawl) is checked against the
+    standing corpus, which is NEVER re-deduplicated. Two phases, both
+    delta-sized: (1) exact — content-hash semi-join against the base
+    digest set; (2) near-dup — the batch's LSH band buckets equi-join the
+    base's buckets (at rest those are a precomputed, bucket-partitioned
+    index; recomputed here), candidates verified with exact Jaccard ≥ 0.9
+    and attributed to the LOWEST matching base id. Output is one row per
+    arriving doc: kept / exact_dup / near_dup with the dup target.
+
+    The oracle phrases near-dup as the full delta×base θ-join — exact but
+    quadratic, which is precisely what the banded index avoids. Banding
+    recall is 1.0 at every fixture scale for 48×12 @0.9 (measured —
+    dedup_minhash_lsh's margin), so the hash gate covers the whole
+    incremental path."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "h", F.md5(D.normalize_text(F.col("text")))
+    )
+    base = keyed.filter(F.col("doc_id") % 10 != 0)
+    delta = keyed.filter(F.col("doc_id") % 10 == 0)
+    exact = (
+        delta.select("doc_id", "h")
+        .join(
+            base.select(F.col("doc_id").alias("b_id"), "h"), "h"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    bb = D.minhash_band_buckets(base, "text", "doc_id", 48, 12)
+    db = D.minhash_band_buckets(delta, "text", "doc_id", 48, 12)
+    candidates = (
+        db.join(
+            bb.select(
+                F.col("band"), F.col("sig"), F.col("id").alias("id_b")
+            ),
+            ["band", "sig"],
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sets = D._token_sets(docs, "text", "doc_id", block_col=None)
+    near_pairs = (
+        D._verify_jaccard(
+            candidates.select(
+                F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+            ),
+            sets,
+        )
+        .filter(F.col("jaccard") >= 0.9)
+        .join(exact.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("dup_of"))
+        .withColumnRenamed("id_a", "doc_id")
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact.withColumnRenamed("dup_of", "e_dup"), "doc_id", "left")
+        .join(near_pairs.withColumnRenamed("dup_of", "n_dup"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_dup").isNotNull(), "exact_dup")
+            .when(F.col("n_dup").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce("e_dup", "n_dup").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
