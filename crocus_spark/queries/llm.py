@@ -3062,3 +3062,186 @@ def dedup_incremental_against_base(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split({_NORM_SQL}, ' ')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text),
+                                             '[aeiouy]+')), 1)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                AS REAL) AS flesch
+    FROM stats
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document — the readability gate quality
+    pipelines run beside stopword/length filters. Syllables are
+    approximated by vowel-run counts (the standard regex proxy; exact
+    syllabification needs a dictionary), sentences by terminal-punct
+    runs; the score is a fixed IEEE expression over exact integer counts,
+    emitted at float32. Pure per-row regex arithmetic fused into the
+    scan — zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(D.normalize_text(F.col("text")), " "))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    )
+    stats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.cast("float").alias("flesch"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_code_detection",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[{}();=\[\]<>]')) AS n_symbols,
+             len(regexp_extract_all(lower(text),
+                 '\b(def|class|return|import|function|var|const|if|else|for|while)\b'))
+               AS n_keywords,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_symbols, n_keywords,
+           round(CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1), 6)
+             AS symbol_density,
+           (n_keywords >= 3
+            AND CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1) > 0.01)
+             AS looks_like_code
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_code_detection(spark, sf_dir):
+    """Heuristic code-vs-prose detection (the routing gate that sends
+    documents to a code pipeline or a prose pipeline): programming-symbol
+    density plus reserved-keyword hits, thresholded. The production
+    upgrade is the Naive Bayes classifier (ml_naive_bayes_langid) trained
+    on code/prose labels — this regex gate is the cheap first pass that
+    runs fused into the scan with zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    n_symbols = F.size(
+        F.regexp_extract_all("text", F.lit(r"[{}();=\[\]<>]"), 0)
+    )
+    n_keywords = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(
+                r"\b(def|class|return|import|function|var|const|if|else|for|while)\b"
+            ),
+            0,
+        )
+    )
+    feats = docs.select(
+        "doc_id",
+        n_symbols.alias("n_symbols"),
+        n_keywords.alias("n_keywords"),
+        F.length("text").alias("n_chars"),
+    )
+    density = F.col("n_symbols").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    return feats.select(
+        "doc_id",
+        "n_symbols",
+        "n_keywords",
+        F.round(density, 6).alias("symbol_density"),
+        ((F.col("n_keywords") >= 3) & (density > 0.01)).alias(
+            "looks_like_code"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_upsample_epochs",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1') THEN 3
+                  WHEN source IN ('src2', 'src3', 'src4') THEN 2
+                  ELSE 1 END AS n_epochs
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, source, n_epochs, unnest(range(1, n_epochs + 1)) AS epoch
+      FROM weighted
+    )
+    SELECT source, CAST(epoch AS INT) AS epoch,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM exploded
+    GROUP BY source, epoch
+    ORDER BY source, epoch
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_upsample_epochs(spark, sf_dir):
+    """Per-source epoch upsampling — the data-mixing step that shows
+    high-quality sources to the trainer more than once (the multi-epoch
+    weights of Gopher/LLaMA-style mixes): each document explodes into
+    `n_epochs(source)` copies tagged with an epoch number, which the
+    seeded shuffle (corpus_shuffle_deterministic) then interleaves.
+    The explode is generate-side fan-out fused into the scan (an Expand/
+    Generate node, no shuffle); the multiplier relation is a CASE over
+    the source column — at 100 TB the weights come from a broadcast
+    mixing table. Output audits the mix: per (source, epoch) counts and
+    id checksums."""
+    docs = load(spark, sf_dir, "documents")
+    n_epochs = (
+        F.when(F.col("source").isin("src0", "src1"), 3)
+        .when(F.col("source").isin("src2", "src3", "src4"), 2)
+        .otherwise(1)
+    )
+    exploded = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"),
+    )
+    return (
+        exploded.groupBy("source", F.col("epoch").cast("int").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source", "epoch")
+    )
