@@ -1180,3 +1180,83 @@ def funnel_latency_quartiles(spark, sf_dir):
         ).alias("median_secs"),
         pick(F.floor(3 * (F.col("n") + 1) / 4)).alias("p75_secs"),
     )
+
+
+@register(
+    "series_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT day, total,
+             CAST(SUM(CAST(total AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trend,
+             CAST(date_part('isodow', day) AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seasonal AS (
+      SELECT dow,
+             CAST(SUM(CAST(total - trend AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS s
+      FROM trended GROUP BY dow
+    )
+    SELECT t.day, t.total,
+           round(t.trend, 6) AS trend,
+           round(s.s, 6) AS seasonal,
+           round(t.total - t.trend - s.s, 6) AS residual
+    FROM trended t JOIN seasonal s ON s.dow = t.dow
+    ORDER BY t.day
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (the classical
+    trend + day-of-week + residual split): daily totals, a centered
+    7-day moving-average trend, per-weekday seasonal means of the
+    detrended series, residual = total − trend − seasonal. All means
+    divide exact decimal sums (the detrended doubles re-quantize at
+    scale 6 — comfortably inside the cross-engine double↔decimal safety
+    margin), so the decomposition hash-matches.
+
+    Scale: the fact scan reduces to a calendar-sized daily relation in
+    one aggregate; every window/join after runs on days × 1 — trivially
+    small at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("total"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "total",
+        (
+            F.sum(F.col("total").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow_raw"),
+    ).withColumn(
+        # pin ISO weekday (Mon=1..Sun=7) to match date_part('isodow')
+        "dow",
+        F.when(F.col("dow_raw") == 1, 7).otherwise(F.col("dow_raw") - 1),
+    )
+    seasonal = trended.groupBy("dow").agg(
+        (
+            F.sum((F.col("total") - F.col("trend")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "total",
+            F.round("trend", 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(
+                F.col("total") - F.col("trend") - F.col("s"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )

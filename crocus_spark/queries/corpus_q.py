@@ -851,3 +851,70 @@ def corpus_bpe_tokenize_apply(spark, sf_dir):
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+@register(
+    "corpus_training_shards",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id, shard, {_NTOK_SQL} AS n_tok,
+             CAST(COALESCE(SUM({_NTOK_SQL}) OVER (
+               PARTITION BY shard ORDER BY shuffle_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM ({_SHARDED_SQL})
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(tokens_before // 512) + 1 AS BIGINT) AS n_windows,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM packed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("corpus", "io"),
+)
+def corpus_training_shards(spark, sf_dir):
+    """Training-shard writer + manifest — the LAST step of the curation
+    pipeline: the packed corpus lands ``partitionBy(shard)`` (one
+    directory per trainer data-parallel rank) and the manifest the
+    training launcher consumes (docs / tokens / windows / id checksum per
+    shard) is computed FROM THE WRITTEN STORE, so the query proves the
+    sink round-trips losslessly against a pure-SQL derivation from the
+    source table.
+
+    Scale: the write is the seeded-shuffle exchange the pipeline already
+    paid (shard = hash nibble); the manifest is a shards-sized aggregate
+    over the read-back. Epoch re-shards = new seed, same plan."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    packed = C.pack_context_windows(
+        docs, "text", "doc_id", seed=42, n_shards=8, window_tokens=512
+    ).select("doc_id", "shard", "n_tok", "window_id")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "train_shards_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            (F.max("window_id") + 1).cast("long").alias("n_windows"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_windows",
+            "doc_id_sum",
+        )
+        .orderBy("shard")
+    )
