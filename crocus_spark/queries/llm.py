@@ -3245,3 +3245,86 @@ def corpus_upsample_epochs(spark, sf_dir):
         )
         .orderBy("source", "epoch")
     )
+
+
+@register(
+    "ml_contrastive_negatives",
+    oracle=f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_corpus FROM embeddings WHERE vec_id >= 50
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 50
+    ), cand AS (
+      SELECT q.query_id, j.j,
+             50 + {_hash60_sql("q.query_id || ':' || j.j")}
+                    % s.n_corpus AS neg_id,
+             q.qv
+      FROM q CROSS JOIN (SELECT unnest(range(4)) AS j) j CROSS JOIN stats s
+    )
+    SELECT c.query_id, CAST(c.j AS INT) AS j, c.neg_id,
+           round(list_cosine_similarity(c.qv::DOUBLE[],
+                                        e.embedding::DOUBLE[]), 6) AS cos,
+           round(list_cosine_similarity(c.qv::DOUBLE[],
+                                        e.embedding::DOUBLE[]), 6) >= 0.35
+             AS is_false_negative
+    FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
+    ORDER BY c.query_id, c.j
+    """,
+    tags=("llm", "ml", "similarity"),
+)
+def ml_contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training (the
+    in-batch-negatives alternative when you need REPRODUCIBLE pairs):
+    each query draws k=4 corpus negatives by portable hash —
+    neg = 50 + hash60(query:j) mod n — so every engine, epoch, and
+    retry sees the same pairs; drawn negatives scoring above the
+    near-dup threshold are flagged false negatives (the filter step of
+    hard-negative mining pipelines).
+
+    Scale: no RNG state and no corpus shuffle — the draw is expression
+    arithmetic (n_corpus rides in as a broadcast 1-row aggregate, never
+    a driver action), and the only join is queries×k against the corpus
+    on the computed id — broadcast when queries are small. The cosine
+    check reuses the Arrow batch scorer."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    cand = (
+        q.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "query_id",
+            "j",
+            (
+                F.lit(50)
+                + D.portable_hash60(
+                    F.concat_ws(":", F.col("query_id"), F.col("j"))
+                )
+                % F.col("n_corpus")
+            ).alias("neg_id"),
+            "qv",
+        )
+    )
+    scored = cand.join(
+        corpus.select(
+            F.col("vec_id").alias("neg_id"), F.col("embedding").alias("nv")
+        ),
+        "neg_id",
+    ).select(
+        "query_id",
+        "j",
+        "neg_id",
+        F.round(S.cosine_batch(F.col("qv"), F.col("nv")), 6).alias("cos"),
+    )
+    return scored.select(
+        "query_id",
+        "j",
+        "neg_id",
+        "cos",
+        (F.col("cos") >= 0.35).alias("is_false_negative"),
+    ).orderBy("query_id", "j")
