@@ -380,19 +380,15 @@ def ivf_fit_centroids(
             # the posexplode → groupBy(cell, dim) → groupBy(cell) pair —
             # same values (exact decimal sums, same rounding), one shuffle
             # instead of two, and no corpus × dim intermediate relation.
-            n = F.count(F.lit(1))
-            comps = [
-                F.round(
-                    F.sum(
-                        F.element_at("v", i + 1).cast("decimal(25,12)")
-                    ).cast("double")
-                    / n,
-                    9,
-                )
+            # Built as ONE parsed SQL string: dim×4 py4j Column calls cost
+            # ~0.5 s of driver time per plan build at dim=64.
+            comps = ",".join(
+                "round(cast(sum(cast(element_at(v, {i}) as decimal(25,12)))"
+                " as double) / count(1), 9)".format(i=i + 1)
                 for i in range(dim)
-            ]
+            )
             unnormed = assigned.groupBy("cell").agg(
-                F.array(*comps).alias("mv")
+                F.expr(f"array({comps})").alias("mv")
             )
         else:
             means = (
