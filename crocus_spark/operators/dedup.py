@@ -404,17 +404,19 @@ def simhash(
     # tiny — the sign test moves to the post-agg projection where n is a
     # single count column. (Unsigned shift: (1 << 63) isn't a valid long.)
     keep = min(bits, 63)  # top bit of a 64-bit hash left clear: stay positive
+    # parsed SQL strings, not per-bit Column objects: bits× py4j calls
+    # cost ~0.5 s of driver time per plan build (same lesson as the fused
+    # IVF mean, similarity.py)
     ones = [
-        F.sum(F.shiftrightunsigned("x", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+        F.expr(f"sum(shiftrightunsigned(x, {i}) & 1) AS o{i}")
         for i in range(keep)
     ]
     agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
-    sim = F.lit(0).cast("long")
-    for i in range(keep):
-        sim = sim + F.when(
-            F.col(f"o{i}") * 2 > F.col("n"), F.lit(1 << i)
-        ).otherwise(0)
-    return agg.select("id", sim.alias("simhash"))
+    sim = " + ".join(
+        f"CASE WHEN o{i} * 2 > n THEN {1 << i}L ELSE 0L END"
+        for i in range(keep)
+    )
+    return agg.select("id", F.expr(f"({sim})").alias("simhash"))
 
 
 def simhash_pairs(
