@@ -246,10 +246,12 @@ def minhash_signatures(
     toks = tokenize_distinct(df, text_col, id_col).withColumn(
         "x", F.pmod(F.xxhash64("tok"), F.lit(_MERSENNE))
     )
-    aggs = []
-    for i, (va, vb) in enumerate(_perm_params(n_perm, seed)):
-        h = F.pmod(F.col("x") * F.lit(va) + F.lit(vb), F.lit(_MERSENNE))
-        aggs.append(F.min(h).alias(f"h{i}"))
+    # parsed SQL strings, not per-perm Column chains — n_perm× py4j calls
+    # cost real driver time per plan build (see the SimHash note above)
+    aggs = [
+        F.expr(f"min(pmod(x * {va}L + {vb}L, {_MERSENNE}L)) AS h{i}")
+        for i, (va, vb) in enumerate(_perm_params(n_perm, seed))
+    ]
     return toks.groupBy(F.col("id")).agg(*aggs)
 
 
