@@ -103,3 +103,55 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Maximal k-core: iteratively peel nodes of degree < k until the
+    remaining subgraph is stable. Returns (node, core_degree) for the
+    surviving nodes — every one has ≥ k neighbors INSIDE the core (the
+    self-certifying invariant the tests pin).
+
+    Shape: per round, one semi-join of the edge list against the alive
+    set on each endpoint + a degree aggregate — all key-partitioned;
+    state is one row per alive node. Peeling is monotone (alive sets
+    only shrink), so a checked fixpoint is exact; the cap raises rather
+    than returning a partial peel, which keeps the unrolled-rounds
+    oracle sound (equality needs convergence ≤ the unroll depth, and
+    non-convergence is an ERROR, not a wrong answer)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    alive = und.select("u").distinct().localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        deg = (
+            und.join(alive, "u")
+            .join(alive.select(F.col("u").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select("u", "deg")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_alive:
+            und.unpersist()
+            return nxt.select(
+                F.col("u").alias("node"), F.col("deg").alias("core_degree")
+            )
+        alive = nxt.select("u").localCheckpoint(eager=True)
+        n_alive = n_next
+    und.unpersist()
+    raise RuntimeError(f"k_core did not converge in {max_iter} iterations")

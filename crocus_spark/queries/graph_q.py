@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crocus_spark.io import load, register_views
+from crocus_spark.operators import graph as G
 from crocus_spark.operators.graph import connected_components
 from crocus_spark.queries import register
 
@@ -696,3 +697,52 @@ def reco_item2item_cosine(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("cosine"), "part_a", "part_b").limit(50)
+
+
+@register(
+    "graph_k_core",
+    oracle="""
+    WITH sampled AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 20 = 0
+    ), pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM sampled a JOIN sampled b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), raw_und AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), und AS MATERIALIZED (SELECT DISTINCT u, v FROM raw_und),
+    r0 AS MATERIALIZED (SELECT DISTINCT u FROM und), r1 AS MATERIALIZED (SELECT e.u FROM und e JOIN r0 a ON e.u = a.u JOIN r0 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r2 AS MATERIALIZED (SELECT e.u FROM und e JOIN r1 a ON e.u = a.u JOIN r1 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r3 AS MATERIALIZED (SELECT e.u FROM und e JOIN r2 a ON e.u = a.u JOIN r2 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r4 AS MATERIALIZED (SELECT e.u FROM und e JOIN r3 a ON e.u = a.u JOIN r3 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r5 AS MATERIALIZED (SELECT e.u FROM und e JOIN r4 a ON e.u = a.u JOIN r4 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r6 AS MATERIALIZED (SELECT e.u FROM und e JOIN r5 a ON e.u = a.u JOIN r5 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r7 AS MATERIALIZED (SELECT e.u FROM und e JOIN r6 a ON e.u = a.u JOIN r6 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r8 AS MATERIALIZED (SELECT e.u FROM und e JOIN r7 a ON e.u = a.u JOIN r7 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r9 AS MATERIALIZED (SELECT e.u FROM und e JOIN r8 a ON e.u = a.u JOIN r8 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r10 AS MATERIALIZED (SELECT e.u FROM und e JOIN r9 a ON e.u = a.u JOIN r9 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r11 AS MATERIALIZED (SELECT e.u FROM und e JOIN r10 a ON e.u = a.u JOIN r10 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3), r12 AS MATERIALIZED (SELECT e.u FROM und e JOIN r11 a ON e.u = a.u JOIN r11 b ON e.v = b.u GROUP BY e.u HAVING COUNT(*) >= 3)
+    SELECT e.u AS node, COUNT(*) AS core_degree
+    FROM und e
+    JOIN r12 a ON e.u = a.u JOIN r12 b ON e.v = b.u
+    GROUP BY e.u
+    ORDER BY node
+""",
+    tags=("graph",),
+)
+def graph_k_core(spark, sf_dir):
+    """Maximal 3-core of the co-purchase graph (parts linked when bought
+    in the same order, 1-in-20 order sample) — the density filter
+    community detection and fraud pipelines run before expensive per-
+    community work. The engine peels iteratively to a CHECKED fixpoint
+    (operators/graph.py:k_core): per round one alive-set semi-join per
+    endpoint + a degree aggregate, state one row per alive node; the
+    iteration cap RAISES rather than returning a partial peel. The
+    oracle unrolls 12 monotone peel rounds - extra rounds past the
+    fixpoint are no-ops, so engine/oracle equality is exact whenever the
+    engine converges, and non-convergence is an error, never data luck.
+    Output: every core member with its within-core degree."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    return G.k_core(pairs, k=3).orderBy("node")

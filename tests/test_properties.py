@@ -345,3 +345,42 @@ def test_golden_record_no_duplicates_is_empty(spark):
     got = out.collect()
     for r in got:
         assert r.n_members > 1
+
+
+def test_k_core_invariant_every_member_has_k_core_neighbors(spark):
+    """The defining k-core property, checked independently of the oracle:
+    every returned node has >= k neighbors that are THEMSELVES in the
+    core, and its reported core_degree equals that count."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.operators.graph import k_core
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    core = REGISTRY["graph_k_core"].fn(spark, SF_SMOKE).collect()
+    members = {r.node for r in core}
+    degrees = {r.node: r.core_degree for r in core}
+    from crocus_spark.io import load
+
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for node in members:
+        in_core = adj[node] & members
+        assert len(in_core) >= 3, f"{node} has only {len(in_core)} core nbrs"
+        assert degrees[node] == len(in_core)
