@@ -67,28 +67,37 @@ def decode_image(content: bytes) -> tuple[int, int, int]:
     return decode_image_bytes(content)
 
 
-def synth_image_table(df: DataFrame, id_col: str) -> DataFrame:
+def synth_image_table(
+    df: DataFrame, id_col: str, pattern_col: str | None = None
+) -> DataFrame:
     """Deterministic fixture images from integer keys (the fixtures carry
-    no real media bytes): key k becomes a (4 + k%13) × (3 + k%11) RGB
-    image with LCG-pattern pixels, encoded as PPM / BMP / PNG by k%3 —
-    all three engine codecs exercised in one relation. Encoding runs in
-    the Arrow batch loop (bytes never visit the driver)."""
+    no real media bytes): pattern key p becomes a (4 + p%13) × (3 + p%11)
+    RGB image with LCG-pattern pixels, encoded as PPM / BMP / PNG by the
+    ID key k%3 — all three engine codecs exercised in one relation.
+    With ``pattern_col`` set, rows sharing a pattern get PIXEL-IDENTICAL
+    images in (generally) different container formats — the perceptual-
+    dedup fixture where byte-level dedup must fail. Default: p = k.
+    Encoding runs in the Arrow batch loop (bytes never visit the
+    driver)."""
     import pandas as pd  # noqa: PLC0415
 
     from crocus_spark.operators import imagecodec as C
 
     @F.pandas_udf(T.BinaryType())
-    def encode(ids):
+    def encode(ids, pats):
         out = []
-        for k in ids:
-            k = int(k)
-            w, h = 4 + k % 13, 3 + k % 11
-            px = C.synth_pixels(w, h, k)
+        for k, p in zip(ids, pats):
+            k, p = int(k), int(p)
+            w, h = 4 + p % 13, 3 + p % 11
+            px = C.synth_pixels(w, h, p)
             enc = (C.encode_ppm, C.encode_bmp, C.encode_png)[k % 3]
             out.append(enc(w, h, px))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), encode(F.col(id_col)).alias("img"))
+    pat = F.col(pattern_col) if pattern_col else F.col(id_col)
+    return df.select(
+        F.col(id_col), encode(F.col(id_col), pat).alias("img")
+    )
 
 
 def fake_decode_image(content: bytes) -> tuple[int, int, int]:
@@ -264,3 +273,48 @@ def resize_media_batch(
             )
 
     return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def perceptual_hash_batch(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image: canonical pixel decode →
+    8×8 nearest-neighbor downsample → grayscale → bit i set iff pixel i
+    is brighter than the integer mean. Pixel-identical images hash
+    identically regardless of container format; near-identical images
+    land within small Hamming distance (band-block like SimHash to pair
+    them at scale). Runs in the Arrow batch loop; only (id, hash) rows
+    come out — images never leave the executors."""
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators.imagecodec import decode_image_pixels
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = decode_image_pixels(bytes(data))
+                grays = []
+                for ty in range(8):
+                    sy = ty * h // 8
+                    for tx in range(8):
+                        sx = tx * w // 8
+                        i = (sy * w + sx) * ch
+                        grays.append((px[i] + px[i + 1] + px[i + 2]) // 3)
+                mean = sum(grays) // 64
+                bits = 0
+                for i, g in enumerate(grays):
+                    if g > mean:
+                        bits |= 1 << i
+                if bits >= 1 << 63:  # two's-complement into LongType
+                    bits -= 1 << 64
+                ids.append(mid)
+                hashes.append(bits)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.mapInPandas(fn, schema)

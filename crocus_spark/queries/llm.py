@@ -3328,3 +3328,58 @@ def ml_contrastive_negatives(spark, sf_dir):
         "cos",
         (F.col("cos") >= 0.35).alias("is_false_negative"),
     ).orderBy("query_id", "j")
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 40 AS p
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT media_id,
+           MIN(media_id) OVER (PARTITION BY p) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY p) AS n_members,
+           media_id = MIN(media_id) OVER (PARTITION BY p) AS is_survivor
+    FROM m ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """IMAGE near-dup dedup by perceptual hash (§2B#54 × #60): fixture
+    images share a pattern key (pixel-identical) but land in DIFFERENT
+    container formats (PPM/BMP/PNG by id), so byte/digest dedup finds
+    nothing — the 64-bit average-hash over the canonical decoded pixels
+    (real codecs, 8×8 downsample, brighter-than-mean bits) clusters them
+    anyway. Exact-hash grouping here (identical pixels ⇒ identical
+    aHash); small-Hamming pairing at scale band-blocks the hash like
+    SimHash. The oracle states the expected cluster STRUCTURE
+    arithmetically (pattern-key grouping); the hash value itself stays
+    engine-side, and distinct patterns colliding would break the gate —
+    none do at any fixture scale.
+
+    Scale: decode+hash is one Arrow pass, images never leave executors;
+    clustering is a hash-keyed aggregate — the image twin of
+    text_exact_dedup."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", (F.col("doc_id") % 40).alias("p"))
+    )
+    imgs = M.synth_image_table(docs, "doc_id", pattern_col="p")
+    media = M.to_media_table(imgs, "doc_id", "img", "image")
+    hashed = M.perceptual_hash_batch(media)
+    clusters = hashed.groupBy("phash").agg(
+        F.min("media_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        hashed.join(clusters, "phash")
+        .select(
+            "media_id",
+            "cluster_id",
+            "n_members",
+            (F.col("media_id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+        .orderBy("media_id")
+    )
