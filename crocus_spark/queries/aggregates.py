@@ -1092,3 +1092,46 @@ def maintenance_incremental_join(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "agg_listagg_battery",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY c_custkey) AS keys_asc,
+           string_agg(c_mktsegment, '|'
+                      ORDER BY c_acctbal DESC, c_custkey) AS segs_by_bal
+    FROM customer
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("agg", "sql"),
+)
+def agg_listagg_battery(spark, sf_dir):
+    """LISTAGG / string_agg (§2C, the SQL:2016 ordered string aggregate
+    Spark added in 4.0): per-group concatenation under two different
+    explicit WITHIN GROUP orders — the determinism rule that makes
+    string aggregation hash-comparable at all (an unordered listagg is
+    partitioning-dependent). Same partial/final hash-agg shape as
+    collect_list; state is the group's concatenated payload, so at
+    100 TB cap the group size (the reference's per-provider holdings
+    lists are naturally bounded)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    cust.createOrReplaceTempView("listagg_cust")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               listagg(CAST(c_custkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY c_custkey) AS keys_asc,
+               listagg(c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)
+                 AS segs_by_bal
+        FROM listagg_cust
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
