@@ -3383,3 +3383,45 @@ def multimodal_phash_dedup(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "text_sentence_split",
+    oracle=r"""
+    WITH sents AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) - 1
+               AS sent_idx,
+             trim(unnest(string_split_regex(text, '[.!?]+'))) AS sent
+      FROM documents
+    )
+    SELECT doc_id, sent_idx, length(sent) AS n_chars,
+           len(string_split_regex(sent, '\s+')) AS n_words
+    FROM sents
+    WHERE length(sent) > 0
+    ORDER BY doc_id, sent_idx
+    """,
+    tags=("llm", "text"),
+)
+def text_sentence_split(spark, sf_dir):
+    """Sentence segmentation to rows (the granularity change upstream of
+    sentence-level dedup, chunking, and alignment): terminal-punct regex
+    split with ORIGINAL sentence indices preserved (posexplode BEFORE the
+    empty filter, so indices stay stable when a doc ends in punctuation).
+    Pure generate-side fan-out fused into the scan — no shuffle; sentence
+    metadata only, bodies stay put."""
+    docs = load(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"[.!?]+")).alias("sent_idx", "raw"),
+    ).select("doc_id", "sent_idx", F.trim("raw").alias("sent"))
+    return (
+        sents.filter(F.length("sent") > 0)
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.length("sent").alias("n_chars"),
+            F.size(F.split("sent", r"\s+")).alias("n_words"),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
