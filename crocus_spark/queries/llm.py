@@ -3425,3 +3425,68 @@ def text_sentence_split(spark, sf_dir):
         )
         .orderBy("doc_id", "sent_idx")
     )
+
+
+@register(
+    "dedup_sentence_level",
+    oracle=r"""
+    WITH sents AS (
+      SELECT doc_id, trim(unnest(string_split_regex(text, '[.!?]+'))) AS sent
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, md5(lower(sent)) AS h
+      FROM sents WHERE length(sent) > 0
+    ), df AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM keyed GROUP BY h
+    )
+    SELECT k.doc_id,
+           COUNT(*) AS n_sents,
+           COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS n_dup_sents,
+           round(CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio,
+           CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS DOUBLE)
+             / COUNT(*) <= 0.5 AS keep
+    FROM keyed k JOIN df ON df.h = k.h
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def dedup_sentence_level(spark, sf_dir):
+    """Sentence-level cross-document dedup (the granularity between
+    document dedup and span removal): a sentence duplicated across ≥2
+    distinct documents marks every occurrence; documents majority-built
+    from duplicated sentences are dropped (boilerplate pages, mirrored
+    articles). State is the sentence-digest document-frequency relation
+    — vocabulary-shaped, broadcast back onto the sentence stream; the
+    only corpus-sized shuffles are the digest df-count and the per-doc
+    rollup, both map-side combinable."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", r"[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .filter(F.length("sent") > 0)
+        .select("doc_id", F.md5(F.lower("sent")).alias("h"))
+    )
+    df_rel = keyed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup_cnt = F.count(F.when(F.col("n_docs") >= 2, 1))
+    return (
+        keyed.join(F.broadcast(df_rel), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            dup_cnt.alias("n_dup_sents"),
+            F.round(
+                dup_cnt.cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+            (
+                dup_cnt.cast("double") / F.count(F.lit(1)) <= 0.5
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
