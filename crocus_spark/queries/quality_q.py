@@ -292,3 +292,153 @@ def dq_distribution_drift(spark, sf_dir):
         )
         .orderBy("cat")
     )
+
+
+@register(
+    "dq_psi_stability",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ), tagged AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN epoch(o_orderdate) - epoch((SELECT lo FROM bounds))
+                       <= (epoch((SELECT hi FROM bounds))
+                           - epoch((SELECT lo FROM bounds))) / 2
+                  THEN 0 ELSE 1 END AS half
+      FROM orders
+    ), counts AS (
+      SELECT cat,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS n_ref,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS n_cur
+      FROM tagged GROUP BY cat
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+    )
+    SELECT cat, n_ref, n_cur,
+           CAST(
+             (CAST(n_ref AS DOUBLE) / (SELECT t_ref FROM tot)
+              - CAST(n_cur AS DOUBLE) / (SELECT t_cur FROM tot))
+             * (ln(CAST(n_ref AS DOUBLE) / (SELECT t_ref FROM tot))
+                - ln(CAST(n_cur AS DOUBLE) / (SELECT t_cur FROM tot)))
+             AS REAL) AS psi_term
+    FROM counts
+    ORDER BY cat
+    """,
+    tags=("dq", "statistics"),
+)
+def dq_psi_stability(spark, sf_dir):
+    """Population Stability Index per category (the scorecard-industry
+    drift metric, complementing the χ²-style dq_distribution_drift):
+    PSI term = (p_ref − p_cur)·ln(p_ref/p_cur) with add-one smoothed
+    counts, first-half-vs-second-half split. Ratios divide exact integer
+    counts, the log difference is two correctly-rounded libm calls, and
+    the term lands at float32 — the same determinism boundary the drift
+    monitor uses. One scan, categories-sized state."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    tagged = o.crossJoin(F.broadcast(b)).select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(
+            F.unix_timestamp("o_orderdate") - F.unix_timestamp("lo")
+            <= (
+                F.unix_timestamp("hi") - F.unix_timestamp("lo")
+            ) / 2,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    counts = tagged.groupBy("cat").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1).alias("n_ref"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            "n_ref",
+            "n_cur",
+            ((p_ref - p_cur) * (F.log(p_ref) - F.log(p_cur)))
+            .cast("float")
+            .alias("psi_term"),
+        )
+        .orderBy("cat")
+    )
+
+
+@register(
+    "ml_ab_test_proportions",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id, MIN(user_id % 2) AS grp,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS c_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS c_b
+      FROM halves
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(CAST(c_a AS DOUBLE) / n_a AS REAL) AS p_a,
+           CAST(CAST(c_b AS DOUBLE) / n_b AS REAL) AS p_b,
+           CAST(
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / NULLIF(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0.0)
+             AS REAL) AS z_score
+    FROM agg
+    """,
+    tags=("ml", "statistics"),
+)
+def ml_ab_test_proportions(spark, sf_dir):
+    """Two-proportion z-test (the A/B-test readout): users split into
+    arms by id parity, conversion = any purchase, pooled-variance z on
+    the two conversion rates. All inputs are exact integer counts from
+    ONE grouped pass over the fact scan; the statistic is a fixed IEEE
+    expression emitted at float32. The whole answer is one row."""
+    ev = load(spark, sf_dir, "events")
+    halves = ev.groupBy("user_id").agg(
+        F.min(F.col("user_id") % 2).alias("grp"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = halves.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.nullif(
+        F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.cast("float").alias("p_a"),
+        p_b.cast("float").alias("p_b"),
+        z.cast("float").alias("z_score"),
+    )
