@@ -939,3 +939,105 @@ def window_running_distinct(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS version
+      FROM ordered
+    ), hist AS (
+      SELECT user_id, version, event_type, MIN(ts) AS vf
+      FROM islands GROUP BY user_id, version, event_type
+    ), bounded AS (
+      SELECT *, LEAD(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+      FROM hist
+    ), probes AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS probe_id, p.user_id, p.ts,
+           b.version, b.event_type AS state_type
+    FROM probes p JOIN bounded b
+      ON b.user_id = p.user_id AND p.ts >= b.vf
+         AND (b.vt IS NULL OR p.ts < b.vt)
+    ORDER BY probe_id
+    """,
+    tags=("window", "scd", "join"),
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time dimension lookup against SCD2 history (the
+    'as-of-the-fact' join every Kimball warehouse runs): each purchase
+    resolves the version of the user's state valid AT its timestamp.
+    The engine avoids the range join entirely — version-start rows and
+    probe rows UNION into one (user, ts) stream and a last(ignorenulls)
+    carry assigns each probe its prevailing version in ONE shuffle
+    (version rows sort before probes at equal ts, so a version starting
+    exactly at the probe is visible — matching the oracle's inclusive
+    vf edge; zero-length versions lose to their same-instant successor
+    under the version-ascending tiebreak in both formulations).
+    The oracle IS the range join, bounding exactness."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn("version", F.sum("chg").over(run).cast("long"))
+    hist = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("vf")
+    )
+    vrows = hist.select(
+        "user_id",
+        F.col("vf").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        "version",
+        F.col("event_type").alias("state_type"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("state_type"),
+        F.col("event_id").alias("probe_id"),
+    )
+    carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = vrows.unionByName(probes)
+    return (
+        u.withColumn(
+            "cur_version", F.last("version", ignorenulls=True).over(carry)
+        )
+        .withColumn(
+            "cur_state", F.last("state_type", ignorenulls=True).over(carry)
+        )
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "probe_id",
+            "user_id",
+            "ts",
+            F.col("cur_version").alias("version"),
+            F.col("cur_state").alias("state_type"),
+        )
+        .orderBy("probe_id")
+    )
