@@ -78,6 +78,7 @@ def _load_modules() -> None:
         runtime_q,
         scalars,
         setops,
+        sketches_q,
         sources_q,
         sql_surface,
         streaming_q,

@@ -1260,3 +1260,618 @@ def series_seasonal_decompose(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH sample AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+      SELECT g, v,
+             RANK() OVER (ORDER BY v) AS min_rank,
+             COUNT(*) OVER (PARTITION BY v) AS tie_n
+      FROM sample
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN g = '1-URGENT'
+                      THEN 2 * min_rank + tie_n - 1 ELSE 0 END) AS BIGINT)
+          AS r1_doubled
+      FROM ranked
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM sample GROUP BY v)
+    )
+    SELECT n1, n2,
+           CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           n1 * n2 - CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
+           tie_term,
+           round(
+             (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) - n1 * n2)
+             / (2 * sqrt(
+                 (CAST(n1 AS DOUBLE) * n2 / 12)
+                 * ((n1 + n2 + 1)
+                    - CAST(tie_term AS DOUBLE)
+                      / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))),
+             6) AS z_score
+    FROM sums, ties
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: do URGENT and LOW orders draw their
+    totals from the same distribution? The nonparametric sibling of the
+    two-proportion z-test (`ml_ab_test_proportions`) for continuous
+    outcomes — rank-based, so it needs no normality assumption.
+
+    Determinism: tied values take AVERAGE ranks, carried DOUBLED
+    (``2*min_rank + tie_n - 1`` — an exact integer), so the rank sum, both
+    U statistics, and the tie-corrected variance are integer arithmetic
+    until one final sqrt+division (rounded at 6). Spark shape: one global
+    rank window over the two-group sample (exact ranks; at 100 TB swap in
+    the shard-offset ranking of `corpus_global_row_ids`), tie counts from
+    a per-value partition window, then a single-row reduction."""
+    sample = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = sample.select(
+        "g",
+        "v",
+        F.rank().over(Window.orderBy("v")).alias("min_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("v")).alias("tie_n"),
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("g") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("g") == "1-URGENT",
+                2 * F.col("min_rank") + F.col("tie_n") - 1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r1_doubled"),
+    )
+    ties = (
+        sample.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    u1d = (F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    )
+    n = F.col("n1") + F.col("n2")
+    var = (F.col("n1").cast("double") * F.col("n2") / 12) * (
+        (n + 1)
+        - F.col("tie_term").cast("double")
+        / (n * (n - 1).cast("double"))
+    )
+    return sums.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        (u1d / 2).alias("u1"),
+        (F.col("n1") * F.col("n2") - u1d / 2).alias("u2"),
+        "tie_term",
+        F.round(
+            (u1d - F.col("n1") * F.col("n2")) / (2 * F.sqrt(var)), 6
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT max_date FROM maxd))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 4)
+             AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "segmentation"),
+)
+def analytics_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation — the classic CRM cut: each customer scored 1-5 on
+    Recency (days since last order, 5 = most recent), Frequency (order
+    count), Monetary (exact decimal spend), via NTILE(5) with the
+    SQL-standard remainder rule; customer key breaks metric ties so every
+    bucket boundary is deterministic. Output is the segment lattice with
+    sizes and average spend.
+
+    Spark shape: orders collapse to a customer-sized relation in one
+    grouped aggregate; the three score windows are global NTILEs over that
+    relation — exact quintiles here, swapped for approx-percentile
+    boundaries at 100 TB exactly like `window_ntile_binning` documents;
+    the final roll-up is at most 125 cells."""
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("max_date"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        (
+            6
+            - F.ntile(5).over(
+                Window.orderBy("recency_days", "o_custkey")
+            )
+        ).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "analytics_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(rev) AS total_rev FROM rev),
+    cum AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum_rev
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_rev * 10 <= (SELECT total_rev FROM total) * 7
+                  THEN 'A'
+                  WHEN cum_rev * 10 <= (SELECT total_rev FROM total) * 9
+                  THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           round(CAST(SUM(rev) AS DOUBLE)
+                 / CAST((SELECT total_rev FROM total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("analytics", "pareto"),
+)
+def analytics_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue: class A carries the
+    first 70% of cumulative revenue, B the next 20%, C the tail — the
+    inventory-management 80/20 cut. Class boundaries compare CROSS-
+    MULTIPLIED exact decimals (``cum*10 <= total*7``), so no row ever sits
+    on a float boundary; descending revenue ties are broken by part key.
+
+    Spark shape: the fact table reduces to a part-sized relation in one
+    map-side-combinable aggregate; the cumulative window runs over that
+    relation (global ordered window — exact Pareto front; at 100 TB the
+    swap is range-partitioned cumulation via per-shard offsets, the
+    `corpus_global_row_ids` trick); final roll-up is 3 cells."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(DEC)
+            ).alias("rev")
+        )
+    )
+    total = rev.agg(F.sum("rev").alias("total_rev"))
+    from pyspark.sql.window import Window
+
+    cum = rev.select(
+        "rev",
+        F.sum("rev")
+        .over(
+            Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_rev"),
+    ).crossJoin(F.broadcast(total))
+    classed = cum.select(
+        F.when(
+            F.col("cum_rev") * 10 <= F.col("total_rev") * 7, "A"
+        )
+        .when(F.col("cum_rev") * 10 <= F.col("total_rev") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "total_rev",
+    )
+    return (
+        classed.groupBy("abc_class", "total_rev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_revenue",
+            F.round(
+                F.col("class_revenue") / F.col("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "series_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days, SUM(rev) AS total_rev
+      FROM daily
+    ),
+    cum AS (
+      SELECT day,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             SUM(rev) OVER (ORDER BY day) AS s
+      FROM daily
+    ),
+    drift AS (
+      SELECT day,
+             abs((SELECT n_days FROM stats) * s
+                 - t * (SELECT total_rev FROM stats)) AS d
+      FROM cum
+    ),
+    best AS (
+      SELECT day, d,
+             ROW_NUMBER() OVER (ORDER BY d DESC, day) AS rk
+      FROM drift
+    )
+    SELECT b.day AS changepoint_day,
+           s.n_days,
+           round(CAST(b.d AS DOUBLE) / s.n_days, 4) AS cusum_peak
+    FROM best b, stats s WHERE b.rk = 1
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily revenue series: the day
+    maximizing |S_t - (t/n)*total| — the cumulative deviation from the
+    global mean — is the single most likely level-shift point (Page 1954
+    CUSUM, offline form). The drift is kept CROSS-MULTIPLIED in exact
+    decimals (``|n*S_t - t*total|``), so the argmax (earliest day on
+    ties) is never a float race; only the reported peak height divides.
+
+    Spark shape: orders reduce to a calendar-sized daily relation (one
+    grouped aggregate with map-side combine); the cumulative window and
+    the argmax ranking both run over that ~1100-row relation — window
+    state is O(calendar), never O(orders)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").alias("total_rev"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.sum("rev").over(w).alias("s"),
+    )
+    drift = cum.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("s") - F.col("t") * F.col("total_rev")
+        ).alias("d"),
+    )
+    best = drift.select(
+        "day",
+        "n_days",
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").desc(), "day"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("day").alias("changepoint_day"),
+        "n_days",
+        F.round(F.col("d").cast("double") / F.col("n_days"), 4).alias(
+            "cusum_peak"
+        ),
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ),
+    margins AS (
+      SELECT seg, pri, n,
+             SUM(n) OVER (PARTITION BY seg) AS row_n,
+             SUM(n) OVER (PARTITION BY pri) AS col_n,
+             SUM(n) OVER () AS tot_n
+      FROM obs
+    ),
+    terms AS (
+      SELECT seg, pri, n, tot_n,
+             CAST(ROUND(
+               (n - CAST(row_n AS DOUBLE) * col_n / tot_n)
+               * (n - CAST(row_n AS DOUBLE) * col_n / tot_n)
+               / (CAST(row_n AS DOUBLE) * col_n / tot_n) * 1000000
+             ) AS BIGINT) AS term_q
+      FROM margins
+    )
+    SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_cols,
+           (COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS df,
+           CAST(MAX(tot_n) AS BIGINT) AS n_total,
+           CAST(SUM(term_q) AS DOUBLE) / 1000000 AS chi2
+    FROM terms
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def stats_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence on the market-segment × order-
+    priority contingency table — the categorical sibling of the two-sample
+    drift monitors: is priority assignment independent of segment?
+
+    Determinism: each cell's (O-E)^2/E term is quantized to a SCALED
+    BIGINT (round(term*1e6)) before the sum — per the repo's rule that
+    float SUMs never cross a compare boundary — so the 25-cell reduction
+    is exact integer addition in both engines. Spark shape: the fact join
+    collapses to a 25-cell relation in one aggregate; margins are windows
+    over those 25 rows; df and the statistic fall out of a single-row
+    reduction."""
+    obs = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    margins = obs.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("tot_n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("tot_n")
+    terms = margins.select(
+        "seg",
+        "pri",
+        "tot_n",
+        F.round((F.col("n") - e) * (F.col("n") - e) / e * 1000000)
+        .cast("long")
+        .alias("term_q"),
+    )
+    return terms.agg(
+        F.countDistinct("seg").cast("long").alias("n_rows"),
+        F.countDistinct("pri").cast("long").alias("n_cols"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        ).alias("df"),
+        F.max("tot_n").cast("long").alias("n_total"),
+        (F.sum("term_q").cast("double") / 1000000).alias("chi2"),
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY l_quantity)
+          + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+        2 * RANK() OVER (ORDER BY l_extendedprice)
+          + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS DOUBLE) AS syy
+      FROM ranked
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM sums
+    """,
+    tags=("stats", "correlation"),
+)
+def stats_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price —
+    Pearson on average ranks, the monotonic-association measure that
+    ignores the price scale. Ranks are carried DOUBLED (exact integers
+    under ties, same trick as `stats_mannwhitney_u`), the five power sums
+    accumulate in exact DECIMAL, and only the final closed-form divides —
+    one identical IEEE expression tree per engine, rounded at 6.
+
+    Spark shape: two global rank windows (swap for shard-offset ranking
+    at 100 TB) feeding one single-row reduction; no joins, no second
+    scan."""
+    from pyspark.sql.window import Window
+
+    ranked = load(spark, sf_dir, "lineitem").select(
+        (
+            2 * F.rank().over(Window.orderBy("l_quantity"))
+            + F.count(F.lit(1)).over(Window.partitionBy("l_quantity"))
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(Window.orderBy("l_extendedprice"))
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("l_extendedprice")
+            )
+            - 1
+        ).alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(d38)).cast("double").alias("sy"),
+        F.sum(F.col("rx").cast(d38) * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx").cast(d38) * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry").cast(d38) * F.col("ry")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "n", F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+    tags=("analytics", "sequence"),
+)
+def analytics_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the path-analysis readout behind
+    'what do users do after a click'. Event order is pinned by
+    (ts, event_id) so simultaneous events never race the LEAD.
+
+    Spark shape: one per-user ordered window (the sessionization shuffle
+    key, state O(1) per row), then the corpus collapses to an
+    event-type × event-type relation — at most |types|² cells — whose
+    row-normalization window runs on those cells, not the fact table."""
+    from pyspark.sql.window import Window
+
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")

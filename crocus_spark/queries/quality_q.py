@@ -442,3 +442,198 @@ def ml_ab_test_proportions(spark, sf_dir):
         p_b.cast("float").alias("p_b"),
         z.cast("float").alias("z_score"),
     )
+
+
+@register(
+    "dq_ks_test",
+    oracle="""
+    WITH per_value AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_totalprice
+    ),
+    totals AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+      FROM per_value
+    ),
+    cdf AS (
+      SELECT v,
+             SUM(d1) OVER (ORDER BY v) AS c1,
+             SUM(d2) OVER (ORDER BY v) AS c2
+      FROM per_value
+    ),
+    gaps AS (
+      SELECT v, abs(c1 * (SELECT n2 FROM totals)
+                    - c2 * (SELECT n1 FROM totals)) AS gap
+      FROM cdf
+    ),
+    peak AS (
+      SELECT CAST(MAX(gap) AS BIGINT) AS d_scaled FROM gaps
+    )
+    SELECT n1, n2,
+           round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+           (SELECT MIN(v) FROM gaps WHERE gap = (SELECT d_scaled FROM peak))
+             AS x_at_d,
+           CAST(d_scaled AS DOUBLE)
+             > 1.3581 * sqrt(CAST(n1 * n2 * (n1 + n2) AS DOUBLE))
+             AS reject_at_95
+    FROM totals, peak
+    """,
+    tags=("dq", "stats"),
+)
+def dq_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test: sup-norm distance between the
+    empirical CDFs of ``o_totalprice`` for finished (F) vs open (O)
+    orders — the distribution-drift readout that needs no binning choice,
+    complementing the chi-square monitor (`dq_distribution_drift`) and PSI.
+
+    Determinism: the CDF gap is kept CROSS-MULTIPLIED as the exact integer
+    ``|c1*n2 - c2*n1|`` — the max is found before any division, so the
+    statistic, its argmax value (min v on ties), and the 95% rejection
+    verdict (vs 1.3581*sqrt(n1*n2*n), IEEE sqrt is correctly rounded) are
+    all bit-identical across engines. Spark shape: one grouped aggregate
+    per distinct value, then an ordered cumulative window over the
+    value-distinct relation. That window is single-partition here (exact
+    sup over every distinct value); the 100 TB swap is the pre-binned
+    histogram KS — quantize v to ~1e4 bins first, same downstream plan,
+    sup error bounded by one bin's mass."""
+    ov = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", "o_totalprice")
+    )
+    per_value = ov.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    totals = per_value.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_value.select(
+        "v", F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    )
+    gaps = cdf.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+        ).alias("gap"),
+    )
+    peak = gaps.groupBy("n1", "n2").agg(
+        F.max("gap").cast("long").alias("d_scaled")
+    )
+    x_at = (
+        gaps.join(
+            F.broadcast(peak.select(F.col("d_scaled").alias("gap"))), "gap"
+        )
+        .agg(F.min("v").alias("x_at_d"))
+    )
+    return peak.crossJoin(F.broadcast(x_at)).select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2")), 6
+        ).alias("d_stat"),
+        "x_at_d",
+        (
+            F.col("d_scaled").cast("double")
+            > 1.3581
+            * F.sqrt(
+                (F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2"))).cast(
+                    "double"
+                )
+            )
+        ).alias("reject_at_95"),
+    )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY digit
+    ),
+    expected AS (
+      SELECT * FROM (VALUES
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757)) AS t(digit, exp_share)
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM obs)
+    SELECT e.digit,
+           COALESCE(o.n, 0) AS n,
+           round(CAST(COALESCE(o.n, 0) AS DOUBLE) / total_n, 6) AS obs_share,
+           e.exp_share,
+           round(abs(round(CAST(COALESCE(o.n, 0) AS DOUBLE) / total_n, 6)
+                     - e.exp_share), 6) AS abs_dev
+    FROM expected e LEFT JOIN obs o ON e.digit = o.digit, total
+    ORDER BY e.digit
+    """,
+    tags=("dq", "stats"),
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford first-digit profile of ``o_totalprice`` — the classic
+    fabricated-data screen: observed leading-digit shares vs the Benford
+    expectation log10(1+1/d). The expected shares are INLINE LITERALS
+    (6-digit, identical on both sides) rather than engine log10 calls, and
+    the leading digit is taken from the integer part's string form — no
+    float log/pow anywhere near a compare boundary.
+
+    Spark shape: a 9-cell grouped aggregate fused into the scan (map-side
+    combine), LEFT-joined from the broadcast 9-row expectation relation so
+    digits with zero observations still report. TPC-H-ish totalprice is
+    range-bounded, so large deviations here are expected and the point is
+    the deterministic per-digit readout, not a verdict."""
+    digits = load(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [
+            (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+            (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+            (9, 0.045757),
+        ],
+        "digit INT, exp_share DOUBLE",
+    )
+    total = obs.agg(F.sum("n").cast("long").alias("total_n"))
+    obs_share = F.round(
+        F.coalesce("n", F.lit(0)).cast("double") / F.col("total_n"), 6
+    )
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            obs_share.alias("obs_share"),
+            "exp_share",
+            F.round(F.abs(obs_share - F.col("exp_share")), 6).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -1,0 +1,372 @@
+"""Portable probabilistic sketches with EXACT value oracles.
+
+The native sketch queries (`agg_hll_mergeable_sketch`, `agg_kll_quantile_sketch`,
+`agg_theta_set_algebra`) exercise Spark's built-in Datasketches binaries —
+engine-specific by construction, so they sit in the rows-only set. This module
+closes that gap from the other side: the SAME sketch algorithms re-built on the
+repo's portable md5-derived hash (`operators/dedup.py::portable_hash60`), so
+every register / counter / bit is bit-identical in Spark and DuckDB and the
+whole sketch — not just its row count — is value-hash oracled.
+
+Scale shapes (the reason sketches exist at 100 TB):
+- count-min: the corpus collapses to ``depth × width`` counters via one
+  map-side-combinable aggregate — frequency estimates for any key set without
+  a per-key shuffle, estimate ≥ truth guaranteed (Cormode & Muthukrishnan,
+  J. Algorithms 2005).
+- HyperLogLog: one ``max`` per register (64 registers here) — mergeable
+  distinct-count state that partial aggregation combines for free (Flajolet
+  et al., AofA 2007).
+- Bloom: the member set becomes a ≤``m_bits``-row bit relation, broadcast to
+  the probe side — membership with zero false negatives (asserted in the
+  result) and a deterministic, countable false-positive set.
+
+Reference parity: the reference dedups products by exact id per snapshot
+(`ishares.py:145-148` loop keyed on ticker); these sketches are the bounded-
+memory versions of the same membership / frequency / cardinality questions at
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocus_spark.io import load
+from crocus_spark.operators import dedup as D
+from crocus_spark.queries import register
+from crocus_spark.queries.llm import _hash60_sql
+
+# count-min geometry: 4 independent hash rows × 128 buckets.
+_CM_DEPTH, _CM_WIDTH = 4, 128
+# HLL: m = 64 registers (b = 6 index bits out of the 60-bit hash).
+_HLL_M = 64
+# alpha_64 * m^2 * 2^54 as one pre-computed double literal: inlining the same
+# repr on both sides avoids any cross-engine constant-folding difference.
+# (0.709 is the standard alpha for m = 64; the remaining 54 hash bits make the
+# max rho 55, so registers are encoded as integer 2^(55-rho) summands and the
+# numerator carries the matching 2^55 — see the query body.)
+_HLL_NUMER = repr(0.709 * _HLL_M * _HLL_M * 2.0**55)
+# Bloom: 2048 bits, 3 hash functions.
+_BF_BITS, _BF_K = 2048, 3
+
+
+def _cm_bucket_sql(r: int) -> str:
+    h = _hash60_sql(f"'cm{r}:' || CAST(l_partkey AS VARCHAR)")
+    return f"{h} % {_CM_WIDTH}"
+
+
+@register(
+    "sketch_countmin_portable",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, {_cm_bucket_sql(r)} AS bucket FROM lineitem"
+            for r in range(_CM_DEPTH)
+        )}
+      )
+      GROUP BY r, bucket
+    ),
+    probes AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 59 = 0
+    ),
+    probe_cells AS (
+      {" UNION ALL ".join(
+          f"SELECT l_partkey, {r} AS r, {_cm_bucket_sql(r)} AS bucket "
+          "FROM probes"
+          for r in range(_CM_DEPTH)
+      )}
+    ),
+    est AS (
+      SELECT p.l_partkey, MIN(c.c) AS est_n
+      FROM probe_cells p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+      GROUP BY p.l_partkey
+    ),
+    exact AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM lineitem WHERE l_partkey % 59 = 0 GROUP BY l_partkey
+    )
+    SELECT e.l_partkey, est_n, exact_n, est_n - exact_n AS overcount
+    FROM est e JOIN exact x ON e.l_partkey = x.l_partkey
+    ORDER BY e.l_partkey
+    """,
+    tags=("sketch", "frequency"),
+)
+def sketch_countmin_portable(spark, sf_dir):
+    """Count-min sketch over ``lineitem.l_partkey``, probed on a
+    deterministic key subset (partkey % 59 == 0) and confronted with the
+    exact per-key counts — ``overcount >= 0`` for every probe is the
+    sketch's one-sided error guarantee, and here even the exact counter
+    values are oracle-checked because the bucket hash is the portable md5
+    hash both engines compute identically.
+
+    Spark shape: the build is ``posexplode`` of the 4 per-row buckets into
+    ONE grouped aggregate — partial aggregation collapses each task to at
+    most depth×width = 512 cells before the (tiny) shuffle. The probe side
+    joins the 512-cell sketch relation — broadcast — so the fact table is
+    scanned twice and shuffled never (the exact-count confront is scoped to
+    the probe keys)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    key = F.col("l_partkey").cast("string")
+    buckets = F.array(
+        *[
+            (D.portable_hash60(F.concat(F.lit(f"cm{r}:"), key)) % _CM_WIDTH)
+            for r in range(_CM_DEPTH)
+        ]
+    )
+    cells = (
+        li.select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = li.filter(F.col("l_partkey") % 59 == 0)
+    probe_cells = probes.distinct().select(
+        "l_partkey", F.posexplode(buckets).alias("r", "bucket")
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("est_n"))
+    )
+    exact = probes.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return (
+        est.join(exact, "l_partkey")
+        .select(
+            "l_partkey",
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "sketch_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_hash60_sql("'hll:' || CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    rho AS (
+      SELECT h % {_HLL_M} AS reg,
+             CASE WHEN h // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(h // {_HLL_M})) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT reg, MAX(rho) AS m FROM rho GROUP BY reg),
+    full_regs AS (
+      SELECT COALESCE(m, 0) AS m
+      FROM (SELECT range AS reg FROM range({_HLL_M})) spine
+      LEFT JOIN regs USING (reg)
+    ),
+    s AS (
+      SELECT CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS sum_pow,
+             CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM full_regs
+    ),
+    est AS (
+      SELECT sum_pow, v,
+             CASE WHEN {_HLL_NUMER} / CAST(sum_pow AS DOUBLE) <= 160.0
+                       AND v > 0
+                  THEN {_HLL_M} * ln({_HLL_M}.0 / v)
+                  ELSE {_HLL_NUMER} / CAST(sum_pow AS DOUBLE) END AS e
+      FROM s
+    ),
+    truth AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+      FROM orders
+    )
+    SELECT CAST({_HLL_M} - v AS BIGINT) AS n_regs_set,
+           sum_pow,
+           round(e, 4) AS est_distinct,
+           true_distinct,
+           round(abs(round(e, 4) - true_distinct) / true_distinct, 4)
+             AS rel_err
+    FROM est, truth
+    """,
+    tags=("sketch", "cardinality"),
+)
+def sketch_hll_portable(spark, sf_dir):
+    """HyperLogLog distinct-count of ``orders.o_custkey`` with the whole
+    register file oracle-checked — 64 registers built from the portable
+    60-bit md5 hash (6 index bits, rho = leading-zero rank of the remaining
+    54), so Spark and DuckDB materialize byte-identical sketches, identical
+    harmonic sums (kept as exact BIGINT 2^(55-rho) summands — no float
+    accumulation), and identical estimates down to the 4-digit round.
+
+    Spark shape: one map-side-combinable MAX per register — the canonical
+    mergeable-sketch aggregation; the 64-row register file joins a
+    ``spark.range`` spine so empty registers count as rho 0, and the
+    small-range linear-counting correction (Flajolet's E <= 2.5m rule)
+    is the same CASE branch in both engines. Estimate lands within ~13%
+    (1.04/sqrt(64)) of truth — asserted by the oracle match on rel_err."""
+    h = D.portable_hash60(
+        F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))
+    )
+    rho = (
+        load(spark, sf_dir, "orders")
+        .select(h.alias("h"))
+        .select(
+            (F.col("h") % _HLL_M).alias("reg"),
+            F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(55))
+            .otherwise(55 - F.length(F.bin(F.expr(f"h div {_HLL_M}"))))
+            .alias("rho"),
+        )
+    )
+    regs = rho.groupBy("reg").agg(F.max("rho").alias("m"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+    full_regs = spine.join(regs, "reg", "left").select(
+        F.coalesce("m", F.lit(0)).alias("m")
+    )
+    s = full_regs.agg(
+        F.expr("CAST(SUM(shiftleft(CAST(1 AS BIGINT), 55 - m)) AS BIGINT)").alias(
+            "sum_pow"
+        ),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    raw = F.lit(float(_HLL_NUMER)) / F.col("sum_pow").cast("double")
+    e = F.when(
+        (raw <= 160.0) & (F.col("v") > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    truth = (
+        load(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("true_distinct"))
+    )
+    return (
+        s.select(
+            (F.lit(_HLL_M) - F.col("v")).cast("long").alias("n_regs_set"),
+            "sum_pow",
+            F.round(e, 4).alias("est_distinct"),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_regs_set",
+            "sum_pow",
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _bf_pos_sql(i: int) -> str:
+    h = _hash60_sql(f"'bf{i}:' || CAST(c_custkey AS VARCHAR)")
+    return f"{h} % {_BF_BITS}"
+
+
+@register(
+    "sketch_bloom_portable",
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bf_pos_sql(i)} AS pos FROM members"
+            for i in range(_BF_K)
+        )}
+      )
+    ),
+    probe_pos AS (
+      {" UNION ALL ".join(
+          f"SELECT c_custkey, c_mktsegment = 'BUILDING' AS is_member, "
+          f"{_bf_pos_sql(i)} AS pos FROM customer"
+          for i in range(_BF_K)
+      )}
+    ),
+    per_key AS (
+      SELECT p.c_custkey, p.is_member,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+               = {_BF_K} AS bloom_hit
+      FROM probe_pos p LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY p.c_custkey, p.is_member
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives,
+           round(CAST(SUM(CASE WHEN bloom_hit AND NOT is_member
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0),
+                 6) AS fp_rate
+    FROM per_key
+    """,
+    tags=("sketch", "membership"),
+)
+def sketch_bloom_portable(spark, sf_dir):
+    """Bloom-filter membership: the BUILDING-segment customers are the
+    member set, every customer is probed. The filter is a ≤2048-row bit
+    relation (distinct positions from 3 portable hashes), so both the bit
+    array and the per-probe verdicts are bit-identical across engines —
+    including the exact, countable false-positive set. ``n_false_negatives``
+    is 0 by the Bloom guarantee and the oracle pins it.
+
+    Spark shape: build is one distinct over an exploded 3-element array
+    (map-side combinable); probe is the same explode LEFT-joined against
+    the broadcast bit relation, then a per-key all-3-present vote — the
+    probe table never shuffles on data size, only on its own key. At 100 TB
+    the bit relation scales by raising ``m_bits``, still broadcast-sized
+    (2^31 bits = 256 MB) while the probe side stays map-local."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    key = F.col("c_custkey").cast("string")
+    pos_arr = F.array(
+        *[
+            (D.portable_hash60(F.concat(F.lit(f"bf{i}:"), key)) % _BF_BITS)
+            for i in range(_BF_K)
+        ]
+    )
+    bits = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    per_key = (
+        cust.select(
+            "c_custkey",
+            (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+            F.explode(pos_arr).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "is_member")
+        .agg(
+            (F.sum(F.coalesce("present", F.lit(0))) == _BF_K).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        cnt(F.col("is_member")).alias("n_members"),
+        cnt(F.col("bloom_hit")).alias("n_bloom_hits"),
+        cnt(F.col("bloom_hit") & ~F.col("is_member")).alias(
+            "n_false_positives"
+        ),
+        cnt(F.col("is_member") & ~F.col("bloom_hit")).alias(
+            "n_false_negatives"
+        ),
+        F.round(
+            cnt(F.col("bloom_hit") & ~F.col("is_member")).cast("double")
+            / F.nullif(cnt(~F.col("is_member")), F.lit(0)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -288,3 +288,78 @@ def sql_correlated_subqueries(spark, sf_dir):
     join, matching DuckDB exactly."""
     _register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_CORRELATED_SQL)
+
+
+_TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate  > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("sql_tpch_q3", oracle=_TPCH_Q3_SQL, tags=("sql", "tpch"))
+def sql_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to the fixture schema — the
+    canonical 3-way join + grouped-revenue + top-k pattern, written once
+    in the dialect-portable subset and executed verbatim by both engines
+    (the reference's o_shippriority column doesn't exist here, so the
+    priority attribute stands in). Revenue aggregates in exact DECIMAL
+    (`_det.py` rule) so the DESC order — and therefore the LIMIT 10 cut —
+    is never a float race; date and orderkey break remaining ties.
+
+    Spark plan: both filters reach their scans (PushedFilters), the
+    customer side reduces before the join, and the top-10 is
+    TakeOrderedAndProject — no global sort materializes at any scale."""
+    _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+_TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_tpch_q5", oracle=_TPCH_Q5_SQL, tags=("sql", "tpch"))
+def sql_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table snowflake join with
+    the region filter applied two dims away from the fact — the classic
+    join-ordering stress test, verbatim-identical SQL on both engines.
+    The local-supplier condition (supplier and customer share a nation)
+    rides the supplier join as a second equi-key, not a post-filter.
+
+    Spark plan: region/nation/supplier/customer are all broadcast-sized
+    dims here; Catalyst (with CBO stats where ANALYZE ran —
+    `sql_cbo_join_reorder`) pushes the ASIA filter through nation to
+    prune suppliers BEFORE the fact join, so the big lineitem relation
+    shuffles at most once; exact DECIMAL revenue keeps the DESC order
+    deterministic with the name tiebreak."""
+    _register_views(
+        spark,
+        sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(_TPCH_Q5_SQL)
