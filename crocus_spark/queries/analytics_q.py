@@ -1875,3 +1875,135 @@ def analytics_markov_transitions(spark, sf_dir):
             6,
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "stats_kaplan_meier",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS t1 FROM orders GROUP BY o_custkey
+    ),
+    seconds AS (
+      SELECT o.o_custkey, MIN(o.o_orderdate) AS t2
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate > f.t1
+      GROUP BY o.o_custkey
+    ),
+    subj AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', f.t1, s.t2)
+                  ELSE date_diff('day', f.t1,
+                                 (SELECT MAX(o_orderdate) FROM orders))
+             END AS dur,
+             CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f LEFT JOIN seconds s ON f.o_custkey = s.o_custkey
+    ),
+    at_t AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             (SELECT COUNT(*) FROM subj)
+               - (SUM(c) OVER (ORDER BY dur) - c) AS n_risk
+      FROM at_t
+    ),
+    km AS (
+      SELECT dur, d, CAST(n_risk AS BIGINT) AS n_risk,
+             MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS zeroed,
+             SUM(CASE WHEN d = n_risk THEN 0.0
+                      ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+               OVER (ORDER BY dur) AS logsum
+      FROM risk WHERE d > 0
+    )
+    SELECT dur AS duration_days, n_risk, d AS n_events,
+           CAST(CASE WHEN zeroed = 1 THEN 0.0 ELSE exp(logsum) END
+                AS FLOAT) AS survival
+    FROM km ORDER BY dur
+    """,
+    tags=("stats", "survival"),
+)
+def stats_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-repeat-purchase: duration =
+    days from a customer's first order to their second, right-CENSORED at
+    the observation horizon for one-time customers — the estimator that
+    naive 'average days to reorder' gets wrong by dropping censored users.
+    S(t) = prod over event times <= t of (1 - d/n_risk).
+
+    Determinism: d and n_risk are exact integers (n_risk from a reversed
+    cumulative count, so censored subjects leave the risk set correctly);
+    the product runs in log space with one identical IEEE expression per
+    engine and lands at a FLOAT32 boundary (the repo's rule for
+    transcendental chains). If an event ever exhausts the risk set, a
+    running flag pins survival to exactly 0 from that time on instead of
+    passing 0 to ln. Spark shape: orders reduce to a customer-sized
+    relation (two grouped aggregates + one self-join on the first-order
+    date), then everything runs on the duration-distinct relation — window
+    state is O(distinct durations), never O(orders)."""
+    orders = load(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("t1")
+    )
+    seconds = (
+        orders.join(firsts, "o_custkey")
+        .filter(F.col("o_orderdate") > F.col("t1"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("t2"))
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    subj = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(), F.datediff("t2", "t1")
+            )
+            .otherwise(F.datediff("mx", "t1"))
+            .alias("dur"),
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n_subj"))
+    at_t = subj.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_subj") - (F.sum("c").over(wcum) - F.col("c"))
+        ).alias("n_risk"),
+    )
+    km = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(wcum)
+        .alias("zeroed"),
+        F.sum(
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+                )
+            )
+        )
+        .over(wcum)
+        .alias("logsum"),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.exp("logsum"))
+        .cast("float")
+        .alias("survival"),
+    ).orderBy("duration_days")

@@ -370,3 +370,128 @@ def sketch_bloom_portable(spark, sf_dir):
             6,
         ).alias("fp_rate"),
     )
+
+
+# quantile estimation from the deterministic bottom-k hash sample
+_QS_K = 512
+_QS_QUANTILES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+
+
+@register(
+    "sketch_quantile_hash_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_totalprice AS v,
+             {_hash60_sql("'qs:' || CAST(o_orderkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    sample_ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
+      FROM hashed
+    ),
+    sample AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, rn) AS srn
+      FROM sample_ranked WHERE rn <= {_QS_K}
+    ),
+    full_ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS frn,
+             COUNT(*) OVER () AS n
+      FROM hashed
+    ),
+    spec AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{q}', {num}, {den})" for q, num, den in _QS_QUANTILES)}
+      ) AS t(q_label, q_num, q_den)
+    ),
+    est AS (
+      SELECT s.q_label, MIN(v) AS est_v
+      FROM spec s JOIN sample
+        ON srn = (s.q_num * {_QS_K} + s.q_den - 1) // s.q_den
+      GROUP BY s.q_label
+    ),
+    exact AS (
+      SELECT s.q_label, MIN(v) AS exact_v
+      FROM spec s JOIN full_ranked
+        ON frn = (s.q_num * n + s.q_den - 1) // s.q_den
+      GROUP BY s.q_label
+    )
+    SELECT e.q_label, est_v, exact_v,
+           round(abs(est_v - exact_v), 6) AS abs_err
+    FROM est e JOIN exact x ON e.q_label = x.q_label
+    ORDER BY e.q_label
+    """,
+    tags=("sketch", "quantile"),
+)
+def sketch_quantile_hash_sample(spark, sf_dir):
+    """Quantile estimation from the deterministic bottom-k hash sample —
+    the mergeable, engine-portable alternative to GK/KLL sketches: the
+    512 rows with the smallest md5 hash are a uniform sample ANY engine
+    (and any partitioning) reproduces exactly, so the discrete quantiles
+    read off it are value-oracle-checkable, unlike the native sketch
+    queries. Estimates sit beside the exact full-data quantiles with
+    their absolute error.
+
+    Index arithmetic is integer ceiling division ((num*n + den - 1) div
+    den) — never a float rank. Spark shape: bottom-k is one TakeOrdered-
+    shaped selection (each partition keeps its own top-512 before the
+    merge); the exact side's global rank is the fixture-scale check and
+    would swap for the sample-only path (that's the point of the sketch)
+    at 100 TB."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        F.col("o_totalprice").alias("v"),
+        D.portable_hash60(
+            F.concat(F.lit("qs:"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    sample = (
+        hashed.select(
+            "v", F.row_number().over(Window.orderBy("h", "v")).alias("rn")
+        )
+        .filter(F.col("rn") <= _QS_K)
+        .select(
+            "v",
+            F.row_number().over(Window.orderBy("v", "rn")).alias("srn"),
+        )
+    )
+    full_ranked = hashed.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("frn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    spec = spark.createDataFrame(
+        _QS_QUANTILES, "q_label STRING, q_num INT, q_den INT"
+    )
+    est = (
+        F.broadcast(spec)
+        .join(
+            sample,
+            F.col("srn")
+            == F.expr(f"(q_num * {_QS_K} + q_den - 1) div q_den"),
+        )
+        .groupBy("q_label")
+        .agg(F.min("v").alias("est_v"))
+    )
+    exact = (
+        F.broadcast(spec)
+        .join(
+            full_ranked,
+            F.col("frn") == F.expr("(q_num * n + q_den - 1) div q_den"),
+        )
+        .groupBy("q_label")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    return (
+        est.join(exact, "q_label")
+        .select(
+            "q_label",
+            "est_v",
+            "exact_v",
+            F.round(F.abs(F.col("est_v") - F.col("exact_v")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("q_label")
+    )

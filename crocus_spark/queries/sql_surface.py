@@ -363,3 +363,67 @@ def sql_tpch_q5(spark, sf_dir):
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
     )
     return spark.sql(_TPCH_Q5_SQL)
+
+
+def _collapse_runs(expr: str) -> str:
+    """Collapse runs of repeated soundex digits with staged replaces —
+    both engines' regex engines disagree on backreferences (Spark's Java
+    regex has them, DuckDB's RE2 does not), so the collapse unrolls into
+    plain replace() calls: each pass halves a run, 5 passes handle any
+    token up to 32 letters."""
+    out = expr
+    for _ in range(5):
+        for d in "123456":
+            out = f"replace({out}, '{d}{d}', '{d}')"
+    return out
+
+
+_SOUNDEX_SQL = f"""
+    WITH tok AS (
+      SELECT upper(substr(p_name, 1, instr(p_name || ' ', ' ') - 1)) AS u
+      FROM part
+    ),
+    coded AS (
+      SELECT u, substr(u, 1, 1) AS f,
+             translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          '01230120022455012623010202') AS ds
+      FROM tok
+    ),
+    collapsed AS (
+      SELECT u, f, substr(ds, 1, 1) AS fcode,
+             replace({_collapse_runs("ds")}, '0', '') AS no0
+      FROM coded
+    ),
+    codes AS (
+      SELECT u,
+             f || rpad(CASE WHEN fcode = '0' THEN no0
+                            ELSE substr(no0, 2) END, 3, '0') AS sdx
+      FROM collapsed
+    )
+    SELECT sdx AS soundex_code,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct_tokens,
+           MIN(u) AS example
+    FROM codes
+    GROUP BY sdx
+    ORDER BY sdx
+"""
+
+
+@register("sql_soundex_blocking", oracle=_SOUNDEX_SQL, tags=("sql", "text"))
+def sql_soundex_blocking(spark, sf_dir):
+    """Phonetic blocking for record linkage: a PORTABLE soundex
+    (first letter + first three consonant classes, H/W treated as
+    vowels — the classic simplification, documented rather than
+    engine-built-in so both engines compute the identical code) over the
+    first token of part names, reported as block sizes. This is the
+    blocking stage a fuzzy-match join (`join_fuzzy_name`) runs inside:
+    candidate pairs shrink from n² to sum-of-block².
+
+    Dialect portability is the point: the digit map is one translate(),
+    and run-collapse unrolls into staged replace() calls because RE2 (the
+    DuckDB regex engine) has no backreferences — the whole query is one
+    character-identical SQL string executed verbatim by both engines,
+    scan-fused with a block-sized aggregate."""
+    _register_views(spark, sf_dir, ["part"])
+    return spark.sql(_SOUNDEX_SQL)
