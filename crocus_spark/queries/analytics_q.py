@@ -2007,3 +2007,261 @@ def stats_kaplan_meier(spark, sf_dir):
         .cast("float")
         .alias("survival"),
     ).orderBy("duration_days")
+
+
+@register(
+    "analytics_dau_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM user_days GROUP BY day
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, day + x AS wday
+      FROM user_days,
+           (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(x)
+    ),
+    wau AS (
+      SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM cover GROUP BY wday
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    ORDER BY d.day
+    """,
+    tags=("analytics", "engagement"),
+)
+def analytics_dau_wau(spark, sf_dir):
+    """DAU / WAU / stickiness — the product-analytics vital signs: daily
+    actives, 7-day rolling distinct actives, and their ratio. Rolling
+    DISTINCT is the trap here: it doesn't decompose as a window aggregate.
+    The scalable shape used: each (user, active-day) row COVERS the 7
+    report days it contributes to (a 7-way generate + distinct), turning
+    the rolling distinct into a plain grouped count — linear in user-days,
+    fan-out bounded by the window length, no day×day rescan and no
+    unbounded window state. The same shape handles MAU with a 28-day
+    cover; at 100 TB the alternative is merging the portable HLL registers
+    (`sketch_hll_portable`) per day — approximate but O(registers).
+
+    Determinism: calendar arithmetic on DATEs and integer counts
+    throughout; the one division rounds at 6."""
+    user_days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    cover = (
+        user_days.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("x")).alias("wday"))
+        .distinct()
+    )
+    wau = cover.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "attribution_linear_multitouch",
+    oracle="""
+    WITH tallied AS (
+      SELECT event_type, ts, event_id, user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_views,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_clicks
+      FROM events
+    ),
+    purchases AS (
+      SELECT COALESCE(prior_views, 0) AS pv, COALESCE(prior_clicks, 0) AS pc
+      FROM tallied WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT 'view' AS channel,
+             CAST(ROUND(CAST(pv AS DOUBLE) / (pv + pc) * 1000000) AS BIGINT)
+               AS credit_q,
+             CASE WHEN pv > 0 THEN 1 ELSE 0 END AS touched
+      FROM purchases WHERE pv + pc > 0
+      UNION ALL
+      SELECT 'click',
+             CAST(ROUND(CAST(pc AS DOUBLE) / (pv + pc) * 1000000) AS BIGINT),
+             CASE WHEN pc > 0 THEN 1 ELSE 0 END
+      FROM purchases WHERE pv + pc > 0
+      UNION ALL
+      SELECT 'direct', 1000000, 1 FROM purchases WHERE pv + pc = 0
+    )
+    SELECT channel,
+           CAST(SUM(credit_q) AS DOUBLE) / 1000000 AS total_credit,
+           CAST(SUM(touched) AS BIGINT) AS n_purchases_touched
+    FROM credits GROUP BY channel ORDER BY channel
+    """,
+    tags=("analytics", "attribution"),
+)
+def attribution_linear_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's unit of credit is
+    split across the user's PRIOR view and click touches in proportion to
+    their counts; touchless purchases credit a 'direct' channel — the
+    equal-weight sibling of `attribution_last_touch`.
+
+    Determinism: per-purchase fractional credits are quantized to scaled
+    BIGINT (round(f*1e6)) BEFORE summation — fractions with heterogeneous
+    denominators must never meet a float SUM (the repo rule), so channel
+    totals are exact integer sums divided once at the end. Spark shape:
+    prior-touch counts are running frames over the per-user session
+    window (the one fact shuffle), purchases project to a tiny
+    (pv, pc) relation, and the channel split is a 3-way generate on that
+    relation — no event×event join anywhere."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tallied = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("prior_views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("prior_clicks"),
+    )
+    purchases = tallied.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("prior_views", F.lit(0)).alias("pv"),
+        F.coalesce("prior_clicks", F.lit(0)).alias("pc"),
+    )
+    touched = purchases.filter(F.col("pv") + F.col("pc") > 0)
+
+    def channel_credit(name, cnt):
+        return touched.select(
+            F.lit(name).alias("channel"),
+            F.round(
+                cnt.cast("double") / (F.col("pv") + F.col("pc")) * 1000000
+            )
+            .cast("long")
+            .alias("credit_q"),
+            F.when(cnt > 0, 1).otherwise(0).alias("touched"),
+        )
+
+    credits = (
+        channel_credit("view", F.col("pv"))
+        .unionByName(channel_credit("click", F.col("pc")))
+        .unionByName(
+            purchases.filter(F.col("pv") + F.col("pc") == 0).select(
+                F.lit("direct").alias("channel"),
+                F.lit(1000000).cast("long").alias("credit_q"),
+                F.lit(1).alias("touched"),
+            )
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            (F.sum("credit_q").cast("double") / 1000000).alias(
+                "total_credit"
+            ),
+            F.sum("touched").cast("long").alias("n_purchases_touched"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "window_longest_streak",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS island
+      FROM user_days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, MAX(streak_len) AS longest FROM streaks
+      GROUP BY user_id
+    )
+    SELECT longest AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY longest ORDER BY longest
+    """,
+    tags=("window", "gaps-islands"),
+)
+def window_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user, reported as a
+    distribution — the engagement-streak metric, and the purest
+    gaps-and-islands form: consecutive days share ``day - row_number``
+    (a constant within each run), so streaks fall out of one grouped
+    count with no self-join and no day-by-day loop.
+
+    Spark shape: one per-user ordered window (same shuffle key as
+    sessionization) then two map-side-combinable aggregates; state is
+    O(1) per row. The date-minus-integer island key is DATE-typed
+    arithmetic, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    user_days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    islands = user_days.select(
+        "user_id",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest")
+    )
+    return (
+        best.groupBy(F.col("longest").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )

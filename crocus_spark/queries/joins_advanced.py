@@ -390,3 +390,75 @@ def join_asof_tolerance(spark, sf_dir):
         .otherwise("stale")
         .alias("match_status"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "join_reciprocal_best",
+    oracle="""
+    WITH scored AS (
+      SELECT c_custkey, s_suppkey,
+             abs(c_acctbal - s_acctbal) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY abs(c_acctbal - s_acctbal),
+                                         s_suppkey) AS rk_c,
+             ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                ORDER BY abs(c_acctbal - s_acctbal),
+                                         c_custkey) AS rk_s
+      FROM customer CROSS JOIN supplier
+    )
+    SELECT c_custkey, s_suppkey, round(gap, 6) AS balance_gap
+    FROM scored
+    WHERE rk_c = 1 AND rk_s = 1
+    ORDER BY c_custkey
+    """,
+    tags=("join", "entity-resolution"),
+)
+def join_reciprocal_best(spark, sf_dir):
+    """Reciprocal best match (mutual nearest neighbor): customer-supplier
+    pairs where each is the OTHER's closest account balance — the
+    high-precision pairing rule entity resolution uses to accept matches
+    without a threshold (and the RBM step of modern embedding dedup
+    pipelines). Both argmax directions break ties by key, so the mutual
+    set is fully deterministic.
+
+    Spark shape: the candidate relation is customers × the broadcast
+    supplier DIMENSION (linear in customers, like `ann_bruteforce_topk` —
+    never fact × fact; banded candidates via `join_range_bands` are the
+    swap if both sides grow), then two ranking windows — one partitioned
+    per side — and the mutual filter. The same plan shape runs RBM over
+    LSH candidate pairs at corpus scale."""
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    scored = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey",
+        "s_suppkey",
+        F.abs(F.col("c_acctbal") - F.col("s_acctbal")).alias("gap"),
+    )
+    rk_c = F.row_number().over(
+        Window.partitionBy("c_custkey").orderBy("gap", "s_suppkey")
+    )
+    rk_s = F.row_number().over(
+        Window.partitionBy("s_suppkey").orderBy("gap", "c_custkey")
+    )
+    return (
+        scored.select(
+            "c_custkey",
+            "s_suppkey",
+            "gap",
+            rk_c.alias("rk_c"),
+            rk_s.alias("rk_s"),
+        )
+        .filter((F.col("rk_c") == 1) & (F.col("rk_s") == 1))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round("gap", 6).alias("balance_gap"),
+        )
+        .orderBy("c_custkey")
+    )
