@@ -2265,3 +2265,61 @@ def window_longest_streak(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@register(
+    "window_skyline_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    tags=("window", "skyline"),
+)
+def window_skyline_frontier(spark, sf_dir):
+    """Skyline (Pareto frontier) query: parts not dominated on the
+    (minimize retail price, maximize size) plane — the multi-criteria
+    shortlist operator (Börzsönyi et al., ICDE 2001). A part survives iff
+    no other part is at-most-as-expensive AND at-least-as-big with one
+    strict inequality; exact duplicates both survive.
+
+    The ORACLE is the O(n²) NOT EXISTS self-join — the semantics.
+    The SPARK plan is the O(n log n) sweep: group to per-price max sizes,
+    one LAG-of-running-max window over the price-distinct relation gives
+    each price the best size among STRICTLY cheaper parts, and a part is
+    on the frontier iff it carries its price group's max size and beats
+    that strictly-cheaper best. One small shuffle on price, no self-join
+    — the shape that survives when the oracle's nested loop cannot."""
+    from pyspark.sql.window import Window
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    gmax = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("gmax_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    strict_prev = gmax.select(
+        "p_retailprice",
+        "gmax_size",
+        F.max("gmax_size").over(w).alias("prev_best"),
+    )
+    return (
+        part.join(strict_prev, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("gmax_size"))
+            & (
+                F.col("prev_best").isNull()
+                | (F.col("p_size") > F.col("prev_best"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

@@ -356,3 +356,92 @@ def geo_point_in_polygon(spark, sf_dir):
         .select("supp_id", "poly_id")
         .orderBy("supp_id", "poly_id")
     )
+
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis; 30 interleaved bits = 6 base32 chars
+
+
+def _geohash_sql(lat: str, lon: str) -> str:
+    """Portable geohash-6 encoder as ONE arithmetic SQL string (identical
+    text both engines): quantize each axis to 15 bits, interleave with
+    longitude on the odd (higher) positions — geohash bit order — then
+    read the 30-bit key out as six 5-bit base32 characters. All integer
+    div/mod arithmetic; no engine bit-op or geo built-ins."""
+    # `/` is double division in BOTH engines (and their integer-division
+    # operators differ: `div` vs `//`), so integer shifts are written as
+    # floor(x / 2^i.0) — exact in IEEE because every operand is < 2^30.
+    ilat = f"CAST(floor((({lat}) + 90.0) / 180.0 * 32768.0) AS BIGINT)"
+    ilon = f"CAST(floor((({lon}) + 180.0) / 360.0 * 32768.0) AS BIGINT)"
+
+    def shr(x: str, k: int) -> str:
+        return f"CAST(floor(({x}) / {1 << k}.0) AS BIGINT)"
+
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"({shr(ilon, i)} % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"({shr(ilat, i)} % 2) * {1 << (2 * i)}")
+    z = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{_GH_ALPHABET}', CAST({shr(z, 25 - 5 * j)} % 32"
+        f" AS INT) + 1, 1)"
+        for j in range(6)
+    ]
+    return " || ".join(chars)
+
+
+@register(
+    "geo_geohash_cells",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             {_LAT.format(k="c_custkey")} AS lat,
+             {_LON.format(k="c_custkey")} AS lon
+      FROM customer
+    ),
+    hashed AS (
+      SELECT k, {_geohash_sql("lat", "lon")} AS gh6 FROM pts
+    )
+    SELECT substr(gh6, 1, 3) AS gh3,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT gh6) AS BIGINT) AS n_cells_6,
+           MIN(gh6) AS first_cell
+    FROM hashed
+    GROUP BY substr(gh6, 1, 3)
+    ORDER BY gh3
+    """,
+    tags=("geo", "geohash"),
+)
+def geo_geohash_cells(spark, sf_dir):
+    """Geohash spatial bucketing: each synthetic customer point encoded
+    to a 6-character geohash (the prefix-hierarchical cell id every geo
+    index speaks), aggregated at 3-character precision — prefix
+    truncation IS the resolution ladder, the property that makes geohash
+    the layout key for spatial data lakes (neighboring points share
+    prefixes, so range scans cluster).
+
+    The encoder is one integer div/mod expression — quantize, interleave
+    (lon on high bits, per spec), six 5-bit base32 reads — built as a
+    single parsed SQL string shared verbatim by both engines (the repo's
+    plan-build-cost rule: no per-bit py4j Column calls). It fuses into
+    the scan: no shuffle until the cell-sized aggregate. Unlike the
+    library geohash it needs no UDF — at 100 TB the encode rides
+    whole-stage codegen."""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    hashed = pts.select(
+        "k", F.expr(_geohash_sql("lat", "lon")).alias("gh6")
+    )
+    return (
+        hashed.groupBy(F.substring("gh6", 1, 3).alias("gh3"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.countDistinct("gh6").cast("long").alias("n_cells_6"),
+            F.min("gh6").alias("first_cell"),
+        )
+        .orderBy("gh3")
+    )

@@ -408,3 +408,72 @@ def map_higher_order_battery(spark, sf_dir):
             F.map_values(zipped), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("zip_dot"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "datetime_business_days",
+    oracle="""
+    WITH bd AS (
+      SELECT o_orderpriority,
+             ((date_diff('day', DATE '1970-01-05', l_shipdate) // 7) * 5
+              + least(date_diff('day', DATE '1970-01-05', l_shipdate) % 7, 5))
+             - ((date_diff('day', DATE '1970-01-05', o_orderdate) // 7) * 5
+                + least(date_diff('day', DATE '1970-01-05', o_orderdate) % 7,
+                        5)) AS bdays
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+           round(CAST(SUM(CAST(bdays AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_bdays
+    FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("scalar", "datetime"),
+)
+def datetime_business_days(spark, sf_dir):
+    """Business-day (weekday) latency from order date to line ship date,
+    profiled per priority — the SLA arithmetic every ops dashboard needs
+    and no engine ships as a built-in. No calendar table and no engine
+    day-of-week function (their week-start conventions differ): days are
+    numbered from a MONDAY epoch (1970-01-05), so weekday-count-to-date is
+    pure integer arithmetic — f(n) = (n div 7)*5 + least(n mod 7, 5) —
+    and the latency is f(ship) - f(order), weekends excluded exactly.
+
+    Spark shape: the whole formula fuses into the join's projection
+    (whole-stage codegen), then one 5-cell grouped aggregate with the
+    decimal-sum mean contract."""
+    mon = F.lit("1970-01-05").cast("date")
+
+    def f(col):
+        n = F.datediff(col, mon)
+        return (n - (n % 7)) / 7 * 5 + F.least(n % 7, F.lit(5))
+
+    bd = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            (f(F.col("l_shipdate")) - f(F.col("o_orderdate")))
+            .cast("long")
+            .alias("bdays"),
+        )
+    )
+    return (
+        bd.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("bdays").cast("long").alias("min_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+            F.round(
+                F.sum(F.col("bdays").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -427,3 +427,41 @@ def sql_soundex_blocking(spark, sf_dir):
     scan-fused with a block-sized aggregate."""
     _register_views(spark, sf_dir, ["part"])
     return spark.sql(_SOUNDEX_SQL)
+
+
+_TPCH_Q18_SQL = """
+    WITH big_orders AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big_orders)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+
+@register("sql_tpch_q18", oracle=_TPCH_Q18_SQL, tags=("sql", "tpch"))
+def sql_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    clears a HAVING threshold, re-joined to customers — the canonical
+    aggregate-filtered-semi-join pattern (the IN subquery becomes a left
+    semi join on the already-aggregated key set). Quantity sums are exact
+    DECIMAL on both the filter and output sides so the threshold cut and
+    the DESC order never sit on a float boundary; tie order is pinned by
+    date then key.
+
+    Spark plan: the HAVING aggregate reduces lineitem to qualifying
+    orderkeys BEFORE any join; the semi join then prunes the fact scan,
+    and the top-100 is TakeOrderedAndProject. Verbatim-identical SQL on
+    both engines."""
+    _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_TPCH_Q18_SQL)
