@@ -535,3 +535,59 @@ def test_naive_bayes_model_joins_broadcast(spark, registry):
     exchanges carry (doc, tok) counts and (doc, class) scores."""
     plan = _plan(registry["ml_naive_bayes_langid"].fn(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_skyline_has_no_self_join(spark, registry):
+    """window_skyline_frontier's oracle is the O(n²) NOT EXISTS self-join;
+    the engine plan must be the sweep — exactly one join (price-group
+    stats back to parts), no nested-loop, no second part scan pair."""
+    plan = _plan(registry["window_skyline_frontier"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_aggregates_before_probe_join(spark, registry):
+    """The count-min build must reduce to depth×width cells (a partial
+    aggregate) and the probe join against those cells must broadcast —
+    the fact table never shuffles on sketch state."""
+    plan = _plan(registry["sketch_countmin_portable"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bloom_bits_broadcast(spark, registry):
+    """sketch_bloom_portable probes against the ≤m_bits bit relation;
+    that join must be broadcast, never a shuffle of the probe side."""
+    plan = _plan(registry["sketch_bloom_portable"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dau_wau_no_day_by_day_rescan(spark, registry):
+    """analytics_dau_wau turns rolling DISTINCT into generate+distinct;
+    the plan must contain a Generate (the 7-day cover) and no join of the
+    fact table against itself."""
+    plan = _plan(registry["analytics_dau_wau"].fn(spark, SF_SMOKE))
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geohash_encode_is_codegen_not_udf(spark, registry):
+    """The geohash encoder must be pure expression arithmetic inside
+    whole-stage codegen — no Python evaluation node in the plan."""
+    plan = _plan(registry["geo_geohash_cells"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the encode itself must be a Project of expressions on the scan
+    # (formatted AQE output labels SortAggregate without codegen spans,
+    # so assert the absence of eval nodes plus an expression Project)
+    assert "Scan parquet" in plan and "Project" in plan
+
+
+def test_tpch_q18_semi_join_prunes_fact(spark, registry):
+    """Q18's IN subquery must plan as a semi join on the pre-aggregated
+    qualifying keys and the top-100 as TakeOrderedAndProject — not a
+    global sort."""
+    plan = _plan(registry["sql_tpch_q18"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
