@@ -2323,3 +2323,105 @@ def window_skyline_frontier(spark, sf_dir):
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+def _ols_selects() -> str:
+    """Cramer's-rule solve of the 3×3 normal equations + fit stats, as ONE
+    expression string shared by the Spark select and the DuckDB oracle —
+    textual identity guarantees the same IEEE expression tree, so the
+    doubles agree bit-for-bit before the 6-digit round."""
+    det = (
+        "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2))"
+    )
+    det0 = (
+        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y))"
+    )
+    det1 = (
+        "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2))"
+    )
+    det2 = (
+        "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2))"
+    )
+    sse = f"(syy - ({det0} * sy + {det1} * s1y + {det2} * s2y) / {det})"
+    sst = "(syy - sy * sy / n)"
+    return [
+        "n_rows",
+        f"round({det0} / {det}, 6) AS intercept",
+        f"round({det1} / {det}, 6) AS beta_quantity",
+        f"round({det2} / {det}, 6) AS beta_retailprice",
+        f"round(1.0 - {sse} / {sst}, 6) AS r2",
+    ]
+
+
+_OLS_DEC = "DECIMAL(38,6)"
+
+
+@register(
+    "ml_ols_normal_equations",
+    oracle=f"""
+    WITH sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS {_OLS_DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(p_retailprice AS {_OLS_DEC})) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_extendedprice AS {_OLS_DEC})) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS {_OLS_DEC}))
+                  AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_quantity * p_retailprice AS {_OLS_DEC}))
+                  AS DOUBLE) AS s12,
+             CAST(SUM(CAST(p_retailprice * p_retailprice AS {_OLS_DEC}))
+                  AS DOUBLE) AS s22,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS {_OLS_DEC}))
+                  AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(p_retailprice * l_extendedprice AS {_OLS_DEC}))
+                  AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_OLS_DEC}))
+                  AS DOUBLE) AS syy
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT {", ".join(_ols_selects())} FROM sums
+    """,
+    tags=("ml", "regression"),
+)
+def ml_ols_normal_equations(spark, sf_dir):
+    """Multiple linear regression fit as pure dataflow: extended price
+    regressed on quantity and part retail price, solved in closed form
+    from the normal equations (X'X from ten exact-decimal power sums, one
+    Cramer's-rule solve) — multivariate OLS beyond `agg_regr_battery`'s
+    built-in simple regression, with R² derived from the same sums (no
+    second residual pass).
+
+    Determinism: per-row products are IEEE doubles quantized to
+    DECIMAL(38,6) before summation (order-independent), and the solve is
+    ONE expression string shared textually with the oracle. Spark shape:
+    a broadcast dim join, one scan, one 10-value reduction — model
+    fitting at the cost of an aggregate, the d²-sums pattern that scales
+    to any row count (state is the Gram matrix, like
+    `ml_pca_power_iteration`)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    j = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    dsum6 = lambda e, a: F.sum(e.cast(_OLS_DEC)).cast("double").alias(a)  # noqa: E731
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("p_retailprice"),
+        F.col("l_extendedprice"),
+    )
+    sums = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum6(x1, "s1"),
+        dsum6(x2, "s2"),
+        dsum6(y, "sy"),
+        dsum6(x1 * x1, "s11"),
+        dsum6(x1 * x2, "s12"),
+        dsum6(x2 * x2, "s22"),
+        dsum6(x1 * y, "s1y"),
+        dsum6(x2 * y, "s2y"),
+        dsum6(y * y, "syy"),
+    )
+    return sums.selectExpr(*_ols_selects())

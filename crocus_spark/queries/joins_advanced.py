@@ -462,3 +462,106 @@ def join_reciprocal_best(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.user_id, p.event_id, p.ts,
+             (SELECT c.cts FROM c
+              WHERE c.user_id = p.user_id
+              ORDER BY abs(date_diff('microsecond', p.ts, c.cts)), c.cts
+              LIMIT 1) AS nearest
+      FROM p
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(nearest, '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts,
+           CASE WHEN nearest IS NULL THEN NULL
+                WHEN nearest <= ts THEN 'backward'
+                ELSE 'forward' END AS direction,
+           abs(date_diff('microsecond', ts, nearest)) AS gap_us
+    FROM cand ORDER BY user_id, event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each purchase pairs with the user's closest click in
+    TIME — before or after — ties to the earlier click. Completes the
+    as-of family (backward: `join_asof_events`; backward+tolerance:
+    `join_asof_tolerance`).
+
+    Spark shape: two union-carry passes over the same per-user sort key —
+    backward carries the last click ≤ t; FORWARD reuses the identical
+    backward operator on NEGATED microsecond timestamps (latest -ts' ≤
+    -t ⟺ earliest ts' ≥ t), then a row-local CASE picks the nearer side.
+    Carrying only the timestamp itself makes equal-ts right rows
+    harmless (they carry the same value), and the whole thing stays two
+    shuffles on user_id — no event×event join. The oracle is the
+    declarative correlated ORDER BY |Δt| LIMIT 1, which Catalyst could
+    not decorrelate — the union-carry IS the scale path."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    back = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        value_cols=["cts"],
+        suffix="_b",
+    ).withColumnRenamed("cts_b", "prev_cts")
+    p_neg = purchases.withColumn("nts", -F.unix_micros("ts"))
+    c_neg = clicks.select(
+        "user_id", (-F.unix_micros("cts")).alias("ncts")
+    )
+    fwd = asof_join(
+        p_neg,
+        c_neg,
+        by="user_id",
+        left_ts="nts",
+        right_ts="ncts",
+        value_cols=["ncts"],
+        suffix="_f",
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(-F.col("ncts_f")).alias("next_cts"),
+    )
+    both = back.join(fwd, ["user_id", "event_id"])
+    gap_b = F.unix_micros("ts") - F.unix_micros("prev_cts")
+    gap_f = F.unix_micros("next_cts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_cts").isNull(), F.col("next_cts"))
+        .when(F.col("next_cts").isNull(), F.col("prev_cts"))
+        .when(gap_f < gap_b, F.col("next_cts"))
+        .otherwise(F.col("prev_cts"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return both.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format(nearest, fmt).alias("nearest_click_ts"),
+        F.when(nearest.isNull(), F.lit(None).cast("string"))
+        .when(nearest <= F.col("ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.abs(
+            F.unix_micros(nearest) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    ).orderBy("user_id", "event_id")

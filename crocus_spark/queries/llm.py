@@ -3490,3 +3490,115 @@ def dedup_sentence_level(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cdc_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, norm, unnest(range(8, length(norm) + 1)) AS i
+      FROM d
+    ),
+    bnd AS (
+      SELECT doc_id, norm, i FROM pos
+      WHERE ({_hash60_sql("substr(norm, i - 7, 8)")}) % 64 = 0
+        AND i < length(norm)
+    ),
+    ends AS (
+      SELECT doc_id, norm, i AS e FROM bnd
+      UNION ALL
+      SELECT doc_id, norm, length(norm) FROM d
+    ),
+    chunks AS (
+      SELECT doc_id, norm, e,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+      FROM ends
+    ),
+    payload AS (
+      SELECT doc_id, md5(substr(norm, s + 1, e - s)) AS digest,
+             CAST(e - s AS BIGINT) AS chunk_len
+      FROM chunks
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_chunks,
+           round(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+             AS dup_chunk_ratio,
+           round(CAST(SUM(CAST(chunk_len AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chunk_len,
+           CAST(MAX(chunk_len) AS BIGINT) AS max_chunk_len
+    FROM payload
+    """,
+    tags=("llm", "dedup", "cdc"),
+)
+def dedup_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (LBFS/rsync-style, Muthitacharoen SOSP'01):
+    chunk boundaries fall where the hash of the trailing 8-gram satisfies
+    ``h % 64 == 0``, so boundaries follow CONTENT, not offsets — insert a
+    byte and only the surrounding chunk's digest changes, which is what
+    makes chunk-level dedup robust where fixed-size blocks fail. Output is
+    the storage-dedup scorecard: chunk counts, distinct-digest ratio,
+    chunk-length profile.
+
+    Determinism: the boundary hash is the portable md5-derived
+    `portable_hash60` over an explicit substring (no rolling state), so
+    both engines cut identical chunks and the whole scorecard value-hash
+    matches. Spark shape: boundary selection is ARRAY-level (filter over
+    a generated position sequence, fused into the scan — no per-position
+    shuffle); one explode emits (start, end) pairs zipped from the
+    boundary array; the only exchange is the final digest aggregate.
+    Docs shorter than the 8-gram window become a single whole-doc chunk
+    via the always-appended final boundary."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", D.normalize_text(F.col("text")).alias("norm")
+    )
+    ln = F.length("norm")
+    seq = F.when(ln >= 8, F.sequence(F.lit(8), ln)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bnd = F.filter(
+        seq,
+        lambda i: (
+            (D.portable_hash60(F.substr(F.col("norm"), i - 7, F.lit(8))) % 64)
+            == 0
+        )
+        & (i < ln),
+    )
+    ends = F.concat(bnd, F.array(ln))
+    starts = F.concat(
+        F.array(F.lit(0).cast("int")), F.slice(ends, 1, F.size(ends) - 1)
+    )
+    payload = docs.select(
+        "doc_id",
+        "norm",
+        F.explode(
+            F.arrays_zip(starts.alias("s"), ends.alias("e"))
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.substr(
+                F.col("norm"), F.col("z.s") + 1, F.col("z.e") - F.col("z.s")
+            )
+        ).alias("digest"),
+        (F.col("z.e") - F.col("z.s")).cast("long").alias("chunk_len"),
+    )
+    return payload.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("digest").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_chunk_ratio"),
+        F.round(
+            F.sum(F.col("chunk_len").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_chunk_len"),
+        F.max("chunk_len").cast("long").alias("max_chunk_len"),
+    )
