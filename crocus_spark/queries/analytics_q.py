@@ -2425,3 +2425,172 @@ def ml_ols_normal_equations(spark, sf_dir):
         dsum6(y * y, "syy"),
     )
     return sums.selectExpr(*_ols_selects())
+
+
+@register(
+    "series_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                             AS DOUBLE) * 100) AS BIGINT) AS xq
+      FROM orders GROUP BY o_orderdate
+    ),
+    lagged AS (
+      SELECT xq,
+             LAG(xq, 1) OVER (ORDER BY day) AS y1,
+             LAG(xq, 2) OVER (ORDER BY day) AS y2,
+             LAG(xq, 3) OVER (ORDER BY day) AS y3,
+             LAG(xq, 7) OVER (ORDER BY day) AS y7
+      FROM daily
+    ),
+    long AS (
+      SELECT 1 AS lag_k, xq, y1 AS yq FROM lagged WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT 2, xq, y2 FROM lagged WHERE y2 IS NOT NULL
+      UNION ALL
+      SELECT 3, xq, y3 FROM lagged WHERE y3 IS NOT NULL
+      UNION ALL
+      SELECT 7, xq, y7 FROM lagged WHERE y7 IS NOT NULL
+    ),
+    sums AS (
+      SELECT lag_k,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * yq) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yq AS DECIMAL(38,0)) * yq) AS DOUBLE) AS syy
+      FROM long GROUP BY lag_k
+    )
+    SELECT lag_k, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS acf
+    FROM sums ORDER BY lag_k
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1, 2, 3, 7 —
+    the seasonality detector behind `series_seasonal_decompose`'s weekly
+    assumption (a dominant lag-7 spike is the evidence). Each lag's ACF is
+    Pearson over (x_t, x_{t-k}) pairs.
+
+    Determinism: daily totals quantize ONCE to cent-integers (exact in
+    both engines), the five power sums per lag accumulate in DECIMAL(38,0)
+    (the quantize-then-integer-sum rule — BIGINT would overflow the
+    squared sums past sf0.1), and one closed-form expression divides at
+    the end, rounded at 6. Spark shape: one calendar-sized daily reduce,
+    four LAG columns over ONE ordered window, stacked long and grouped —
+    window state O(max lag), fact table shuffled once."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double") * 100
+            )
+            .cast("long")
+            .alias("xq")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "xq",
+        *[F.lag("xq", k).over(w).alias(f"y{k}") for k in (1, 2, 3, 7)],
+    )
+    long = None
+    for k in (1, 2, 3, 7):
+        part = lagged.filter(F.col(f"y{k}").isNotNull()).select(
+            F.lit(k).alias("lag_k"),
+            "xq",
+            F.col(f"y{k}").alias("yq"),
+        )
+        long = part if long is None else long.unionByName(part)
+    d38 = "decimal(38,0)"
+    sums = long.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xq").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("yq").cast(d38)).cast("double").alias("sy"),
+        F.sum(F.col("xq").cast(d38) * F.col("yq")).cast("double").alias("sxy"),
+        F.sum(F.col("xq").cast(d38) * F.col("xq")).cast("double").alias("sxx"),
+        F.sum(F.col("yq").cast(d38) * F.col("yq")).cast("double").alias("syy"),
+    )
+    acf = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "lag_k",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("lag_k")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 32 AS blk,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY event_type, user_id // 32
+    ),
+    bagg AS (
+      SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bitmap
+      FROM bm GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, n_bitmap, n_exact,
+           n_bitmap = n_exact AS bitmap_equals_exact
+    FROM bagg b JOIN exact e ON b.event_type = e.event_type
+    ORDER BY b.event_type
+    """,
+    tags=("agg", "bitmap"),
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation — the roaring-bitmap
+    warehouse trick: users bucket into 32-bit blocks (user div 32 — shifts stay below the signed-BIGINT overflow DuckDB checks), each
+    block OR-accumulates one bit per user, and the distinct count is the
+    popcount sum. Unlike COUNT(DISTINCT) this state is MERGEABLE (OR is
+    commutative/idempotent), so partial aggregation combines map-side and
+    the shuffle carries (groups × occupied blocks) words instead of raw
+    ids — the exact-answer middle ground between COUNT(DISTINCT)'s
+    Expand and HLL's approximation. The oracle pins bitmap == exact per
+    group.
+
+    Both engines compute identical words: the shift is on the SAME
+    non-negative id arithmetic, bit_or / bit_count are integer ops."""
+    ev = load(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("blk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    bagg = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        bagg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).alias(
+                "bitmap_equals_exact"
+            ),
+        )
+        .orderBy("event_type")
+    )

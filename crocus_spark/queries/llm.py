@@ -3602,3 +3602,117 @@ def dedup_cdc_chunking(spark, sf_dir):
         ).alias("avg_chunk_len"),
         F.max("chunk_len").cast("long").alias("max_chunk_len"),
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [] END)) AS g
+      FROM d
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
+      GROUP BY doc_id
+    ),
+    df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+    filt AS (
+      SELECT s.doc_id, s.g FROM sh s JOIN df USING (g) WHERE df <= 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM filt a JOIN filt b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 2 >= least(sa.n_sh, sb.n_sh)
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Shingle CONTAINMENT pairs — the asymmetric near-dup measure Jaccard
+    misses: C = |A∩B| / min(|A|,|B|) flags a document mostly EMBEDDED in a
+    larger one (quoted posts, boilerplate-wrapped reprints) even when the
+    size mismatch drives Jaccard to zero (Broder's containment, SEQUENCES
+    '97). Pairs at C >= 0.5 with an INTEGER threshold test
+    (shared*2 >= min) — no float boundary decides membership.
+
+    Spark shape: word 3-gram shingle sets (array-level, distinct per
+    doc), a document-frequency stop-shingle cap (df <= 50 — the same rule
+    that makes `corpus_boilerplate_ngrams` linear) so the inverted-index
+    self-join is bounded by capped-df², then one grouped count per
+    surviving pair. At 100 TB the candidate step swaps for the PPJoin
+    prefix filter (`operators/dedup.py`) unchanged downstream."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(D.normalize_text(F.col("text")), " ").alias("ws")
+    )
+    n = F.size("ws")
+    grams = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i),
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", F.explode(grams).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    filt = sh.join(df.filter(F.col("df") <= 50), "g").select("doc_id", "g")
+    a = filt.select(F.col("doc_id").alias("id_a"), "g")
+    b = filt.select(F.col("doc_id").alias("id_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared") * 2 >= F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
