@@ -3716,3 +3716,84 @@ def dedup_shingle_containment(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "ml_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6)
+               AS cos
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes,
+             MAX(cos) AS best_cos
+      FROM ranked WHERE rank <= 7
+      GROUP BY query_id, label
+    ),
+    winner AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vrk
+      FROM votes
+    )
+    SELECT query_id, label AS predicted_label, n_votes, best_cos
+    FROM winner WHERE vrk = 1
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity", "ml"),
+)
+def ml_knn_classify(spark, sf_dir):
+    """k-NN classification (k=7, majority vote) over the labeled
+    embedding corpus — the lazy-learner baseline beside the Rocchio
+    centroid classifier (`ann_centroid_classify`): no fit at all, the
+    index IS the model. Ties break to the smallest label, neighbor rank
+    ties to the smallest id, so the vote is fully deterministic.
+
+    Spark shape: exact top-7 from the brute-force scorer (broadcast
+    query side, corpus never shuffles — linear scan), then a
+    labels-sized vote aggregate per query. At 100 TB the neighbor stage
+    swaps for the IVF/LSH candidate paths unchanged downstream — vote
+    logic never sees how neighbors were found."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    topk = S.brute_force_topk(queries, corpus, k=7)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.max("cos").alias("best_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(w))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            "best_cos",
+        )
+        .orderBy("query_id")
+    )

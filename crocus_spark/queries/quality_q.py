@@ -747,3 +747,57 @@ def dq_profile_all_columns(spark, sf_dir):
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     ).orderBy("column_name")
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_source AS (
+      SELECT event_type,
+             MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+           CAST(date_diff('second', last_seen, (SELECT max_ts FROM horizon))
+                AS BIGINT) AS staleness_s,
+           n_events,
+           CAST(date_diff('second', last_seen, (SELECT max_ts FROM horizon))
+                AS BIGINT) <= 86400 AS within_24h_sla
+    FROM per_source ORDER BY event_type
+    """,
+    tags=("dq", "freshness"),
+)
+def dq_freshness_sla(spark, sf_dir):
+    """Per-feed freshness monitor — the first page of every data-ops
+    runbook: when did each feed last deliver, how stale is it against the
+    newest observation anywhere (the deterministic stand-in for wall-clock
+    'now'), and is it inside a 24 h SLA. The reference's daily snapshot
+    cadence (`base_scraper.py:72-83` date-keyed directories) makes exactly
+    this the first thing a user checks when a provider silently stops.
+
+    Spark shape: one grouped MAX per feed plus a broadcast 1-row horizon —
+    two map-side-combinable aggregates over a single scan; integer-second
+    staleness, so the SLA verdict never sits on a float boundary."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    per_source = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    stale = F.unix_timestamp("max_ts") - F.unix_timestamp("last_seen")
+    return (
+        per_source.crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type",
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_seen"
+            ),
+            stale.cast("long").alias("staleness_s"),
+            "n_events",
+            (stale <= 86400).alias("within_24h_sla"),
+        )
+        .orderBy("event_type")
+    )
