@@ -3797,3 +3797,206 @@ def ml_knn_classify(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# Portable MinHash for the estimate-audit query: base hash = hash60 % M31,
+# permutations (a*x + b) % M31 with a, b < 2^31 — every product stays under
+# 2^62, so the arithmetic is exact BIGINT in BOTH engines (the xxhash64
+# MinHash in operators/dedup.py is faster but Spark-only; this one is the
+# oracle-checkable twin).
+_PMH_M31 = 2147483647
+_PMH_NPERM, _PMH_BANDS = 32, 8
+
+
+def _pmh_perms() -> list[tuple[int, int]]:
+    # deterministic LCG-derived (a, b) pairs, a odd and nonzero
+    out, s = [], 42
+    for _ in range(_PMH_NPERM):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s % (_PMH_M31 - 2)) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = s % _PMH_M31
+        out.append((a, b))
+    return out
+
+
+def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
+    rpb = _PMH_NPERM // _PMH_BANDS
+    return [
+        "md5("
+        + " || ':' || ".join(
+            f"CAST({prefix}h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + ")"
+        for b in range(_PMH_BANDS)
+    ]
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    hx AS (
+      SELECT id, ({_hash60_sql("tok")}) % {_PMH_M31} AS x FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             {", ".join(
+                f"CAST(MIN((x * {a} + {b}) % {_PMH_M31}) AS BIGINT) AS h{i}"
+                for i, (a, b) in enumerate(_pmh_perms())
+             )}
+      FROM hx GROUP BY id
+    ),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT id, {b} AS band, {s} AS bsig FROM sig"
+          for b, s in enumerate(_pmh_band_sig_sql())
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round((
+               {" + ".join(
+                  f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                  for i in range(_PMH_NPERM)
+               )}) / {_PMH_NPERM}.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON c.id_a = sa.id
+      JOIN sig sb ON c.id_b = sb.id
+    ),
+    tsets AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
+      FROM documents
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / (len(ta.ts) + len(tb.ts)
+                    - len(list_intersect(ta.ts, tb.ts))), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                 - round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                         / (len(ta.ts) + len(tb.ts)
+                            - len(list_intersect(ta.ts, tb.ts))), 6)), 6)
+             AS abs_err
+    FROM est e
+    JOIN tsets ta ON e.id_a = ta.id
+    JOIN tsets tb ON e.id_b = tb.id
+    ORDER BY e.id_a, e.id_b
+    """,
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATE vs exact Jaccard, fully oracle-checked —
+    the audit that closes the loop on the rows-only MinHash family: this
+    twin uses M31 modular permutations over the portable md5 hash (every
+    product < 2^62 ⇒ exact BIGINT in both engines), so the 32-perm
+    signatures, the 8-band LSH candidate pairs, the per-pair agreement
+    estimate AND the exact set Jaccard all value-hash match. est ≈ exact
+    within the binomial error of 32 draws — visible per pair in abs_err.
+
+    Spark shape: the canonical MinHash plan — one token shuffle with 32
+    map-side-combined MIN aggregates (parsed SQL strings, not 32 py4j
+    Column chains), band buckets by md5 of 4-row band slices, candidates
+    from the bucket equi-join (never all-pairs), and the exact verify
+    joins token ARRAYS only for surviving candidates."""
+    from crocus_spark.operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split("norm", " "))).alias("tok"),
+    )
+    hx = toks.select(
+        "id", (D.portable_hash60(F.col("tok")) % _PMH_M31).alias("x")
+    )
+    sig = hx.groupBy("id").agg(
+        *[
+            F.expr(
+                f"CAST(MIN((x * {a} + {b}) % {_PMH_M31}) AS BIGINT) AS h{i}"
+            )
+            for i, (a, b) in enumerate(_pmh_perms())
+        ]
+    )
+    rpb = _PMH_NPERM // _PMH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * rpb + r}").cast("string")
+                        for r in range(rpb)
+                    ],
+                )
+            ).alias("bsig"),
+        )
+        for b in range(_PMH_BANDS)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.bsig")
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    agree = F.expr(
+        "round(("
+        + " + ".join(
+            f"CASE WHEN sa_h{i} = sb_h{i} THEN 1 ELSE 0 END"
+            for i in range(_PMH_NPERM)
+        )
+        + f") / {_PMH_NPERM}.0, 6)"
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"sa_h{i}") for i in range(_PMH_NPERM)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"sb_h{i}") for i in range(_PMH_NPERM)],
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", agree.alias("est_jaccard"))
+    )
+    tsets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("norm", " ")).alias("ts"),
+    )
+    ta = tsets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
+    tb = tsets.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    exact = F.round(
+        inter.cast("double") / (F.size("ta") + F.size("tb") - inter), 6
+    )
+    return (
+        est.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -731,3 +731,60 @@ def io_text_source(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "io_parquet_bloom_filter",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_custkey IN (41, 4141, 414141)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("io", "bloom"),
+)
+def io_parquet_bloom_filter(spark, sf_dir):
+    """Parquet BLOOM FILTERS at rest — row-group skipping for point
+    lookups on a HIGH-CARDINALITY column that min/max stats can't prune
+    (customer keys are spread across every row group, so every range
+    overlaps; the bloom filter answers 'definitely absent' per row
+    group). The write pins `parquet.bloom.filter.enabled#o_custkey`;
+    tests/test_scale.py asserts the filter is present in the footer via
+    pyarrow — the layout contract, like the z-order rectangle test.
+
+    The read re-applies its predicate, so results are layout-independent
+    and oracle-exact against the original table; at 100 TB this is the
+    needle-in-haystack path: a 3-key probe touches only row groups whose
+    bloom admits a key, instead of scanning every group that min/max
+    can't rule out."""
+    path = _scratch("bloom_orders")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        # parquet-mr SKIPS the bloom when a column is fully dictionary-
+        # encoded (the dictionary already answers exact membership); the
+        # fixture is small enough to dict-encode everything, so dictionary
+        # is disabled to exercise the layout a 100 TB high-cardinality key
+        # reaches naturally once it blows the dictionary page limit.
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_custkey").isin(41, 4141, 414141))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_custkey")
+    )

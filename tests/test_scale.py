@@ -411,3 +411,33 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_bloom_filter_written(spark):
+    """io_parquet_bloom_filter's layout contract. Neither pyarrow 16 nor
+    this DuckDB exposes bloom offsets in metadata APIs, so the pin is
+    functional: writing the SAME rows with the bloom option must add the
+    filter bytes (~expected_ndv bits per row group) versus without —
+    a deterministic size delta well above footer noise."""
+    import glob
+    import os
+
+    from crocus_spark.queries import REGISTRY, queries
+    from crocus_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    queries()
+    REGISTRY["io_parquet_bloom_filter"].fn(spark, SF_SMOKE).count()
+    with_bloom = sum(
+        os.path.getsize(f)
+        for f in glob.glob("/tmp/crocus_spark_io/bloom_orders/*.parquet")
+    )
+    plain_dir = "/tmp/crocus_spark_io/bloom_orders_plain"
+    load(spark, SF_SMOKE, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(plain_dir)
+    plain = sum(
+        os.path.getsize(f) for f in glob.glob(f"{plain_dir}/*.parquet")
+    )
+    # 4 files x one bloom each at ndv 20000 is ~16 KB minimum extra
+    assert with_bloom > plain + 8_000, (with_bloom, plain)
