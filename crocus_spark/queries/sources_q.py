@@ -788,3 +788,60 @@ def io_parquet_bloom_filter(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "io_python_source_pushdown",
+    oracle="""
+    WITH cat AS (
+      SELECT i AS product_id, (i * 2654435761) % 4294967296 AS h
+      FROM generate_series(100, 179) t(i)
+    ), rec AS (
+      SELECT product_id,
+             CASE h % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                  ELSE 'GBP' END AS currency,
+             (h % 100000) / 100.0 AS price
+      FROM cat
+    )
+    SELECT currency, COUNT(*) AS n_products,
+           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM rec
+    GROUP BY currency
+    ORDER BY currency
+    """,
+    tags=("io", "datasource", "pushdown"),
+)
+def io_python_source_pushdown(spark, sf_dir):
+    """Filter pushdown INTO the custom Python Data Source (Spark 4.1
+    ``pushFilters``): a product-id range predicate reaches the reader at
+    planning time and narrows the PAGE RANGE it fetches — at the
+    reference's 1-page-per-HTTP-request cost model this is the difference
+    between crawling the whole catalog and requesting exactly the pages
+    the query needs. The source still RETURNS every filter as
+    unsupported, so Spark re-applies them row-level: pruning is a fetch
+    optimization, never a correctness owner (the same contract parquet
+    row-group skipping honors). tests/test_http_source.py pins the
+    partition count the pushed bounds produce.
+
+    Requires spark.sql.python.filterPushdown.enabled; the query sets it
+    for the session (planning-time conf)."""
+    from crocus_spark.sources import register_catalog_source
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_catalog_source(spark)
+    cat = (
+        spark.read.format("crocus_catalog").option("n_products", 500).load()
+    )
+    return (
+        cat.filter(
+            (F.col("product_id") >= 100) & (F.col("product_id") < 180)
+        )
+        .groupBy("currency")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.sum(F.col("price").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("currency")
+    )

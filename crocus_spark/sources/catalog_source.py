@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -82,12 +87,48 @@ class _CatalogReader(DataSourceReader):
         self.retries = int(options.get("retries", 3))
         self.politeness_s = float(options.get("politeness_s", 0.0))
 
+    # --- filter pushdown (Spark 4.1 Python Data Source API) ---------
+    # Range predicates on product_id narrow the PAGE RANGE the source
+    # fetches (product_id // PAGE_SIZE is the page, so id bounds map to
+    # page bounds exactly). All filters are RETURNED as unsupported, so
+    # Spark re-applies them row-level — pushdown here prunes fetch work
+    # (the expensive part: pages are HTTP requests at 100 TB) without
+    # ever owning row-level exactness. pushFilters runs at planning
+    # time, before partitions().
+    _id_lo = 0  # inclusive
+    _id_hi = None  # exclusive; None = unbounded
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if getattr(f, "attribute", None) != ("product_id",):
+                continue
+            if isinstance(f, GreaterThanOrEqual):
+                self._id_lo = max(self._id_lo, int(f.value))
+            elif isinstance(f, GreaterThan):
+                self._id_lo = max(self._id_lo, int(f.value) + 1)
+            elif isinstance(f, LessThan):
+                hi = int(f.value)
+                self._id_hi = hi if self._id_hi is None else min(self._id_hi, hi)
+            elif isinstance(f, LessThanOrEqual):
+                hi = int(f.value) + 1
+                self._id_hi = hi if self._id_hi is None else min(self._id_hi, hi)
+            elif isinstance(f, EqualTo):
+                self._id_lo = max(self._id_lo, int(f.value))
+                hi = int(f.value) + 1
+                self._id_hi = hi if self._id_hi is None else min(self._id_hi, hi)
+        return filters  # Spark re-applies everything row-level
+
     def partitions(self):
         n_pages = -(-self.n_products // PAGE_SIZE)
+        page_lo = min(self._id_lo // PAGE_SIZE, n_pages)
+        id_hi = self.n_products if self._id_hi is None else min(
+            self._id_hi, self.n_products
+        )
+        page_hi = max(page_lo, -(-id_hi // PAGE_SIZE))
         step = self.pages_per_task
         return [
-            _PagePartition(lo, min(lo + step, n_pages), self.n_products)
-            for lo in range(0, n_pages, step)
+            _PagePartition(lo, min(lo + step, page_hi), self.n_products)
+            for lo in range(page_lo, page_hi, step)
         ]
 
     def read(self, partition):
@@ -128,7 +169,14 @@ class CatalogDataSource(DataSource):
 
 
 def register_catalog_source(spark) -> None:
-    """Idempotent registration of the custom format on a session."""
+    """Idempotent registration of the custom format on a session.
+
+    Also enables Python Data Source filter pushdown: the reader
+    implements ``pushFilters`` and Spark 4.1 REFUSES to plan a
+    pushFilters-implementing reader while the conf is off, so any
+    session that uses this source needs it on (planning-time conf,
+    safe to set at runtime)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(CatalogDataSource)
     except Exception:

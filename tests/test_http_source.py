@@ -119,3 +119,36 @@ def test_non_retryable_4xx_fails_fast(http_fixture):
             f"{http_fixture}/gone", retries=3, backoff_s=0.01
         )
     assert _CatalogHandler.hits["/gone"] == 1  # no retry on 404
+
+
+def test_pushdown_narrows_page_range():
+    """pushFilters on product_id must shrink partitions() to exactly the
+    pages covering [lo, hi) — and leave every filter for Spark to
+    re-apply (returned as unsupported)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from crocus_spark.sources.catalog_source import _CatalogReader
+
+    r = _CatalogReader({"n_products": "500"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("product_id",), 100),
+                LessThan(("product_id",), 180),
+            ]
+        )
+    )
+    assert len(leftover) == 2  # source never owns row-level exactness
+    parts = r.partitions()
+    pages = sorted((p.page_lo, p.page_hi) for p in parts)
+    # ids 100..179 at PAGE_SIZE 20 = pages 5..8 inclusive
+    assert pages[0][0] == 5 and pages[-1][1] == 9
+    assert sum(hi - lo for lo, hi in pages) == 4
+
+
+def test_pushdown_unfiltered_reads_all_pages():
+    from crocus_spark.sources.catalog_source import _CatalogReader
+
+    r = _CatalogReader({"n_products": "500"})
+    parts = r.partitions()
+    assert sum(p.page_hi - p.page_lo for p in parts) == 25
