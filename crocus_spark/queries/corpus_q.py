@@ -918,3 +918,180 @@ def corpus_training_shards(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+def _sc_flag_sql(b: str) -> str:
+    """DuckDB twin of the span-selection hash decision."""
+    from crocus_spark.queries.llm import _hash60_sql
+
+    key = (
+        "'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(" + b + " AS VARCHAR)"
+    )
+    return "(" + _hash60_sql(key) + ") % 2 = 0"
+
+
+@register(
+    "corpus_span_corruption",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             list_filter(range(0, (len(ws) + 6) // 7),
+                         b -> ({_sc_flag_sql("b")}) AND 7 * b + 4 <= len(ws))
+               AS mblocks
+      FROM d
+    ),
+    built AS (
+      SELECT doc_id, n,
+             len(mblocks) AS n_spans,
+             list_filter(list_transform(range(1, n + 1), i ->
+               CASE
+                 WHEN ((i - 1) % 7) = 3
+                      AND list_position(mblocks, (i - 1) // 7) > 0
+                 THEN '<extra_id_'
+                      || CAST(list_position(mblocks, (i - 1) // 7) - 1
+                              AS VARCHAR) || '>'
+                 WHEN ((i - 1) % 7) = 4
+                      AND list_position(mblocks, (i - 1) // 7) > 0
+                 THEN NULL
+                 ELSE ws[i]
+               END), x -> x IS NOT NULL) AS input_toks,
+             list_transform(range(1, len(mblocks) + 1), k ->
+               '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+               || ws[7 * mblocks[k] + 4]
+               || CASE WHEN 7 * mblocks[k] + 5 <= n
+                       THEN ' ' || ws[7 * mblocks[k] + 5] ELSE '' END)
+               AS target_toks
+      FROM base
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n - len(input_toks) + n_spans AS BIGINT) AS n_masked,
+           md5(COALESCE(array_to_string(input_toks, ' '), '')) AS input_md5,
+           md5(COALESCE(array_to_string(target_toks, ' '), '')) AS target_md5
+    FROM built
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "pretraining"),
+)
+def corpus_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): ~14% of
+    tokens are masked in length-2 spans, each span replaced by ONE
+    ``<extra_id_k>`` sentinel in the input while the target concatenates
+    sentinels with the dropped tokens — the text-to-text denoising pair a
+    pretraining pipeline emits per document. Span placement is a
+    hash-per-block decision on a stride-7 grid, so spans NEVER overlap by
+    construction and both engines pick byte-identical spans (sequential
+    sampling, the paper's method, is not order-free; the grid is the
+    deterministic equivalent at the same corruption rate).
+
+    Spark shape: everything is ARRAY-level on the token vector — block
+    flags, sentinel ordinals (position in the masked-block list), input
+    reconstruction, target assembly — fused into the scan with zero
+    shuffles before the per-doc digest output; rows carry md5s, not
+    bodies (the `corpus_chunk_sliding` discipline)."""
+    from crocus_spark.operators import dedup as D
+    from crocus_spark.operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ws")
+    )
+    n = F.size("ws")
+    flag = lambda b: (  # noqa: E731
+        D.portable_hash60(
+            F.concat(
+                F.lit("sc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                b.cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    mblocks = F.filter(
+        F.sequence(F.lit(0), ((n + 6) / 7).cast("int") - 1),
+        lambda b: flag(b) & (7 * b + 4 <= n),
+    )
+    base = docs.select(
+        "doc_id",
+        "ws",
+        n.alias("n"),
+        F.when(n >= 7, mblocks)
+        .otherwise(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(0)),
+                lambda b: flag(b) & (7 * b + 4 <= n),
+            )
+        )
+        .alias("mblocks"),
+    )
+    def tok_case(i):
+        b = F.floor((i - 1) / 7).cast("int")
+        pib = (i - 1) % 7
+        p = F.array_position(F.col("mblocks"), b)
+        return (
+            F.when(
+                (pib == 3) & (p > 0),
+                F.concat(
+                    F.lit("<extra_id_"),
+                    (p - 1).cast("string"),
+                    F.lit(">"),
+                ),
+            )
+            .when((pib == 4) & (p > 0), F.lit(None).cast("string"))
+            .otherwise(F.element_at("ws", i.cast("int")))
+        )
+
+    seq_1n = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    input_toks = F.filter(
+        F.transform(seq_1n, tok_case), lambda x: x.isNotNull()
+    )
+
+    def target_tok(k):
+        b = F.element_at("mblocks", k.cast("int"))
+        return F.concat(
+            F.lit("<extra_id_"),
+            (k - 1).cast("string"),
+            F.lit("> "),
+            F.element_at("ws", (7 * b + 4).cast("int")),
+            F.when(
+                7 * b + 5 <= F.col("n"),
+                F.concat(
+                    F.lit(" "),
+                    F.element_at("ws", (7 * b + 5).cast("int")),
+                ),
+            ).otherwise(F.lit("")),
+        )
+
+    n_spans = F.size("mblocks")
+    target_toks = F.transform(
+        F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        target_tok,
+    )
+    built = base.select(
+        "doc_id",
+        F.col("n"),
+        n_spans.alias("n_spans"),
+        input_toks.alias("input_toks"),
+        target_toks.alias("target_toks"),
+    )
+    return built.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        (F.col("n") - F.size("input_toks") + F.col("n_spans"))
+        .cast("long")
+        .alias("n_masked"),
+        F.md5(F.concat_ws(" ", "input_toks")).alias("input_md5"),
+        F.md5(F.concat_ws(" ", "target_toks")).alias("target_md5"),
+    ).orderBy("doc_id")

@@ -591,3 +591,123 @@ def normalize_fx_convert(spark, sf_dir):
         )
         .orderBy("isin")
     )
+
+
+_DIRTY_URLS = [
+    ("u01", "https://WWW.iShares.com:443/it/prodotti/253743/fund?b=2&a=1&utm_source=mail#top"),
+    ("u02", "https://www.ishares.com/it/prodotti/253743/fund?a=1&b=2"),
+    ("u03", "https://www.ishares.com/it/prodotti/253743/fund/?utm_campaign=x&b=2&a=1"),
+    ("u04", "http://www.vanguard.it:80/etf/list?gclid=abc123"),
+    ("u05", "http://www.vanguard.it/etf/list"),
+    ("u06", "https://www.ishares.com/it/prodotti/251882/fund?fileType=xls"),
+    ("u07", "https://www.ishares.com/it/prodotti/251882/fund?fileType=xls&fbclid=zzz"),
+    ("u08", "https://www.ishares.com"),
+    ("u09", "https://www.ishares.com/#frag"),
+    ("u10", "HTTPS://www.ishares.com/it/prodotti/253743/FUND?a=1&b=2"),
+]
+_TRACK_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+@register(
+    "normalize_url_canonical",
+    oracle=f"""
+    WITH urls(url_id, url) AS (VALUES
+      {", ".join(f"('{i}', '{u}')" for i, u in _DIRTY_URLS)}
+    ),
+    parts AS (
+      SELECT url_id,
+             lower(regexp_extract(url, '^([hH][tT][tT][pP][sS]?)://', 1))
+               AS scheme,
+             lower(regexp_replace(
+               regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1),
+               ':(80|443)$', '')) AS host,
+             regexp_replace(
+               regexp_extract(url, '^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)',
+                              1), '/+$', '') AS path0,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '\\?(.*)$', 1) AS query0
+      FROM urls
+    ),
+    canon AS (
+      SELECT url_id,
+             scheme || '://' || host
+             || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+      FROM (
+        SELECT url_id, scheme, host, path0,
+               COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(query0, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}')
+               )), '&'), '') AS q
+        FROM parts
+      )
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(url_id) AS first_seen
+    FROM canon
+    GROUP BY canonical
+    ORDER BY canonical
+    """,
+    tags=("crocus", "normalize", "url"),
+)
+def normalize_url_canonical(spark, sf_dir):
+    """URL canonicalization for crawl dedup — the rule set that collapses
+    scheme/host case, default ports (:80/:443), fragments, tracking
+    parameters (utm_*/fbclid/gclid), query-parameter order, and trailing
+    slashes into ONE canonical key. On the fixture set, 10 crawled URLs
+    collapse to 5 canonical pages — the dedup a crawler needs BEFORE
+    content hashing (the reference builds its .ajax holdings URLs from
+    parts, ishares.py:97-137; this is the inverse discipline).
+
+    Pure string/regex expressions on both engines (no UDF, no network);
+    the lowercase-scheme-and-host + sorted-params form follows RFC 3986
+    §6's normalization guidance. Spark shape: scan-fused projection, one
+    canonical-key aggregate."""
+    rows = [(i, u) for i, u in _DIRTY_URLS]
+    df = spark.createDataFrame(rows, "url_id STRING, url STRING")
+    scheme = F.lower(
+        F.regexp_extract("url", r"^([hH][tT][tT][pP][sS]?)://", 1)
+    )
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1),
+            r":(80|443)$",
+            "",
+        )
+    )
+    path0 = F.regexp_replace(
+        F.regexp_extract(
+            "url", r"^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    query0 = F.regexp_extract(
+        F.regexp_replace("url", r"#.*$", ""), r"\?(.*)$", 1
+    )
+    q = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(query0, "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACK_RE),
+            )
+        ),
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path0 == "", F.lit("/")).otherwise(path0),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        df.select("url_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("url_id").alias("first_seen"),
+        )
+        .orderBy("canonical")
+    )

@@ -845,3 +845,65 @@ def io_python_source_pushdown(spark, sf_dir):
         )
         .orderBy("currency")
     )
+
+
+@register(
+    "io_csv_multiline",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, n_chars
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("io", "csv"),
+)
+def io_csv_multiline(spark, sf_dir):
+    """CSV round-trip with EMBEDDED NEWLINES AND QUOTES — the field shape
+    that breaks naive line-oriented CSV readers (a quoted field may span
+    physical lines; quotes escape by doubling, RFC 4180 §2.6-2.7). Docs
+    are written with injected newline/quote characters inside the text
+    field, then read back with ``multiLine=true`` + explicit schema and
+    the injection reversed — the md5 digest against the original table
+    proves byte-lossless round-tripping through the hardest CSV case.
+
+    Scale note: multiLine CSV is NOT splittable (a reader can't align to
+    record boundaries mid-file), so the write keeps many small files —
+    parallelism by file count, the standard mitigation; the landing zone
+    converts to parquet immediately (`io_csv_roundtrip` covers the
+    splittable fast path)."""
+    path = _scratch("csv_multiline")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            # inject a newline + a double-quote into every text so the
+            # quoted-field machinery is actually exercised
+            F.concat(
+                F.lit('line1 "q" start\n'), F.col("text")
+            ).alias("text"),
+            "n_chars",
+        )
+    )
+    (
+        docs.repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    schema = "doc_id LONG, text STRING, n_chars LONG"
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace("text", r'^line1 "q" start\n', "")
+        ).alias("text_md5"),
+        "n_chars",
+    ).orderBy("doc_id")
