@@ -2594,3 +2594,109 @@ def agg_bitmap_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "series_rolling_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(25,6))
+                 ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) * 100)
+               AS BIGINT) AS yq,
+             CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                             AS DOUBLE) * 100) AS BIGINT) AS xq
+      FROM orders GROUP BY o_orderdate
+    ),
+    framed AS (
+      SELECT day,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yq AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * yq) OVER w AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * xq) OVER w AS DOUBLE)
+               AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS beta_28d
+    FROM framed WHERE t >= 28
+    ORDER BY day
+    """,
+    tags=("analytics", "timeseries"),
+)
+def series_rolling_beta(spark, sf_dir):
+    """Rolling 28-day regression beta of the urgent-order revenue series
+    against total revenue — the quant-desk exposure statistic
+    (`agg_regr_battery`'s slope, made a WINDOW): every day gets the OLS
+    slope over its trailing 28 days.
+
+    Determinism: the daily series quantizes once to cent integers, the
+    four power sums run as DECIMAL(38,0) WINDOW aggregates (exact and
+    order-independent inside the frame), and one closed-form divide per
+    row rounds at 6 — NULLIF guards a zero-variance window. Spark shape:
+    a calendar-sized daily reduce, then one ordered window with a
+    bounded ROWS frame (state O(frame)); partial windows warm up for 27
+    days and are excluded."""
+    from pyspark.sql.window import Window
+
+    dec = "decimal(25,6)"
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT",
+                        F.col("o_totalprice").cast(dec),
+                    ).otherwise(F.lit(0).cast(dec))
+                ).cast("double")
+                * 100
+            )
+            .cast("long")
+            .alias("yq"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double") * 100
+            )
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("day").rowsBetween(-27, 0)
+    framed = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(F.col("xq").cast(d38)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("yq").cast(d38)).over(w).cast("double").alias("sy"),
+        F.sum(F.col("xq").cast(d38) * F.col("yq"))
+        .over(w)
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("xq").cast(d38) * F.col("xq"))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+    )
+    return (
+        framed.filter(F.col("t") >= 28)
+        .select(
+            "day",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.nullif(
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("beta_28d"),
+        )
+        .orderBy("day")
+    )

@@ -801,3 +801,75 @@ def dq_freshness_sla(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _checksum_oracle() -> str:
+    from crocus_spark.queries.llm import _hash60_sql
+
+    row_hash = _hash60_sql(
+        "'ck:' || CAST(o_orderkey AS VARCHAR) || ':' "
+        "|| CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) "
+        "|| ':' || o_orderstatus"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             ({row_hash}) % 1099511627776 AS h
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum
+    FROM keyed GROUP BY month ORDER BY month
+    """
+
+
+@register(
+    "dq_partition_checksums",
+    oracle=_checksum_oracle(),
+    tags=("dq", "reconciliation"),
+)
+def dq_partition_checksums(spark, sf_dir):
+    """Per-partition content checksums — the cross-system reconciliation
+    primitive: each month of orders reduces to (row count, order-
+    independent BIGINT sum of a per-row content hash), so two copies of a
+    table — engines, regions, before/after a migration — compare with a
+    months-sized diff instead of a row-level join. A single flipped cent
+    or dropped row changes exactly one cell.
+
+    The row hash is the portable md5-derived hash over key + cent-
+    quantized price + status, reduced mod 2^40 so a month of sums stays
+    far from BIGINT overflow (2^40 × rows ≪ 2^63 up to ~8M rows/month;
+    widen to DECIMAL(38,0) beyond). Addition is commutative, so the
+    checksum is partitioning- and order-independent — and this oracle
+    match IS the cross-engine reconciliation it implements."""
+    from crocus_spark.operators import dedup as D
+
+    orders = load(spark, sf_dir, "orders")
+    h = (
+        D.portable_hash60(
+            F.concat(
+                F.lit("ck:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                F.lit(":"),
+                F.col("o_orderstatus"),
+            )
+        )
+        % 1099511627776
+    )
+    return (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            h.alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+        .orderBy("month")
+    )

@@ -465,3 +465,43 @@ def sql_tpch_q18(spark, sf_dir):
     both engines."""
     _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_TPCH_Q18_SQL)
+
+
+_TPCH_Q21_SQL = """
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@register("sql_tpch_q21", oracle=_TPCH_Q21_SQL, tags=("sql", "tpch"))
+def sql_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    fixture columns: on finished orders, suppliers whose line was the
+    ONLY returned one among a multi-supplier order — the classic
+    EXISTS + NOT-EXISTS double-correlated pattern, the hardest of the
+    TPC-H decorrelation probes. Catalyst must turn both subqueries into
+    a left-semi and a null-safe left-anti join against the SAME fact
+    table rather than re-scanning lineitem per row; the top-20 is
+    TakeOrderedAndProject with a deterministic name tiebreak.
+    Verbatim-identical SQL on both engines."""
+    _register_views(spark, sf_dir, ["supplier", "orders", "lineitem"])
+    return spark.sql(_TPCH_Q21_SQL)
