@@ -495,3 +495,201 @@ def sketch_quantile_hash_sample(spark, sf_dir):
         )
         .orderBy("q_label")
     )
+
+
+# KMV (k-minimum-values / theta-style) set algebra: k = 256 smallest hashes
+_KMV_K = 256
+_KMV_M = 1 << 60  # hash domain size for portable_hash60
+
+
+@register(
+    "sketch_kmv_set_algebra",
+    oracle=f"""
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_b
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_custkey
+    ),
+    keyed AS (
+      SELECT o_custkey, in_a, in_b,
+             {_hash60_sql("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+      FROM flags
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY h) AS rn_u,
+             CASE WHEN in_a = 1 THEN
+               ROW_NUMBER() OVER (PARTITION BY in_a ORDER BY h) END AS rn_a,
+             CASE WHEN in_b = 1 THEN
+               ROW_NUMBER() OVER (PARTITION BY in_b ORDER BY h) END AS rn_b
+      FROM keyed
+    ),
+    stats AS (
+      SELECT
+        CAST(SUM(in_a) AS BIGINT) AS exact_a,
+        CAST(SUM(in_b) AS BIGINT) AS exact_b,
+        CAST(COUNT(*) AS BIGINT) AS exact_union,
+        CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter,
+        MAX(CASE WHEN rn_a = {_KMV_K} THEN h END) AS kth_a,
+        MAX(CASE WHEN rn_b = {_KMV_K} THEN h END) AS kth_b,
+        MAX(CASE WHEN rn_u = {_KMV_K} THEN h END) AS kth_u,
+        CAST(SUM(CASE WHEN rn_u <= {_KMV_K} AND in_a = 1 AND in_b = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+      FROM ranked
+    ),
+    ests AS (
+      SELECT *,
+        CASE WHEN kth_a IS NULL THEN CAST(exact_a AS DOUBLE)
+             ELSE ({_KMV_K} - 1) * {float(_KMV_M)} / kth_a END AS est_a,
+        CASE WHEN kth_b IS NULL THEN CAST(exact_b AS DOUBLE)
+             ELSE ({_KMV_K} - 1) * {float(_KMV_M)} / kth_b END AS est_b,
+        CASE WHEN kth_u IS NULL THEN CAST(exact_union AS DOUBLE)
+             ELSE ({_KMV_K} - 1) * {float(_KMV_M)} / kth_u END AS est_union
+      FROM stats
+    )
+    SELECT metric, round(estimate, 4) AS estimate, exact_n,
+           round(abs(round(estimate, 4) - exact_n)
+                 / NULLIF(exact_n, 0), 4) AS rel_err
+    FROM (
+      SELECT 'a_distinct' AS metric, est_a AS estimate, exact_a AS exact_n
+      FROM ests
+      UNION ALL
+      SELECT 'b_distinct', est_b, exact_b FROM ests
+      UNION ALL
+      SELECT 'union_distinct', est_union, exact_union FROM ests
+      UNION ALL
+      SELECT 'intersection',
+             m_both * est_union
+               / CASE WHEN kth_u IS NULL THEN exact_union
+                      ELSE {_KMV_K} END,
+             exact_inter
+      FROM ests
+    )
+    ORDER BY metric
+    """,
+    tags=("sketch", "set-algebra"),
+)
+def sketch_kmv_set_algebra(spark, sf_dir):
+    """KMV (k-minimum-values, the theta-sketch estimator) set algebra
+    with the whole sketch oracle-checked — the portable twin of the
+    rows-only `agg_theta_set_algebra`: distinct counts of the
+    finished-order and open-order customer sets, their UNION (bottom-k of
+    the merged hash stream — the mergeability that makes KMV a sketch)
+    and their INTERSECTION (share of both-set members among the union's
+    bottom-k, Beyer et al. SIGMOD'07). Estimates sit beside exact counts
+    with relative errors; sets smaller than k degrade to exact counts by
+    the same CASE in both engines.
+
+    Determinism: ranks and k-th minimum hashes are integers on the
+    portable md5 hash; each estimate is one literal×division, rounded at
+    4. Spark shape: one customer-sized flag aggregate, three rank
+    windows over it (bottom-k is per-partition top-k + merge at scale),
+    one single-row reduction."""
+    from pyspark.sql.window import Window
+
+    flags = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    keyed = flags.select(
+        "o_custkey",
+        "in_a",
+        "in_b",
+        D.portable_hash60(
+            F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))
+        ).alias("h"),
+    )
+    ranked = keyed.select(
+        "*",
+        F.row_number().over(Window.orderBy("h")).alias("rn_u"),
+        F.when(
+            F.col("in_a") == 1,
+            F.row_number().over(
+                Window.partitionBy("in_a").orderBy("h")
+            ),
+        ).alias("rn_a"),
+        F.when(
+            F.col("in_b") == 1,
+            F.row_number().over(
+                Window.partitionBy("in_b").orderBy("h")
+            ),
+        ).alias("rn_b"),
+    )
+    k, m = _KMV_K, float(_KMV_M)
+    stats = ranked.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+        F.max(F.when(F.col("rn_a") == k, F.col("h"))).alias("kth_a"),
+        F.max(F.when(F.col("rn_b") == k, F.col("h"))).alias("kth_b"),
+        F.max(F.when(F.col("rn_u") == k, F.col("h"))).alias("kth_u"),
+        F.sum(
+            F.when(
+                (F.col("rn_u") <= k)
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("m_both"),
+    )
+
+    def est(kth, exact):
+        return F.when(
+            F.col(kth).isNull(), F.col(exact).cast("double")
+        ).otherwise(F.lit(float(k - 1)) * m / F.col(kth))
+
+    ests = stats.select(
+        "*",
+        est("kth_a", "exact_a").alias("est_a"),
+        est("kth_b", "exact_b").alias("est_b"),
+        est("kth_u", "exact_union").alias("est_union"),
+    )
+    rows = []
+    for metric, e, x in [
+        ("a_distinct", F.col("est_a"), F.col("exact_a")),
+        ("b_distinct", F.col("est_b"), F.col("exact_b")),
+        ("union_distinct", F.col("est_union"), F.col("exact_union")),
+        (
+            "intersection",
+            F.col("m_both")
+            * F.col("est_union")
+            / F.when(
+                F.col("kth_u").isNull(), F.col("exact_union")
+            ).otherwise(F.lit(k)),
+            F.col("exact_inter"),
+        ),
+    ]:
+        rows.append(
+            ests.select(
+                F.lit(metric).alias("metric"),
+                e.alias("estimate"),
+                x.alias("exact_n"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "metric",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_n",
+        F.round(
+            F.abs(F.round("estimate", 4) - F.col("exact_n"))
+            / F.nullif(F.col("exact_n"), F.lit(0)),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("metric")
