@@ -2700,3 +2700,169 @@ def series_rolling_beta(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stats_quantile_normalize",
+    oracle="""
+    WITH a AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER () AS n_a
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
+    mapped AS (
+      SELECT a.v AS v_orig, b.v AS v_mapped,
+             ((a.rk - 1) * 10) // a.n_a + 1 AS decile
+      FROM a, nb
+      JOIN b ON b.rk = (a.rk * nb.n_b + a.n_a - 1) // a.n_a
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v_orig AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_orig,
+           CAST(SUM(CAST(v_mapped AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_mapped
+    FROM mapped GROUP BY decile ORDER BY decile
+    """,
+    tags=("stats", "normalization"),
+)
+def stats_quantile_normalize(spark, sf_dir):
+    """Quantile normalization: every finished-order total is replaced by
+    the open-order distribution's value at the SAME quantile — the
+    batch-effect correction standard in bioinformatics (Bolstad et al.,
+    Bioinformatics 2003) and the distribution-matching step feature
+    pipelines use across cohorts of different sizes. Rank mapping is pure
+    integer ceiling division (rank_a·n_b/n_a), ranks total-ordered by
+    (value, key), so the mapping is deterministic; output is the
+    per-decile before/after profile.
+
+    Spark shape: two rank windows (shard-offset ranks at 100 TB) and one
+    equi-join on the computed target rank — never a quantile lookup per
+    row; the decile roll-up is 10 cells."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("rk"),
+        )
+        .withColumn(
+            "n_a", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("o_totalprice").alias("bv"),
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("brk"),
+        )
+    )
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    mapped = (
+        a.crossJoin(F.broadcast(nb))
+        .join(
+            b,
+            F.col("brk")
+            == F.expr("(rk * n_b + n_a - 1) div n_a"),
+        )
+        .select(
+            F.col("v").alias("v_orig"),
+            F.col("bv").alias("v_mapped"),
+            (F.expr("((rk - 1) * 10) div n_a") + 1).alias("decile"),
+        )
+    )
+    return (
+        mapped.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("v_orig").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_orig"),
+            (
+                F.sum(F.col("v_mapped").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_mapped"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)::DATE) AS first_week
+      FROM events GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', e.ts)::DATE AS week,
+             f.first_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT week,
+           CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           round(CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS returning_share
+    FROM weekly GROUP BY week ORDER BY week
+    """,
+    tags=("analytics", "growth"),
+)
+def analytics_new_vs_returning(spark, sf_dir):
+    """Weekly new-vs-returning user split — the growth-accounting
+    decomposition every product review opens with: actives partitioned
+    by whether this is their first-ever week. Complements
+    `cohort_retention` (which follows a cohort forward; this reads each
+    week's composition) and `analytics_dau_wau` (volume, not identity).
+
+    Spark shape: a user-sized first-seen dimension joined back on
+    user_id (AQE broadcasts it when small), one distinct to user-weeks,
+    one calendar-sized roll-up; integer counts and a single rounded
+    division."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts").cast("date")).alias("first_week")
+    )
+    weekly = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            "first_week",
+        )
+        .distinct()
+    )
+    new_c = F.sum(
+        F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+    )
+    ret_c = F.sum(
+        F.when(F.col("week") > F.col("first_week"), 1).otherwise(0)
+    )
+    return (
+        weekly.groupBy("week")
+        .agg(
+            new_c.cast("long").alias("new_users"),
+            ret_c.cast("long").alias("returning_users"),
+            F.round(
+                ret_c.cast("double") / F.count(F.lit(1)), 6
+            ).alias("returning_share"),
+        )
+        .orderBy("week")
+    )
