@@ -693,3 +693,151 @@ def sketch_kmv_set_algebra(spark, sf_dir):
             4,
         ).alias("rel_err"),
     ).orderBy("metric")
+
+
+@register(
+    "sketch_hll_merge_daily",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             {_hash60_sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT day, h % {_HLL_M} AS reg,
+             CASE WHEN h // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(h // {_HLL_M})) END AS rho
+      FROM h
+    ),
+    daily_regs AS (
+      SELECT day, reg, MAX(rho) AS m FROM rho GROUP BY day, reg
+    ),
+    weekly_regs AS (
+      SELECT date_trunc('week', day)::DATE AS week, reg, MAX(m) AS m
+      FROM daily_regs GROUP BY 1, reg
+    ),
+    direct_regs AS (
+      SELECT date_trunc('week', day)::DATE AS week, reg, MAX(rho) AS m
+      FROM rho GROUP BY 1, reg
+    ),
+    merged AS (
+      SELECT w.week,
+             CAST(SUM(1::BIGINT << (55 - w.m)) AS BIGINT)
+               + ({_HLL_M} - COUNT(*)) * 36028797018963968 AS sum_pow_merged,
+             CAST(SUM(1::BIGINT << (55 - d.m)) AS BIGINT)
+               + ({_HLL_M} - COUNT(*)) * 36028797018963968 AS sum_pow_direct
+      FROM weekly_regs w
+      JOIN direct_regs d ON w.week = d.week AND w.reg = d.reg
+      GROUP BY w.week
+    ),
+    truth AS (
+      SELECT date_trunc('week', date_trunc('day', ts)::DATE)::DATE AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT m.week,
+           round({_HLL_NUMER} / CAST(m.sum_pow_merged AS DOUBLE), 4)
+             AS est_merged,
+           m.sum_pow_merged = m.sum_pow_direct AS merge_equals_direct,
+           t.true_distinct,
+           round(abs(round({_HLL_NUMER}
+                           / CAST(m.sum_pow_merged AS DOUBLE), 4)
+                     - t.true_distinct) / t.true_distinct, 4) AS rel_err
+    FROM merged m JOIN truth t ON m.week = t.week
+    ORDER BY m.week
+    """,
+    tags=("sketch", "cardinality", "merge"),
+)
+def sketch_hll_merge_daily(spark, sf_dir):
+    """HLL MERGE across time buckets — the production register-store
+    pattern: per-DAY register files are persisted (64 rows/day), and the
+    weekly distinct-users estimate comes from MAX-merging the stored
+    registers, never rescanning the raw events. The oracle pins the
+    merged weekly register file EQUAL to the directly-built one
+    (`merge_equals_direct` — max is associative, the property that makes
+    HLL re-aggregatable) alongside the estimate and its error vs exact.
+
+    Missing registers count as rho 0 by ADDING (m - observed) empty-
+    register summands — no 64-row spine join per week needed. Spark
+    shape: two map-side-combinable MAX aggregates (day×reg, then
+    week×reg); sketch state replaces the raw-event rescan that a
+    windowed COUNT(DISTINCT) would need. Simplified raw estimate (no
+    small-range correction): weekly actives here sit far above the 2.5m
+    correction bound, and both engines compute the identical formula."""
+    h = D.portable_hash60(
+        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+    )
+    rho = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            h.alias("h"),
+        )
+        .select(
+            "day",
+            (F.col("h") % _HLL_M).alias("reg"),
+            F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(55))
+            .otherwise(55 - F.length(F.bin(F.expr(f"h div {_HLL_M}"))))
+            .alias("rho"),
+        )
+    )
+    daily_regs = rho.groupBy("day", "reg").agg(F.max("rho").alias("m"))
+    weekly_regs = daily_regs.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week"), "reg"
+    ).agg(F.max("m").alias("m"))
+    direct_regs = rho.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week"), "reg"
+    ).agg(F.max("rho").alias("md"))
+    merged = (
+        weekly_regs.join(direct_regs, ["week", "reg"])
+        .groupBy("week")
+        .agg(
+            (
+                F.expr(
+                    "CAST(SUM(shiftleft(CAST(1 AS BIGINT), 55 - m))"
+                    " AS BIGINT)"
+                )
+                + (_HLL_M - F.count(F.lit(1))) * 36028797018963968
+            ).alias("sum_pow_merged"),
+            (
+                F.expr(
+                    "CAST(SUM(shiftleft(CAST(1 AS BIGINT), 55 - md))"
+                    " AS BIGINT)"
+                )
+                + (_HLL_M - F.count(F.lit(1))) * 36028797018963968
+            ).alias("sum_pow_direct"),
+        )
+    )
+    truth = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc(
+                "week", F.date_trunc("day", "ts").cast("date")
+            )
+            .cast("date")
+            .alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    )
+    est = F.round(
+        F.lit(float(_HLL_NUMER)) / F.col("sum_pow_merged").cast("double"), 4
+    )
+    return (
+        merged.join(truth, "week")
+        .select(
+            "week",
+            est.alias("est_merged"),
+            (F.col("sum_pow_merged") == F.col("sum_pow_direct")).alias(
+                "merge_equals_direct"
+            ),
+            "true_distinct",
+            F.round(
+                F.abs(est - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )
