@@ -2866,3 +2866,105 @@ def analytics_new_vs_returning(spark, sf_dir):
         )
         .orderBy("week")
     )
+
+
+@register(
+    "anomaly_mad_outlier_days",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    ranked AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY rev, day) AS rk,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    med2 AS (  -- 2x median, exact decimal (sum of the two middles)
+      SELECT SUM(rev) AS m2
+      FROM ranked WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    dev AS (   -- adev2 = 2x absolute deviation, exact decimal
+      SELECT day, rev,
+             abs(2 * rev - (SELECT m2 FROM med2)) AS adev2
+      FROM daily
+    ),
+    dev_ranked AS (
+      SELECT day, adev2,
+             ROW_NUMBER() OVER (ORDER BY adev2, day) AS rk,
+             COUNT(*) OVER () AS n
+      FROM dev
+    ),
+    mad4 AS (  -- 4x MAD, exact decimal
+      SELECT SUM(adev2) AS m4
+      FROM dev_ranked WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(adev2 AS DOUBLE) / 2 AS abs_deviation,
+           CAST((SELECT m4 FROM mad4) AS DOUBLE) / 4 AS mad
+    FROM dev
+    WHERE 2 * adev2 > 3 * (SELECT m4 FROM mad4)
+    ORDER BY day
+    """,
+    tags=("analytics", "anomaly"),
+)
+def anomaly_mad_outlier_days(spark, sf_dir):
+    """Robust outlier days: daily revenues more than 6 MADs from the
+    median — the `stats_robust_median_mad` statistics turned into a
+    FLAG, immune to the outliers it hunts (a z-score screen inflates its
+    own threshold; the median/MAD pair does not). Medians are carried at
+    DOUBLED scale (sum of the two middle decimals — an engine AVG over
+    decimals goes through float in DuckDB and stays decimal in Spark, so
+    averages never appear), and the 6-MAD membership test is the
+    cross-multiplied exact-decimal compare ``2*adev2 > 3*mad4``; the
+    only divisions are by powers of two at the output boundary (exact in
+    IEEE).
+
+    Spark shape: calendar-sized daily reduce, two rank windows over that
+    relation, thresholds broadcast back; the fact table shuffles once."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+
+    def doubled_median(df, col, tiebreak):
+        ranked = df.select(
+            F.col(col),
+            F.row_number()
+            .over(Window.orderBy(F.col(col), tiebreak))
+            .alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return ranked.filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        ).agg(F.sum(col).alias("m"))
+
+    med2 = doubled_median(daily, "rev", "day").select(
+        F.col("m").alias("m2")
+    )
+    dev = daily.crossJoin(F.broadcast(med2)).select(
+        "day",
+        "rev",
+        F.abs(2 * F.col("rev") - F.col("m2")).alias("adev2"),
+    )
+    mad4 = doubled_median(dev, "adev2", "day").select(
+        F.col("m").alias("m4")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad4))
+        .filter(2 * F.col("adev2") > 3 * F.col("m4"))
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("adev2").cast("double") / 2).alias("abs_deviation"),
+            (F.col("m4").cast("double") / 4).alias("mad"),
+        )
+        .orderBy("day")
+    )

@@ -4000,3 +4000,236 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _simhash_sig_ctes() -> str:
+    """Shared CTE prefix building portable 60-bit simhash per doc (the
+    `_simhash_oracle` construction, factored for reuse)."""
+    hash60 = _hash60_sql("tok")
+    sums = ", ".join(f"SUM((x >> {i}) & 1) AS o{i}" for i in range(60))
+    sim = " + ".join(
+        f"CASE WHEN o{i} * 2 > n THEN {1 << i} ELSE 0 END" for i in range(60)
+    )
+    return f"""
+    base AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ), toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    hashed AS (SELECT id, ({hash60}) AS x FROM toks),
+    agg AS (SELECT id, COUNT(*) AS n, {sums} FROM hashed GROUP BY id),
+    sh AS (SELECT id, ({sim})::BIGINT AS simhash FROM agg)
+    """
+
+
+@register(
+    "text_simhash_hamming_knn",
+    oracle=f"""
+    WITH {_simhash_sig_ctes()},
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             bit_count(xor(q.simhash, c.simhash))::INT AS hamming
+      FROM sh q JOIN sh c ON q.id < 5 AND c.id >= 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "text", "similarity"),
+)
+def text_simhash_hamming_knn(spark, sf_dir):
+    """Top-3 nearest documents by SimHash Hamming distance — the dedup
+    TRIAGE tool: given a suspect doc, which corpus docs are its closest
+    fingerprints, even when none crosses the dup threshold. Distances
+    are integer popcounts of XORed portable 60-bit fingerprints, so the
+    whole ranking is exact in both engines (tie → smaller id).
+
+    Spark shape: fingerprints from the one-shuffle sign-vote aggregate
+    (shared with `dedup_simhash`); the 5 probe fingerprints broadcast
+    against the corpus — a linear scan like `ann_bruteforce_topk`, and
+    the same swap applies at scale: band-blocked candidates
+    (`simhash_pairs`) feed the identical popcount ranking."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sims = D.simhash(
+        docs, "text", "doc_id", bits=60, hash_fn=D.portable_hash60
+    )
+    q = sims.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("simhash").alias("qh")
+    )
+    c = sims.filter(F.col("id") >= 5).select(
+        F.col("id").alias("neighbor_id"), F.col("simhash").alias("ch")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(
+            F.col("qh").bitwiseXOR(F.col("ch"))
+        ).cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_NDCG_W = [
+    (1, 1.0), (2, 0.630929753571), (3, 0.5), (4, 0.430676558073),
+    (5, 0.386852807235), (6, 0.356207187108), (7, 0.333333333333),
+    (8, 0.315464876786), (9, 0.301029995664), (10, 0.289064826318),
+]
+
+
+@register(
+    "ml_mrr_ndcg_eval",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    q AS (SELECT * FROM d WHERE doc_id < 5),
+    c AS (SELECT * FROM d WHERE doc_id >= 5),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             len(list_intersect(q.toks, c.toks)) AS overlap,
+             CASE WHEN q.source = c.source THEN 1 ELSE 0 END AS rel
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY overlap DESC, cand_id) AS rk
+      FROM scored
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rk <= 10),
+    weights(rk, w) AS (VALUES
+      {", ".join(f"({i}, {w})" for i, w in _NDCG_W)}
+    ),
+    per_q AS (
+      SELECT t.query_id,
+             MIN(CASE WHEN t.rel = 1 THEN t.rk END) AS first_rel_rank,
+             round(SUM(t.rel * w.w), 6) AS dcg,
+             CAST(SUM(t.rel) AS BIGINT) AS n_rel_top10
+      FROM top10 t JOIN weights w ON t.rk = w.rk
+      GROUP BY t.query_id
+    ),
+    totals AS (
+      SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_total
+      FROM scored GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT t.query_id, round(SUM(w.w), 6) AS idcg
+      FROM totals t JOIN weights w
+        ON w.rk <= CASE WHEN t.n_rel_total > 10 THEN 10
+                        ELSE t.n_rel_total END
+      GROUP BY t.query_id
+    )
+    SELECT p.query_id, p.first_rel_rank,
+           round(COALESCE(1.0 / p.first_rel_rank, 0.0), 6)
+             AS reciprocal_rank,
+           p.dcg, i.idcg,
+           round(p.dcg / i.idcg, 6) AS ndcg_at_10
+    FROM per_q p JOIN ideal i ON p.query_id = i.query_id
+    ORDER BY p.query_id
+    """,
+    tags=("llm", "search", "evaluation"),
+)
+def ml_mrr_ndcg_eval(spark, sf_dir):
+    """Retrieval EVALUATION — MRR and nDCG@10 per query: 5 probe docs
+    retrieve the corpus ranked by distinct-token overlap (deterministic,
+    id-tiebroken; the ranker under test is pluggable — BM25/cosine slot
+    in unchanged), relevance = same-source, the metrics every search
+    stack reports. The log2 position discounts are INLINE LITERALS
+    (1/log2(i+1), 12 digits) identical on both sides — no engine libm
+    call near a compare.
+
+    Spark shape: query side broadcasts (5 rows); ranking windows run per
+    query; nDCG's ideal gain joins the same 10-row weight relation
+    against per-query relevant counts. Metric arithmetic is literal
+    weights × 0/1 relevance — exact before one rounded division."""
+    from pyspark.sql.window import Window
+
+    from crocus_spark.operators.dedup import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("toks"),
+    )
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("q_source"),
+        F.col("toks").alias("q_toks"),
+    )
+    c = d.filter(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("c_source"),
+        F.col("toks").alias("c_toks"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        F.size(F.array_intersect("q_toks", "c_toks")).alias("overlap"),
+        F.when(F.col("q_source") == F.col("c_source"), 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), "cand_id"
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    weights = spark.createDataFrame(_NDCG_W, "rk INT, w DOUBLE")
+    top10 = ranked.filter(F.col("rk") <= 10)
+    per_q = (
+        top10.join(F.broadcast(weights), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias(
+                "first_rel_rank"
+            ),
+            F.round(F.sum(F.col("rel") * F.col("w")), 6).alias("dcg"),
+        )
+    )
+    totals = scored.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_total")
+    )
+    ideal = (
+        F.broadcast(totals)
+        .join(
+            weights,
+            F.col("rk")
+            <= F.when(F.col("n_rel_total") > 10, 10).otherwise(
+                F.col("n_rel_total")
+            ),
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.sum("w"), 6).alias("idcg"))
+    )
+    return (
+        per_q.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
