@@ -2968,3 +2968,201 @@ def anomaly_mad_outlier_days(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "series_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                  AS BIGINT) AS t,
+             CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                             AS DOUBLE) * 100) AS BIGINT) AS yq
+      FROM orders GROUP BY o_orderdate
+    ),
+    slopes AS (
+      SELECT a.t AS t1, b.t AS t2,
+             CAST(b.yq - a.yq AS DOUBLE) / (b.t - a.t) AS s
+      FROM daily a JOIN daily b ON a.t < b.t
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, t1, t2) AS rk,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           round(SUM(s) / 2, 8) AS theil_sen_slope_cents_per_day
+    FROM ranked WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    tags=("stats", "timeseries", "robust"),
+)
+def series_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen estimator: the MEDIAN of all pairwise slopes of the
+    daily-revenue series — the robust trend line (29% breakdown point)
+    where OLS bends to a single outlier day; the nonparametric
+    counterpart of `agg_regr_battery`'s slope. Each slope is an exact
+    integer ratio (cent-quantized revenue over integer day gaps —
+    identical IEEE division in both engines); the median is a rank pick
+    ordered by (slope, pair), summing the two middles and halving once
+    (even/odd handled by the same two-index rule).
+
+    Spark shape: the calendar-sized daily relation self-joins to ~n²/2
+    pairs (≈600k at sf0.1 — fine; at larger calendars the standard swap
+    is the repeated-median or a seeded pair sample, same downstream
+    plan) and one global rank window picks the middles."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double") * 100
+            )
+            .cast("long")
+            .alias("yq")
+        )
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("t"),
+            "yq",
+        )
+    )
+    a = daily.select(F.col("t").alias("t1"), F.col("yq").alias("y1"))
+    b = daily.select(F.col("t").alias("t2"), F.col("yq").alias("y2"))
+    slopes = (
+        a.join(b, F.col("t1") < F.col("t2"))
+        .select(
+            "t1",
+            "t2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("t2") - F.col("t1"))
+            ).alias("s"),
+        )
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "t1", "t2")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(F.sum("s") / 2, 8).alias(
+                "theil_sen_slope_cents_per_day"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_id
+      FROM seq
+    ),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    per_session AS (
+      SELECT user_id, sess_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+    tags=("analytics", "session"),
+)
+def analytics_bounce_rate(spark, sf_dir):
+    """Bounce rate by session entry type: the share of 30-minute-gap
+    sessions that contain exactly one event, split by what the session
+    STARTED with — the engagement-quality readout `window_sessionize`'s
+    islands make a one-aggregate question. The entry event is the
+    (ts, event_id)-first row per session, picked by a rank-1 flag
+    (DuckDB's MIN_BY rejects struct keys, so the argmin is a window).
+
+    Spark shape: the standard gap-flag → running-sum sessionization (one
+    user-key shuffle), then a session-sized aggregate and a 3-cell
+    roll-up; integer counts, one rounded division."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    numbered = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess_id").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    per_session = numbered.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounced.cast("long").alias("n_bounced"),
+            F.round(
+                bounced.cast("double") / F.count(F.lit(1)), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )

@@ -746,3 +746,104 @@ def graph_k_core(spark, sf_dir):
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     return G.k_core(pairs, k=3).orderBy("node")
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY u),
+    two_hop AS (
+      SELECT e1.u AS a, e2.v AS c, CAST(COUNT(*) AS BIGINT) AS common
+      FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    candidates AS (
+      SELECT t.a, t.c, t.common
+      FROM two_hop t LEFT JOIN pairs p ON t.a = p.u AND t.c = p.v
+      WHERE p.u IS NULL AND t.common >= 2
+    ),
+    scored AS (
+      SELECT cd.a, cd.c, cd.common,
+             round(CAST(cd.common AS DOUBLE)
+                   / (da.d + dc.d - cd.common), 6) AS jaccard
+      FROM candidates cd
+      JOIN deg da ON cd.a = da.u
+      JOIN deg dc ON cd.c = dc.u
+    )
+    SELECT a, c, common, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, a, c
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_link_prediction_jaccard(spark, sf_dir):
+    """Link prediction by neighbor-set Jaccard (Liben-Nowell & Kleinberg,
+    CIKM'03): for part pairs NOT yet co-purchased, score the overlap of
+    their co-purchase neighborhoods — the "customers also bought"
+    candidate generator. Candidates come from the 2-HOP join (pairs with
+    >= 2 common neighbors), never from all-pairs; the known-edge
+    anti-join removes existing links; degrees join back for the Jaccard
+    denominator. All counts are integers; one rounded division; ties
+    break on part keys.
+
+    Spark shape: the same Σ basket²-bounded pair relation as
+    `basket_copurchase_pairs`, a middle-node equi-join for 2-hops (cost
+    Σ deg² — the triangle-counting bound), and TakeOrderedAndProject for
+    the top-20."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = pairs.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = pairs.select(F.col("u").alias("mid"), F.col("v").alias("c"))
+    two_hop = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    candidates = two_hop.join(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    ).filter(F.col("common") >= 2)
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("dc"))
+    return (
+        candidates.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a",
+            "c",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "c")
+        .limit(20)
+    )
