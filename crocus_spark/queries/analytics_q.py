@@ -3166,3 +3166,126 @@ def analytics_bounce_rate(spark, sf_dir):
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "stats_jackknife_se",
+    oracle="""
+    WITH tagged AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             CAST(o_totalprice AS DECIMAL(25,6)) AS v
+      FROM orders
+    ),
+    months AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_m, SUM(v) AS s_m
+      FROM tagged GROUP BY month
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_m) AS BIGINT) AS n, SUM(s_m) AS s,
+             CAST(COUNT(*) AS BIGINT) AS g
+      FROM months
+    ),
+    loo AS (  -- leave-one-month-out means, exact until one division
+      SELECT m.month,
+             CAST(t.s - m.s_m AS DOUBLE) / (t.n - m.n_m) AS theta_i
+      FROM months m, tot t
+    ),
+    jk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(CAST(ROUND(theta_i * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*) AS theta_bar,
+             SUM(CAST(ROUND(theta_i * 1000000) AS BIGINT)) AS sq_sum_q
+      FROM loo
+    )
+    SELECT t.g AS n_groups,
+           round(CAST(t.s AS DOUBLE) / t.n, 6) AS mean_price,
+           round(sqrt(
+             (CAST(t.g - 1 AS DOUBLE) / t.g)
+             * (SELECT CAST(SUM(
+                  (CAST(ROUND(theta_i * 1000000) AS BIGINT) / 1000000.0
+                   - jk.theta_bar)
+                  * (CAST(ROUND(theta_i * 1000000) AS BIGINT) / 1000000.0
+                     - jk.theta_bar)) AS DOUBLE)
+                FROM loo)
+           ), 6) AS jackknife_se
+    FROM tot t, jk
+    """,
+    tags=("stats", "resampling"),
+)
+def stats_jackknife_se(spark, sf_dir):
+    """Delete-one-GROUP jackknife standard error of the mean order total,
+    grouped by month — the deterministic resampling CI (Tukey's
+    jackknife; the grouped form survey statistics uses) where a bootstrap
+    would need engine RNG. Each leave-one-month-out mean is exact decimal
+    arithmetic until a single division; replicate means are then
+    QUANTIZED to scaled micros so the squared-deviation sum never floats
+    freely (the repo's rule), and SE = sqrt((g-1)/g * Σ(θᵢ - θ̄)²).
+
+    Spark shape: the corpus collapses to a months-sized relation in ONE
+    aggregate; all g replicates derive from (total - month) arithmetic on
+    that relation — the corpus is NEVER rescanned per replicate, which is
+    what makes jackknife resampling an O(groups) query at 100 TB."""
+    dec = "decimal(25,6)"
+    months = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_m"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("s_m"),
+        )
+    )
+    tot = months.agg(
+        F.sum("n_m").cast("long").alias("n"),
+        F.sum("s_m").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    loo = months.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n",
+        "s",
+        "g",
+        (
+            (F.col("s") - F.col("s_m")).cast("double")
+            / (F.col("n") - F.col("n_m"))
+        ).alias("theta_i"),
+    )
+    quant = F.round(F.col("theta_i") * 1000000).cast("long")
+    jk = loo.agg(
+        F.max("g").alias("g"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        (
+            F.sum(quant).cast("double") / 1000000 / F.count(F.lit(1))
+        ).alias("theta_bar"),
+    )
+    dev = (
+        loo.crossJoin(
+            F.broadcast(jk.select(F.col("theta_bar").alias("tb")))
+        )
+        .select(
+            (
+                (quant / 1000000.0 - F.col("tb"))
+                * (quant / 1000000.0 - F.col("tb"))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("double").alias("ssq"))
+    )
+    return (
+        jk.crossJoin(F.broadcast(dev))
+        .select(
+            F.col("g").alias("n_groups"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "mean_price"
+            ),
+            F.round(
+                F.sqrt(
+                    (F.col("g") - 1).cast("double")
+                    / F.col("g")
+                    * F.col("ssq")
+                ),
+                6,
+            ).alias("jackknife_se"),
+        )
+    )

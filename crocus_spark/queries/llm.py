@@ -4233,3 +4233,167 @@ def ml_mrr_ndcg_eval(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "dedup_lsh_candidate_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
+      FROM documents
+    ),
+    toks AS (SELECT id, unnest(ts) AS tok FROM d),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN d da ON s.id_a = da.id
+      JOIN d db ON s.id_b = db.id
+      WHERE 2 * s.inter >= len(da.ts) + len(db.ts) - s.inter
+    ),
+    hx AS (
+      SELECT id, ({_hash60_sql("tok")}) % {_PMH_M31} AS x FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             {", ".join(
+                f"CAST(MIN((x * {a} + {b}) % {_PMH_M31}) AS BIGINT) AS h{i}"
+                for i, (a, b) in enumerate(_pmh_perms())
+             )}
+      FROM hx GROUP BY id
+    ),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT id, {b} AS band, {s} AS bsig FROM sig"
+          for b, s in enumerate(_pmh_band_sig_sql())
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+    ),
+    hits AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           round((SELECT COUNT(*) FROM hits)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE),
+                 6) AS precision,
+           round((SELECT COUNT(*) FROM hits)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE),
+                 6) AS recall
+    """,
+    tags=("llm", "dedup", "evaluation"),
+)
+def dedup_lsh_candidate_quality(spark, sf_dir):
+    """Candidate-generator QUALITY audit: precision and recall of the
+    portable MinHash LSH band buckets (32 perms × 8 bands) against the
+    EXACT Jaccard >= 0.5 pair set — the measurement behind every
+    "LSH recall" claim in this repo, computed in-engine with a full value
+    oracle. Ground truth never goes all-pairs: a pair needs a shared
+    token to have Jaccard > 0, so truth enumerates only token-sharing
+    pairs (the inverted-index bound), and the threshold test is the
+    cross-multiplied integer ``2*inter >= |A|+|B|-inter``.
+
+    Spark shape: one token shuffle feeds BOTH sides — the exact-truth
+    shared-token join and the signature aggregate; candidates come from
+    the band-bucket equi-join; the final scorecard is one row. This is
+    the query to re-run when tuning bands/rows (the S-curve knob)."""
+    from crocus_spark.operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    tsets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("norm", " ")).alias("ts"),
+    )
+    toks = tsets.select("id", F.explode("ts").alias("tok"))
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    shared = (
+        ta.join(tb, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = tsets.select(F.col("id").alias("id_a"), F.size("ts").alias("na"))
+    sb = tsets.select(F.col("id").alias("id_b"), F.size("ts").alias("nb"))
+    truth = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .select("id_a", "id_b")
+    )
+    hx = toks.select(
+        "id", (D.portable_hash60(F.col("tok")) % _PMH_M31).alias("x")
+    )
+    sig = hx.groupBy("id").agg(
+        *[
+            F.expr(
+                f"CAST(MIN((x * {a} + {b}) % {_PMH_M31}) AS BIGINT) AS h{i}"
+            )
+            for i, (a, b) in enumerate(_pmh_perms())
+        ]
+    )
+    rpb = _PMH_NPERM // _PMH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * rpb + r}").cast("string")
+                        for r in range(rpb)
+                    ],
+                )
+            ).alias("bsig"),
+        )
+        for b in range(_PMH_BANDS)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.bsig")
+    ba = buckets.select(F.col("id").alias("id_a"), "band", "bsig")
+    bb = buckets.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = (
+        ba.join(bb, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hits = cand.join(truth, ["id_a", "id_b"])
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_candidates",
+            "n_truth_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits")
+                / F.nullif(F.col("n_truth_pairs"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
