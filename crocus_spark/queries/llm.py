@@ -4241,7 +4241,7 @@ def ml_mrr_ndcg_eval(spark, sf_dir):
     WITH d AS (
       SELECT doc_id AS id,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
-      FROM documents
+      FROM documents WHERE doc_id % 2 = 0
     ),
     toks AS (SELECT id, unnest(ts) AS tok FROM d),
     shared AS (
@@ -4301,8 +4301,11 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
     "LSH recall" claim in this repo, computed in-engine with a full value
     oracle. Ground truth never goes all-pairs: a pair needs a shared
     token to have Jaccard > 0, so truth enumerates only token-sharing
-    pairs (the inverted-index bound), and the threshold test is the
-    cross-multiplied integer ``2*inter >= |A|+|B|-inter``.
+    pairs (the inverted-index bound) over a DETERMINISTIC half-corpus
+    audit sample (doc_id % 2 — quality is a property of the sketch
+    parameters, not the corpus slice; the full-pair cost is quadratic in
+    shared-token df), and the threshold test is the cross-multiplied
+    integer ``2*inter >= |A|+|B|-inter``.
 
     Spark shape: one token shuffle feeds BOTH sides — the exact-truth
     shared-token join and the signature aggregate; candidates come from
@@ -4310,8 +4313,10 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
     the query to re-run when tuning bands/rows (the S-curve knob)."""
     from crocus_spark.operators.dedup import normalize_text
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", normalize_text(F.col("text")).alias("norm")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
     )
     tsets = docs.select(
         F.col("doc_id").alias("id"),
