@@ -3289,3 +3289,88 @@ def stats_jackknife_se(spark, sf_dir):
             ).alias("jackknife_se"),
         )
     )
+
+
+def _cross_bucket_sql() -> str:
+    from crocus_spark.queries.llm import _hash60_sql
+
+    return (
+        "("
+        + _hash60_sql("c_mktsegment || '#' || o_orderpriority")
+        + ") % 64"
+    )
+
+
+@register(
+    "ml_hashed_feature_cross",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_mktsegment, o_orderpriority,
+             {_cross_bucket_sql()} AS bucket
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_mktsegment || '#' || o_orderpriority)
+                  AS BIGINT) AS n_pairs
+      FROM joined GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_pairs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collision_buckets,
+           CAST(SUM(CASE WHEN n_pairs > 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS n_rows_in_collisions,
+           CAST(MAX(n_pairs) AS BIGINT) AS max_pairs_per_bucket
+    FROM per_bucket
+    """,
+    tags=("ml", "features"),
+)
+def ml_hashed_feature_cross(spark, sf_dir):
+    """Hashed feature cross (the 'hashing trick', Weinberger et al.
+    ICML'09): segment × priority crossed into 64 hash buckets — the
+    fixed-width encoding that makes categorical crosses model-ready
+    without a fitted vocabulary, at the price of collisions. The output
+    is the collision audit: buckets used, buckets carrying more than one
+    true pair, and the rows affected — the report that decides whether
+    64 buckets suffice (25 true pairs here, so the birthday math predicts
+    a few collisions; both engines agree bit-for-bit because the bucket
+    hash is the portable md5).
+
+    Spark shape: the cross is a scan-fused projection on the broadcast
+    dim join; the audit is two grouped aggregates over at most 64
+    cells."""
+    from crocus_spark.operators import dedup as D
+
+    joined = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.concat(
+                F.col("c_mktsegment"), F.lit("#"), F.col("o_orderpriority")
+            ).alias("pair"),
+        )
+        .select(
+            "pair",
+            (D.portable_hash60(F.col("pair")) % 64).alias("bucket"),
+        )
+    )
+    per_bucket = joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("pair").cast("long").alias("n_pairs"),
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("n_pairs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collision_buckets"),
+        F.sum(F.when(F.col("n_pairs") > 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_in_collisions"),
+        F.max("n_pairs").cast("long").alias("max_pairs_per_bucket"),
+    )

@@ -1041,3 +1041,97 @@ def join_scd2_point_in_time(spark, sf_dir):
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "window_reset_running_total",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS epoch
+      FROM events
+    ),
+    running AS (
+      SELECT user_id, event_id, event_type,
+             COALESCE(epoch, 0) AS epoch,
+             SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DECIMAL(25,6))
+                      ELSE CAST(0 AS DECIMAL(25,6)) END)
+               OVER (PARTITION BY user_id, COALESCE(epoch, 0)
+                     ORDER BY ts, event_id) AS views_since_purchase
+      FROM seq
+    )
+    SELECT user_id, event_id, event_type, epoch,
+           CAST(views_since_purchase AS DOUBLE) AS views_since_purchase
+    FROM running
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "reset"),
+)
+def window_reset_running_total(spark, sf_dir):
+    """Running total that RESETS at each purchase — the conditional-reset
+    accumulator (view-value accumulated since the last conversion) that
+    plain window frames can't express: the reset is a SEGMENT key (count
+    of PRIOR purchases via an unbounded-to-1-preceding frame), and the
+    running sum partitions by (user, segment) — the same epoch trick as
+    gaps-and-islands, applied to frame resets. Reported at each purchase:
+    how much view value accumulated since the previous one.
+
+    One user-key shuffle carries both windows; sums are exact decimals
+    cast at the boundary."""
+    from pyspark.sql.window import Window
+
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_prior),
+            F.lit(0),
+        ).alias("epoch"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(25,6)"
+    running = seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "epoch",
+        F.sum(
+            F.when(
+                F.col("event_type") == "view", F.col("value").cast(dec)
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .over(w_run)
+        .alias("views_since_purchase"),
+    )
+    return (
+        running.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("views_since_purchase")
+            .cast("double")
+            .alias("views_since_purchase"),
+        )
+        .orderBy("user_id", "event_id")
+    )
