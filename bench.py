@@ -7,7 +7,7 @@ Measurement rules:
 - each query executes end-to-end into the ``noop`` sink — full physical
   plan runs (scan → shuffle → agg), nothing is collected to the driver, so
   the number measures the engine, not Arrow serialization;
-- wall time per query = MIN over two independent passes: the minimum is
+- wall time per query = MIN over three independent passes: the minimum is
   the standard low-noise estimator on a shared box (it strips scheduler
   contention and first-pass codegen/JIT warm-up, which are host noise,
   not engine cost).
@@ -53,7 +53,7 @@ def main() -> None:
     _execute(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
 
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in heads:
             t0 = time.perf_counter()
             _execute(REGISTRY[name].fn(spark, SF_DIR))
