@@ -591,3 +591,31 @@ def test_tpch_q18_semi_join_prunes_fact(spark, registry):
     plan = _plan(registry["sql_tpch_q18"].fn(spark, SF_SMOKE))
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_no_cartesian(spark, registry):
+    """graph_link_prediction_jaccard's candidates come from the 2-hop
+    equi-join — never a cartesian/nested-loop over parts."""
+    plan = _plan(
+        registry["graph_link_prediction_jaccard"].fn(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_corruption_is_array_level(spark, registry):
+    """corpus_span_corruption must build spans with array expressions
+    fused into the scan — no Python eval, no shuffle before the digest
+    projection (the only exchange allowed is the final sort)."""
+    plan = _plan(registry["corpus_span_corruption"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kmv_single_fact_scan_per_side(spark, registry):
+    """sketch_kmv_set_algebra reduces orders to a customer-flag relation
+    before any window — the plan must aggregate before ranking, not
+    window over the raw fact table."""
+    plan = _plan(registry["sketch_kmv_set_algebra"].fn(spark, SF_SMOKE))
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
