@@ -3374,3 +3374,108 @@ def ml_hashed_feature_cross(spark, sf_dir):
         .alias("n_rows_in_collisions"),
         F.max("n_pairs").cast("long").alias("max_pairs_per_bucket"),
     )
+
+
+def _split_flag_sql() -> str:
+    from crocus_spark.queries.llm import _hash60_sql
+
+    key = "'split:' || CAST(date_diff('day', DATE '1970-01-01', day) AS VARCHAR)"
+    return "(" + _hash60_sql(key) + ") % 97 = 0"
+
+
+@register(
+    "series_split_adjustment",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS px
+      FROM orders GROUP BY o_orderdate
+    ),
+    flagged AS (
+      SELECT day, px,
+             CASE WHEN {_split_flag_sql()} THEN 1 ELSE 0 END AS is_split
+      FROM daily
+    ),
+    adj AS (
+      SELECT day, px, is_split,
+             SUM(is_split) OVER (ORDER BY day
+                                 ROWS BETWEEN 1 FOLLOWING
+                                 AND UNBOUNDED FOLLOWING) AS n_splits_after
+      FROM flagged
+    )
+    SELECT day,
+           CAST(px AS DOUBLE) AS raw_price,
+           CAST(COALESCE(n_splits_after, 0) AS BIGINT) AS n_splits_after,
+           CAST(px AS DOUBLE)
+             / (1::BIGINT << CAST(COALESCE(n_splits_after, 0) AS INT))
+             AS adjusted_price
+    FROM adj
+    WHERE is_split = 1 OR COALESCE(n_splits_after, 0) > 0
+    ORDER BY day
+    """,
+    tags=("analytics", "timeseries", "finance"),
+)
+def series_split_adjustment(spark, sf_dir):
+    """Split-adjusted price series — the corporate-actions back-adjustment
+    every price history needs: each 2:1 split halves all PRIOR raw prices
+    so the series is continuous in adjusted terms. Split days are
+    hash-chosen (~1% of days, deterministic in both engines) and the
+    adjustment factor is 2^(splits after the day) — an INTEGER power of
+    two, so the divided doubles are exact (exponent arithmetic only), no
+    log-space product and no float drift anywhere. Output: affected days
+    with raw vs adjusted prices.
+
+    Spark shape: calendar-sized daily reduce, one reverse-frame running
+    count (1 FOLLOWING → UNBOUNDED — the back-adjustment direction), one
+    shift-left division; state O(1) per row."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("px"))
+    )
+    from crocus_spark.operators import dedup as D
+
+    flag = (
+        D.portable_hash60(
+            F.concat(
+                F.lit("split:"),
+                F.datediff("day", F.lit("1970-01-01").cast("date")).cast(
+                    "string"
+                ),
+            )
+        )
+        % 97
+        == 0
+    )
+    flagged = daily.select(
+        "day", "px", F.when(flag, 1).otherwise(0).alias("is_split")
+    )
+    w_after = Window.orderBy("day").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    adj = flagged.select(
+        "day",
+        "px",
+        "is_split",
+        F.coalesce(F.sum("is_split").over(w_after), F.lit(0)).alias(
+            "n_splits_after"
+        ),
+    )
+    return (
+        adj.filter((F.col("is_split") == 1) | (F.col("n_splits_after") > 0))
+        .select(
+            "day",
+            F.col("px").cast("double").alias("raw_price"),
+            F.col("n_splits_after").cast("long").alias("n_splits_after"),
+            (
+                F.col("px").cast("double")
+                / F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(n_splits_after AS INT))"
+                )
+            ).alias("adjusted_price"),
+        )
+        .orderBy("day")
+    )
