@@ -505,3 +505,33 @@ def sql_tpch_q21(spark, sf_dir):
     Verbatim-identical SQL on both engines."""
     _register_views(spark, sf_dir, ["supplier", "orders", "lineitem"])
     return spark.sql(_TPCH_Q21_SQL)
+
+
+_TPCH_Q4_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql_tpch_q4", oracle=_TPCH_Q4_SQL, tags=("sql", "tpch"))
+def sql_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted: orders in one quarter
+    with at least one line shipped more than 60 days after ordering (the
+    fixture's stand-in for commit-vs-receipt lateness), counted by
+    priority. The EXISTS must plan as ONE left-semi join — each order
+    counted once no matter how many late lines — with the date filter
+    pushed to the orders scan before the join. Verbatim-identical SQL on
+    both engines; the correlated date comparison rides the join
+    condition, not a post-filter."""
+    _register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_TPCH_Q4_SQL)
