@@ -1095,3 +1095,103 @@ def corpus_span_corruption(spark, sf_dir):
         F.md5(F.concat_ws(" ", "input_toks")).alias("input_md5"),
         F.md5(F.concat_ws(" ", "target_toks")).alias("target_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_ccnet_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n_total FROM toks
+    ), per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(f.c) AS sum_freq
+      FROM toks t JOIN freq f ON t.tok = f.tok
+      GROUP BY t.doc_id
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum_freq AS DOUBLE) / (n_tokens * n_total) AS mean_prob,
+             NTILE(3) OVER (
+               ORDER BY CAST(sum_freq AS DOUBLE) / (n_tokens * n_total)
+                          DESC,
+                        doc_id) AS b
+      FROM per_doc, total
+    )
+    SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ROUND(mean_prob * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS avg_mean_prob
+    FROM scored GROUP BY b ORDER BY bucket
+    """,
+    tags=("corpus", "quality"),
+)
+def corpus_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality terciles (Wenzek et al., LREC 2020): documents
+    split into HEAD / MIDDLE / TAIL by their language-model score — the
+    bucketing the CCNet pipeline uses to keep head data, sample middle,
+    and drop tail. The score is the exact-rational unigram mean
+    probability (`text_unigram_prob_score`); the tercile cut is NTILE
+    over the deterministic (score DESC, doc_id) order, and per-bucket
+    mean scores quantize to scaled BIGINT before summing (float sums
+    never free-run). Per bucket: doc and token counts — the mixture
+    weights a curation recipe consumes.
+
+    Spark shape: the two unigram scans plus one global NTILE over the
+    doc-sized score relation (approx-quantile boundaries at 100 TB, as
+    `window_ntile_binning` documents) and a 3-cell roll-up."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()  # one scalar, not a data-sized collect
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+        )
+    )
+    mean_prob = F.col("sum_freq").cast("double") / (
+        F.col("n_tokens") * F.lit(n_total)
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        mean_prob.alias("mean_prob"),
+        F.ntile(3)
+        .over(Window.orderBy(mean_prob.desc(), F.col("doc_id")))
+        .alias("b"),
+    )
+    return (
+        scored.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    F.round(F.col("mean_prob") * 1e12).cast("long")
+                ).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+            ).alias("avg_mean_prob"),
+        )
+        .select(
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "avg_mean_prob",
+        )
+        .orderBy("bucket")
+    )

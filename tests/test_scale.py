@@ -441,3 +441,25 @@ def test_parquet_bloom_filter_written(spark):
     )
     # 4 files x one bloom each at ndv 20000 is ~16 KB minimum extra
     assert with_bloom > plain + 8_000, (with_bloom, plain)
+
+
+def test_zstd_smaller_than_snappy_on_text(spark):
+    """io_compression_codecs' layout claim: zstd parquet of the documents
+    table is smaller than snappy — the storage-bill ordering for text."""
+    import glob
+    import os
+
+    from crocus_spark.queries import REGISTRY, queries
+    from tests.conftest import SF_SMOKE
+
+    queries()
+    REGISTRY["io_compression_codecs"].fn(spark, SF_SMOKE).count()
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        sizes[codec] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(
+                f"/tmp/crocus_spark_io/codec_{codec}_docs/*.parquet"
+            )
+        )
+    assert sizes["zstd"] < sizes["snappy"], sizes
