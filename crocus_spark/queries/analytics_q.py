@@ -442,8 +442,10 @@ def holdings_concentration_hhi(spark, sf_dir):
                      THEN 1 ELSE 0 END AS is_new
       FROM seq
     ), numbered AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq,
@@ -1062,14 +1064,14 @@ def series_period_over_period(spark, sf_dir):
     ), ranked AS (
       SELECT f, row_number() OVER (ORDER BY f, l_partkey) AS i FROM freqs
     ), sums AS (
-      SELECT COUNT(*) AS n_keys, SUM(f) AS n_rows, MAX(f) AS max_f,
-             SUM(i * f) AS iwsum
+      SELECT COUNT(*) AS n_keys, CAST(SUM(f) AS BIGINT) AS n_rows,
+             MAX(f) AS max_f, SUM(i * f) AS iwsum
       FROM ranked
     )
     SELECT n_keys, n_rows, max_f,
-           round(CAST(max_f AS DOUBLE) / n_rows, 6) AS top_share,
-           round(2.0 * iwsum / (CAST(n_keys AS DOUBLE) * n_rows)
-                 - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+           CAST(CAST(max_f AS DOUBLE) / n_rows AS FLOAT) AS top_share,
+           CAST(2.0 * iwsum / (CAST(n_keys AS DOUBLE) * n_rows)
+                - CAST(n_keys + 1 AS DOUBLE) / n_keys AS FLOAT) AS gini
     FROM sums
     """,
     tags=("dq", "statistics"),
@@ -1098,15 +1100,16 @@ def dq_key_skew_profile(spark, sf_dir):
         "n_keys",
         "n_rows",
         "max_f",
-        F.round(F.col("max_f").cast("double") / F.col("n_rows"), 6).alias(
-            "top_share"
-        ),
-        F.round(
+        (F.col("max_f").cast("double") / F.col("n_rows"))
+        .cast("float")
+        .alias("top_share"),
+        (
             F.lit(2.0) * F.col("iwsum")
             / (F.col("n_keys").cast("double") * F.col("n_rows"))
-            - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
-            6,
-        ).alias("gini"),
+            - (F.col("n_keys") + 1).cast("double") / F.col("n_keys")
+        )
+        .cast("float")
+        .alias("gini"),
     )
 
 

@@ -1200,8 +1200,8 @@ def _kmeans_cte(rounds: int, k: int = 8) -> str:
             if r == 1
             else f"""SELECT {it} AS iter,
              CAST(SUM(CAST(a.d2 AS DECIMAL(30,9))) AS DOUBLE) AS inertia,
-             SUM(CASE WHEN p.cell IS NULL OR a.cell <> p.cell
-                      THEN 1 ELSE 0 END) AS n_moved
+             CAST(SUM(CASE WHEN p.cell IS NULL OR a.cell <> p.cell
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
       FROM a{r} a LEFT JOIN a{r - 1} p ON a.vec_id = p.vec_id"""
         )
         parts.append(f""", s{r} AS (
@@ -1490,7 +1490,7 @@ def ann_ivf_at_rest(spark, sf_dir):
     )
     SELECT id AS doc_id,
            COUNT(*) AS n_tokens,
-           SUM(covered) AS n_removed,
+           CAST(SUM(covered) AS BIGINT) AS n_removed,
            md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
                               ORDER BY pos), '')) AS cleaned_md5
     FROM covered
@@ -1654,7 +1654,8 @@ def search_bm25_topk(spark, sf_dir):
     ), total AS (
       SELECT COUNT(*) AS n_total FROM toks
     ), per_doc AS (
-      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(f.c) AS sum_freq
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(f.c) AS BIGINT) AS sum_freq
       FROM toks t JOIN freq f ON t.tok = f.tok
       GROUP BY t.doc_id
     )
@@ -1734,7 +1735,7 @@ def text_unigram_prob_score(spark, sf_dir):
              SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nn
       FROM ranked
     )
-    SELECT np AS n_pos, nn AS n_neg,
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
            CAST(s2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
     FROM agg
     """,
@@ -1927,7 +1928,7 @@ def ml_confusion_metrics(spark, sf_dir):
     )
     SELECT bin,
            COUNT(*) AS n,
-           SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
              AS mean_score,
            CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
@@ -2409,7 +2410,8 @@ def dedup_semantic_semdedup(spark, sf_dir):
                                 ORDER BY score DESC, cls) AS rn
       FROM full_score
     )
-    SELECT r.doc_id, r.cls AS pred_lang, r.score AS best_score,
+    SELECT r.doc_id, r.cls AS pred_lang,
+           CAST(r.score AS BIGINT) AS best_score,
            (r.cls = d.lang) AS is_correct
     FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
     WHERE rn = 1
@@ -2538,7 +2540,7 @@ _DSIR_BUCKET_SQL = (
     )
     SELECT tok.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(ratio.logr) AS log_weight
+           CAST(SUM(ratio.logr) AS BIGINT) AS log_weight
     FROM tok JOIN ratio ON ratio.b = tok.b
     GROUP BY tok.doc_id
     ORDER BY tok.doc_id
@@ -2757,7 +2759,7 @@ def search_hybrid_rrf(spark, sf_dir):
       FROM per_fold GROUP BY event_type
     )
     SELECT p.event_type, p.fold, p.n_in,
-           (t.n_tot - p.n_in) AS n_out,
+           CAST(t.n_tot - p.n_in AS BIGINT) AS n_out,
            CAST(t.s_tot - p.s_in AS DOUBLE) / (t.n_tot - p.n_in)
              AS encoded_mean
     FROM per_fold p JOIN tot t ON t.event_type = p.event_type

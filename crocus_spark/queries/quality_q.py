@@ -229,8 +229,10 @@ def dq_referential_integrity(spark, sf_dir):
       FROM orders
     ), counts AS (
       SELECT cat,
-             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
-             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
       FROM tagged GROUP BY cat
     ), tot AS (
       SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
@@ -308,8 +310,10 @@ def dq_distribution_drift(spark, sf_dir):
       FROM orders
     ), counts AS (
       SELECT cat,
-             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS n_ref,
-             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS n_cur
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS n_cur
       FROM tagged GROUP BY cat
     ), tot AS (
       SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
@@ -388,7 +392,8 @@ def dq_psi_stability(spark, sf_dir):
              SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS c_b
       FROM halves
     )
-    SELECT n_a, c_a, n_b, c_b,
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
            CAST(CAST(c_a AS DOUBLE) / n_a AS REAL) AS p_a,
            CAST(CAST(c_b AS DOUBLE) / n_b AS REAL) AS p_b,
            CAST(

@@ -352,7 +352,7 @@ def try_functions_battery(spark, sf_dir):
              AS doubled_entries,
            string_agg(CASE WHEN v > 1 THEN k || ':' || v END, ','
                       ORDER BY k) AS multi_entries,
-           SUM(v * v) AS zip_dot
+           CAST(SUM(v * v) AS BIGINT) AS zip_dot
     FROM cells
     GROUP BY l_orderkey
     ORDER BY l_orderkey

@@ -632,8 +632,10 @@ def series_vwap_twap(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq,
@@ -1056,7 +1058,7 @@ def join_scd2_point_in_time(spark, sf_dir):
     ),
     running AS (
       SELECT user_id, event_id, event_type,
-             COALESCE(epoch, 0) AS epoch,
+             CAST(COALESCE(epoch, 0) AS BIGINT) AS epoch,
              SUM(CASE WHEN event_type = 'view'
                       THEN CAST(value AS DECIMAL(25,6))
                       ELSE CAST(0 AS DECIMAL(25,6)) END)

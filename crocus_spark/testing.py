@@ -58,6 +58,77 @@ def _canon_rows(cols, rows) -> tuple[list[str], list[tuple[str, ...]]]:
     return sorted(cols), out
 
 
+def _canon_pandas(v):
+    """Canonical form of one cell fetched through the PANDAS path
+    (``spark_df.toPandas()`` / DuckDB ``fetchdf``) — the fetch path the
+    round driver's value hasher uses. numpy scalars unwrap to Python
+    scalars WITHOUT healing the dtype-level coercions pandas applies
+    (nullable int → float64, DuckDB HUGEINT → float64): those coercions
+    are exactly what this path exists to surface (r2 verdict: the only
+    driver hash failures ever recorded were HUGEINT oracle columns that
+    the fetchall path could not see). Date/datetime cells are both
+    canonicalized to a midnight-bearing ISO form because pandas renders
+    DATE as datetime64-at-midnight on one side only — a representational
+    artifact, not a value difference (the fetchall path still pins real
+    date-vs-timestamp type drift)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_pandas(x) for x in v.tolist()) + "]"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat(sep=" ")
+    return canon_cell(v)
+
+
+def compare_frames_pandas(spark_df, duck_con, sql: str, max_diffs: int = 5):
+    """compare_frames through the driver's pandas/arrow fetch path.
+
+    ``compare_frames`` mirrors the driver on raw cursor values
+    (``fetchall``, where DuckDB HUGEINT arrives as Python int); the
+    driver's HASHER, however, materializes both sides as dataframes,
+    where HUGEINT → float64 while Spark bigint stays int64. Running a
+    query through BOTH comparators is the harness-parity guard: a query
+    is only driver-safe if the two fetch paths agree."""
+    spd = spark_df.toPandas()
+    opd = duck_con.execute(sql).fetchdf()
+
+    problems = []
+    if len(spd) != len(opd):
+        problems.append(f"row count: spark={len(spd)} oracle={len(opd)}")
+    scols = sorted(spd.columns)
+    ocols = sorted(opd.columns)
+    if scols != ocols:
+        problems.append(f"columns: spark={scols} oracle={ocols}")
+    if not problems:
+        srows = sorted(
+            tuple(_canon_pandas(v) for v in row)
+            for row in spd[scols].itertuples(index=False, name=None)
+        )
+        orows = sorted(
+            tuple(_canon_pandas(v) for v in row)
+            for row in opd[ocols].itertuples(index=False, name=None)
+        )
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        ]
+        for i, a, b in diffs[:max_diffs]:
+            problems.append(f"row {i}: spark={a} oracle={b}")
+        if diffs:
+            problems.append(f"... {len(diffs)} differing rows total")
+    return (not problems), "; ".join(problems)
+
+
 def compare_frames(spark_df, duck_con, sql: str, max_diffs: int = 5):
     """Compare a Spark DataFrame against a DuckDB SQL result.
 
