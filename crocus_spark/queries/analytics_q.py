@@ -1083,19 +1083,32 @@ def dq_key_skew_profile(spark, sf_dir):
     →1 = one hot key), computed from exact integer rank-weighted sums
     (G = 2·Σi·fᵢ/(n·Σf) − (n+1)/n over ascending-frequency ranks).
 
-    The ranked window runs on the KEY-FREQUENCY relation (keys-sized,
-    already aggregated), not the fact table; the profile is one row.
+    No rank is ever materialized per key: ranks within a tie group of
+    frequency f are consecutive, so their sum is closed-form
+    (k·a + k(k−1)/2 for group start a, size k) and the whole Gini
+    numerator decomposes over the FREQUENCY-OF-FREQUENCY relation
+    (distinct f values — a few thousand rows even when the key relation
+    is fact-sized, which is precisely when you run a skew profile). The
+    tiny cumulative runs shard-parallel through
+    ``operators/ranking.cumulative_below``; the oracle keeps the
+    straightforward per-key rank window, pinning the decomposition.
     Feeding this into the salting decision (join_salted_skew /
     AQE skew-join thresholds) is the operational loop."""
+    from crocus_spark.operators import ranking as R
+
     li = load(spark, sf_dir, "lineitem")
     freqs = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy("f", "l_partkey")
-    ranked = freqs.select("f", F.row_number().over(w).alias("i"))
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("f").alias("n_rows"),
+    fof = freqs.groupBy("f").agg(F.count(F.lit(1)).alias("k"))
+    fof = R.cumulative_below(fof, "f", ["k"], n_shards=8)
+    a = F.col("_cum_k") + 1  # first global rank of this tie group
+    iwsum2 = F.col("f") * (
+        2 * F.col("k") * a + F.col("k") * (F.col("k") - 1)
+    )  # 2 × Σ(rank·f) over the group — stays integer, k(k−1) is even
+    return fof.agg(
+        F.sum("k").cast("long").alias("n_keys"),
+        F.sum(F.col("f") * F.col("k")).cast("long").alias("n_rows"),
         F.max("f").alias("max_f"),
-        F.sum(F.col("i") * F.col("f")).alias("iwsum"),
+        F.sum(iwsum2.cast("decimal(38,0)")).alias("iwsum2"),
     ).select(
         "n_keys",
         "n_rows",
@@ -1104,7 +1117,7 @@ def dq_key_skew_profile(spark, sf_dir):
         .cast("float")
         .alias("top_share"),
         (
-            F.lit(2.0) * F.col("iwsum")
+            F.col("iwsum2").cast("double")
             / (F.col("n_keys").cast("double") * F.col("n_rows"))
             - (F.col("n_keys") + 1).cast("double") / F.col("n_keys")
         )
@@ -1147,7 +1160,15 @@ def funnel_latency_quartiles(spark, sf_dir):
     the converter-sized latency relation (median averages the two middle
     ranks — the stats_robust_median_mad discipline; p25/p75 are single
     deterministic rank picks). One grouped aggregate over the fact scan
-    reduces each user to two timestamps; everything after is user-sized."""
+    reduces each user to two timestamps; everything after is user-sized —
+    and the rank picks need no per-user global sort: the value at global
+    rank r is the unique latency whose strictly-below cumulative count
+    straddles r, so the picks read off the LATENCY-FREQUENCY relation
+    (distinct seconds), cumulated shard-parallel via
+    ``operators/ranking.cumulative_below``; the oracle keeps the
+    textbook row_number window, pinning the decomposition."""
+    from crocus_spark.operators import ranking as R
+
     ev = load(spark, sf_dir, "events")
     tmin = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
     stage = ev.groupBy("user_id").agg(
@@ -1163,14 +1184,17 @@ def funnel_latency_quartiles(spark, sf_dir):
             F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
         ).alias("secs"),
     )
-    w = Window.orderBy("secs", "user_id")
-    wn = Window.partitionBy()
-    ranked = lat.select(
-        "secs",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    freq = lat.groupBy("secs").agg(F.count(F.lit(1)).alias("c"))
+    cum = R.cumulative_below(freq, "secs", ["c"], n_shards=16)
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    ranked = cum.crossJoin(F.broadcast(tot))
+    pick = lambda rk: F.max(  # noqa: E731
+        F.when(
+            (F.col("_cum_c") < rk)
+            & (rk <= F.col("_cum_c") + F.col("c")),
+            F.col("secs"),
+        )
     )
-    pick = lambda rk: F.max(F.when(F.col("rn") == rk, F.col("secs")))  # noqa: E731
     return ranked.agg(
         F.min("n").alias("n_converted"),
         pick(F.floor((F.col("n") + 1) / 4) + 1).alias("p25_secs"),
@@ -1316,10 +1340,15 @@ def stats_mannwhitney_u(spark, sf_dir):
     Determinism: tied values take AVERAGE ranks, carried DOUBLED
     (``2*min_rank + tie_n - 1`` — an exact integer), so the rank sum, both
     U statistics, and the tie-corrected variance are integer arithmetic
-    until one final sqrt+division (rounded at 6). Spark shape: one global
-    rank window over the two-group sample (exact ranks; at 100 TB swap in
-    the shard-offset ranking of `corpus_global_row_ids`), tie counts from
-    a per-value partition window, then a single-row reduction."""
+    until one final sqrt+division (rounded at 6). Spark shape: NO per-row
+    rank window at all — the doubled midrank of a value v is
+    ``2·cnt(<v) + cnt(=v) + 1``, so the whole statistic decomposes over
+    the VALUE-FREQUENCY relation (distinct totals), whose strictly-below
+    cumulative runs shard-parallel via
+    ``operators/ranking.cumulative_below``; the oracle keeps the textbook
+    per-row rank window, pinning the decomposition."""
+    from crocus_spark.operators import ranking as R
+
     sample = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -1328,40 +1357,21 @@ def stats_mannwhitney_u(spark, sf_dir):
             F.col("o_totalprice").alias("v"),
         )
     )
-    from pyspark.sql.window import Window
-
-    ranked = sample.select(
-        "g",
-        "v",
-        F.rank().over(Window.orderBy("v")).alias("min_rank"),
-        F.count(F.lit(1)).over(Window.partitionBy("v")).alias("tie_n"),
+    per_value = sample.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "1-URGENT", 1).otherwise(0)).alias("c1"),
+        F.count(F.lit(1)).alias("ct"),
     )
-    sums = ranked.agg(
-        F.sum(F.when(F.col("g") == "1-URGENT", 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("g") == "5-LOW", 1).otherwise(0))
-        .cast("long")
-        .alias("n2"),
+    cum = R.cumulative_below(per_value, "v", ["ct"], n_shards=16)
+    midrank2 = 2 * F.col("_cum_ct") + F.col("ct") + 1
+    sums = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * midrank2).cast("long").alias("r1_doubled"),
         F.sum(
-            F.when(
-                F.col("g") == "1-URGENT",
-                2 * F.col("min_rank") + F.col("tie_n") - 1,
-            ).otherwise(0)
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
         )
         .cast("long")
-        .alias("r1_doubled"),
-    )
-    ties = (
-        sample.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            )
-            .cast("long")
-            .alias("tie_term")
-        )
+        .alias("tie_term"),
     )
     u1d = (F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)).cast(
         "double"
@@ -1372,7 +1382,7 @@ def stats_mannwhitney_u(spark, sf_dir):
         - F.col("tie_term").cast("double")
         / (n * (n - 1).cast("double"))
     )
-    return sums.crossJoin(F.broadcast(ties)).select(
+    return sums.select(
         "n1",
         "n2",
         (u1d / 2).alias("u1"),
@@ -1781,33 +1791,43 @@ def stats_spearman_corr(spark, sf_dir):
     accumulate in exact DECIMAL, and only the final closed-form divides —
     one identical IEEE expression tree per engine, rounded at 6.
 
-    Spark shape: two global rank windows (swap for shard-offset ranking
-    at 100 TB) feeding one single-row reduction; no joins, no second
-    scan."""
-    from pyspark.sql.window import Window
+    Spark shape: NO per-row rank window — the doubled midrank of a value
+    is ``2·cnt(<v) + cnt(=v) + 1``, a function of the VALUE-FREQUENCY
+    relation alone, and every power sum decomposes over the JOINT
+    (quantity, price) frequency relation: Σrows rx·ry = Σpairs c·rx·ry.
+    Both marginals cumulate shard-parallel via
+    ``operators/ranking.cumulative_below`` (quantity: 50 values,
+    broadcast back; price: distinct-prices-sized, ordinary shuffle
+    join), so nothing fact-sized ever crosses one partition; the oracle
+    keeps the textbook per-row windows, pinning the decomposition."""
+    from crocus_spark.operators import ranking as R
 
-    ranked = load(spark, sf_dir, "lineitem").select(
-        (
-            2 * F.rank().over(Window.orderBy("l_quantity"))
-            + F.count(F.lit(1)).over(Window.partitionBy("l_quantity"))
-            - 1
-        ).alias("rx"),
-        (
-            2 * F.rank().over(Window.orderBy("l_extendedprice"))
-            + F.count(F.lit(1)).over(
-                Window.partitionBy("l_extendedprice")
-            )
-            - 1
-        ).alias("ry"),
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
     )
+    fq = R.cumulative_below(
+        li.groupBy("q").agg(F.count(F.lit(1)).alias("cq")),
+        "q",
+        ["cq"],
+        n_shards=8,
+    ).select("q", (2 * F.col("_cum_cq") + F.col("cq") + 1).alias("rx"))
+    fp = R.cumulative_below(
+        li.groupBy("p").agg(F.count(F.lit(1)).alias("cp")),
+        "p",
+        ["cp"],
+        n_shards=32,
+    ).select("p", (2 * F.col("_cum_cp") + F.col("cp") + 1).alias("ry"))
+    joint = li.groupBy("q", "p").agg(F.count(F.lit(1)).alias("c"))
     d38 = "decimal(38,0)"
-    sums = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("rx").cast(d38)).cast("double").alias("sx"),
-        F.sum(F.col("ry").cast(d38)).cast("double").alias("sy"),
-        F.sum(F.col("rx").cast(d38) * F.col("ry")).cast("double").alias("sxy"),
-        F.sum(F.col("rx").cast(d38) * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(F.col("ry").cast(d38) * F.col("ry")).cast("double").alias("syy"),
+    cd = F.col("c").cast(d38)
+    j = joint.join(F.broadcast(fq), "q").join(fp, "p")
+    sums = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(cd * F.col("rx")).cast("double").alias("sx"),
+        F.sum(cd * F.col("ry")).cast("double").alias("sy"),
+        F.sum(cd * F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(cd * F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(cd * F.col("ry") * F.col("ry")).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
@@ -2746,33 +2766,41 @@ def stats_quantile_normalize(spark, sf_dir):
     (value, key), so the mapping is deterministic; output is the
     per-decile before/after profile.
 
-    Spark shape: two rank windows (shard-offset ranks at 100 TB) and one
+    Spark shape: two SHARD-OFFSET global ranks (``operators/ranking.
+    ranked_global`` — range-shard on the value, per-shard row_numbers,
+    broadcast offsets; no single-partition sort on either side) and one
     equi-join on the computed target rank — never a quantile lookup per
-    row; the decile roll-up is 10 cells."""
-    from pyspark.sql.window import Window
+    row; the decile roll-up is 10 cells. The oracle keeps the textbook
+    ROW_NUMBER windows, pinning the decomposition."""
+    from crocus_spark.operators import ranking as R
 
     orders = load(spark, sf_dir, "orders")
     a = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .select(
-            F.col("o_totalprice").alias("v"),
-            F.row_number()
-            .over(Window.orderBy("o_totalprice", "o_orderkey"))
-            .alias("rk"),
+        R.ranked_global(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_totalprice").alias("v"), "o_orderkey"
+            ),
+            ["v", "o_orderkey"],
+            out_col="rk",
+            n_shards=32,
         )
-        .withColumn(
-            "n_a", F.count(F.lit(1)).over(Window.partitionBy())
-        )
-    )
-    b = (
-        orders.filter(F.col("o_orderstatus") == "O")
-        .select(
-            F.col("o_totalprice").alias("bv"),
-            F.row_number()
-            .over(Window.orderBy("o_totalprice", "o_orderkey"))
-            .alias("brk"),
+        .drop("o_orderkey")
+        .crossJoin(
+            F.broadcast(
+                orders.filter(F.col("o_orderstatus") == "F").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_a")
+                )
+            )
         )
     )
+    b = R.ranked_global(
+        orders.filter(F.col("o_orderstatus") == "O").select(
+            F.col("o_totalprice").alias("bv"), "o_orderkey"
+        ),
+        ["bv", "o_orderkey"],
+        out_col="brk",
+        n_shards=32,
+    ).drop("o_orderkey")
     nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
     mapped = (
         a.crossJoin(F.broadcast(nb))

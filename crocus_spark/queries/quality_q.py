@@ -501,11 +501,15 @@ def dq_ks_test(spark, sf_dir):
     statistic, its argmax value (min v on ties), and the 95% rejection
     verdict (vs 1.3581*sqrt(n1*n2*n), IEEE sqrt is correctly rounded) are
     all bit-identical across engines. Spark shape: one grouped aggregate
-    per distinct value, then an ordered cumulative window over the
-    value-distinct relation. That window is single-partition here (exact
-    sup over every distinct value); the 100 TB swap is the pre-binned
-    histogram KS — quantize v to ~1e4 bins first, same downstream plan,
-    sup error bounded by one bin's mass."""
+    per distinct value, then a SHARD-PARALLEL strictly-below cumulative
+    over the value-distinct relation (``operators/ranking.
+    cumulative_below`` — range-shard by value, per-shard prefix sums,
+    broadcast shard offsets), so the exact sup-CDF scan holds even when
+    the distinct-value relation is fact-sized (continuous columns); the
+    oracle keeps the textbook single cumulative window, pinning the
+    decomposition."""
+    from crocus_spark.operators import ranking as R
+
     ov = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus").isin("F", "O"))
@@ -523,11 +527,12 @@ def dq_ks_test(spark, sf_dir):
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = per_value.select(
-        "v", F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    cdf = R.cumulative_below(
+        per_value, "v", ["d1", "d2"], n_shards=32
+    ).select(
+        "v",
+        (F.col("_cum_d1") + F.col("d1")).alias("c1"),
+        (F.col("_cum_d2") + F.col("d2")).alias("c2"),
     )
     gaps = cdf.crossJoin(F.broadcast(totals)).select(
         "v",

@@ -619,3 +619,52 @@ def test_kmv_single_fact_scan_per_side(spark, registry):
     plan = _plan(registry["sketch_kmv_set_algebra"].fn(spark, SF_SMOKE))
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def _unsafe_global_windows(df) -> list[str]:
+    """Window nodes that sort an unbounded relation through one
+    partition: unpartitioned windows whose order key is anything other
+    than the metadata shard id (`_shard`) that
+    operators/ranking's offset windows run over (≤ n_shards rows by
+    construction — metadata, not data)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        if "+- Window " not in line and "- Window [" not in line:
+            continue
+        groups = re.findall(r"\[([^\[\]]*)\]", line)
+        if len(groups) >= 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[-2]
+        ) and "windowspecdefinition" not in groups[-2]:
+            continue  # partitioned window — parallel by shard/key
+        order_cols = re.findall(r"(\w+)#\d+", groups[-1]) if groups else []
+        if order_cols and all(c == "_shard" for c in order_cols):
+            continue  # ranking.py metadata offsets window (≤ n_shards rows)
+        bad.append(line.strip())
+    return bad
+
+
+GLOBAL_RANK_FAMILY = [
+    "stats_spearman_corr",
+    "stats_mannwhitney_u",
+    "stats_quantile_normalize",
+    "dq_ks_test",
+    "dq_key_skew_profile",
+    "funnel_latency_quartiles",
+    "corpus_global_row_ids",
+]
+
+
+@pytest.mark.parametrize("name", GLOBAL_RANK_FAMILY)
+def test_no_unpartitioned_window_over_unbounded_relation(
+    spark, registry, name
+):
+    """The global-rank family (r2 verdict "What's wrong" #2) must never
+    funnel a data-sized relation through a single-partition sort: every
+    Window in these plans is either partitioned (by _shard or a data
+    key) or orders the ≤ n_shards metadata offsets relation."""
+    df = registry[name].fn(spark, SF_SMOKE)
+    bad = _unsafe_global_windows(df)
+    assert not bad, f"{name}: unpartitioned data-sized windows: {bad}"
