@@ -1,0 +1,307 @@
+"""Minimal PDF text codec — stdlib-only (zlib), no external PDF library.
+
+The reference's only multimodal payloads are factsheet/KID PDF URLs
+(``/root/reference/scripts/webscrapers/output_examples/ishares.json:9-10``,
+fetched at ``ishares.py:120-128``); a corpus pipeline that ingests those
+documents needs PDF→text before any text operator can run. This module
+supplies the honest minimum:
+
+- ``encode_pdf(pages)``: a deterministic single-font PDF writer whose
+  page content streams are FlateDecode-compressed ``Tj``/``TJ`` text
+  operators — real PDF syntax (header, numbered objects, xref table,
+  trailer), byte-stable for a given input.
+- ``extract_pdf_text(data)``: decompresses every FlateDecode content
+  stream and parses the text-showing operators (``Tj``, ``'``, ``"``,
+  ``TJ`` arrays) inside BT/ET blocks, handling literal-string escapes
+  (``\\(``, ``\\)``, ``\\\\``, ``\\n`` and octal) and hex strings.
+  Fonts are assumed single-byte with an ASCII-compatible encoding —
+  exactly what ``encode_pdf`` emits and what simple generated
+  factsheets use; CID/Type0 PDFs are out of scope and yield whatever
+  their raw bytes decode to.
+
+The pair is a round-trip proof (tests/test_pdfcodec.py): for printable-
+ASCII pages, ``extract_pdf_text(encode_pdf(pages))`` reproduces the
+input exactly — which is what lets the Spark query carry a full value
+oracle (the oracle computes the same stats from the source text).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+def _escape_literal(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def encode_pdf(pages: list[str], chunk: int = 40) -> bytes:
+    """Serialize ``pages`` (one string per page, printable ASCII) into a
+    minimal valid PDF. Each page's text is split into ``chunk``-char
+    pieces shown via one ``TJ`` array (exercising the array form of the
+    text operator), Flate-compressed. Deterministic byte-for-byte."""
+    objs: list[bytes] = []  # 1-indexed object bodies
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids = []
+    content_ids = []
+    for text in pages:
+        pieces = [
+            text[i : i + chunk] for i in range(0, len(text), chunk)
+        ] or [""]
+        tj = " ".join(f"({_escape_literal(p)}) -2" for p in pieces)
+        stream = (
+            f"BT /F1 10 Tf 36 720 Td [{tj}] TJ ET".encode("latin-1")
+        )
+        comp = zlib.compress(stream, 9)
+        content_ids.append(
+            add(
+                b"<< /Length "
+                + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n"
+                + comp
+                + b"\nendstream"
+            )
+        )
+    pages_id = len(objs) + len(pages) + 1  # forward ref to the Pages node
+    for cid in content_ids:
+        page_ids.append(
+            add(
+                (
+                    f"<< /Type /Page /Parent {pages_id} 0 R "
+                    f"/MediaBox [0 0 612 792] /Contents {cid} 0 R "
+                    f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+                ).encode()
+            )
+        )
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    pages_obj = add(
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
+        ).encode()
+    )
+    assert pages_obj == pages_id
+    catalog = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+_STREAM_RE = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*"
+    rb"stream\r?\n(?P<body>.*?)endstream",
+    re.DOTALL,
+)
+
+_OCTAL = re.compile(r"\\([0-7]{1,3})")
+
+
+def _decode_literal(raw: str) -> str:
+    """PDF literal-string unescape: two-char escapes then octal."""
+    out: list[str] = []
+    i = 0
+    esc = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+           "(": "(", ")": ")", "\\": "\\"}
+    while i < len(raw):
+        ch = raw[i]
+        if ch == "\\" and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            m = _OCTAL.match(raw, i)
+            if m:
+                out.append(chr(int(m.group(1), 8)))
+                i = m.end()
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _tokenize_strings(content: str):
+    """Yield (kind, value, op) for each text-showing operand in a
+    content stream: literal ``(...)`` and hex ``<...>`` strings, tagged
+    with whether they sit inside a TJ array."""
+    i, n = 0, len(content)
+    in_array = False
+    while i < n:
+        ch = content[i]
+        if ch == "[":
+            in_array = True
+            i += 1
+        elif ch == "]":
+            in_array = False
+            i += 1
+        elif ch == "(":
+            depth, j, buf = 1, i + 1, []
+            while j < n and depth:
+                c = content[j]
+                if c == "\\" and j + 1 < n:
+                    buf.append(content[j : j + 2])
+                    j += 2
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf.append(c)
+                j += 1
+            yield ("str", _decode_literal("".join(buf)), in_array)
+            i = j + 1
+        elif ch == "<" and i + 1 < n and content[i + 1] != "<":
+            j = content.find(">", i)
+            j = n if j < 0 else j
+            hx = re.sub(r"\s", "", content[i + 1 : j])
+            if len(hx) % 2:
+                hx += "0"
+            yield (
+                "str",
+                bytes.fromhex(hx).decode("latin-1", "replace"),
+                in_array,
+            )
+            i = j + 1
+        elif ch == "<":
+            i += 2
+        else:
+            i += 1
+
+
+def extract_pdf_text(data: bytes, page_sep: str = "\f") -> str:
+    """Extract the text shown by every FlateDecode content stream, one
+    ``page_sep`` between streams. Strings concatenate in operator order
+    (Tj / ' / " / TJ-array elements); no positional reflow — generated
+    and simple linear-layout PDFs read back verbatim."""
+    pages: list[str] = []
+    for m in _STREAM_RE.finditer(data):
+        d = m.group("dict")
+        body = m.group("body")
+        if b"/FlateDecode" in d:
+            # honor /Length when present: compressed data may itself end
+            # in 0x0a/0x0d, so stripping the EOL before `endstream` by
+            # pattern would truncate the stream (zlib error -5)
+            lm = re.search(rb"/Length\s+(\d+)", d)
+            raw = body[: int(lm.group(1))] if lm else body
+            for candidate in (raw, body.rstrip(b"\r\n"), body):
+                try:
+                    body = zlib.decompress(candidate)
+                    break
+                except zlib.error:
+                    continue
+            else:
+                continue
+        elif b"/Filter" in d:
+            continue  # unsupported filter — skip, never misread bytes
+        content = body.decode("latin-1", "replace")
+        if "BT" not in content:
+            continue
+        parts = [
+            v for _, v, _ in _tokenize_strings(content)
+        ]
+        if parts:
+            pages.append("".join(parts))
+    return page_sep.join(pages)
+
+
+def pdf_page_count(data: bytes) -> int:
+    """Page count from the /Pages node's /Count (falls back to counting
+    /Type /Page objects)."""
+    m = re.search(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", data, re.DOTALL)
+    if not m:
+        m2 = re.findall(rb"/Type\s*/Page[^s]", data)
+        return len(m2)
+    return int(m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (Arrow-batched; PDF bytes never visit the driver)
+# ---------------------------------------------------------------------------
+
+PDF_TEXT_SCHEMA = (
+    "doc_id long, n_pages int, n_chars long, n_tokens long, "
+    "extracted_md5 string"
+)
+
+
+def synth_pdf_table(df, id_col: str, text_col: str, page_chars: int = 180):
+    """(id, pdf binary): each row's printable-ASCII text paginated every
+    ``page_chars`` chars and serialized through ``encode_pdf`` inside an
+    Arrow batch loop — the deterministic PDF fixture column (the fixtures
+    carry no real factsheet bytes; the reference's are behind provider
+    URLs, ishares.py:120-128)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(texts):
+        out = []
+        for t in texts:
+            t = t or ""
+            pages = [
+                t[i : i + page_chars] for i in range(0, len(t), page_chars)
+            ] or [""]
+            out.append(encode_pdf(pages))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias("pdf"))
+
+
+def extract_pdf_batch(media, id_col: str = "media_id",
+                      content_col: str = "content"):
+    """PDF→text + stats via mapInPandas (§2B#60's 'pandas_udf extraction
+    (e.g. PDF→text)' made real): per document — page count from the
+    /Pages node, extracted text (pages concatenated), char/token counts
+    and an md5 over the extracted text. Arrow-batched; one Python pass
+    per partition, no driver collect."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf_batch in batches:
+            ids, np_, nc, nt, md = [], [], [], [], []
+            for i, data in zip(
+                pdf_batch[id_col], pdf_batch[content_col]
+            ):
+                data = bytes(data)
+                text = extract_pdf_text(data, page_sep="")
+                ids.append(int(i))
+                np_.append(pdf_page_count(data))
+                nc.append(len(text))
+                nt.append(len(_re.split(r"\s+", text.strip())))
+                md.append(hashlib.md5(text.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pages": np_,
+                    "n_chars": nc,
+                    "n_tokens": nt,
+                    "extracted_md5": md,
+                }
+            )
+
+    return media.mapInPandas(fn, PDF_TEXT_SCHEMA)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _with_range_shard(
+def with_range_shard(
     df: DataFrame, key: str, n_shards: int
 ) -> DataFrame:
     """Attach ``_shard``: a monotone-in-``key`` shard id from in-plan
@@ -69,7 +69,7 @@ def ranked_global(
     ties within shards, where all rows equal on the first key co-locate.
     """
     first = order_cols[0]
-    sharded = _with_range_shard(df, first, n_shards)
+    sharded = with_range_shard(df, first, n_shards)
     counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_sn"))
     w_off = Window.orderBy("_shard").rowsBetween(
         Window.unboundedPreceding, -1
@@ -99,7 +99,7 @@ def cumulative_below(
     ranks at all: they decompose over the value-frequency relation
     (distinct-values-sized), which this helper cumulates shard-parallel.
     """
-    sharded = _with_range_shard(df, value_col, n_shards)
+    sharded = with_range_shard(df, value_col, n_shards)
     shard_tot = sharded.groupBy("_shard").agg(
         *[F.sum(w).alias(f"_t_{w}") for w in weight_cols]
     )

@@ -424,9 +424,16 @@ def ivf_topk(
     nprobe: int = 4,
     lloyd_iters: int = 1,
     dim: int | None = None,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat (§2B#55, the inverted-file scale
     path complementing ``lsh_bucketed_topk``).
+
+    ``model``: an optional prefitted ``(cells, mat)`` pair from
+    ``collect_centroid_model`` — the FAISS serve-from-index shape. When
+    given, the (scan-heavy) centroid fit is skipped entirely and the
+    call is probe-only; a production deployment fits once and serves
+    many, so the headline query memoizes the model per corpus path.
 
     Index: every corpus vector lands in exactly one cell (nearest
     centroid). Search: each query probes only its ``nprobe`` nearest
@@ -447,7 +454,7 @@ def ivf_topk(
     # the (cells-sized) centroid DataFrame the probe ranking needs is
     # rebuilt from the collected rows, so no downstream reference can
     # re-run the fit lineage and no checkpoint state lingers.
-    cells, mat = collect_centroid_model(
+    cells, mat = model if model is not None else collect_centroid_model(
         ivf_fit_centroids(corpus, n_cells, id_col, vec_col, lloyd_iters, dim=dim)
     )
     centroids = _centroid_df(corpus.sparkSession, cells, mat)

@@ -2937,7 +2937,7 @@ def analytics_new_vs_returning(spark, sf_dir):
            CAST(adev2 AS DOUBLE) / 2 AS abs_deviation,
            CAST((SELECT m4 FROM mad4) AS DOUBLE) / 4 AS mad
     FROM dev
-    WHERE 2 * adev2 > 3 * (SELECT m4 FROM mad4)
+    WHERE adev2 > 3 * (SELECT m4 FROM mad4)
     ORDER BY day
     """,
     tags=("analytics", "anomaly"),
@@ -2950,7 +2950,9 @@ def anomaly_mad_outlier_days(spark, sf_dir):
     DOUBLED scale (sum of the two middle decimals — an engine AVG over
     decimals goes through float in DuckDB and stays decimal in Spark, so
     averages never appear), and the 6-MAD membership test is the
-    cross-multiplied exact-decimal compare ``2*adev2 > 3*mad4``; the
+    cross-multiplied exact-decimal compare ``adev2 > 3*mad4`` (i.e.
+    2·|dev| > 12·MAD ⇔ |dev| > 6·MAD — the r2 ADVICE fix: the previous
+    ``2*adev2 > 3*mad4`` reduced to a 3-MAD cut); the
     only divisions are by powers of two at the output boundary (exact in
     IEEE).
 
@@ -2990,7 +2992,7 @@ def anomaly_mad_outlier_days(spark, sf_dir):
     )
     return (
         dev.crossJoin(F.broadcast(mad4))
-        .filter(2 * F.col("adev2") > 3 * F.col("m4"))
+        .filter(F.col("adev2") > 3 * F.col("m4"))
         .select(
             "day",
             F.col("rev").cast("double").alias("revenue"),
@@ -3040,8 +3042,14 @@ def series_theil_sen_slope(spark, sf_dir):
     Spark shape: the calendar-sized daily relation self-joins to ~n²/2
     pairs (≈600k at sf0.1 — fine; at larger calendars the standard swap
     is the repeated-median or a seeded pair sample, same downstream
-    plan) and one global rank window picks the middles."""
-    from pyspark.sql.window import Window
+    plan). The median picks need NO global rank over the pair relation:
+    pairs range-shard by slope (``operators/ranking.with_range_shard``),
+    per-shard counts locate which 1-2 shards hold the middle ranks, and
+    ONLY those shards are sorted (partitioned window) — the rest of the
+    pair relation is counted, never ordered. Coinciding middle ranks
+    pick one row, matching the oracle's ``rk IN`` semantics exactly.
+    The oracle keeps the textbook row_number window."""
+    from crocus_spark.operators import ranking as R
 
     daily = (
         load(spark, sf_dir, "orders")
@@ -3073,22 +3081,38 @@ def series_theil_sen_slope(spark, sf_dir):
             ).alias("s"),
         )
     )
-    ranked = slopes.select(
-        "s",
-        F.row_number().over(Window.orderBy("s", "t1", "t2")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    sharded = R.with_range_shard(slopes, "s", 32)
+    counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_sn"))
+    w_off = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ 32 rows — metadata-sized
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_sn").over(w_off), F.lit(0))
     )
-    return (
-        ranked.filter(
-            (F.col("rk") == F.expr("(n + 1) div 2"))
-            | (F.col("rk") == F.expr("(n + 2) div 2"))
-        )
-        .agg(
-            F.max("n").cast("long").alias("n_pairs"),
-            F.round(F.sum("s") / 2, 8).alias(
-                "theil_sen_slope_cents_per_day"
-            ),
-        )
+    tot = counts.agg(F.sum("_sn").cast("long").alias("n"))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    hits = lambda rk: (rk > F.col("_off")) & (  # noqa: E731
+        rk <= F.col("_off") + F.col("_sn")
+    )
+    # only the 1-2 shards containing the middle ranks are ever sorted —
+    # the rest of the pair relation is counted, never ordered
+    cand_shards = (
+        offsets.crossJoin(F.broadcast(tot))
+        .filter(hits(lo) | hits(hi))
+        .select("_shard", "_off", "n")
+    )
+    w_in = Window.partitionBy("_shard").orderBy("s", "t1", "t2")
+    picked = (
+        sharded.join(F.broadcast(cand_shards), "_shard")
+        .withColumn("_r", F.row_number().over(w_in) + F.col("_off"))
+        .filter((F.col("_r") == lo) | (F.col("_r") == hi))
+    )
+    return picked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(F.sum("s") / 2, 8).alias(
+            "theil_sen_slope_cents_per_day"
+        ),
     )
 
 

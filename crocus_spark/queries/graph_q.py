@@ -263,23 +263,23 @@ def _pagerank_oracle(rounds: int) -> str:
 
 @register(
     "graph_pagerank",
-    oracle=_pagerank_oracle(8),
+    oracle=_pagerank_oracle(5),
     tags=("graph", "iterative"),
 )
 def graph_pagerank(spark, sf_dir):
-    """PageRank (8 rounds, d=0.85) over the undirected co-purchase graph —
+    """PageRank (5 rounds, d=0.85) over the undirected co-purchase graph —
     'most central part' centrality, the iterative-algorithm complement to
     the connected-components fixpoint. Spark shape: out-degrees computed
     once and joined per round; each round is ONE shuffle (groupBy dst)
     because contributions re-use the edge partitioning; ranks are
     localCheckpoint()ed every round so the lineage (and its replay cost)
-    stays O(1) instead of O(rounds) — the difference between 8 rounds and
-    8! plan nodes at 100 TB. No dangling mass: every vertex of an
+    stays O(1) instead of O(rounds) — the difference between 5 rounds and
+    5! plan nodes at 100 TB. No dangling mass: every vertex of an
     undirected edge list has degree ≥ 1.
 
     Each round's received mass goes through the DECIMAL quantize-then-sum
     contract (_det.py), so every round's rank vector — and therefore the
-    8-round fixpoint — is order-independent and bit-identical to the
+    5-round fixpoint — is order-independent and bit-identical to the
     unrolled SQL oracle: an ITERATIVE double-valued algorithm under the
     full hash gate, not a rows-only check."""
     items = (
@@ -311,7 +311,7 @@ def graph_pagerank(spark, sf_dir):
     # state the loop touches.
     wedges = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ranks = deg.select("src", F.lit(1.0 / n_v).alias("rank"))
-    for rnd in range(8):
+    for rnd in range(5):
         contribs = (
             wedges.join(ranks, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))

@@ -447,8 +447,12 @@ def datetime_business_days(spark, sf_dir):
     mon = F.lit("1970-01-05").cast("date")
 
     def f(col):
+        # F.floor(n/7) matches DuckDB's floor-division `//` for negative
+        # n too (pre-epoch dates), where the old truncating
+        # (n - n % 7)/7 diverged (r2 ADVICE); % keeps the dividend's
+        # sign in BOTH engines, so the pair is cross-engine exact.
         n = F.datediff(col, mon)
-        return (n - (n % 7)) / 7 * 5 + F.least(n % 7, F.lit(5))
+        return F.floor(n / 7) * 5 + F.least(n % 7, F.lit(5))
 
     bd = (
         load(spark, sf_dir, "orders")

@@ -39,7 +39,7 @@ from crocus_spark.queries.llm import _hash60_sql
 _CM_DEPTH, _CM_WIDTH = 4, 128
 # HLL: m = 64 registers (b = 6 index bits out of the 60-bit hash).
 _HLL_M = 64
-# alpha_64 * m^2 * 2^54 as one pre-computed double literal: inlining the same
+# alpha_64 * m^2 * 2^55 as one pre-computed double literal: inlining the same
 # repr on both sides avoids any cross-engine constant-folding difference.
 # (0.709 is the standard alpha for m = 64; the remaining 54 hash bits make the
 # max rho 55, so registers are encoded as integer 2^(55-rho) summands and the

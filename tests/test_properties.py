@@ -147,7 +147,7 @@ def test_kmeans_inertia_monotone(spark):
     from crocus_spark.queries.llm import ml_kmeans_iterations
 
     hist = ml_kmeans_iterations(spark, SF_SMOKE).collect()
-    assert len(hist) == 6
+    assert len(hist) == 4
     inertias = [r.inertia for r in hist]
     assert all(
         b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])
