@@ -515,7 +515,7 @@ def agg_approx_percentiles(spark, sf_dir):
            CASE WHEN bucket = 9 THEN NULL
                 ELSE (bucket + 1) * 50000.0 END AS hi,
            COUNT(*) AS n,
-           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 10)
+           CAST(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS FLOAT)
              AS share
     FROM bucketed
     GROUP BY bucket
@@ -551,9 +551,9 @@ def agg_histogram_buckets(spark, sf_dir):
             .otherwise((F.col("bucket") + 1) * 50000.0)
             .alias("hi"),
             "n",
-            F.round(
-                F.col("n") / F.sum("n").over(grand).cast("double"), 10
-            ).alias("share"),
+            (F.col("n") / F.sum("n").over(grand).cast("double"))
+            .cast("float")
+            .alias("share"),
         )
         .orderBy("bucket")
     )

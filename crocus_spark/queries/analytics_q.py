@@ -45,9 +45,9 @@ from crocus_spark.queries._det import DEC
     SELECT CAST(SUM(s1) AS BIGINT) AS n_viewed,
            CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
            CAST(SUM(s3) AS BIGINT) AS n_purchased_after_click,
-           round(CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0), 6)
+           CAST(CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0) AS FLOAT)
              AS view_to_click,
-           round(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0), 6)
+           CAST(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0) AS FLOAT)
              AS click_to_purchase
     FROM flags
     """,
@@ -84,12 +84,10 @@ def funnel_conversion(spark, sf_dir):
         F.sum("s1").cast("long").alias("n_viewed"),
         F.sum("s2").cast("long").alias("n_clicked_after_view"),
         F.sum("s3").cast("long").alias("n_purchased_after_click"),
-        F.round(
-            F.sum("s2").cast("double") / F.nullif(F.sum("s1"), F.lit(0)), 6
-        ).alias("view_to_click"),
-        F.round(
-            F.sum("s3").cast("double") / F.nullif(F.sum("s2"), F.lit(0)), 6
-        ).alias("click_to_purchase"),
+        (
+            F.sum("s2").cast("double") / F.nullif(F.sum("s1"), F.lit(0))).cast("float").alias("view_to_click"),
+        (
+            F.sum("s3").cast("double") / F.nullif(F.sum("s2"), F.lit(0))).cast("float").alias("click_to_purchase"),
     )
 
 
@@ -114,7 +112,7 @@ def funnel_conversion(spark, sf_dir):
     SELECT a.cohort_week, a.week_k,
            CAST(COUNT(*) AS BIGINT) AS n_active,
            s.cohort_size AS cohort_size,
-           round(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+           CAST(CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS FLOAT) AS retention
     FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
     GROUP BY a.cohort_week, a.week_k, s.cohort_size
     ORDER BY a.cohort_week, a.week_k
@@ -161,9 +159,8 @@ def cohort_retention(spark, sf_dir):
             "week_k",
             "n_active",
             "cohort_size",
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size"), 6
-            ).alias("retention"),
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")).cast("float").alias("retention"),
         )
         .orderBy("cohort_week", "week_k")
     )
@@ -1021,8 +1018,8 @@ def stats_robust_median_mad(spark, sf_dir):
     SELECT week, n_orders,
            CAST(rev AS DOUBLE) AS revenue,
            CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_abs,
-           round(CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
-                 / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE), 6)
+           CAST(CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS FLOAT)
              AS wow_pct
     FROM weekly
     ORDER BY week
@@ -1050,9 +1047,8 @@ def series_period_over_period(spark, sf_dir):
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
         (F.col("rev") - prev).cast("double").alias("wow_abs"),
-        F.round(
-            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
-        ).alias("wow_pct"),
+        (
+            (F.col("rev") - prev).cast("double") / prev.cast("double")).cast("float").alias("wow_pct"),
     ).orderBy("week")
 
 
@@ -1230,9 +1226,9 @@ def funnel_latency_quartiles(spark, sf_dir):
       FROM trended GROUP BY dow
     )
     SELECT t.day, t.total,
-           round(t.trend, 6) AS trend,
-           round(s.s, 6) AS seasonal,
-           round(t.total - t.trend - s.s, 6) AS residual
+           CAST(t.trend AS FLOAT) AS trend,
+           CAST(s.s AS FLOAT) AS seasonal,
+           CAST(t.total - t.trend - s.s AS FLOAT) AS residual
     FROM trended t JOIN seasonal s ON s.dow = t.dow
     ORDER BY t.day
     """,
@@ -1279,11 +1275,10 @@ def series_seasonal_decompose(spark, sf_dir):
         .select(
             "day",
             "total",
-            F.round("trend", 6).alias("trend"),
-            F.round("s", 6).alias("seasonal"),
-            F.round(
-                F.col("total") - F.col("trend") - F.col("s"), 6
-            ).alias("residual"),
+            F.col("trend").cast("float").alias("trend"),
+            F.col("s").cast("float").alias("seasonal"),
+            (
+                F.col("total") - F.col("trend") - F.col("s")).cast("float").alias("residual"),
         )
         .orderBy("day")
     )
@@ -1319,14 +1314,13 @@ def series_seasonal_decompose(spark, sf_dir):
            CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
            n1 * n2 - CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
            tie_term,
-           round(
+           CAST(
              (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) - n1 * n2)
              / (2 * sqrt(
                  (CAST(n1 AS DOUBLE) * n2 / 12)
                  * ((n1 + n2 + 1)
                     - CAST(tie_term AS DOUBLE)
-                      / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))),
-             6) AS z_score
+                      / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS FLOAT) AS z_score
     FROM sums, ties
     """,
     tags=("stats", "hypothesis-test"),
@@ -1388,9 +1382,8 @@ def stats_mannwhitney_u(spark, sf_dir):
         (u1d / 2).alias("u1"),
         (F.col("n1") * F.col("n2") - u1d / 2).alias("u2"),
         "tie_term",
-        F.round(
-            (u1d - F.col("n1") * F.col("n2")) / (2 * F.sqrt(var)), 6
-        ).alias("z_score"),
+        (
+            (u1d - F.col("n1") * F.col("n2")) / (2 * F.sqrt(var))).cast("float").alias("z_score"),
     )
 
 
@@ -1415,7 +1408,7 @@ def stats_mannwhitney_u(spark, sf_dir):
     )
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           round(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 4)
+           CAST(CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS FLOAT)
              AS avg_monetary
     FROM scored
     GROUP BY r_score, f_score, m_score
@@ -1471,9 +1464,8 @@ def analytics_rfm_segmentation(spark, sf_dir):
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.round(
-                F.sum("monetary").cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_monetary"),
+            (
+                F.sum("monetary").cast("double") / F.count(F.lit(1))).cast("float").alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -1506,8 +1498,8 @@ def analytics_rfm_segmentation(spark, sf_dir):
     SELECT abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(SUM(rev) AS DOUBLE) AS class_revenue,
-           round(CAST(SUM(rev) AS DOUBLE)
-                 / CAST((SELECT total_rev FROM total) AS DOUBLE), 6)
+           CAST(CAST(SUM(rev) AS DOUBLE)
+                 / CAST((SELECT total_rev FROM total) AS DOUBLE) AS FLOAT)
              AS revenue_share
     FROM classed
     GROUP BY abc_class
@@ -1571,10 +1563,8 @@ def analytics_abc_pareto(spark, sf_dir):
             "abc_class",
             "n_parts",
             "class_revenue",
-            F.round(
-                F.col("class_revenue") / F.col("total_rev").cast("double"),
-                6,
-            ).alias("revenue_share"),
+            (
+                F.col("class_revenue") / F.col("total_rev").cast("double")).cast("float").alias("revenue_share"),
         )
         .orderBy("abc_class")
     )
@@ -1611,7 +1601,7 @@ def analytics_abc_pareto(spark, sf_dir):
     )
     SELECT b.day AS changepoint_day,
            s.n_days,
-           round(CAST(b.d AS DOUBLE) / s.n_days, 4) AS cusum_peak
+           CAST(CAST(b.d AS DOUBLE) / s.n_days AS FLOAT) AS cusum_peak
     FROM best b, stats s WHERE b.rk = 1
     """,
     tags=("analytics", "timeseries"),
@@ -1663,7 +1653,7 @@ def series_cusum_changepoint(spark, sf_dir):
     return best.select(
         F.col("day").alias("changepoint_day"),
         "n_days",
-        F.round(F.col("d").cast("double") / F.col("n_days"), 4).alias(
+        (F.col("d").cast("double") / F.col("n_days")).cast("float").alias(
             "cusum_peak"
         ),
     )
@@ -1776,9 +1766,8 @@ def stats_chi2_independence(spark, sf_dir):
       FROM ranked
     )
     SELECT n,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                 6) AS spearman_rho
+           CAST((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS FLOAT) AS spearman_rho
     FROM sums
     """,
     tags=("stats", "correlation"),
@@ -1835,7 +1824,7 @@ def stats_spearman_corr(spark, sf_dir):
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return sums.select(
-        "n", F.round(num / den, 6).alias("spearman_rho")
+        "n", (num / den).cast("float").alias("spearman_rho")
     )
 
 
@@ -1855,8 +1844,8 @@ def stats_spearman_corr(spark, sf_dir):
       GROUP BY event_type, next_type
     )
     SELECT from_type, to_type, n,
-           round(CAST(n AS DOUBLE)
-                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+           CAST(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type) AS FLOAT) AS p
     FROM pairs
     ORDER BY from_type, to_type
     """,
@@ -1892,11 +1881,9 @@ def analytics_markov_transitions(spark, sf_dir):
         "from_type",
         "to_type",
         "n",
-        F.round(
+        (
             F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("from_type")),
-            6,
-        ).alias("p"),
+            / F.sum("n").over(Window.partitionBy("from_type"))).cast("float").alias("p"),
     ).orderBy("from_type", "to_type")
 
 
@@ -2053,7 +2040,7 @@ def stats_kaplan_meier(spark, sf_dir):
       FROM cover GROUP BY wday
     )
     SELECT d.day, d.dau, w.wau,
-           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+           CAST(CAST(d.dau AS DOUBLE) / w.wau AS FLOAT) AS stickiness
     FROM dau d JOIN wau w ON d.day = w.day
     ORDER BY d.day
     """,
@@ -2102,9 +2089,8 @@ def analytics_dau_wau(spark, sf_dir):
             "day",
             "dau",
             "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau"), 6
-            ).alias("stickiness"),
+            (
+                F.col("dau").cast("double") / F.col("wau")).cast("float").alias("stickiness"),
         )
         .orderBy("day")
     )
@@ -2487,9 +2473,8 @@ def ml_ols_normal_equations(spark, sf_dir):
       FROM long GROUP BY lag_k
     )
     SELECT lag_k, CAST(n AS BIGINT) AS n_pairs,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                 6) AS acf
+           CAST((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS FLOAT) AS acf
     FROM sums ORDER BY lag_k
     """,
     tags=("analytics", "timeseries"),
@@ -2551,7 +2536,7 @@ def series_autocorrelation(spark, sf_dir):
     return sums.select(
         "lag_k",
         F.col("n").cast("long").alias("n_pairs"),
-        F.round(acf, 6).alias("acf"),
+        (acf).cast("float").alias("acf"),
     ).orderBy("lag_k")
 
 
@@ -2646,8 +2631,8 @@ def agg_bitmap_distinct(spark, sf_dir):
       WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
     )
     SELECT day,
-           round((n * sxy - sx * sy)
-                 / NULLIF(n * sxx - sx * sx, 0), 6) AS beta_28d
+           CAST((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0) AS FLOAT) AS beta_28d
     FROM framed WHERE t >= 28
     ORDER BY day
     """,
@@ -2712,14 +2697,12 @@ def series_rolling_beta(spark, sf_dir):
         framed.filter(F.col("t") >= 28)
         .select(
             "day",
-            F.round(
+            (
                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 / F.nullif(
                     F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
                     F.lit(0.0),
-                ),
-                6,
-            ).alias("beta_28d"),
+                )).cast("float").alias("beta_28d"),
         )
         .orderBy("day")
     )
@@ -2850,8 +2833,8 @@ def stats_quantile_normalize(spark, sf_dir):
                 AS BIGINT) AS new_users,
            CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
                 AS BIGINT) AS returning_users,
-           round(CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS returning_share
+           CAST(CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) AS FLOAT) AS returning_share
     FROM weekly GROUP BY week ORDER BY week
     """,
     tags=("analytics", "growth"),
@@ -2891,9 +2874,8 @@ def analytics_new_vs_returning(spark, sf_dir):
         .agg(
             new_c.cast("long").alias("new_users"),
             ret_c.cast("long").alias("returning_users"),
-            F.round(
-                ret_c.cast("double") / F.count(F.lit(1)), 6
-            ).alias("returning_share"),
+            (
+                ret_c.cast("double") / F.count(F.lit(1))).cast("float").alias("returning_share"),
         )
         .orderBy("week")
     )
@@ -3024,7 +3006,7 @@ def anomaly_mad_outlier_days(spark, sf_dir):
       FROM slopes
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
-           round(SUM(s) / 2, 8) AS theil_sen_slope_cents_per_day
+           CAST(SUM(s) / 2 AS FLOAT) AS theil_sen_slope_cents_per_day
     FROM ranked WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
     """,
     tags=("stats", "timeseries", "robust"),
@@ -3110,7 +3092,7 @@ def series_theil_sen_slope(spark, sf_dir):
     )
     return picked.agg(
         F.max("n").cast("long").alias("n_pairs"),
-        F.round(F.sum("s") / 2, 8).alias(
+        (F.sum("s") / 2).cast("float").alias(
             "theil_sen_slope_cents_per_day"
         ),
     )
@@ -3150,8 +3132,8 @@ def series_theil_sen_slope(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounced,
-           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+           CAST(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) AS FLOAT) AS bounce_rate
     FROM per_session GROUP BY entry_type ORDER BY entry_type
     """,
     tags=("analytics", "session"),
@@ -3215,9 +3197,8 @@ def analytics_bounce_rate(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
             bounced.cast("long").alias("n_bounced"),
-            F.round(
-                bounced.cast("double") / F.count(F.lit(1)), 6
-            ).alias("bounce_rate"),
+            (
+                bounced.cast("double") / F.count(F.lit(1))).cast("float").alias("bounce_rate"),
         )
         .orderBy("entry_type")
     )
@@ -3253,8 +3234,8 @@ def analytics_bounce_rate(spark, sf_dir):
       FROM loo
     )
     SELECT t.g AS n_groups,
-           round(CAST(t.s AS DOUBLE) / t.n, 6) AS mean_price,
-           round(sqrt(
+           CAST(CAST(t.s AS DOUBLE) / t.n AS FLOAT) AS mean_price,
+           CAST(sqrt(
              (CAST(t.g - 1 AS DOUBLE) / t.g)
              * (SELECT CAST(SUM(
                   (CAST(ROUND(theta_i * 1000000) AS BIGINT) / 1000000.0
@@ -3262,7 +3243,7 @@ def analytics_bounce_rate(spark, sf_dir):
                   * (CAST(ROUND(theta_i * 1000000) AS BIGINT) / 1000000.0
                      - jk.theta_bar)) AS DOUBLE)
                 FROM loo)
-           ), 6) AS jackknife_se
+           ) AS FLOAT) AS jackknife_se
     FROM tot t, jk
     """,
     tags=("stats", "resampling"),
@@ -3331,17 +3312,15 @@ def stats_jackknife_se(spark, sf_dir):
         jk.crossJoin(F.broadcast(dev))
         .select(
             F.col("g").alias("n_groups"),
-            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            (F.col("s").cast("double") / F.col("n")).cast("float").alias(
                 "mean_price"
             ),
-            F.round(
+            (
                 F.sqrt(
                     (F.col("g") - 1).cast("double")
                     / F.col("g")
                     * F.col("ssq")
-                ),
-                6,
-            ).alias("jackknife_se"),
+                )).cast("float").alias("jackknife_se"),
         )
     )
 

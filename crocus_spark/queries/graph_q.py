@@ -535,9 +535,9 @@ def graph_weighted_shortest_path(spark, sf_dir):
     )
     SELECT antecedent, consequent, n_both,
            sa.n_item AS n_ante, sc.n_item AS n_cons,
-           round(CAST(n_both AS DOUBLE) / sa.n_item, 6) AS confidence,
-           round(CAST(n_both AS DOUBLE) * t.n_orders
-                 / (CAST(sa.n_item AS DOUBLE) * sc.n_item), 6) AS lift
+           CAST(CAST(n_both AS DOUBLE) / sa.n_item AS FLOAT) AS confidence,
+           CAST(CAST(n_both AS DOUBLE) * t.n_orders
+                 / (CAST(sa.n_item AS DOUBLE) * sc.n_item) AS FLOAT) AS lift
     FROM pair
     JOIN supp sa ON sa.l_partkey = antecedent
     JOIN supp sc ON sc.l_partkey = consequent
@@ -560,7 +560,7 @@ def basket_association_rules(spark, sf_dir):
     relation joined back — Catalyst broadcasts both sides' supports and
     the 1-row total. Top-50 is TakeOrderedAndProject with a full
     deterministic tiebreak, never a global sort. The double division
-    happens on exact integer counts, so round(…, 6) is engine-stable."""
+    happens on exact integer counts, so CAST(… AS FLOAT) is engine-stable."""
     items = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -600,15 +600,12 @@ def basket_association_rules(spark, sf_dir):
             "n_both",
             "n_ante",
             "n_cons",
-            F.round(
-                F.col("n_both").cast("double") / F.col("n_ante"), 6
-            ).alias("confidence"),
-            F.round(
+            (
+                F.col("n_both").cast("double") / F.col("n_ante")).cast("float").alias("confidence"),
+            (
                 F.col("n_both").cast("double")
                 * F.col("n_orders")
-                / (F.col("n_ante").cast("double") * F.col("n_cons")),
-                6,
-            ).alias("lift"),
+                / (F.col("n_ante").cast("double") * F.col("n_cons"))).cast("float").alias("lift"),
         )
     )
     return rules.orderBy(
@@ -774,8 +771,8 @@ def graph_k_core(spark, sf_dir):
     ),
     scored AS (
       SELECT cd.a, cd.c, cd.common,
-             round(CAST(cd.common AS DOUBLE)
-                   / (da.d + dc.d - cd.common), 6) AS jaccard
+             CAST(CAST(cd.common AS DOUBLE)
+                   / (da.d + dc.d - cd.common) AS FLOAT) AS jaccard
       FROM candidates cd
       JOIN deg da ON cd.a = da.u
       JOIN deg dc ON cd.c = dc.u
@@ -838,11 +835,9 @@ def graph_link_prediction_jaccard(spark, sf_dir):
             "a",
             "c",
             "common",
-            F.round(
+            (
                 F.col("common").cast("double")
-                / (F.col("da") + F.col("dc") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("da") + F.col("dc") - F.col("common"))).cast("float").alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "a", "c")
         .limit(20)

@@ -406,7 +406,7 @@ def join_asof_tolerance(spark, sf_dir):
                                          c_custkey) AS rk_s
       FROM customer CROSS JOIN supplier
     )
-    SELECT c_custkey, s_suppkey, round(gap, 6) AS balance_gap
+    SELECT c_custkey, s_suppkey, CAST(gap AS FLOAT) AS balance_gap
     FROM scored
     WHERE rk_c = 1 AND rk_s = 1
     ORDER BY c_custkey
@@ -458,7 +458,7 @@ def join_reciprocal_best(spark, sf_dir):
         .select(
             "c_custkey",
             "s_suppkey",
-            F.round("gap", 6).alias("balance_gap"),
+            F.col("gap").cast("float").alias("balance_gap"),
         )
         .orderBy("c_custkey")
     )

@@ -3506,8 +3506,8 @@ def text_sentence_split(spark, sf_dir):
     SELECT k.doc_id,
            COUNT(*) AS n_sents,
            COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS n_dup_sents,
-           round(CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS DOUBLE)
-                 / COUNT(*), 6) AS dup_ratio,
+           CAST(CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS DOUBLE)
+                 / COUNT(*) AS FLOAT) AS dup_ratio,
            CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS DOUBLE)
              / COUNT(*) <= 0.5 AS keep
     FROM keyed k JOIN df ON df.h = k.h
@@ -3545,9 +3545,8 @@ def dedup_sentence_level(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_sents"),
             dup_cnt.alias("n_dup_sents"),
-            F.round(
-                dup_cnt.cast("double") / F.count(F.lit(1)), 6
-            ).alias("dup_ratio"),
+            (
+                dup_cnt.cast("double") / F.count(F.lit(1))).cast("float").alias("dup_ratio"),
             (
                 dup_cnt.cast("double") / F.count(F.lit(1)) <= 0.5
             ).alias("keep"),
@@ -3589,10 +3588,10 @@ def dedup_sentence_level(spark, sf_dir):
     SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_chunks,
-           round(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+           CAST(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*) AS FLOAT)
              AS dup_chunk_ratio,
-           round(CAST(SUM(CAST(chunk_len AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_chunk_len,
+           CAST(CAST(SUM(CAST(chunk_len AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) AS FLOAT) AS avg_chunk_len,
            CAST(MAX(chunk_len) AS BIGINT) AS max_chunk_len
     FROM payload
     """,
@@ -3654,16 +3653,12 @@ def dedup_cdc_chunking(spark, sf_dir):
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.countDistinct("digest").cast("long").alias("n_distinct_chunks"),
-        F.round(
+        (
             F.lit(1.0)
-            - F.countDistinct("digest").cast("double") / F.count(F.lit(1)),
-            6,
-        ).alias("dup_chunk_ratio"),
-        F.round(
+            - F.countDistinct("digest").cast("double") / F.count(F.lit(1))).cast("float").alias("dup_chunk_ratio"),
+        (
             F.sum(F.col("chunk_len").cast("decimal(25,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_chunk_len"),
+            / F.count(F.lit(1))).cast("float").alias("avg_chunk_len"),
         F.max("chunk_len").cast("long").alias("max_chunk_len"),
     )
 
@@ -3698,7 +3693,7 @@ def dedup_cdc_chunking(spark, sf_dir):
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
-           round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+           CAST(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS FLOAT)
              AS containment
     FROM pairs
     JOIN sizes sa ON id_a = sa.doc_id
@@ -3772,11 +3767,9 @@ def dedup_shingle_containment(spark, sf_dir):
             "shared",
             "n_a",
             "n_b",
-            F.round(
+            (
                 F.col("shared").cast("double")
-                / F.least(F.col("n_a"), F.col("n_b")),
-                6,
-            ).alias("containment"),
+                / F.least(F.col("n_a"), F.col("n_b"))).cast("float").alias("containment"),
         )
         .orderBy("id_a", "id_b")
     )
@@ -3928,11 +3921,11 @@ def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
     ),
     est AS (
       SELECT c.id_a, c.id_b,
-             round((
+             CAST((
                {" + ".join(
                   f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
                   for i in range(_PMH_NPERM)
-               )}) / {_PMH_NPERM}.0, 6) AS est_jaccard
+               )}) / {_PMH_NPERM}.0 AS FLOAT) AS est_jaccard
       FROM cand c
       JOIN sig sa ON c.id_a = sa.id
       JOIN sig sb ON c.id_b = sb.id
@@ -3943,13 +3936,13 @@ def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
       FROM documents
     )
     SELECT e.id_a, e.id_b, e.est_jaccard,
-           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+           CAST(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
                  / (len(ta.ts) + len(tb.ts)
-                    - len(list_intersect(ta.ts, tb.ts))), 6) AS exact_jaccard,
-           round(abs(e.est_jaccard
-                 - round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                    - len(list_intersect(ta.ts, tb.ts))) AS FLOAT) AS exact_jaccard,
+           CAST(abs(CAST(e.est_jaccard AS DOUBLE)
+                 - CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
                          / (len(ta.ts) + len(tb.ts)
-                            - len(list_intersect(ta.ts, tb.ts))), 6)), 6)
+                            - len(list_intersect(ta.ts, tb.ts)))) AS FLOAT)
              AS abs_err
     FROM est e
     JOIN tsets ta ON e.id_a = ta.id
@@ -4020,12 +4013,12 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
         .distinct()
     )
     agree = F.expr(
-        "round(("
+        "CAST(("
         + " + ".join(
             f"CASE WHEN sa_h{i} = sb_h{i} THEN 1 ELSE 0 END"
             for i in range(_PMH_NPERM)
         )
-        + f") / {_PMH_NPERM}.0, 6)"
+        + f") / {_PMH_NPERM}.0 AS FLOAT)"
     )
     sa = sig.select(
         F.col("id").alias("id_a"),
@@ -4047,9 +4040,7 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
     ta = tsets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"))
     tb = tsets.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
-    exact = F.round(
-        inter.cast("double") / (F.size("ta") + F.size("tb") - inter), 6
-    )
+    exactd = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
     return (
         est.join(ta, "id_a")
         .join(tb, "id_b")
@@ -4057,10 +4048,12 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
             "id_a",
             "id_b",
             "est_jaccard",
-            exact.alias("exact_jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias(
-                "abs_err"
-            ),
+            exactd.cast("float").alias("exact_jaccard"),
+            # difference computed in DOUBLE on both sides (float32 inputs
+            # widen exactly), float32 only at the output boundary
+            F.abs(F.col("est_jaccard").cast("double") - exactd)
+            .cast("float")
+            .alias("abs_err"),
         )
         .orderBy("id_a", "id_b")
     )
@@ -4313,7 +4306,7 @@ def ml_mrr_ndcg_eval(spark, sf_dir):
     WITH d AS (
       SELECT doc_id AS id,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id < 500
     ),
     toks AS (SELECT id, unnest(ts) AS tok FROM d),
     shared AS (
@@ -4357,12 +4350,10 @@ def ml_mrr_ndcg_eval(spark, sf_dir):
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth_pairs,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
-           round((SELECT COUNT(*) FROM hits)
-                 / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE),
-                 6) AS precision,
-           round((SELECT COUNT(*) FROM hits)
-                 / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE),
-                 6) AS recall
+           CAST((SELECT COUNT(*) FROM hits)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE) AS FLOAT) AS precision,
+           CAST((SELECT COUNT(*) FROM hits)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE) AS FLOAT) AS recall
     """,
     tags=("llm", "dedup", "evaluation"),
 )
@@ -4373,11 +4364,14 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
     "LSH recall" claim in this repo, computed in-engine with a full value
     oracle. Ground truth never goes all-pairs: a pair needs a shared
     token to have Jaccard > 0, so truth enumerates only token-sharing
-    pairs (the inverted-index bound) over a DETERMINISTIC half-corpus
-    audit sample (doc_id % 2 — quality is a property of the sketch
-    parameters, not the corpus slice; the full-pair cost is quadratic in
-    shared-token df), and the threshold test is the cross-multiplied
-    integer ``2*inter >= |A|+|B|-inter``.
+    pairs (the inverted-index bound) over a DETERMINISTIC FIXED-SIZE
+    audit sample (doc_id % 2, doc_id < 500 — ≤250 docs at every scale:
+    quality is a property of the sketch parameters, not the corpus size,
+    and the shared-token pair cost is quadratic in token df, so an
+    unbounded sample would blow up exactly when the corpus vocabulary is
+    dense — the production shape audits a fixed sample too). The
+    threshold test is the cross-multiplied integer
+    ``2*inter >= |A|+|B|-inter``.
 
     Spark shape: one token shuffle feeds BOTH sides — the exact-truth
     shared-token join and the signature aggregate; candidates come from
@@ -4387,7 +4381,7 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
 
     docs = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 500))
         .select("doc_id", normalize_text(F.col("text")).alias("norm"))
     )
     tsets = docs.select(
@@ -4462,15 +4456,11 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
             "n_candidates",
             "n_truth_pairs",
             "n_hits",
-            F.round(
+            (
                 F.col("n_hits")
-                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
-                6,
-            ).alias("precision"),
-            F.round(
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")).cast("float").alias("precision"),
+            (
                 F.col("n_hits")
-                / F.nullif(F.col("n_truth_pairs"), F.lit(0)).cast("double"),
-                6,
-            ).alias("recall"),
+                / F.nullif(F.col("n_truth_pairs"), F.lit(0)).cast("double")).cast("float").alias("recall"),
         )
     )

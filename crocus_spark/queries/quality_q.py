@@ -480,7 +480,7 @@ def ml_ab_test_proportions(spark, sf_dir):
       SELECT CAST(MAX(gap) AS BIGINT) AS d_scaled FROM gaps
     )
     SELECT n1, n2,
-           round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+           CAST(CAST(d_scaled AS DOUBLE) / (n1 * n2) AS FLOAT) AS d_stat,
            (SELECT MIN(v) FROM gaps WHERE gap = (SELECT d_scaled FROM peak))
              AS x_at_d,
            CAST(d_scaled AS DOUBLE)
@@ -554,9 +554,8 @@ def dq_ks_test(spark, sf_dir):
     return peak.crossJoin(F.broadcast(x_at)).select(
         "n1",
         "n2",
-        F.round(
-            F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2")), 6
-        ).alias("d_stat"),
+        (
+            F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).cast("float").alias("d_stat"),
         "x_at_d",
         (
             F.col("d_scaled").cast("double")

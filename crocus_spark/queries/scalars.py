@@ -426,8 +426,8 @@ def map_higher_order_battery(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(MIN(bdays) AS BIGINT) AS min_bdays,
            CAST(MAX(bdays) AS BIGINT) AS max_bdays,
-           round(CAST(SUM(CAST(bdays AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_bdays
+           CAST(CAST(SUM(CAST(bdays AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*) AS FLOAT) AS avg_bdays
     FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     tags=("scalar", "datetime"),
@@ -473,11 +473,12 @@ def datetime_business_days(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.min("bdays").cast("long").alias("min_bdays"),
             F.max("bdays").cast("long").alias("max_bdays"),
-            F.round(
+            (
                 F.sum(F.col("bdays").cast("decimal(25,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_bdays"),
+                / F.count(F.lit(1))
+            )
+            .cast("float")
+            .alias("avg_bdays"),
         )
         .orderBy("o_orderpriority")
     )

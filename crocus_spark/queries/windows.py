@@ -62,7 +62,7 @@ def window_rank_battery(spark, sf_dir):
     SELECT day, total,
            lag(total) OVER w AS prev_total,
            lead(total) OVER w AS next_total,
-           round(total - lag(total) OVER w, 4) AS delta
+           CAST(total - lag(total) OVER w AS FLOAT) AS delta
     FROM daily
     WINDOW w AS (ORDER BY day)
     ORDER BY day
@@ -85,7 +85,7 @@ def window_lag_lead(spark, sf_dir):
             "total",
             F.lag("total").over(w).alias("prev_total"),
             F.lead("total").over(w).alias("next_total"),
-            F.round(F.col("total") - F.lag("total").over(w), 4).alias("delta"),
+            (F.col("total") - F.lag("total").over(w)).cast("float").alias("delta"),
         )
         .orderBy("day")
     )
@@ -369,8 +369,8 @@ def window_sessionize(spark, sf_dir):
     "window_distribution_battery",
     oracle="""
     SELECT s_suppkey, s_nationkey,
-           round(percent_rank() OVER w, 10) AS pct_rank,
-           round(cume_dist() OVER w, 10) AS cume,
+           CAST(percent_rank() OVER w AS FLOAT) AS pct_rank,
+           CAST(cume_dist() OVER w AS FLOAT) AS cume,
            nth_value(s_acctbal, 2) OVER
              (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -385,8 +385,8 @@ def window_distribution_battery(spark, sf_dir):
     """Distribution window functions (§2B#27 completed): percent_rank,
     cume_dist, and nth_value per nation — the quantile-position analytics
     the rank battery leaves out. Both ratios are a single IEEE division of
-    exact integer ranks, so they hash-match without rounding; the round(,10)
-    is belt-and-braces only. nth_value gets the explicit full frame because
+    exact integer ranks, so they hash-match without rounding; the float32
+    output cast is belt-and-braces only. nth_value gets the explicit full frame because
     the default frame stops at CURRENT ROW (same footgun as last_value)."""
     s = load(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(
@@ -397,8 +397,8 @@ def window_distribution_battery(spark, sf_dir):
         s.select(
             "s_suppkey",
             "s_nationkey",
-            F.round(F.percent_rank().over(w), 10).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 10).alias("cume"),
+            (F.percent_rank().over(w)).cast("float").alias("pct_rank"),
+            (F.cume_dist().over(w)).cast("float").alias("cume"),
             F.nth_value("s_acctbal", 2).over(wfull).alias("second_bal"),
         )
         .orderBy("s_nationkey", "pct_rank", "s_suppkey")
@@ -549,13 +549,13 @@ def timeseries_ohlc_resample(spark, sf_dir):
     )
     SELECT user_id, day,
            COUNT(*) AS n_obs,
-           round(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+           CAST(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS FLOAT)
              AS vwap,
-           round(CAST(SUM(CAST(value * COALESCE(dt_s, 0) AS DECIMAL(25,6)))
+           CAST(CAST(SUM(CAST(value * COALESCE(dt_s, 0) AS DECIMAL(25,6)))
                       AS DOUBLE)
                  / NULLIF(CAST(SUM(CAST(COALESCE(dt_s, 0) AS DECIMAL(25,6)))
-                               AS DOUBLE), 0.0), 6)
+                               AS DOUBLE), 0.0) AS FLOAT)
              AS twap
     FROM pts
     GROUP BY user_id, day
@@ -596,12 +596,10 @@ def series_vwap_twap(spark, sf_dir):
         pts.groupBy("user_id", "day")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(
+            (
                 F.sum(dec(F.col("value") * F.col("value"))).cast("double")
-                / F.sum(dec(F.col("value"))).cast("double"),
-                6,
-            ).alias("vwap"),
-            F.round(
+                / F.sum(dec(F.col("value"))).cast("double")).cast("float").alias("vwap"),
+            (
                 F.sum(
                     dec(F.col("value") * F.coalesce(F.col("dt_s"), F.lit(0)))
                 ).cast("double")
@@ -610,9 +608,7 @@ def series_vwap_twap(spark, sf_dir):
                         "double"
                     ),
                     F.lit(0.0),
-                ),
-                6,
-            ).alias("twap"),
+                )).cast("float").alias("twap"),
         )
         .filter(F.col("n_obs") >= 3)
         .orderBy("user_id", "day")
