@@ -81,7 +81,12 @@ def connected_components(
         # extra lazy self-join inside the same checkpoint action). The
         # pre-round label rides along as `old` so the convergence check
         # is a filter over the already-checkpointed round output — no
-        # extra join-the-previous-labels job per round.
+        # extra join-the-previous-labels job per round. `stepped` is
+        # persisted for the round so the two self-joins reuse one
+        # computation of the neighborhood-min join instead of 4×
+        # (clique-ish graphs converge in 1-2 rounds and would otherwise
+        # pay the doubling for nothing).
+        stepped = stepped.persist()
         hop1 = stepped
         for _hop in range(2):
             a, b = hop1.alias("a"), hop1.alias("b")
@@ -101,6 +106,7 @@ def connected_components(
             (F.col("comp") != F.col("old")).alias("_chg"),
         ).localCheckpoint(eager=True)
         changed = jumped.filter(F.col("_chg")).limit(1).count()
+        stepped.unpersist()
         labels = jumped.drop("_chg")
         if changed == 0:
             und.unpersist()

@@ -305,3 +305,25 @@ def extract_pdf_batch(media, id_col: str = "media_id",
             )
 
     return media.mapInPandas(fn, PDF_TEXT_SCHEMA)
+
+
+def extract_pdf_fulltext(media, id_col: str = "media_id",
+                         content_col: str = "content"):
+    """(doc_id, text): the raw extracted text per document (pages
+    concatenated), for feeding downstream text operators — the
+    PDF-ingest head of the search/tf-idf pipeline. Arrow-batched."""
+    import pandas as pd
+
+    def fn(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(i) for i in b[id_col]],
+                    "text": [
+                        extract_pdf_text(bytes(d), page_sep="")
+                        for d in b[content_col]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(fn, "doc_id long, text string")

@@ -570,6 +570,117 @@ def dq_ks_test(spark, sf_dir):
 
 
 @register(
+    "dq_ks_binned",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(FLOOR(o_totalprice / 60.0) AS INT) AS bin,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+      FROM binned
+    ),
+    cdf AS (
+      SELECT bin,
+             SUM(d1) OVER (ORDER BY bin) AS c1,
+             SUM(d2) OVER (ORDER BY bin) AS c2
+      FROM binned
+    ),
+    gaps AS (
+      SELECT bin, abs(c1 * (SELECT n2 FROM totals)
+                      - c2 * (SELECT n1 FROM totals)) AS gap
+      FROM cdf
+    ),
+    peak AS (SELECT CAST(MAX(gap) AS BIGINT) AS d_scaled FROM gaps)
+    SELECT n1, n2,
+           CAST(CAST(d_scaled AS DOUBLE) / (n1 * n2) AS FLOAT)
+             AS d_stat_binned,
+           (SELECT MIN(bin) FROM gaps
+            WHERE gap = (SELECT d_scaled FROM peak)) AS bin_at_d,
+           CAST((SELECT MIN(bin) FROM gaps
+                 WHERE gap = (SELECT d_scaled FROM peak)) * 60.0 AS DOUBLE)
+             AS bin_lo
+    FROM totals, peak
+    """,
+    tags=("dq", "stats"),
+)
+def dq_ks_binned(spark, sf_dir):
+    """BINNED two-sample KS — the 100 TB swap `dq_ks_test`'s docstring
+    promises, shipped as its own honestly-named statistic: quantize the
+    value to fixed-width bins (width 60 → ~1e4 bins over the price
+    range), then the same exact cross-multiplied integer sup over the
+    binned CDFs. The bin relation is FIXED-size regardless of corpus
+    cardinality — the distinct-value relation that makes exact KS
+    fact-sized for continuous columns collapses to ≤ bins rows, and the
+    sup error vs the exact statistic is bounded by one bin's probability
+    mass. Bin ids are exact integer arithmetic (floor of a fixed-width
+    division) — engine-identical, so the whole scorecard carries a full
+    value oracle.
+
+    Spark shape: one binned conditional aggregate (map-side combinable,
+    ≤ bins cells), the strictly-below cumulative via
+    ``operators/ranking.cumulative_below`` (shard-parallel even at the
+    bin count's ceiling), one broadcast of the 1-row totals."""
+    from crocus_spark.operators import ranking as R
+
+    ov = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", "o_totalprice")
+    )
+    binned = ov.groupBy(
+        F.floor(F.col("o_totalprice") / 60.0).cast("int").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    totals = binned.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    cdf = R.cumulative_below(binned, "bin", ["d1", "d2"], n_shards=16).select(
+        "bin",
+        (F.col("_cum_d1") + F.col("d1")).alias("c1"),
+        (F.col("_cum_d2") + F.col("d2")).alias("c2"),
+    )
+    gaps = cdf.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "gap"
+        ),
+    )
+    peak = gaps.groupBy("n1", "n2").agg(
+        F.max("gap").cast("long").alias("d_scaled")
+    )
+    bin_at = (
+        gaps.join(
+            F.broadcast(peak.select(F.col("d_scaled").alias("gap"))), "gap"
+        )
+        .agg(F.min("bin").alias("bin_at_d"))
+    )
+    return peak.crossJoin(F.broadcast(bin_at)).select(
+        "n1",
+        "n2",
+        (F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2")))
+        .cast("float")
+        .alias("d_stat_binned"),
+        "bin_at_d",
+        (F.col("bin_at_d") * 60.0).cast("double").alias("bin_lo"),
+    )
+
+
+@register(
     "dq_benford_digits",
     oracle="""
     WITH digits AS (
