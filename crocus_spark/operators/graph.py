@@ -47,10 +47,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # round 0 for free: initialize every node at its closed-neighborhood
+    # minimum (min of itself and its neighbors) — one propagation round
+    # folded into the init aggregate, so star/clique-ish graphs start
+    # one hop closer to the fixpoint
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

@@ -37,24 +37,29 @@ from pyspark.sql import functions as F
 def with_range_shard(
     df: DataFrame, key: str, n_shards: int
 ) -> DataFrame:
-    """Attach ``_shard``: a monotone-in-``key`` shard id from in-plan
-    approx-percentile boundaries. Equal keys always share a shard (the
-    shard is a deterministic function of the key value alone). Shard ids
-    need not be consecutive — every consumer aggregates or windows BY
-    shard, never arithmetic ON the id."""
-    pcts = [i / n_shards for i in range(1, n_shards)]
-    bounds = df.agg(
-        F.percentile_approx(
-            F.col(key), F.array(*[F.lit(p) for p in pcts]), F.lit(10_000)
-        ).alias("_bounds")
+    """Attach ``_shard``: a shard id monotone in ``key``, via Spark's own
+    ``repartitionByRange`` (RangePartitioner: reservoir sample →
+    boundaries → per-row binary search, all JVM-side and codegen-fast —
+    an earlier approx-percentile + array-filter-lambda formulation spent
+    seconds per million rows in interpreted higher-order lambdas).
+    Equal keys always land in one partition (the partitioner is a
+    deterministic function of the key value), and partition index is
+    monotone in key order, so ``spark_partition_id()`` IS the shard id.
+    Boundary placement only load-balances — it can never change a
+    consumer's result, which is what makes the sampled boundaries safe.
+
+    The sharded relation is eagerly localCheckpoint()ed: every consumer
+    reads ``_shard`` at least twice (shard totals + per-shard ranks), and
+    the range partitioner draws a fresh boundary sample per evaluation —
+    two lazy evaluations could disagree on shard membership, making
+    offsets and ranks inconsistent (observed as off-by-thousands global
+    ranks). One materialization freezes the boundaries AND pays the
+    upstream computation once."""
+    return (
+        df.repartitionByRange(n_shards, F.col(key))
+        .withColumn("_shard", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    return df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_shard",
-        F.coalesce(
-            F.size(F.filter("_bounds", lambda b: b < F.col(key))),
-            F.lit(0),
-        ),
-    ).drop("_bounds")
 
 
 def ranked_global(
