@@ -181,10 +181,11 @@ def sketch_countmin_portable(spark, sf_dir):
     )
     SELECT CAST({_HLL_M} - v AS BIGINT) AS n_regs_set,
            sum_pow,
-           round(e, 4) AS est_distinct,
+           CAST(e AS FLOAT) AS est_distinct,
            true_distinct,
-           round(abs(round(e, 4) - true_distinct) / true_distinct, 4)
-             AS rel_err
+           CAST(abs(CAST(CAST(e AS FLOAT) AS DOUBLE)
+                    - CAST(true_distinct AS DOUBLE))
+                / CAST(true_distinct AS DOUBLE) AS FLOAT) AS rel_err
     FROM est, truth
     """,
     tags=("sketch", "cardinality"),
@@ -242,7 +243,7 @@ def sketch_hll_portable(spark, sf_dir):
         s.select(
             (F.lit(_HLL_M) - F.col("v")).cast("long").alias("n_regs_set"),
             "sum_pow",
-            F.round(e, 4).alias("est_distinct"),
+            e.cast("float").alias("est_distinct"),
         )
         .crossJoin(F.broadcast(truth))
         .select(
@@ -250,11 +251,18 @@ def sketch_hll_portable(spark, sf_dir):
             "sum_pow",
             "est_distinct",
             "true_distinct",
-            F.round(
-                F.abs(F.col("est_distinct") - F.col("true_distinct"))
-                / F.col("true_distinct"),
-                4,
-            ).alias("rel_err"),
+            # widen BOTH operands to double explicitly: float−bigint
+            # promotion differs between engines; the float32 boundary is
+            # only at the output
+            (
+                F.abs(
+                    F.col("est_distinct").cast("double")
+                    - F.col("true_distinct").cast("double")
+                )
+                / F.col("true_distinct").cast("double")
+            )
+            .cast("float")
+            .alias("rel_err"),
         )
     )
 
@@ -301,10 +309,10 @@ def _bf_pos_sql(i: int) -> str:
                 AS BIGINT) AS n_false_positives,
            CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_negatives,
-           round(CAST(SUM(CASE WHEN bloom_hit AND NOT is_member
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0),
-                 6) AS fp_rate
+           CAST(CAST(SUM(CASE WHEN bloom_hit AND NOT is_member
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0)
+                AS FLOAT) AS fp_rate
     FROM per_key
     """,
     tags=("sketch", "membership"),
@@ -364,11 +372,12 @@ def sketch_bloom_portable(spark, sf_dir):
         cnt(F.col("is_member") & ~F.col("bloom_hit")).alias(
             "n_false_negatives"
         ),
-        F.round(
+        (
             cnt(F.col("bloom_hit") & ~F.col("is_member")).cast("double")
-            / F.nullif(cnt(~F.col("is_member")), F.lit(0)),
-            6,
-        ).alias("fp_rate"),
+            / F.nullif(cnt(~F.col("is_member")), F.lit(0))
+        )
+        .cast("float")
+        .alias("fp_rate"),
     )
 
 
@@ -416,7 +425,7 @@ _QS_QUANTILES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
       GROUP BY s.q_label
     )
     SELECT e.q_label, est_v, exact_v,
-           round(abs(est_v - exact_v), 6) AS abs_err
+           CAST(abs(est_v - exact_v) AS FLOAT) AS abs_err
     FROM est e JOIN exact x ON e.q_label = x.q_label
     ORDER BY e.q_label
     """,
@@ -489,9 +498,9 @@ def sketch_quantile_hash_sample(spark, sf_dir):
             "q_label",
             "est_v",
             "exact_v",
-            F.round(F.abs(F.col("est_v") - F.col("exact_v")), 6).alias(
-                "abs_err"
-            ),
+            F.abs(F.col("est_v") - F.col("exact_v"))
+            .cast("float")
+            .alias("abs_err"),
         )
         .orderBy("q_label")
     )
@@ -549,9 +558,10 @@ _KMV_M = 1 << 60  # hash domain size for portable_hash60
              ELSE ({_KMV_K} - 1) * {float(_KMV_M)} / kth_u END AS est_union
       FROM stats
     )
-    SELECT metric, round(estimate, 4) AS estimate, exact_n,
-           round(abs(round(estimate, 4) - exact_n)
-                 / NULLIF(exact_n, 0), 4) AS rel_err
+    SELECT metric, CAST(estimate AS FLOAT) AS estimate, exact_n,
+           CAST(abs(CAST(CAST(estimate AS FLOAT) AS DOUBLE)
+                    - CAST(exact_n AS DOUBLE))
+                / NULLIF(CAST(exact_n AS DOUBLE), 0) AS FLOAT) AS rel_err
     FROM (
       SELECT 'a_distinct' AS metric, est_a AS estimate, exact_a AS exact_n
       FROM ests
@@ -683,15 +693,17 @@ def sketch_kmv_set_algebra(spark, sf_dir):
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
+    est32 = F.col("estimate").cast("float")
     return out.select(
         "metric",
-        F.round("estimate", 4).alias("estimate"),
+        est32.alias("estimate"),
         "exact_n",
-        F.round(
-            F.abs(F.round("estimate", 4) - F.col("exact_n"))
-            / F.nullif(F.col("exact_n"), F.lit(0)),
-            4,
-        ).alias("rel_err"),
+        (
+            F.abs(est32.cast("double") - F.col("exact_n").cast("double"))
+            / F.nullif(F.col("exact_n").cast("double"), F.lit(0.0))
+        )
+        .cast("float")
+        .alias("rel_err"),
     ).orderBy("metric")
 
 
@@ -736,13 +748,15 @@ def sketch_kmv_set_algebra(spark, sf_dir):
       FROM events GROUP BY 1
     )
     SELECT m.week,
-           round({_HLL_NUMER} / CAST(m.sum_pow_merged AS DOUBLE), 4)
+           CAST({_HLL_NUMER} / CAST(m.sum_pow_merged AS DOUBLE) AS FLOAT)
              AS est_merged,
            m.sum_pow_merged = m.sum_pow_direct AS merge_equals_direct,
            t.true_distinct,
-           round(abs(round({_HLL_NUMER}
-                           / CAST(m.sum_pow_merged AS DOUBLE), 4)
-                     - t.true_distinct) / t.true_distinct, 4) AS rel_err
+           CAST(abs(CAST(CAST({_HLL_NUMER}
+                              / CAST(m.sum_pow_merged AS DOUBLE) AS FLOAT)
+                         AS DOUBLE)
+                    - CAST(t.true_distinct AS DOUBLE))
+                / CAST(t.true_distinct AS DOUBLE) AS FLOAT) AS rel_err
     FROM merged m JOIN truth t ON m.week = t.week
     ORDER BY m.week
     """,
@@ -821,23 +835,27 @@ def sketch_hll_merge_daily(spark, sf_dir):
         .groupBy("week")
         .agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
     )
-    est = F.round(
-        F.lit(float(_HLL_NUMER)) / F.col("sum_pow_merged").cast("double"), 4
-    )
+    est32 = (
+        F.lit(float(_HLL_NUMER)) / F.col("sum_pow_merged").cast("double")
+    ).cast("float")
     return (
         merged.join(truth, "week")
         .select(
             "week",
-            est.alias("est_merged"),
+            est32.alias("est_merged"),
             (F.col("sum_pow_merged") == F.col("sum_pow_direct")).alias(
                 "merge_equals_direct"
             ),
             "true_distinct",
-            F.round(
-                F.abs(est - F.col("true_distinct"))
-                / F.col("true_distinct"),
-                4,
-            ).alias("rel_err"),
+            (
+                F.abs(
+                    est32.cast("double")
+                    - F.col("true_distinct").cast("double")
+                )
+                / F.col("true_distinct").cast("double")
+            )
+            .cast("float")
+            .alias("rel_err"),
         )
         .orderBy("week")
     )
