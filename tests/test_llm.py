@@ -327,3 +327,21 @@ def test_ivf_at_rest_equals_in_memory(spark):
     mem = REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
     rest = REGISTRY["ann_ivf_at_rest"].fn(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in mem] == [tuple(r) for r in rest]
+
+
+def test_ivf_memoized_model_equals_fresh_fit(spark):
+    """ann_ivf_topk memoizes its centroid model per corpus path
+    (fit-once/serve-many). The docstring's determinism claim — cached and
+    uncached calls produce identical rows — is pinned here by clearing
+    the memo between calls."""
+    from crocus_spark.queries import llm as L
+
+    sf = "/root/testdata/sf0.001"
+    L._IVF_HEADLINE_MODEL.clear()
+    fresh = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
+    assert sf in L._IVF_HEADLINE_MODEL  # memo populated by the fit
+    cached = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
+    assert cached == fresh
+    L._IVF_HEADLINE_MODEL.clear()
+    refit = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
+    assert refit == fresh
