@@ -358,7 +358,14 @@ def minhash_lsh_pairs(
     dedup at 100 TB use ``minhash_dedup_survivors`` — cluster-collapse is
     linear in corpus size regardless of cluster shape.
     """
-    buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
+    # one eager checkpoint: the self-join would otherwise evaluate the
+    # whole tokenize → n_perm-MIN signature pipeline on BOTH sides
+    # (Catalyst's exchange reuse does not cover the differently-aliased
+    # subtrees here) — the signature relation is corpus-rows × (band,
+    # sig) and cheap to hold, the signature computation is the cost
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, n_perm, bands, seed
+    ).localCheckpoint(eager=True)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
