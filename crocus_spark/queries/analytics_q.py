@@ -1515,10 +1515,12 @@ def analytics_abc_pareto(spark, sf_dir):
     on a float boundary; descending revenue ties are broken by part key.
 
     Spark shape: the fact table reduces to a part-sized relation in one
-    map-side-combinable aggregate; the cumulative window runs over that
-    relation (global ordered window — exact Pareto front; at 100 TB the
-    swap is range-partitioned cumulation via per-shard offsets, the
-    `corpus_global_row_ids` trick); final roll-up is 3 cells."""
+    map-side-combinable aggregate; the exact Pareto cumulation runs
+    SHARD-PARALLEL via ``operators/ranking.running_global`` (range-shard
+    on descending revenue, per-shard running sums, broadcast offsets —
+    no single-partition sort even when the part relation is huge);
+    final roll-up is 3 cells. The oracle keeps the textbook cumulative
+    window."""
     rev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1531,18 +1533,19 @@ def analytics_abc_pareto(spark, sf_dir):
         )
     )
     total = rev.agg(F.sum("rev").alias("total_rev"))
-    from pyspark.sql.window import Window
+    from crocus_spark.operators import ranking as R
 
-    cum = rev.select(
-        "rev",
-        F.sum("rev")
-        .over(
-            Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+    cum = (
+        R.running_global(
+            rev.withColumn("_neg", -F.col("rev")),
+            ["_neg", "l_partkey"],
+            "rev",
+            out_col="cum_rev",
+            n_shards=16,
         )
-        .alias("cum_rev"),
-    ).crossJoin(F.broadcast(total))
+        .select("rev", "cum_rev")
+        .crossJoin(F.broadcast(total))
+    )
     classed = cum.select(
         F.when(
             F.col("cum_rev") * 10 <= F.col("total_rev") * 7, "A"

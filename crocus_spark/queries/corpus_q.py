@@ -1141,11 +1141,13 @@ def corpus_ccnet_perplexity_buckets(spark, sf_dir):
     never free-run). Per bucket: doc and token counts — the mixture
     weights a curation recipe consumes.
 
-    Spark shape: the two unigram scans plus one global NTILE over the
-    doc-sized score relation (approx-quantile boundaries at 100 TB, as
-    `window_ntile_binning` documents) and a 3-cell roll-up."""
-    from pyspark.sql.window import Window
-
+    Spark shape: the two unigram scans, then the tercile assignment with
+    NO global NTILE window: an exact global rank from the shard-offset
+    helper (``operators/ranking.ranked_global`` — range-shard,
+    per-shard row_numbers, broadcast offsets) feeds the SQL-standard
+    NTILE formula in pure integer arithmetic (first n mod k buckets get
+    ⌈n/k⌉ rows), and a 3-cell roll-up. The oracle keeps the textbook
+    NTILE window."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -1163,13 +1165,28 @@ def corpus_ccnet_perplexity_buckets(spark, sf_dir):
     mean_prob = F.col("sum_freq").cast("double") / (
         F.col("n_tokens") * F.lit(n_total)
     )
-    scored = per_doc.select(
+    from crocus_spark.operators import ranking as R
+
+    base = per_doc.select(
         "doc_id",
         "n_tokens",
         mean_prob.alias("mean_prob"),
-        F.ntile(3)
-        .over(Window.orderBy(mean_prob.desc(), F.col("doc_id")))
-        .alias("b"),
+        (-mean_prob).alias("_neg"),
+    )
+    rn = R.ranked_global(
+        base, ["_neg", "doc_id"], out_col="rn", n_shards=16
+    ).drop("_neg")
+    tot = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # SQL-standard NTILE(3) from the exact rank, integer arithmetic:
+    # q = n div 3, r = n mod 3; buckets 1..r take q+1 rows, the rest q
+    scored = rn.crossJoin(F.broadcast(tot)).withColumn(
+        "b",
+        F.expr(
+            "CASE WHEN rn <= (n % 3) * ((n div 3) + 1) "
+            "THEN (rn + (n div 3)) div ((n div 3) + 1) "
+            "ELSE (n % 3) + (rn - (n % 3) * ((n div 3) + 1) "
+            "      + (n div 3) - 1) div (n div 3) END"
+        ).cast("int"),
     )
     return (
         scored.groupBy("b")

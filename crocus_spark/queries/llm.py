@@ -830,8 +830,15 @@ def search_pdf_corpus(spark, sf_dir):
     )
     from pyspark.sql.window import Window as W
 
+    # top-20 FIRST (TakeOrderedAndProject — per-partition heads, no
+    # global sort), then rank the 20 surviving rows: the rank window
+    # never sees the matched relation, which is corpus-sized for common
+    # terms
+    top = matched.select("doc_id", "score").orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(20)
     return (
-        matched.select(
+        top.select(
             "doc_id",
             "score",
             F.row_number()
@@ -839,7 +846,6 @@ def search_pdf_corpus(spark, sf_dir):
             .alias("rk"),
         )
         .orderBy("rk")
-        .limit(20)
     )
 
 
@@ -1129,8 +1135,15 @@ def search_inverted_index(spark, sf_dir):
     )
     from pyspark.sql.window import Window as W
 
+    # top-20 FIRST (TakeOrderedAndProject — per-partition heads, no
+    # global sort), then rank the 20 surviving rows: the rank window
+    # never sees the matched relation, which is corpus-sized for common
+    # terms
+    top = matched.select("doc_id", "score").orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(20)
     return (
-        matched.select(
+        top.select(
             "doc_id",
             "score",
             F.row_number()
@@ -1138,7 +1151,6 @@ def search_inverted_index(spark, sf_dir):
             .alias("rk"),
         )
         .orderBy("rk")
-        .limit(20)
     )
 
 
@@ -1793,8 +1805,15 @@ def search_bm25_topk(spark, sf_dir):
     matched = _bm25_matched(docs, ["spark", "merge"])
     from pyspark.sql.window import Window as W
 
+    # top-20 FIRST (TakeOrderedAndProject — per-partition heads, no
+    # global sort), then rank the 20 surviving rows: the rank window
+    # never sees the matched relation, which is corpus-sized for common
+    # terms
+    top = matched.select("doc_id", "score").orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(20)
     return (
-        matched.select(
+        top.select(
             "doc_id",
             "score",
             F.row_number()
@@ -1802,7 +1821,6 @@ def search_bm25_topk(spark, sf_dir):
             .alias("rk"),
         )
         .orderBy("rk")
-        .limit(20)
     )
 
 
@@ -1911,10 +1929,10 @@ def ml_auc_evaluation(spark, sf_dir):
     rank-sum with midrank tie handling. The whole statistic reduces to
     THREE integers (Σ over positives of 2·rank + tiecount − 1, n_pos,
     n_neg) and one final double division — exact and engine-identical;
-    no per-threshold ROC sweep, no sort-and-collect. The rank window is
-    the only global-order step; at 100 TB replace it with the range-shard
-    rank pattern of corpus_global_row_ids (same module) — the statistic
-    is unchanged."""
+    no per-threshold ROC sweep, no sort-and-collect, and (since r3) no
+    per-row rank window either: the rank sum decomposes over the
+    score-frequency relation, cumulated shard-parallel via
+    ``operators/ranking.cumulative_below``."""
     emb = load(spark, sf_dir, "embeddings")
     cents = S.label_centroids(emb.filter(F.col("label") == 0))
     scored = emb.crossJoin(F.broadcast(cents.select("centroid"))).select(
@@ -1923,21 +1941,23 @@ def ml_auc_evaluation(spark, sf_dir):
             "score"
         ),
     )
-    from pyspark.sql.window import Window as W
+    from crocus_spark.operators import ranking as R
 
-    ranked = scored.select(
-        "is_pos",
-        F.rank().over(W.orderBy("score")).alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy("score")).alias("c"),
+    # NO per-row rank window: Σ over positives of (2·min_rank + ties − 1)
+    # decomposes over the SCORE-FREQUENCY relation (scores are 6-digit
+    # rounded cosines — bounded distinct values), whose strictly-below
+    # cumulative runs shard-parallel; same decomposition as
+    # stats_mannwhitney_u. The oracle keeps the textbook rank window.
+    per_score = scored.groupBy("score").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.count(F.lit(1)).alias("c_all"),
     )
-    agg = ranked.agg(
-        F.sum(
-            F.when(F.col("is_pos"), 2 * F.col("r") + F.col("c") - 1).otherwise(
-                0
-            )
-        ).alias("s2"),
-        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("np"),
-        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("nn"),
+    cum = R.cumulative_below(per_score, "score", ["c_all"], n_shards=16)
+    midrank2 = 2 * F.col("_cum_c_all") + F.col("c_all") + 1
+    agg = cum.agg(
+        F.sum(F.col("c_pos") * midrank2).alias("s2"),
+        F.sum("c_pos").alias("np"),
+        F.sum(F.col("c_all") - F.col("c_pos")).alias("nn"),
     )
     return agg.select(
         F.col("np").alias("n_pos"),
@@ -2861,14 +2881,18 @@ def search_hybrid_rrf(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     matched = _bm25_matched(docs, ["spark", "merge"])
+    # top-50 FIRST (TakeOrderedAndProject), then rank the survivors:
+    # the rank windows never see the corpus-sized ranker outputs
     ltop = (
-        matched.select(
+        matched.select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select(
             "doc_id",
             F.row_number()
             .over(W.orderBy(F.desc("score"), "doc_id"))
             .alias("rk_lex"),
         )
-        .filter(F.col("rk_lex") <= 50)
     )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec")
@@ -2880,13 +2904,15 @@ def search_hybrid_rrf(spark, sf_dir):
         ),
     )
     vtop = (
-        vec.select(
+        vec.select("doc_id", "cos")
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(50)
+        .select(
             "doc_id",
             F.row_number()
             .over(W.orderBy(F.desc("cos"), "doc_id"))
             .alias("rk_vec"),
         )
-        .filter(F.col("rk_vec") <= 50)
     )
     contrib = lambda rk: F.coalesce(  # noqa: E731
         F.round(F.lit(1e9) / (F.lit(60) + rk)).cast("long"), F.lit(0)

@@ -443,9 +443,9 @@ def sketch_quantile_hash_sample(spark, sf_dir):
     Index arithmetic is integer ceiling division ((num*n + den - 1) div
     den) — never a float rank. Spark shape: bottom-k is one TakeOrdered-
     shaped selection (each partition keeps its own top-512 before the
-    merge); the exact side's global rank is the fixture-scale check and
-    would swap for the sample-only path (that's the point of the sketch)
-    at 100 TB."""
+    merge); the exact side carries no global rank either — the value at
+    a global rank reads off the value-frequency cumulative
+    (``operators/ranking.cumulative_below``, shard-parallel)."""
     from pyspark.sql.window import Window
 
     orders = load(spark, sf_dir, "orders")
@@ -465,11 +465,6 @@ def sketch_quantile_hash_sample(spark, sf_dir):
             F.row_number().over(Window.orderBy("v", "rn")).alias("srn"),
         )
     )
-    full_ranked = hashed.select(
-        "v",
-        F.row_number().over(Window.orderBy("v", "h")).alias("frn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
     spec = spark.createDataFrame(
         _QS_QUANTILES, "q_label STRING, q_num INT, q_den INT"
     )
@@ -483,11 +478,21 @@ def sketch_quantile_hash_sample(spark, sf_dir):
         .groupBy("q_label")
         .agg(F.min("v").alias("est_v"))
     )
+    # exact side with NO global rank over the fact: the value at a
+    # global rank reads off the VALUE-FREQUENCY relation's strictly-below
+    # cumulative (operators/ranking.cumulative_below, shard-parallel) —
+    # same decomposition as funnel_latency_quartiles
+    from crocus_spark.operators import ranking as R
+
+    freqs = hashed.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = R.cumulative_below(freqs, "v", ["c"], n_shards=16)
+    tot = freqs.agg(F.sum("c").cast("long").alias("n"))
+    target = F.expr("(q_num * n + q_den - 1) div q_den")
     exact = (
-        F.broadcast(spec)
-        .join(
-            full_ranked,
-            F.col("frn") == F.expr("(q_num * n + q_den - 1) div q_den"),
+        cum.crossJoin(F.broadcast(spec.crossJoin(tot)))
+        .filter(
+            (target > F.col("_cum_c"))
+            & (target <= F.col("_cum_c") + F.col("c"))
         )
         .groupBy("q_label")
         .agg(F.min("v").alias("exact_v"))

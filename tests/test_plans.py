@@ -638,7 +638,11 @@ def _unsafe_global_windows(df) -> list[str]:
         if len(groups) >= 2 and not re.search(
             r"\b(ASC|DESC)\b", groups[-2]
         ) and "windowspecdefinition" not in groups[-2]:
-            continue  # partitioned window — parallel by shard/key
+            continue  # partitioned + ordered window — parallel by key
+        if groups and not re.search(
+            r"\b(ASC|DESC)\b", groups[-1]
+        ) and "windowspecdefinition" not in groups[-1]:
+            continue  # partition-only window (no order) — parallel by key
         order_cols = re.findall(r"(\w+)#\d+", groups[-1]) if groups else []
         if order_cols and all(c == "_shard" for c in order_cols):
             continue  # ranking.py metadata offsets window (≤ n_shards rows)
@@ -651,9 +655,15 @@ GLOBAL_RANK_FAMILY = [
     "stats_mannwhitney_u",
     "stats_quantile_normalize",
     "dq_ks_test",
+    "dq_ks_binned",
     "dq_key_skew_profile",
     "funnel_latency_quartiles",
     "corpus_global_row_ids",
+    # r3 additions: retrofitted off fact-sized unpartitioned windows
+    "ml_auc_evaluation",
+    "corpus_ccnet_perplexity_buckets",
+    "analytics_abc_pareto",
+    "series_theil_sen_slope",
 ]
 
 
