@@ -499,14 +499,13 @@ def test_hybrid_rrf_fuses_list_sized_rankings(spark, registry):
     and the final top-20 must be TakeOrderedAndProject — never a global
     sort of anything corpus-sized."""
     plan = _plan(registry["search_hybrid_rrf"].fn(spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
-    # the top-50 cuts must still guard both fusion inputs — without them
-    # the full-outer join goes corpus-sized and this test must fail
+    # r3 shape: each ranker is a top-50 TakeOrderedAndProject FIRST and
+    # only the 50 survivors are ranked (WindowGroupLimit doesn't fire
+    # for unpartitioned windows, so the rank-filter form would sort the
+    # corpus-sized ranker outputs through one partition). Three
+    # TakeOrdered nodes: lexical cut, vector cut, final top-20.
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
     assert "rk_lex" in plan and "rk_vec" in plan
-    import re
-
-    assert re.search(r"rk_lex#\d+ <= 50", plan), "lexical top-50 cut missing"
-    assert re.search(r"rk_vec#\d+ <= 50", plan), "vector top-50 cut missing"
 
 
 def test_target_encoding_single_scan_no_self_join(spark, registry):
