@@ -101,3 +101,32 @@ def test_ranked_global_rank_set_is_exactly_1_to_n(spark):
     got = ranked_global(df, ["k", "tie"], out_col="rn", n_shards=8)
     ranks = sorted(r.rn for r in got.select("rn").collect())
     assert ranks == list(range(1, 334))
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_running_global_matches_naive(spark, name, inclusive):
+    from crocus_spark.operators.ranking import running_global
+
+    df = _df(spark, CASES[name], "k long, tie long").withColumn(
+        "w", (F.col("tie") % 7 + 1)
+    )
+    got = running_global(
+        df, ["k", "tie"], "w", out_col="run", n_shards=8,
+        inclusive=inclusive,
+    )
+    end = 0 if inclusive else -1
+    naive = df.withColumn(
+        "run",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("k", "tie").rowsBetween(
+                    Window.unboundedPreceding, end
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    assert sorted(got.select("k", "tie", "run").collect()) == sorted(
+        naive.select("k", "tie", "run").collect()
+    )
