@@ -1388,6 +1388,97 @@ def stats_mannwhitney_u(spark, sf_dir):
 
 
 @register(
+    "analytics_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, NTILE(10) OVER (ORDER BY r, o_custkey) AS decile
+      FROM rev
+    ),
+    cells AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(r) AS dec_rev
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT SUM(dec_rev) AS total_rev FROM cells)
+    SELECT decile, n_customers,
+           CAST(dec_rev AS DOUBLE) AS decile_revenue,
+           CAST(CAST(SUM(dec_rev) OVER (ORDER BY decile
+                                        ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE)
+                / CAST((SELECT total_rev FROM tot) AS DOUBLE)
+                AS FLOAT) AS cum_share
+    FROM cells
+    ORDER BY decile
+    """,
+    tags=("analytics", "statistics"),
+)
+def analytics_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve at decile resolution — cumulative revenue share of
+    customers ranked poorest-to-richest, the inequality curve behind the
+    Gini summary (`dq_key_skew_profile` computes the one-number version
+    for join keys; this is the full distributional readout for customer
+    concentration). Decile membership is the SQL-standard NTILE(10) over
+    the exact global revenue rank; sums stay decimal until the output
+    boundary; cum_share is an exact-decimal ratio at float32.
+
+    Spark shape: the fact table reduces to a customer-sized relation in
+    one map-side-combinable aggregate; the global rank comes from
+    ``operators/ranking.ranked_global`` (range-shard + per-shard
+    row_numbers + broadcast offsets — NO single-partition sort even with
+    a billion customers); NTILE is the integer formula over (rank, n);
+    the only ordered window left runs over the 10-row decile relation.
+    The oracle keeps the textbook NTILE window."""
+    from crocus_spark.operators import ranking as R
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("r"))
+    )
+    rn = R.ranked_global(rev, ["r", "o_custkey"], out_col="rn", n_shards=16)
+    tot_n = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # SQL-standard NTILE(10): q = n div 10, rem = n mod 10; buckets 1..rem
+    # take q+1 rows, the rest q — same integer form as the CCNet terciles
+    ranked = rn.crossJoin(F.broadcast(tot_n)).withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN rn <= (n % 10) * ((n div 10) + 1) "
+            "THEN (rn + (n div 10)) div ((n div 10) + 1) "
+            "ELSE (n % 10) + (rn - (n % 10) * ((n div 10) + 1) "
+            "      + (n div 10) - 1) div (n div 10) END"
+        ).cast("int"),
+    )
+    cells = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").alias("dec_rev"),
+    )
+    total = cells.agg(F.sum("dec_rev").alias("total_rev"))
+    w10 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10 rows — cells-sized, not data-sized
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("dec_rev").cast("double").alias("decile_revenue"),
+            (
+                F.sum("dec_rev").over(w10).cast("double")
+                / F.col("total_rev").cast("double")
+            )
+            .cast("float")
+            .alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "analytics_rfm_segmentation",
     oracle="""
     WITH maxd AS (SELECT MAX(o_orderdate) AS max_date FROM orders),

@@ -663,6 +663,10 @@ GLOBAL_RANK_FAMILY = [
     "corpus_ccnet_perplexity_buckets",
     "analytics_abc_pareto",
     "series_theil_sen_slope",
+    # analytics_lorenz_deciles is deliberately NOT gated: its only
+    # unpartitioned window runs over the 10-row decile relation (the
+    # fact-sized rank goes through ranked_global) and the detector
+    # cannot see relation sizes
 ]
 
 
