@@ -44,6 +44,23 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def check_budgets(times: dict[str, float], sf: float) -> list[str]:
+    """Names of queries over their checked-in per-query budget
+    (bench_budgets.json, 1.5× the BENCH_r03 time — r3 verdict task 7:
+    the suite total hid a 2× single-query regression for two rounds).
+    Budgets are calibrated at sf0.1 only; other scales are unchecked."""
+    path = Path(_REPO) / "bench_budgets.json"
+    if not path.exists():
+        return []
+    spec = json.loads(path.read_text())
+    if abs(sf - spec.get("sf", -1)) > 1e-9:
+        return []
+    budgets = spec["budgets"]
+    return sorted(
+        n for n, t in times.items() if n in budgets and t > budgets[n]
+    )
+
+
 def main() -> None:
     queries()  # populate REGISTRY
     heads = sorted(n for n, q in REGISTRY.items() if "headline" in q.tags)
@@ -51,6 +68,17 @@ def main() -> None:
     spark = get_spark(app_name="crocus-bench")
     # warm-up: JVM, codegen, parquet footers — untimed
     _execute(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+
+    # IVF fit measured SEPARATELY (r3 ADVICE): ann_ivf_topk memoizes the
+    # centroid model (fit-once/serve-many), so min-of-3 below measures
+    # the probe path — which is the serving number. The fit cost is
+    # timed here from a cleared memo and reported as its own key.
+    from crocus_spark.queries import llm as _llm
+
+    _llm._IVF_HEADLINE_MODEL.clear()
+    t0 = time.perf_counter()
+    _execute(REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR))
+    ivf_fit_and_probe = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     for _pass in range(3):
@@ -61,6 +89,13 @@ def main() -> None:
             times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
+    sf = _sf_from_dir(SF_DIR)
+    violations = check_budgets(times, sf)
+    if violations:
+        print(
+            f"BUDGET VIOLATIONS (over 1.5x BENCH_r03): {violations}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -68,10 +103,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": _sf_from_dir(SF_DIR),
+                "ann_ivf_fit_and_probe_cold_sec": ivf_fit_and_probe,
+                "budget_violations": violations,
+                "sf": sf,
             }
         )
     )
+    if violations and os.environ.get("SPARK_GRAFT_ENFORCE_BUDGETS") == "1":
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -69,10 +69,11 @@ def ranked_global(
     n_shards: int = 32,
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY *order_cols)`` (1-based,
-    in ``out_col``) with no single-partition sort. ``order_cols[0]`` must
-    be numeric (it feeds the percentile sketch); remaining columns break
-    ties within shards, where all rows equal on the first key co-locate.
-    """
+    in ``out_col``) with no single-partition sort. ``order_cols[0]`` may
+    be ANY orderable type — sharding is ``repartitionByRange`` (JVM
+    RangePartitioner, no percentile sketch involved); the remaining
+    columns break ties within shards, where all rows equal on the first
+    key co-locate."""
     first = order_cols[0]
     sharded = with_range_shard(df, first, n_shards)
     counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_sn"))

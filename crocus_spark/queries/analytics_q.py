@@ -1096,15 +1096,22 @@ def dq_key_skew_profile(spark, sf_dir):
     freqs = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
     fof = freqs.groupBy("f").agg(F.count(F.lit(1)).alias("k"))
     fof = R.cumulative_below(fof, "f", ["k"], n_shards=8)
-    a = F.col("_cum_k") + 1  # first global rank of this tie group
-    iwsum2 = F.col("f") * (
-        2 * F.col("k") * a + F.col("k") * (F.col("k") - 1)
+    # Cast to decimal(38,0) BEFORE the products: k*(k-1) in 64-bit long
+    # wraps silently once a tie group exceeds ~3e9 keys (non-ANSI Spark)
+    # — exactly the fact-sized key relations this profile targets
+    # (r3 ADVICE). Decimal end to end keeps the closed-form rank-sum
+    # exact at any scale.
+    kd = F.col("k").cast("decimal(38,0)")
+    fd = F.col("f").cast("decimal(38,0)")
+    a = F.col("_cum_k").cast("decimal(38,0)") + 1  # group's first rank
+    iwsum2 = fd * (
+        2 * kd * a + kd * (kd - 1)
     )  # 2 × Σ(rank·f) over the group — stays integer, k(k−1) is even
     return fof.agg(
         F.sum("k").cast("long").alias("n_keys"),
         F.sum(F.col("f") * F.col("k")).cast("long").alias("n_rows"),
         F.max("f").alias("max_f"),
-        F.sum(iwsum2.cast("decimal(38,0)")).alias("iwsum2"),
+        F.sum(iwsum2).cast("decimal(38,0)").alias("iwsum2"),
     ).select(
         "n_keys",
         "n_rows",

@@ -375,6 +375,29 @@ def ann_centroid_classify(spark, sf_dir):
 _IVF_HEADLINE_MODEL: dict = {}
 
 
+def _parquet_fingerprint(sf_dir: str, table: str):
+    """Content fingerprint (path, mtime_ns, size per data file) of a
+    parquet table — memo keys built on this invalidate whenever the
+    fixture is regenerated in-process (r3 ADVICE: an sf_dir-only key
+    silently served a stale centroid model after a rewrite)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for root, _dirs, files in os.walk(path):
+                for fn in sorted(files):
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    parts.append((fp, st.st_mtime_ns, st.st_size))
+            return (path, tuple(parts))
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None)
+
+
 @register(
     "ann_ivf_topk",
     oracle=None,  # nprobe < n_cells is approximate — recall@5 vs brute
@@ -389,23 +412,29 @@ def ann_ivf_topk(spark, sf_dir):
     so a probe reads nprobe/n_cells of the data — the IVF counterpart to
     the LSH-bucketed path.
 
-    The centroid model is fitted ONCE per corpus path and memoized
+    The centroid model is fitted ONCE per corpus CONTENT and memoized
     (model-sized: 8×64 doubles) — the FAISS fit-once/serve-many split.
-    Repeat calls are probe-only, which is what a serving benchmark
-    should measure; the fit cost itself stays measurable in
-    ``ann_ivf_at_rest``'s build step and in ``ml_kmeans_iterations``.
+    The memo key is a file fingerprint (path + mtime + size of every
+    parquet data file), not just the directory name, so regenerating
+    the fixture in-process invalidates the cache (r3 ADVICE). Repeat
+    calls are probe-only, which is what a serving benchmark should
+    measure; the fit cost itself stays measurable in
+    ``ann_ivf_at_rest``'s build step and in ``ml_kmeans_iterations``,
+    and bench.py reports the fit separately (``ann_ivf_fit``).
     Determinism is unchanged: the memoized model is exactly the value
     a fresh fit returns (bit-identical decimal means), so cached and
     uncached calls produce identical rows."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    model = _IVF_HEADLINE_MODEL.get(sf_dir)
+    key = _parquet_fingerprint(sf_dir, "embeddings")
+    model = _IVF_HEADLINE_MODEL.get(key)
     if model is None:
         model = S.collect_centroid_model(
             S.ivf_fit_centroids(corpus, 8, "vec_id", "embedding", 1, dim=64)
         )
-        _IVF_HEADLINE_MODEL[sf_dir] = model
+        _IVF_HEADLINE_MODEL.clear()  # one corpus at a time — bounded memo
+        _IVF_HEADLINE_MODEL[key] = model
     return S.ivf_topk(
         queries, corpus, k=5, n_cells=8, nprobe=4, dim=64, model=model
     ).orderBy("query_id", "rank")
@@ -710,7 +739,8 @@ def multimodal_binary_stats(spark, sf_dir):
            CAST(length(t) AS BIGINT) AS n_chars,
            CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT)
              AS n_tokens,
-           md5(t) AS extracted_md5
+           md5(t) AS extracted_md5,
+           'ok' AS decode_status
     FROM ascii ORDER BY doc_id
     """,
     tags=("llm", "multimodal", "pdf"),
@@ -728,6 +758,12 @@ def multimodal_pdf_text(spark, sf_dir):
     against an oracle computed from the source text, which is the
     round-trip proof that the extractor reads back exactly what the
     writer laid out (the imagecodec discipline applied to PDFs).
+
+    Every row also carries ``decode_status`` ('ok' here — synthesized
+    PDFs use simple single-byte fonts); real-world CID/Type0-fonted PDFs
+    are detected and QUARANTINED (empty text, status 'cid_font') rather
+    than silently ingested as mojibake — see tests/test_pdfcodec.py's
+    CID fixture.
 
     Scale shape: encode and decode are both Arrow batch loops fused over
     the scan partitioning; PDF bytes live only inside executors — no
@@ -802,7 +838,11 @@ def search_pdf_corpus(spark, sf_dir):
     )
     pdfs = P.synth_pdf_table(ascii_docs, "doc_id", "t")
     media = M.to_media_table(pdfs, "doc_id", "pdf", "pdf")
-    extracted = P.extract_pdf_fulltext(media)
+    # quarantine gate: only docs the codec decoded cleanly feed the
+    # index (CID-fonted PDFs would contribute mojibake tokens)
+    extracted = P.extract_pdf_fulltext(media).filter(
+        F.col("decode_status") == "ok"
+    )
     terms = ["spark", "merge"]
     toks = extracted.select(
         "doc_id",

@@ -416,10 +416,11 @@ def map_higher_order_battery(spark, sf_dir):
     WITH bd AS (
       SELECT o_orderpriority,
              ((date_diff('day', DATE '1970-01-05', l_shipdate) // 7) * 5
-              + least(date_diff('day', DATE '1970-01-05', l_shipdate) % 7, 5))
+              + least((date_diff('day', DATE '1970-01-05', l_shipdate) % 7
+                       + 7) % 7, 5))
              - ((date_diff('day', DATE '1970-01-05', o_orderdate) // 7) * 5
-                + least(date_diff('day', DATE '1970-01-05', o_orderdate) % 7,
-                        5)) AS bdays
+                + least((date_diff('day', DATE '1970-01-05', o_orderdate) % 7
+                         + 7) % 7, 5)) AS bdays
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     )
     SELECT o_orderpriority,
@@ -448,11 +449,14 @@ def datetime_business_days(spark, sf_dir):
 
     def f(col):
         # F.floor(n/7) matches DuckDB's floor-division `//` for negative
-        # n too (pre-epoch dates), where the old truncating
-        # (n - n % 7)/7 diverged (r2 ADVICE); % keeps the dividend's
-        # sign in BOTH engines, so the pair is cross-engine exact.
+        # n too (pre-epoch dates; r2 ADVICE) — and the remainder must be
+        # floor division's PARTNER: pmod (always in [0,7)), not the
+        # sign-preserving %. With %, n=-1 gave floor(-1/7)*5 +
+        # least(-1,5) = -6 "business days" for a one-day gap (r3
+        # ADVICE); with pmod it is -5 + least(6,5) = 0, correct. The
+        # oracle uses the ((n % 7) + 7) % 7 spelling of pmod.
         n = F.datediff(col, mon)
-        return F.floor(n / 7) * 5 + F.least(n % 7, F.lit(5))
+        return F.floor(n / 7) * 5 + F.least(F.pmod(n, 7), F.lit(5))
 
     bd = (
         load(spark, sf_dir, "orders")

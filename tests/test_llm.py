@@ -330,18 +330,47 @@ def test_ivf_at_rest_equals_in_memory(spark):
 
 
 def test_ivf_memoized_model_equals_fresh_fit(spark):
-    """ann_ivf_topk memoizes its centroid model per corpus path
-    (fit-once/serve-many). The docstring's determinism claim — cached and
+    """ann_ivf_topk memoizes its centroid model per corpus CONTENT
+    fingerprint (fit-once/serve-many; r3 ADVICE moved the key from the
+    bare sf_dir to file mtime+size so in-process fixture regeneration
+    invalidates). The docstring's determinism claim — cached and
     uncached calls produce identical rows — is pinned here by clearing
     the memo between calls."""
     from crocus_spark.queries import llm as L
 
     sf = "/root/testdata/sf0.001"
+    key = L._parquet_fingerprint(sf, "embeddings")
     L._IVF_HEADLINE_MODEL.clear()
     fresh = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
-    assert sf in L._IVF_HEADLINE_MODEL  # memo populated by the fit
+    assert key in L._IVF_HEADLINE_MODEL  # memo populated by the fit
     cached = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
     assert cached == fresh
     L._IVF_HEADLINE_MODEL.clear()
     refit = sorted(map(tuple, L.ann_ivf_topk(spark, sf).collect()))
     assert refit == fresh
+
+
+def test_ivf_memo_invalidates_on_fixture_rewrite(tmp_path):
+    """Touching any data file of the embeddings table changes the memo
+    key — a regenerated fixture at the same path can never be served
+    from a stale centroid model (r3 ADVICE)."""
+    import os
+    import shutil
+
+    from crocus_spark.queries import llm as L
+
+    src = os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    dst = tmp_path / "sfX"
+    dst.mkdir()
+    target = dst / "embeddings.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, target)
+        target = next(p for p in sorted(target.rglob("*")) if p.is_file())
+    else:
+        shutil.copy(src, target)
+    k1 = L._parquet_fingerprint(str(dst), "embeddings")
+    # simulate an in-process regeneration: bump one data file's mtime
+    st = target.stat()
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    k2 = L._parquet_fingerprint(str(dst), "embeddings")
+    assert k1 != k2

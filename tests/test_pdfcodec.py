@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from crocus_spark.operators.pdfcodec import (
     encode_pdf,
     extract_pdf_text,
+    extract_pdf_text_status,
     pdf_page_count,
 )
 
@@ -75,3 +76,74 @@ def test_octal_and_hex_strings_parse():
 def test_roundtrip_property(pages):
     assert extract_pdf_text(encode_pdf(pages)).split("\f") == pages
     assert pdf_page_count(encode_pdf(pages)) == len(pages)
+
+
+def test_status_ok_for_simple_fonts():
+    text, status = extract_pdf_text_status(encode_pdf(["hello", "world"]))
+    assert status == "ok"
+    assert text == "hello\fworld"
+
+
+def _cid_pdf() -> bytes:
+    """Minimal Type0/CID-fonted PDF: an Identity-H composite font whose
+    show string is two-byte CID codes — exactly the real-world
+    factsheet/KID shape a single-byte reader would garble."""
+    import zlib
+
+    content = zlib.compress(b"BT /F1 12 Tf <00480065006C006C006F> Tj ET")
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansCJK"
+        b" /Encoding /Identity-H /DescendantFonts [2 0 R] >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /Subtype /CIDFontType2 >>\nendobj\n"
+        b"3 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_cid_font_quarantined_not_garbled():
+    # r3 verdict "What's missing" #1: CID/Type0 PDFs must be FLAGGED,
+    # never silently ingested as mojibake
+    text, status = extract_pdf_text_status(_cid_pdf())
+    assert status == "cid_font"
+    assert text == ""  # quarantined — no NUL-ridden pseudo-text
+    assert extract_pdf_text(_cid_pdf()) == ""
+
+
+def test_length_sliced_stream_containing_endstream_bytes():
+    # r3 ADVICE (pdfcodec.py:107): Flate data may contain the literal
+    # bytes `endstream`; with /Length present the body must be sliced at
+    # the declared length, not truncated at the first keyword hit.
+    import zlib
+
+    # a valid zlib stream that CONTAINS b"endstream": level 0 emits
+    # stored (verbatim) blocks, so the payload's keyword appears raw
+    comp = zlib.compress(b"BT (before endstream after) Tj ET", 0)
+    assert b"endstream" in comp
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, status = extract_pdf_text_status(pdf)
+    assert status == "ok"
+    assert text == "before endstream after"
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    import zlib
+
+    content = zlib.compress(b"BT (indirect length) Tj ET")
+    assert b"endstream" not in content
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 0 R /Filter /FlateDecode >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, status = extract_pdf_text_status(pdf)
+    assert status == "ok"
+    assert text == "indirect length"

@@ -7,8 +7,11 @@ wall time is part of the contract (r1 verdict: only 50/158 queries were
 reached; worst offenders were 10-27 s each).
 
 Usage:
-    python tools/sweep.py [sf_dir] [out.json]
-defaults: /root/testdata/sf0.01, /tmp/sweep_sf001.json
+    python tools/sweep.py [sf_dir] [out.json] [name1,name2,... | prefix*]
+defaults: /root/testdata/sf0.01, /tmp/sweep_sf001.json, all queries
+The optional third arg restricts the sweep to a comma-separated name
+list (each item may end in ``*`` for a prefix match) — targeted
+re-verification after editing a query.
 
 Output JSON: {name: {"ok": bool|None, "secs": float, "err": str|None}},
 plus a "_summary" entry; prints the 15 slowest to stderr.
@@ -40,6 +43,16 @@ def main() -> int:
 
     spark = get_spark(app_name="sweep")
     qs, osql = e.queries(), e.oracle_sql()
+    if len(sys.argv) > 3:
+        pats = sys.argv[3].split(",")
+        qs = {
+            k: v
+            for k, v in qs.items()
+            if any(
+                k.startswith(p[:-1]) if p.endswith("*") else k == p
+                for p in pats
+            )
+        }
 
     con = duckdb.connect()
     for t in TABLES:
