@@ -127,13 +127,19 @@ def cumulative_below(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = sharded.join(F.broadcast(offsets), "_shard")
+    # integral weights cumulate as exact longs; fractional weights keep
+    # their native type (a long cast would silently floor doubles)
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
     for w in weight_cols:
+        cum = F.col(f"_o_{w}") + F.coalesce(
+            F.sum(w).over(in_shard), F.lit(0)
+        )
         out = out.withColumn(
-            f"_cum_{w}",
-            (
-                F.col(f"_o_{w}")
-                + F.coalesce(F.sum(w).over(in_shard), F.lit(0))
-            ).cast("long"),
+            f"_cum_{w}", cum.cast("long") if w in integral else cum
         )
     return out.drop(
         "_shard", *[f"_o_{w}" for w in weight_cols]
@@ -179,3 +185,60 @@ def running_global(
         )
         .drop("_shard", "_o")
     )
+
+
+def running_max_global(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "_runmax",
+    n_shards: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running MAX of ``value_col`` over a total order — the
+    sweep-line primitive (Pareto/skyline frontiers: "best value among
+    all strictly-cheaper rows"). Same shard-offset shape as
+    ``running_global``: per-shard running max + a broadcast prefix-max
+    of the ≤ n_shards shard maxima. With ``inclusive=False`` the
+    globally-first row gets NULL (no strictly-preceding rows), matching
+    ``MAX(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO -1)``;
+    ``F.greatest`` skips NULL operands, so shard-local NULLs merge
+    correctly with the prefix offset."""
+    sharded = with_range_shard(df, order_cols[0], n_shards)
+    shard_tot = sharded.groupBy("_shard").agg(
+        F.max(value_col).alias("_t")
+    )
+    w_off = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ n_shards rows — metadata-sized
+    offsets = shard_tot.select(
+        "_shard", F.max("_t").over(w_off).alias("_o")
+    )
+    in_shard = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return (
+        sharded.join(F.broadcast(offsets), "_shard")
+        .withColumn(
+            out_col,
+            F.greatest(F.col("_o"), F.max(value_col).over(in_shard)),
+        )
+        .drop("_shard", "_o")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """SQL-standard ``NTILE(k)`` bucket from a precomputed 1-based global
+    rank and total count — the first ``n mod k`` buckets take
+    ``n div k + 1`` rows, the rest ``n div k`` (the remainder rule both
+    Spark and DuckDB implement). Pair with ``ranked_global`` to compute
+    exact NTILEs without a single-partition window; one parsed
+    ``F.expr`` keeps plan-build cost flat (one py4j round-trip)."""
+    q, r = f"({n_col} div {k})", f"({n_col} % {k})"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {r} * ({q} + 1) "
+        f"THEN ({rank_col} + {q}) div ({q} + 1) "
+        f"ELSE {r} + ({rank_col} - {r} * ({q} + 1) + {q} - 1) div {q} END"
+    ).cast("int")

@@ -1523,10 +1523,15 @@ def analytics_rfm_segmentation(spark, sf_dir):
     sizes and average spend.
 
     Spark shape: orders collapse to a customer-sized relation in one
-    grouped aggregate; the three score windows are global NTILEs over that
-    relation — exact quintiles here, swapped for approx-percentile
-    boundaries at 100 TB exactly like `window_ntile_binning` documents;
+    grouped aggregate; each exact quintile is a shard-parallel global
+    rank (``operators/ranking.ranked_global`` — range-shard + per-shard
+    row_numbers + broadcast offsets, NO single-partition sort over the
+    customer relation at any scale) fed through the SQL-standard NTILE
+    remainder formula (``ranking.ntile_from_rank``), the same
+    decomposition ``analytics_lorenz_deciles`` proved oracle-stable;
     the final roll-up is at most 125 cells."""
+    from crocus_spark.operators import ranking as R
+
     orders = load(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
     rfm = (
@@ -1540,23 +1545,22 @@ def analytics_rfm_segmentation(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
         )
     )
-    from pyspark.sql.window import Window
-
-    scored = rfm.select(
+    tot_n = rfm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = R.ranked_global(
+        rfm, ["recency_days", "o_custkey"], out_col="_rn_r", n_shards=16
+    )
+    ranked = R.ranked_global(
+        ranked, ["frequency", "o_custkey"], out_col="_rn_f", n_shards=16
+    )
+    ranked = R.ranked_global(
+        ranked, ["monetary", "o_custkey"], out_col="_rn_m", n_shards=16
+    )
+    scored = ranked.crossJoin(F.broadcast(tot_n)).select(
         "o_custkey",
         "monetary",
-        (
-            6
-            - F.ntile(5).over(
-                Window.orderBy("recency_days", "o_custkey")
-            )
-        ).alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
+        (6 - R.ntile_from_rank("_rn_r", "n", 5)).alias("r_score"),
+        R.ntile_from_rank("_rn_f", "n", 5).alias("f_score"),
+        R.ntile_from_rank("_rn_m", "n", 5).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -2052,8 +2056,15 @@ def stats_kaplan_meier(spark, sf_dir):
     running flag pins survival to exactly 0 from that time on instead of
     passing 0 to ln. Spark shape: orders reduce to a customer-sized
     relation (two grouped aggregates + one self-join on the first-order
-    date), then everything runs on the duration-distinct relation — window
-    state is O(distinct durations), never O(orders)."""
+    date), then everything runs on the duration-distinct relation — and
+    the cumulatives over it (risk-set counts, zero-pin flag, log-product)
+    run shard-parallel through ``operators/ranking.cumulative_below``
+    (r3 verdict: distinct durations grow with the observation window, so
+    no naked global window). The zero-pin MAX decomposes as
+    cumulative-sum-of-indicator ≥ 1 — exact integers; the log-sum's
+    shard-offset regrouping moves doubles by last-ulp at most, absorbed
+    by the float32 output boundary exactly like the engines' own
+    window-sum association differences."""
     orders = load(spark, sf_dir, "orders")
     firsts = orders.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("t1")
@@ -2082,39 +2093,37 @@ def stats_kaplan_meier(spark, sf_dir):
         F.sum("ev").cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    from pyspark.sql.window import Window
+    from crocus_spark.operators import ranking as R
 
-    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    risk = at_t.crossJoin(F.broadcast(tot)).select(
-        "dur",
-        "d",
-        (
-            F.col("n_subj") - (F.sum("c").over(wcum) - F.col("c"))
-        ).alias("n_risk"),
+    # n_risk = subjects with duration >= dur = n_subj - Σc over
+    # strictly-smaller durations (shard-parallel cumulative)
+    risk = R.cumulative_below(at_t, "dur", ["c"], n_shards=16).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        "dur", "d", (F.col("n_subj") - F.col("_cum_c")).alias("n_risk")
     )
-    km = risk.filter(F.col("d") > 0).select(
+    ev = risk.filter(F.col("d") > 0).select(
         "dur",
         "d",
         F.col("n_risk").cast("long").alias("n_risk"),
-        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
-        .over(wcum)
-        .alias("zeroed"),
-        F.sum(
-            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
-                F.log(
-                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
-                )
-            )
+        F.when(F.col("d") == F.col("n_risk"), 1)
+        .otherwise(0)
+        .alias("zp"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
         )
-        .over(wcum)
-        .alias("logsum"),
+        .alias("lt"),
     )
+    # inclusive cumulatives from the strictly-below helper: add the row's
+    # own contribution; MAX-of-indicator == (inclusive Σ indicator) >= 1
+    km = R.cumulative_below(ev, "dur", ["zp", "lt"], n_shards=16)
     return km.select(
         F.col("dur").alias("duration_days"),
         "n_risk",
         F.col("d").alias("n_events"),
-        F.when(F.col("zeroed") == 1, F.lit(0.0))
-        .otherwise(F.exp("logsum"))
+        F.when(F.col("_cum_zp") + F.col("zp") >= 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("_cum_lt") + F.col("lt")))
         .cast("float")
         .alias("survival"),
     ).orderBy("duration_days")
@@ -2400,12 +2409,16 @@ def window_skyline_frontier(spark, sf_dir):
 
     The ORACLE is the O(n²) NOT EXISTS self-join — the semantics.
     The SPARK plan is the O(n log n) sweep: group to per-price max sizes,
-    one LAG-of-running-max window over the price-distinct relation gives
-    each price the best size among STRICTLY cheaper parts, and a part is
-    on the frontier iff it carries its price group's max size and beats
-    that strictly-cheaper best. One small shuffle on price, no self-join
-    — the shape that survives when the oracle's nested loop cannot."""
-    from pyspark.sql.window import Window
+    a running max over the price-distinct relation gives each price the
+    best size among STRICTLY cheaper parts, and a part is on the
+    frontier iff it carries its price group's max size and beats that
+    strictly-cheaper best. The running max is
+    ``operators/ranking.running_max_global`` (range-shard + per-shard
+    running max + broadcast prefix-max offsets — r3 verdict: prices are
+    data-sized, a naked ``Window.orderBy`` would funnel them through one
+    task at 100×). No self-join — the shape that survives when the
+    oracle's nested loop cannot."""
+    from crocus_spark.operators import ranking as R
 
     part = load(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
@@ -2413,13 +2426,13 @@ def window_skyline_frontier(spark, sf_dir):
     gmax = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("gmax_size")
     )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    strict_prev = gmax.select(
-        "p_retailprice",
+    strict_prev = R.running_max_global(
+        gmax,
+        ["p_retailprice"],
         "gmax_size",
-        F.max("gmax_size").over(w).alias("prev_best"),
+        out_col="prev_best",
+        n_shards=16,
+        inclusive=False,
     )
     return (
         part.join(strict_prev, "p_retailprice")

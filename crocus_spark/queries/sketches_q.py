@@ -599,11 +599,14 @@ def sketch_kmv_set_algebra(spark, sf_dir):
 
     Determinism: ranks and k-th minimum hashes are integers on the
     portable md5 hash; each estimate is one literal×division, rounded at
-    4. Spark shape: one customer-sized flag aggregate, three rank
-    windows over it (bottom-k is per-partition top-k + merge at scale),
-    one single-row reduction."""
-    from pyspark.sql.window import Window
-
+    4. Spark shape: one customer-sized flag aggregate, then each sketch
+    IS a ``orderBy(h).limit(k)`` — Spark's TakeOrderedAndProject does
+    per-partition bottom-k with a k-sized merge, so NO rank window and
+    nothing data-sized ever crosses one partition (r3 verdict: the old
+    three global rank windows were single-task funnels at 100×); the
+    k-th minimum hash and the both-sets count are k-row aggregates over
+    those sketches, and the exact counts are one map-side-combinable
+    aggregate over the flag relation."""
     flags = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus").isin("F", "O"))
@@ -625,41 +628,37 @@ def sketch_kmv_set_algebra(spark, sf_dir):
             F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))
         ).alias("h"),
     )
-    ranked = keyed.select(
-        "*",
-        F.row_number().over(Window.orderBy("h")).alias("rn_u"),
-        F.when(
-            F.col("in_a") == 1,
-            F.row_number().over(
-                Window.partitionBy("in_a").orderBy("h")
-            ),
-        ).alias("rn_a"),
-        F.when(
-            F.col("in_b") == 1,
-            F.row_number().over(
-                Window.partitionBy("in_b").orderBy("h")
-            ),
-        ).alias("rn_b"),
-    )
     k, m = _KMV_K, float(_KMV_M)
-    stats = ranked.agg(
+
+    def kth_min(df_, out):
+        # bottom-k = TakeOrderedAndProject (per-partition top-k + k-row
+        # merge); the k-th minimum is its max — NULL when |set| < k,
+        # which flips both engines to the exact-count path
+        return (
+            df_.orderBy("h", "o_custkey")
+            .limit(k)
+            .agg(
+                F.when(F.count(F.lit(1)) == k, F.max("h")).alias(out)
+            )
+        )
+
+    exacts = keyed.agg(
         F.sum("in_a").cast("long").alias("exact_a"),
         F.sum("in_b").cast("long").alias("exact_b"),
         F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
-        F.max(F.when(F.col("rn_a") == k, F.col("h"))).alias("kth_a"),
-        F.max(F.when(F.col("rn_b") == k, F.col("h"))).alias("kth_b"),
-        F.max(F.when(F.col("rn_u") == k, F.col("h"))).alias("kth_u"),
-        F.sum(
-            F.when(
-                (F.col("rn_u") <= k)
-                & (F.col("in_a") == 1)
-                & (F.col("in_b") == 1),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("m_both"),
+    )
+    kth_a = kth_min(keyed.filter(F.col("in_a") == 1), "kth_a")
+    kth_b = kth_min(keyed.filter(F.col("in_b") == 1), "kth_b")
+    union_k = keyed.orderBy("h", "o_custkey").limit(k)
+    union_stats = union_k.agg(
+        F.when(F.count(F.lit(1)) == k, F.max("h")).alias("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m_both"),
+    )
+    stats = (
+        exacts.crossJoin(F.broadcast(kth_a))
+        .crossJoin(F.broadcast(kth_b))
+        .crossJoin(F.broadcast(union_stats))
     )
 
     def est(kth, exact):

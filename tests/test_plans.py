@@ -663,6 +663,12 @@ GLOBAL_RANK_FAMILY = [
     "corpus_ccnet_perplexity_buckets",
     "analytics_abc_pareto",
     "series_theil_sen_slope",
+    # r4 additions (r3 verdict "What's wrong" #1): the last four
+    # customer/dimension-sized single-partition windows, now sharded
+    "analytics_rfm_segmentation",
+    "stats_kaplan_meier",
+    "window_skyline_frontier",
+    "sketch_kmv_set_algebra",
     # analytics_lorenz_deciles is deliberately NOT gated: its only
     # unpartitioned window runs over the 10-row decile relation (the
     # fact-sized rank goes through ranked_global) and the detector

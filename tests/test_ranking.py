@@ -130,3 +130,79 @@ def test_running_global_matches_naive(spark, name, inclusive):
     assert sorted(got.select("k", "tie", "run").collect()) == sorted(
         naive.select("k", "tie", "run").collect()
     )
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_running_max_global_matches_naive(spark, name, inclusive):
+    from crocus_spark.operators.ranking import running_max_global
+
+    df = _df(spark, CASES[name], "k long, tie long").withColumn(
+        "v", (F.col("tie") * 7 % 13) - 5
+    )
+    got = running_max_global(
+        df, ["k", "tie"], "v", out_col="rm", n_shards=8,
+        inclusive=inclusive,
+    )
+    end = 0 if inclusive else -1
+    naive = df.withColumn(
+        "rm",
+        F.max("v").over(
+            Window.orderBy("k", "tie").rowsBetween(
+                Window.unboundedPreceding, end
+            )
+        ),
+    )
+    assert sorted(
+        got.select("k", "tie", "rm").collect(),
+        key=lambda r: (r.k, r.tie, r.rm is None, r.rm),
+    ) == sorted(
+        naive.select("k", "tie", "rm").collect(),
+        key=lambda r: (r.k, r.tie, r.rm is None, r.rm),
+    )
+
+
+@pytest.mark.parametrize("n", [1, 4, 5, 9, 10, 11, 37, 100])
+@pytest.mark.parametrize("k", [2, 5, 10])
+def test_ntile_from_rank_matches_builtin(spark, n, k):
+    from crocus_spark.operators.ranking import ntile_from_rank
+
+    df = _df(spark, [(i,) for i in range(1, n + 1)], "rn long").withColumn(
+        "n", F.lit(n).cast("long")
+    )
+    got = df.select(
+        "rn", ntile_from_rank("rn", "n", k).alias("b")
+    )
+    naive = df.select(
+        "rn", F.ntile(k).over(Window.orderBy("rn")).alias("b")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_cumulative_below_keeps_double_weights(spark):
+    """Fractional weights must not be floored by a long cast (the r4
+    kaplan-meier log-sum path)."""
+    rows = [(float(i), 0.1 * i) for i in range(20)]
+    df = _df(spark, rows, "v double, w double")
+    got = cumulative_below(df, "v", ["w"], n_shards=4)
+    assert got.schema["_cum_w"].dataType.typeName() == "double"
+    naive = {
+        r.v: r.c
+        for r in df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("v", "c")
+        .collect()
+    }
+    for r in got.select("v", "_cum_w").collect():
+        assert abs(r._cum_w - naive[r.v]) < 1e-9
