@@ -55,3 +55,38 @@ def rounded(col: Column, digits: int, alias: str) -> Column:
     """For inherently order-dependent stats (stddev/corr): round far below
     the accumulation-error floor so both engines agree."""
     return F.round(col, digits).alias(alias)
+
+
+def components_unrolled_sql(rounds: int = 12) -> str:
+    """CTE-chain fragment computing min-label connected components in a
+    FIXED number of propagate+jump rounds, for oracles. The caller must
+    define CTEs ``nodes(id)`` (every vertex) and ``sym(src, dst)``
+    (symmetric edge list); the fragment ends with ``comp(id, lbl)`` where
+    lbl is the component's minimum id.
+
+    Replaces the recursive-CTE transitive closure — whose O(Σ comp²)
+    reach relation cost 1,568 s of the r3 sf0.1 sweep (VERDICT "What's
+    wrong" #2) — with O((V+E)·rounds). Each round propagates the min
+    label over edges then pointer-jumps (lbl ← lbl(lbl)); every CTE is
+    MATERIALIZED — each round references the previous one twice and
+    ``sym`` once, so plain (inlined) CTEs would expand the plan
+    exponentially (observed as 2^rounds parquet re-opens). The covered
+    path distance grows as 2^(i+1)−2, so 12 rounds are exact for any
+    component diameter ≤ 8190. If a fixture ever exceeded that, the
+    result would HASH-MISMATCH the engine (fail-loud, never silently
+    green) — and the sweep verifies at every fixture scale."""
+    parts = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)"]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT l.id, "
+            f"LEAST(l.lbl, COALESCE(MIN(m.lbl), l.lbl)) AS lbl "
+            f"FROM {prev} l LEFT JOIN sym e ON e.src = l.id "
+            f"LEFT JOIN {prev} m ON m.id = e.dst GROUP BY l.id, l.lbl)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, pp.lbl) AS lbl "
+            f"FROM p{i} p JOIN p{i} pp ON pp.id = p.lbl)"
+        )
+    parts.append(f"comp AS (SELECT id, lbl FROM l{rounds})")
+    return ",\n    ".join(parts)

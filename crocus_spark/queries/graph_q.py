@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from crocus_spark.io import load, register_views
 from crocus_spark.operators import graph as G
 from crocus_spark.operators.graph import connected_components
+from crocus_spark.queries import _det as DET
 from crocus_spark.queries import register
 
 
@@ -39,8 +40,8 @@ def _copurchase_edges(spark, sf_dir):
 
 @register(
     "graph_connected_components",
-    oracle="""
-    WITH RECURSIVE sampled AS (
+    oracle=f"""
+    WITH sampled AS (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
     ), stars AS (
       SELECT l_orderkey, MIN(l_partkey) AS root FROM sampled
@@ -51,15 +52,14 @@ def _copurchase_edges(spark, sf_dir):
       WHERE l.l_partkey <> s.root
     ), und AS (
       SELECT u, v FROM edges UNION SELECT v, u FROM edges
-    ), reach (a, b) AS (
-      SELECT u, u FROM und
-      UNION
-      SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
-    ), comp AS (
-      SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
-    )
-    SELECT node, component,
-           COUNT(*) OVER (PARTITION BY component) AS comp_size
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT u AS id FROM und
+    ), sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM und
+    ),
+    {DET.components_unrolled_sql(12)}
+    SELECT id AS node, lbl AS component,
+           COUNT(*) OVER (PARTITION BY lbl) AS comp_size
     FROM comp
     ORDER BY node
     """,
@@ -74,10 +74,11 @@ def graph_connected_components(spark, sf_dir):
     fixpoint (operators/graph.py): per round two key-partitioned joins,
     state = one row per node, rounds ~ log(diameter) — no driver-side
     graph, no quadratic pair set. The oracle computes the same components
-    by brute-force recursive closure, which is exponential-in-spirit
-    (O(n·pairs)) and only viable at fixture scale — the gap between the
-    two IS the 100 TB design point. Output: every node with its
-    component id (min part key in the component) and component size."""
+    by 12 UNROLLED propagate+jump rounds (``_det.components_unrolled_sql``
+    — exact for diameters ≤ 8190, fail-loud beyond); r3's recursive
+    closure materialized an O(Σ comp²) reach relation that alone cost
+    ~6 min of the sf0.1 sweep. Output: every node with its component id
+    (min part key in the component) and component size."""
     labels = connected_components(_copurchase_edges(spark, sf_dir))
     w = Window.partitionBy("component")
     return (

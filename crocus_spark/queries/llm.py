@@ -25,6 +25,7 @@ from crocus_spark.operators import dedup as D
 from crocus_spark.operators import multimodal as M
 from crocus_spark.operators import similarity as S
 from crocus_spark.operators import text as X
+from crocus_spark.queries import _det as DET
 from crocus_spark.queries import register
 
 _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -2465,7 +2466,7 @@ def ml_feature_scaling(spark, sf_dir):
 @register(
     "dedup_minhash_verified_clusters",
     oracle=f"""
-    WITH RECURSIVE base AS (
+    WITH base AS (
       SELECT doc_id AS id,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
@@ -2482,17 +2483,16 @@ def ml_feature_scaling(spark, sf_dir):
       JOIN sizes sb ON sb.id = id_b
       WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
             >= 0.9
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b, id_a FROM pairs
-    ), reach(id, lbl) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.id
-    )
-    SELECT id, MIN(lbl) AS cluster_id, (MIN(lbl) = id) AS is_survivor
-    FROM reach GROUP BY id ORDER BY id
+    ), nodes AS MATERIALIZED (
+      SELECT doc_id AS id FROM documents
+    ),
+    {DET.components_unrolled_sql(12)}
+    SELECT id, lbl AS cluster_id, (lbl = id) AS is_survivor
+    FROM comp ORDER BY id
     """,
     tags=("llm", "dedup"),
 )
@@ -2505,8 +2505,12 @@ def dedup_minhash_verified_clusters(spark, sf_dir):
     Jaccard-0.9 graph whenever banding recall is 1.0 — measured true at
     sf0.001 / sf0.01 / sf0.1 with 48 perms × 12 bands (two orders of
     magnitude of S-curve margin, see ``dedup_minhash_lsh``) — so the
-    whole clustering is held to a recursive-CTE transitive-closure
-    oracle. Label loop cost is O(dup edges) per round, corpus-free."""
+    whole clustering is held to a full value oracle: 12 unrolled
+    propagate+jump min-label rounds (``_det.components_unrolled_sql``,
+    exact for cluster diameters ≤ 8190, fail-loud beyond). r3's
+    recursive-closure oracle materialized O(Σ cluster²) reach pairs —
+    ~20 min of the sf0.1 sweep on its own. Engine label loop cost stays
+    O(dup edges) per round, corpus-free."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_verified_components(
         docs, "text", "doc_id", n_perm=48, bands=12, threshold=0.9
