@@ -69,8 +69,50 @@ PARITY_QUERIES = sorted(
         "agg_histogram_buckets",  # DECIMAL
         "agg_collect_sorted",  # array<...>
         "q1_pricing_summary",  # bigint + double aggregates
+        # r3 verdict task 5: ≥1 representative per query FAMILY (module)
+        # through the pandas-path hasher — the driver's r2/r3 samples
+        # never touched llm/dedup/ann/corpus/graph/sketch, so a sample
+        # rotation would meet compare_frames_pandas cold without these.
+        "normalize_locale",  # crocus_q
+        "geo_haversine_knn",  # geo_q
+        "graph_connected_components",  # graph_q
+        "join_broadcast_dims",  # joins
+        "join_asof_events",  # joins_advanced
+        "text_exact_dedup",  # llm (dedup family)
+        "ann_bruteforce_topk",  # llm (ann family)
+        "dedup_simhash",  # llm (fuzzy-dedup family)
+        "corpus_pack_context_windows",  # corpus_q
+        "snapshot_time_travel",  # maintenance_q
+        "dq_expectations",  # quality_q
+        "filter_predicates",  # relational
+        "join_dpp_prune",  # runtime_q
+        "string_battery",  # scalars
+        "set_union_by_name",  # setops
+        "sketch_hll_portable",  # sketches_q
+        "io_json_roundtrip",  # sources_q
+        "sql_topk_customers_per_nation",  # sql_surface
+        "stream_tumbling_window",  # streaming_q
+        "udaf_weighted_mean",  # udfs_q
+        "window_topk_per_group",  # windows
     }
 )
+
+
+def test_parity_covers_every_query_module():
+    """PARITY_QUERIES must include at least one ORACLED query from every
+    module in the registry — if a new family lands without a parity
+    representative, this fails before the driver's sample rotation can
+    meet the pandas hasher cold."""
+    covered = {
+        REGISTRY[n].fn.__module__.split(".")[-1] for n in PARITY_QUERIES
+    }
+    all_mods = {
+        q.fn.__module__.split(".")[-1]
+        for q in REGISTRY.values()
+        if q.oracle
+    }
+    missing = all_mods - covered
+    assert not missing, f"modules without a parity representative: {missing}"
 
 
 def test_no_hugeint_oracle_outputs(duck):
