@@ -1,0 +1,41 @@
+"""Smoke test for examples/confront.py — proves the public façade
+composes outside the query registry (r3 verdict task 8): the reference's
+README workflow (normalize → union → confront → report) runs green as a
+plain user script."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def test_confront_example_runs_green(spark):
+    import confront as ex
+
+    out = ex.run(spark)
+    products = out["products"].collect()
+    assert len(products) == 6
+    by_isin = {
+        (r.isin, r.provider): r for r in products
+    }
+    # locale normalization through the façade: comma decimals parsed,
+    # newline share-class suffix stripped, both date dialects ISO
+    ish = by_isin[("IE00B5BMR087", "ishares")]
+    assert ish.ter_pct == 0.07 and ish.nav == 543.21
+    assert ish.name == "iShares Core S&P 500"
+    assert ish.currency == "EUR" and ish.nav_date == "2025-08-28"
+    van = by_isin[("IE00B3XXRP09", "vanguard")]
+    assert van.nav_date == "2025-08-28"  # dd/mm/yyyy dialect
+
+    conf = {r.isin: r for r in out["confront"].collect()}
+    assert list(conf) == ["IE00B4L5Y983"]  # the one overlapping ISIN
+    row = conf["IE00B4L5Y983"]
+    assert row.cheaper == "vanguard"  # 0.19 < 0.20
+    assert row.ishares_nav == 101.55 and row.vanguard_nav == 99.80
+
+    rep = {(r.provider, r.fund_type): r for r in out["report"].collect()}
+    assert rep[("ishares", "equity")].n_products == 2
+    assert rep[("vanguard", "bond")].n_products == 1
+    assert rep[("ishares", "bond")].avg_ter_pct == 0.2
