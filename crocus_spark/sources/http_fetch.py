@@ -71,3 +71,88 @@ def fetch_json_page(
     if not isinstance(rows, list):
         raise ValueError(f"page {page}: expected JSON array")
     return rows
+
+
+def filename_from_disposition(
+    header: str | None, url: str, default: str = "download.bin"
+) -> str:
+    """Final filename for a downloaded payload: the Content-Disposition
+    ``filename`` parameter when the server sends one (the browser rule),
+    else the URL path's basename, else ``default``. Any directory
+    components are stripped — a server can never steer the write outside
+    the chosen output directory."""
+    import email.message
+    import os
+    import urllib.parse
+
+    if header:
+        msg = email.message.Message()
+        msg["content-disposition"] = header
+        fn = msg.get_param("filename", header="content-disposition")
+        if isinstance(fn, tuple):  # RFC 2231 (charset, lang, value)
+            fn = fn[2]
+        if fn:
+            name = os.path.basename(str(fn)).strip()
+            if name:
+                return name
+    path = urllib.parse.urlparse(url).path
+    return os.path.basename(path) or default
+
+
+def download_with_rename(
+    url: str,
+    out_dir: str,
+    retries: int = 3,
+    backoff_s: float = 0.05,
+    timeout_s: float = 10.0,
+) -> str:
+    """Browser click-to-download analog (SNK3 — the reference drives
+    Selenium to click Vanguard's CSV export and waits for the browser's
+    ``.crdownload`` → final-name rename, vanguard.py:115-153). The engine
+    version is the same two-phase commit without a browser:
+
+    1. GET with redirects followed (the 'click');
+    2. final filename from Content-Disposition / URL basename
+       (:func:`filename_from_disposition`);
+    3. stream the body to ``<final>.partial`` in ``out_dir``, flush +
+       fsync;
+    4. atomic ``os.replace`` to the final name.
+
+    Readers can never observe a torn file — the final name appears only
+    complete; a crashed attempt leaves a ``.partial`` that the next
+    attempt truncates. Re-running is idempotent (atomic overwrite).
+    Transient failures retry with the same backoff/classification policy
+    as :func:`fetch_with_retry`. Returns the final file path.
+
+    Executor-side by design: at fleet scale each task downloads its own
+    partition's files into a task-scoped directory and the job commit
+    publishes them — this helper is the per-file primitive."""
+    import os
+
+    attempt = 0
+    while True:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                name = filename_from_disposition(
+                    resp.headers.get("Content-Disposition"), resp.geturl()
+                )
+                final = os.path.join(out_dir, name)
+                partial = final + ".partial"
+                with open(partial, "wb") as f:
+                    while True:
+                        chunk = resp.read(1 << 16)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(partial, final)
+                return final
+        except urllib.error.HTTPError as e:
+            if e.code not in RETRYABLE_STATUS or attempt >= retries:
+                raise
+        except urllib.error.URLError:
+            if attempt >= retries:
+                raise
+        time.sleep(backoff_s * (2**attempt))
+        attempt += 1

@@ -61,6 +61,27 @@ class _CatalogHandler(BaseHTTPRequestHandler):
         elif self.path == "/gone":
             self.send_response(404)
             self.end_headers()
+        elif self.path == "/export":
+            # the 'click': redirect to the actual file URL, browser-style
+            self.send_response(302)
+            self.send_header("Location", "/files/1506575546154.ajax")
+            self.end_headers()
+        elif self.path.startswith("/files/"):
+            # one transient 503 first, then the payload with the real
+            # filename in Content-Disposition (never in the URL)
+            if cls.fail_first and cls.hits[self.path] == 1:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = b"isin,weight\nIE00B5BMR087,0.07\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header(
+                "Content-Disposition",
+                'attachment; filename="SXR8_holdings.csv"',
+            )
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self.send_response(500)
             self.end_headers()
@@ -152,3 +173,51 @@ def test_pushdown_unfiltered_reads_all_pages():
     r = _CatalogReader({"n_products": "500"})
     parts = r.partitions()
     assert sum(p.page_hi - p.page_lo for p in parts) == 25
+
+
+def test_download_with_rename_flow(http_fixture, tmp_path):
+    """SNK3 (r3 verdict 'What's missing' #2): the click-to-download +
+    rename flow — redirect followed, filename taken from
+    Content-Disposition, transient 503 retried, final file appears only
+    complete (no .partial residue)."""
+    from crocus_spark.sources.http_fetch import download_with_rename
+
+    final = download_with_rename(f"{http_fixture}/export", str(tmp_path))
+    assert final.endswith("SXR8_holdings.csv")
+    data = open(final, "rb").read()
+    assert data == b"isin,weight\nIE00B5BMR087,0.07\n"
+    leftovers = [p.name for p in tmp_path.iterdir()]
+    assert leftovers == ["SXR8_holdings.csv"]  # no .partial left behind
+    # the 503 was absorbed: the file endpoint was hit at least twice
+    assert _CatalogHandler.hits["/files/1506575546154.ajax"] >= 2
+    # idempotent re-run: atomic overwrite, same content
+    final2 = download_with_rename(f"{http_fixture}/export", str(tmp_path))
+    assert final2 == final
+    assert open(final, "rb").read() == data
+
+
+def test_download_filename_never_escapes_out_dir(http_fixture, tmp_path):
+    from crocus_spark.sources.http_fetch import filename_from_disposition
+
+    name = filename_from_disposition(
+        'attachment; filename="../../etc/evil.csv"', "http://x/y"
+    )
+    assert name == "evil.csv"
+    assert (
+        filename_from_disposition(None, "http://host/a/b/holdings.csv")
+        == "holdings.csv"
+    )
+    assert filename_from_disposition(None, "http://host/") == "download.bin"
+
+
+def test_download_gives_up_after_budget(http_fixture, tmp_path):
+    import urllib.error
+
+    from crocus_spark.sources.http_fetch import download_with_rename
+
+    with pytest.raises(urllib.error.HTTPError):
+        download_with_rename(
+            f"{http_fixture}/gone", str(tmp_path), retries=1,
+            backoff_s=0.01,
+        )
+    assert list(tmp_path.iterdir()) == []  # nothing published on failure
