@@ -638,7 +638,11 @@ def minhash_verified_components(
     edges = minhash_lsh_pairs(
         df, text_col, id_col, n_perm, bands, seed, threshold
     ).select("id_a", "id_b")
-    labels = connected_components(edges, "id_a", "id_b")
+    # verify emits distinct canonical pairs (id_a < id_b) — skip the
+    # symmetrize-distinct shuffle inside the labeler
+    labels = connected_components(
+        edges, "id_a", "id_b", edges_distinct=True
+    )
     all_ids = df.select(F.col(id_col).alias("id"))
     return (
         # no broadcast hint: the dup-node label relation is corpus-dependent

@@ -79,7 +79,11 @@ def graph_connected_components(spark, sf_dir):
     closure materialized an O(Σ comp²) reach relation that alone cost
     ~6 min of the sf0.1 sweep. Output: every node with its component id
     (min part key in the component) and component size."""
-    labels = connected_components(_copurchase_edges(spark, sf_dir))
+    # star edges are canonical (root = min partkey < dst) and distinct
+    # by construction — skip the symmetrize-distinct shuffle
+    labels = connected_components(
+        _copurchase_edges(spark, sf_dir), edges_distinct=True
+    )
     w = Window.partitionBy("component")
     return (
         labels.select("node", F.col("comp").alias("component"))
