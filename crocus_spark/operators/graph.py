@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -63,6 +64,76 @@ def connected_components(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint(eager=True)
     )
+    numeric_ids = isinstance(
+        labels.schema["comp"].dataType, NumericType
+    )
+    if numeric_ids:
+        # Fast path (numeric node ids — every in-repo caller): fold the
+        # node's OWN label into the neighborhood min by appending a
+        # self-loop per node, so each round is ONE edge⋈labels join +
+        # group-min instead of join + group + a second node-sized
+        # labels⋈nbr join. Convergence is checked by an exact decimal
+        # label checksum: labels are bounded below and only ever
+        # decrease, so Σcomp strictly decreases until — and only until —
+        # the fixpoint (decimal(38,0) over long ids is exact, no float
+        # drift, no overflow before ~1e19 nodes).
+        selfed = und.unionByName(
+            labels.select(
+                F.col("node").alias("u"), F.col("node").alias("v")
+            )
+        ).persist()
+        prev_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        for _ in range(max_iter):
+            stepped = (
+                selfed.join(
+                    labels.select(
+                        F.col("node").alias("v"),
+                        F.col("comp").alias("vcomp"),
+                    ),
+                    "v",
+                )
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("vcomp").alias("comp"))
+                .persist()
+            )
+            # single pointer jump: comp → comp(comp). Measured on both
+            # fixture graphs (sf0.01/sf0.1): one jump cuts rounds ~2×
+            # vs none (6/7 vs 10/13 rounds), while a second or third
+            # jump saves at most one round and the deeper self-join DAG
+            # inside the checkpoint costs far more than it saves (3
+            # hops regressed the sf0.1 graph 5 s → 60 s).
+            a, b = stepped.alias("a"), stepped.alias("b")
+            jumped = (
+                a.join(b, F.col("a.comp") == F.col("b.node"), "left")
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.least(
+                        F.col("a.comp"),
+                        F.coalesce(F.col("b.comp"), F.col("a.comp")),
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = jumped.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            stepped.unpersist()
+            labels = jumped
+            if cur_sum == prev_sum:
+                selfed.unpersist()
+                und.unpersist()
+                return labels
+            prev_sum = cur_sum
+        selfed.unpersist()
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    # Generic path (orderable but non-summable ids, e.g. strings): carry
+    # the pre-round label as `old` through the round so convergence is a
+    # changed-rows check on the checkpointed output.
     for _ in range(max_iter):
         # closed-neighborhood min: comp'(u) = min(comp(u), min_{v∈N(u)} comp(v))
         nbr = (
@@ -84,33 +155,18 @@ def connected_components(
                     labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
                 ).alias("comp"),
             )
+        ).persist()
+        a, b = stepped.alias("a"), stepped.alias("b")
+        hop1 = a.join(
+            b, F.col("a.comp") == F.col("b.node"), "left"
+        ).select(
+            F.col("a.node").alias("node"),
+            F.col("a.old").alias("old"),
+            F.least(
+                F.col("a.comp"),
+                F.coalesce(F.col("b.comp"), F.col("a.comp")),
+            ).alias("comp"),
         )
-        # triple pointer jumping: comp → comp(comp), applied three times
-        # per round (path lengths contract ~8× per round instead of ~2×;
-        # measured at sf0.01 this shaves a full checkpoint+count round on
-        # both fixture graphs — each extra hop is only a lazy self-join
-        # inside the same checkpoint action, while a round is two whole
-        # jobs). The pre-round label rides along as `old` so the
-        # convergence check is a filter over the already-checkpointed
-        # round output — no extra join-the-previous-labels job per
-        # round. `stepped` is persisted for the round so the self-joins
-        # reuse one computation of the neighborhood-min join instead of
-        # 8× (clique-ish graphs converge in 1-2 rounds and would
-        # otherwise pay the doubling for nothing).
-        stepped = stepped.persist()
-        hop1 = stepped
-        for _hop in range(3):
-            a, b = hop1.alias("a"), hop1.alias("b")
-            hop1 = a.join(
-                b, F.col("a.comp") == F.col("b.node"), "left"
-            ).select(
-                F.col("a.node").alias("node"),
-                F.col("a.old").alias("old"),
-                F.least(
-                    F.col("a.comp"),
-                    F.coalesce(F.col("b.comp"), F.col("a.comp")),
-                ).alias("comp"),
-            )
         jumped = hop1.select(
             "node",
             "comp",

@@ -326,16 +326,15 @@ def graph_pagerank(spark, sf_dir):
             # fixpoint carry a bit-exact oracle
             .agg(F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("recv"))
         )
-        ranks = (
-            deg.select("src")
-            .join(contribs, deg.src == contribs.dst, "left")
-            .select(
-                "src",
-                (
-                    F.lit(0.15 / n_v)
-                    + 0.85 * F.coalesce(F.col("recv"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        # no node-relation join per round: the edge list is symmetrized
+        # and every vertex has degree ≥ 1, so every node appears as a
+        # dst and `contribs` already covers the FULL node set — renaming
+        # dst→src IS next round's rank vector (one whole node-sized
+        # shuffle join per round saved; at 100 TB that join was the
+        # second-largest per-round exchange after the contribution agg).
+        ranks = contribs.select(
+            F.col("dst").alias("src"),
+            (F.lit(0.15 / n_v) + 0.85 * F.col("recv")).alias("rank"),
         )
         # truncate lineage every OTHER round: a depth-2 plan replays one
         # extra join on recompute (cheap) while halving the checkpoint
