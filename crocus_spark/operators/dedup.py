@@ -168,13 +168,18 @@ def ngram_jaccard_pairs(
     any verification runs. Candidates are verified pair-locally with
     array_intersect; the result is exact, never a similarity matrix.
 
-    Deliberately NOT cached: the token-set relation appears three times in
-    the plan (prefix side + both verify sides); leaving it as lineage lets
-    AQE collect runtime stats, auto-broadcast the verify joins when the
-    corpus is small, and reuse exchanges — caching would pin the join
-    strategy at plan time, which is wrong at 100 TB where the set relation
-    is corpus-sized."""
-    sets = _token_sets(df, text_col, id_col, block_col)
+    The token-set relation appears three times in the plan (prefix side +
+    both verify sides); it is persist()ed for the duration of the call and
+    released after the pair relation is materialized — measured at sf0.1
+    this halves the query (4.8-12.4 s recompute-thrice vs 2.1-3.5 s
+    cached; eager localCheckpoint sat in between because it pays an extra
+    full materialization pass up front). persist (unlike a checkpoint)
+    keeps the lineage, so AQE still sees runtime sizes and auto-broadcasts
+    the verify joins when the corpus is small. The returned pair relation
+    is eagerly checkpointed: it is dup-pairs-sized (tiny next to the
+    corpus at any scale), and materializing it is what makes the
+    unpersist() safe before returning."""
+    sets = _token_sets(df, text_col, id_col, block_col).persist()
     plen = (
         F.size("toks_h") - F.ceil(F.lit(threshold) * F.size("toks_h")) + F.lit(1)
     ).cast("int")
@@ -204,11 +209,14 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return (
+    out = (
         _verify_jaccard(candidates, sets)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    sets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -358,14 +366,17 @@ def minhash_lsh_pairs(
     dedup at 100 TB use ``minhash_dedup_survivors`` — cluster-collapse is
     linear in corpus size regardless of cluster shape.
     """
-    # one eager checkpoint: the self-join would otherwise evaluate the
+    # persist, not recompute: the self-join would otherwise evaluate the
     # whole tokenize → n_perm-MIN signature pipeline on BOTH sides
     # (Catalyst's exchange reuse does not cover the differently-aliased
     # subtrees here) — the signature relation is corpus-rows × (band,
-    # sig) and cheap to hold, the signature computation is the cost
+    # sig) and cheap to hold, the signature computation is the cost.
+    # Same for the verify-stage token sets (two aliased sides). Both are
+    # released after the dup-pairs-sized output is materialized; persist
+    # keeps lineage so AQE still sizes/broadcasts the joins at runtime.
     buckets = minhash_band_buckets(
         df, text_col, id_col, n_perm, bands, seed
-    ).localCheckpoint(eager=True)
+    ).persist()
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -377,12 +388,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = _token_sets(df, text_col, id_col, block_col=None)
-    return (
+    sets = _token_sets(df, text_col, id_col, block_col=None).persist()
+    out = (
         _verify_jaccard(candidates, sets)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
+    sets.unpersist()
+    return out
 
 
 def portable_hash60(c: Column) -> Column:
