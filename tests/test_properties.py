@@ -384,3 +384,40 @@ def test_k_core_invariant_every_member_has_k_core_neighbors(spark):
         in_core = adj[node] & members
         assert len(in_core) >= 3, f"{node} has only {len(in_core)} core nbrs"
         assert degrees[node] == len(in_core)
+
+
+def test_connected_components_numeric_and_generic_paths_agree(spark):
+    """The numeric fast path (self-loop fold + decimal checksum
+    convergence) and the generic orderable-id path (changed-rows check)
+    must label identically — pinned on a graph mixing a long chain
+    (multi-round convergence, exercises the pointer jump), a clique, an
+    isolated pair, and a self-loop-only node that the u != v filter
+    drops from both paths."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(100, 140)]  # 41-node chain
+    edges += [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(50, 51), (60, 60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    num = {
+        (r.node, r.comp)
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    # string ids zero-padded so lexicographic min == numeric min
+    sdf = df.select(
+        F.format_string("%03d", F.col("src")).alias("src"),
+        F.format_string("%03d", F.col("dst")).alias("dst"),
+    )
+    gen = {
+        (int(r.node), int(r.comp))
+        for r in connected_components(sdf, "src", "dst").collect()
+    }
+    assert num == gen
+    comp = dict(num)
+    assert {comp[i] for i in range(100, 141)} == {100}
+    assert {comp[i] for i in range(5)} == {0}
+    assert comp[50] == 50 and comp[51] == 50
+    assert 60 not in comp  # self-loop-only node has no undirected edge
