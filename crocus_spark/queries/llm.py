@@ -4071,7 +4071,11 @@ def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
     hx AS (
       SELECT id, ({_hash60_sql("tok")}) % {_PMH_M31} AS x FROM toks
     ),
-    sig AS (
+    -- MATERIALIZED: DuckDB inlines CTEs by default, so the md5-derived
+    -- signature pipeline would re-evaluate once per band select plus
+    -- once per est join side (~10x) — 342 s of the sf0.1 sweep before
+    -- this pin, ~30 s after
+    sig AS MATERIALIZED (
       SELECT id,
              {", ".join(
                 f"CAST(MIN((x * {a} + {b}) % {_PMH_M31}) AS BIGINT) AS h{i}"
@@ -4086,9 +4090,13 @@ def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
       )}
     ),
     cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+      -- 1-in-97 deterministic pair sample mirroring the engine (exact
+      -- BIGINT arithmetic in both engines; see the query docstring)
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+      ) WHERE (id_a * 31 + id_b) % 97 = 0
     ),
     est AS (
       SELECT c.id_a, c.id_b,
@@ -4101,24 +4109,28 @@ def _pmh_band_sig_sql(prefix: str = "") -> list[str]:
       JOIN sig sa ON c.id_a = sa.id
       JOIN sig sb ON c.id_b = sb.id
     ),
-    tsets AS (
+    tsets AS MATERIALIZED (
       SELECT doc_id AS id,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
       FROM documents
+    ),
+    scored AS (
+      -- list_intersect once per pair (it appeared 3x in the projection)
+      SELECT e.id_a, e.id_b, e.est_jaccard,
+             len(list_intersect(ta.ts, tb.ts)) AS ni,
+             len(ta.ts) AS sa, len(tb.ts) AS sb
+      FROM est e
+      JOIN tsets ta ON e.id_a = ta.id
+      JOIN tsets tb ON e.id_b = tb.id
     )
-    SELECT e.id_a, e.id_b, e.est_jaccard,
-           CAST(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                 / (len(ta.ts) + len(tb.ts)
-                    - len(list_intersect(ta.ts, tb.ts))) AS FLOAT) AS exact_jaccard,
-           CAST(abs(CAST(e.est_jaccard AS DOUBLE)
-                 - CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
-                         / (len(ta.ts) + len(tb.ts)
-                            - len(list_intersect(ta.ts, tb.ts)))) AS FLOAT)
+    SELECT id_a, id_b, est_jaccard,
+           CAST(CAST(ni AS DOUBLE) / (sa + sb - ni) AS FLOAT)
+             AS exact_jaccard,
+           CAST(abs(CAST(est_jaccard AS DOUBLE)
+                 - CAST(ni AS DOUBLE) / (sa + sb - ni)) AS FLOAT)
              AS abs_err
-    FROM est e
-    JOIN tsets ta ON e.id_a = ta.id
-    JOIN tsets tb ON e.id_b = tb.id
-    ORDER BY e.id_a, e.id_b
+    FROM scored
+    ORDER BY id_a, id_b
     """,
     tags=("llm", "dedup", "minhash"),
 )
@@ -4130,12 +4142,20 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
     signatures, the 8-band LSH candidate pairs, the per-pair agreement
     estimate AND the exact set Jaccard all value-hash match. est ≈ exact
     within the binomial error of 32 draws — visible per pair in abs_err.
+    The audit runs over a deterministic 1-in-97 sample of the candidate
+    pairs ((id_a·31 + id_b) % 97 == 0 — exact BIGINT arithmetic in both
+    engines, applied identically in the oracle): band collisions on the
+    dup-heavy fixture are 8.1M pairs at sf0.1 (pair enumeration is
+    quadratic in cluster size), and the unsampled per-pair audit cost
+    ~470 s of sweep for rows nothing consumes, while the sample keeps
+    every est stratum represented — including the low-est pairs where
+    the estimator errs most.
 
     Spark shape: the canonical MinHash plan — one token shuffle with 32
     map-side-combined MIN aggregates (parsed SQL strings, not 32 py4j
     Column chains), band buckets by md5 of 4-row band slices, candidates
     from the bucket equi-join (never all-pairs), and the exact verify
-    joins token ARRAYS only for surviving candidates."""
+    joins token ARRAYS only for the sampled candidates."""
     from crocus_spark.operators.dedup import normalize_text
 
     docs = load(spark, sf_dir, "documents").select(
@@ -4182,6 +4202,15 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # deterministic 1-in-97 pair sample, BEFORE any scoring: the
+        # dup-heavy fixture produces 8.1M band-collision pairs at sf0.1
+        # (pair enumeration is quadratic in cluster size), and a full
+        # per-pair audit made engine + oracle + value-hash compare pay
+        # ~470 s for rows nothing consumes. The sample is portable
+        # integer arithmetic (id_a·31 + id_b < 2^62, exact BIGINT in
+        # both engines) and unbiased across the est range — low-est
+        # pairs, where the estimator errs most, stay in the audit.
+        .filter((F.col("id_a") * 31 + F.col("id_b")) % 97 == 0)
     )
     agree = F.expr(
         "CAST(("
