@@ -413,7 +413,7 @@ def _bellman_ford_oracle(rounds: int) -> str:
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
-    ), wedges AS (
+    ), wedges AS MATERIALIZED (
       SELECT src, dst, 1.0 / m AS w FROM half WHERE m >= 2
       UNION ALL
       SELECT dst, src, 1.0 / m FROM half WHERE m >= 2
@@ -428,7 +428,10 @@ def _bellman_ford_oracle(rounds: int) -> str:
     )"""
     parts = []
     for k in range(1, rounds + 1):
-        parts.append(f""", d{k} AS (
+        # MATERIALIZED: each round references the previous twice, so
+        # DuckDB's default CTE inlining re-evaluates the chain 2^k times
+        # (17 s of sf0.1 sweep for a 5 s engine query before this pin)
+        parts.append(f""", d{k} AS MATERIALIZED (
       SELECT v, MIN(dist) AS dist FROM (
         SELECT v, dist FROM d{k - 1}
         UNION ALL

@@ -3194,26 +3194,40 @@ def embedding_matryoshka_quality(spark, sf_dir):
 @register(
     "dedup_incremental_against_base",
     oracle=f"""
-    WITH keyed AS (
+    WITH keyed AS MATERIALIZED (
+      -- MATERIALIZED + intersect-once: the inlined form recomputed the
+      -- md5/tokenize projection per consumer and list_intersect twice
+      -- per delta x base pair inside the theta-join — 46 s of sf0.1
+      -- sweep for a 1.2 s engine query
       SELECT doc_id, md5({_NORM_SQL}) AS h,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
     ),
     base AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
     delta AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT d.doc_id, MIN(b.doc_id) AS dup_of
       FROM delta d JOIN base b ON b.h = d.h
       GROUP BY d.doc_id
     ),
     near AS (
-      SELECT d.doc_id, MIN(b.doc_id) AS dup_of
-      FROM delta d JOIN base b
-        ON round(CAST(len(list_intersect(d.toks, b.toks)) AS DOUBLE)
-                 / (len(d.toks) + len(b.toks)
-                    - len(list_intersect(d.toks, b.toks))), 6) >= 0.9
-      WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
-      GROUP BY d.doc_id
+      -- lossless length prefilter before the per-pair intersect:
+      -- J >= t forces min(|a|,|b|)/max >= t, and the kept set includes
+      -- the round(J,6) >= 0.9 boundary (J >= 0.8999995 => ratio >
+      -- 0.89), so the 89/100 integer test cuts ~2/3 of the delta x base
+      -- pairs without changing a single output row (31 s -> 10 s of
+      -- sf0.1 sweep)
+      SELECT doc_id, MIN(bdoc) AS dup_of FROM (
+        SELECT d.doc_id AS doc_id, b.doc_id AS bdoc,
+               len(list_intersect(d.toks, b.toks)) AS ni,
+               len(d.toks) AS sd, len(b.toks) AS sb
+        FROM delta d JOIN base b
+          ON len(b.toks) * 100 >= len(d.toks) * 89
+         AND len(d.toks) * 100 >= len(b.toks) * 89
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
+      )
+      WHERE round(CAST(ni AS DOUBLE) / (sd + sb - ni), 6) >= 0.9
+      GROUP BY doc_id
     )
     SELECT d.doc_id,
            CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
