@@ -785,6 +785,8 @@ def ivf_topk_at_rest(
     n_cells: int = 8,
     nprobe: int = 4,
     dim: int | None = None,
+    model: tuple | None = None,
+    reuse_store: bool = False,
 ) -> DataFrame:
     """IVF serving from a CELL-PARTITIONED store — the at-rest layout the
     in-memory ``ivf_topk`` docstring promises, made concrete: the indexed
@@ -798,21 +800,31 @@ def ivf_topk_at_rest(
     two must return identical rows (pinned in tests/test_llm.py). The
     probed-cell list is collected — ≤ n_cells integers, model-sized —
     because a partition-pruning predicate must be a literal at plan time.
+
+    ``model`` is an optional prefitted ``(cells, mat)`` pair (the same
+    shape ``ivf_topk`` takes); ``reuse_store=True`` skips the index
+    write when the store is already committed (``_SUCCESS`` present) —
+    the caller owns invalidation, e.g. by keying ``path`` on a corpus
+    content fingerprint. Together they make repeat calls probe-only:
+    index build is a one-time cost in production serving.
     """
-    cells, mat = collect_centroid_model(
+    import os as _os
+
+    cells, mat = model if model is not None else collect_centroid_model(
         ivf_fit_centroids(corpus, n_cells, id_col, vec_col, dim=dim)
     )
     centroids = _centroid_df(spark, cells, mat)
-    indexed = assign_cells_projection(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _norm_vec(F.col(vec_col)).alias("v"),
-        ),
-        cells,
-        mat,
-    ).drop("v")
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if not (reuse_store and _os.path.exists(_os.path.join(path, "_SUCCESS"))):
+        indexed = assign_cells_projection(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                _norm_vec(F.col(vec_col)).alias("v"),
+            ),
+            cells,
+            mat,
+        ).drop("v")
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
 
     q_normed = queries.select(
         F.col(id_col).alias("query_id"),
