@@ -235,10 +235,13 @@ def _pagerank_oracle(rounds: int) -> str:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), edges AS (
       SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
     ), nv AS (SELECT COUNT(*) AS n FROM deg
-    ), wedges AS (
+    -- MATERIALIZED: wedges is referenced once per unrolled round, and
+    -- DuckDB's default CTE inlining would re-run the co-purchase
+    -- self-join behind it 5x
+    ), wedges AS MATERIALIZED (
       SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
     ), r0 AS (
       SELECT src, 1.0 / (SELECT n FROM nv) AS rank FROM deg
