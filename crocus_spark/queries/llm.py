@@ -2284,14 +2284,17 @@ def _pca_power_oracle(rounds: int) -> str:
              unnest(embedding)::DOUBLE AS x,
              vec_id
       FROM embeddings
-    ), gup AS (
+    -- MATERIALIZED CTEs throughout: v{r} references w{r} twice (directly
+    -- and through n{r}), so DuckDB's default inlining re-evaluates the
+    -- round chain ~2^rounds times — including the Gram-matrix self-join
+    ), gup AS MATERIALIZED (
       SELECT a.dim AS i, b.dim AS j,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,9))) AS DOUBLE)
                / COUNT(*) AS g
       FROM cells a JOIN cells b
         ON a.vec_id = b.vec_id AND a.dim <= b.dim
       GROUP BY a.dim, b.dim
-    ), gm AS (
+    ), gm AS MATERIALIZED (
       SELECT i, j, g FROM gup
       UNION ALL
       SELECT j, i, g FROM gup WHERE i <> j
@@ -2303,16 +2306,16 @@ def _pca_power_oracle(rounds: int) -> str:
     )"""
     parts = []
     for r in range(1, rounds + 1):
-        parts.append(f""", w{r} AS (
+        parts.append(f""", w{r} AS MATERIALIZED (
       SELECT g.i AS dim,
              CAST(SUM(CAST(ROUND(g.g * v.val * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 AS w
       FROM gm g JOIN v{r - 1} v ON g.j = v.dim
       GROUP BY g.i
-    ), n{r} AS (
+    ), n{r} AS MATERIALIZED (
       SELECT SQRT(CAST(SUM(CAST(ROUND(w * w * 1e14) AS BIGINT)) AS DOUBLE)
                   / 1e14) AS nrm FROM w{r}
-    ), v{r} AS (
+    ), v{r} AS MATERIALIZED (
       SELECT dim, w / (SELECT nrm FROM n{r}) AS val FROM w{r}
     )""")
     tail = f"""
