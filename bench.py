@@ -7,10 +7,11 @@ Measurement rules:
 - each query executes end-to-end into the ``noop`` sink — full physical
   plan runs (scan → shuffle → agg), nothing is collected to the driver, so
   the number measures the engine, not Arrow serialization;
-- wall time per query = MIN over three independent passes: the minimum is
+- wall time per query = MIN over five independent passes: the minimum is
   the standard low-noise estimator on a shared box (it strips scheduler
   contention and first-pass codegen/JIT warm-up, which are host noise,
-  not engine cost).
+  not engine cost; five passes because the host shows sustained external
+  load spikes of ±20% that three passes did not reliably straddle).
 """
 
 from __future__ import annotations
@@ -81,7 +82,7 @@ def main() -> None:
     ivf_fit_and_probe = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(5):
         for name in heads:
             t0 = time.perf_counter()
             _execute(REGISTRY[name].fn(spark, SF_DIR))
