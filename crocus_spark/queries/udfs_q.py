@@ -13,6 +13,12 @@ from crocus_spark.operators import udfs as U
 from crocus_spark.queries import register
 from crocus_spark.queries._det import DEC
 
+# Cogroup-key coarsening for udf_cogrouped_asof: Python invocations are
+# bounded at this many buckets instead of one per user. Sized ~2x the
+# session shuffle parallelism; at a real 100 TB run this scales with the
+# cluster (buckets ~ 2-4x executor cores), never with user cardinality.
+_ASOF_BUCKETS = 64
+
 
 @register(
     "udf_pandas_scalar",
@@ -275,13 +281,18 @@ def udf_map_in_arrow(spark, sf_dir):
 def udf_cogrouped_asof(spark, sf_dir):
     """Cogrouped-map pandas (§2B#64's two-sided sibling —
     ``groupBy().cogroup().applyInPandas``): both relations shuffle by
-    user_id ONCE and arrive at the UDF as a pandas frame PAIR per key —
-    the API for per-key logic that needs both sides at once (here an
-    as-of backward merge via pandas merge_asof, the imperative twin of
-    the declarative join_asof_events). At 100 TB this is one co-shuffle
-    and per-key Arrow batches; the declarative as-of stays the default —
-    cogroup is for semantics Catalyst can't express (model scoring per
-    key, custom alignment, per-entity curve fitting)."""
+    the SAME key ONCE and arrive at the UDF as a pandas frame PAIR per
+    key — the API for per-key logic that needs both sides at once (here
+    an as-of backward merge via pandas merge_asof, the imperative twin
+    of the declarative join_asof_events). The cogroup key is a hash
+    BUCKET of user_id, not user_id itself: per-entity cogrouping pays a
+    few ms of Arrow-slice + frame-construction overhead per Python call,
+    so a billion users would mean a billion Python calls. Bucketing
+    bounds the call count at _ASOF_BUCKETS while merge_asof(by=user_id)
+    keeps exact per-user alignment inside each batch — the batch, not
+    the entity, is the Python-hop unit at 100 TB (same contract as
+    mapInArrow above). Users never straddle buckets, so semantics are
+    identical to the per-user cogroup."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
@@ -295,24 +306,28 @@ def udf_cogrouped_asof(spark, sf_dir):
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
     )
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_ASOF_BUCKETS))
 
     def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
-        # left = purchases, right = clicks for ONE user_id
+        # left = purchases, right = clicks for ONE user_id bucket;
+        # merge_asof(by=) re-scopes the backward search to each user.
         if len(left) == 0:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "last_click_id"]
             )
         left = left.sort_values(["purchase_ts", "purchase_id"])
         # ties on click_ts break to the HIGHEST click_id (the SQL
-        # correlated subquery orders click_ts DESC, click_id DESC)
+        # correlated subquery orders click_ts DESC, click_id DESC):
+        # merge_asof backward picks the LAST in-sort-order row per
+        # by-group with click_ts <= purchase_ts, so click_id ascending
+        # within equal click_ts yields exactly that row.
         right = right.sort_values(["click_ts", "click_id"])
         merged = pd.merge_asof(
             left,
-            right.rename(columns={"user_id": "r_user"})[
-                ["r_user", "click_id", "click_ts"]
-            ],
+            right[["user_id", "click_id", "click_ts"]],
             left_on="purchase_ts",
             right_on="click_ts",
+            by="user_id",
             direction="backward",
         )
         out = merged[["user_id", "purchase_id"]].copy()
@@ -322,8 +337,8 @@ def udf_cogrouped_asof(spark, sf_dir):
         return out
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy(bucket.alias("__bkt"))
+        .cogroup(clicks.groupBy(bucket.alias("__bkt")))
         .applyInPandas(
             asof, "user_id long, purchase_id long, last_click_id long"
         )
