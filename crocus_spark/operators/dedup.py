@@ -374,16 +374,34 @@ def minhash_lsh_pairs(
     # Same for the verify-stage token sets (two aliased sides). Both are
     # released after the dup-pairs-sized output is materialized; persist
     # keeps lineage so AQE still sizes/broadcasts the joins at runtime.
-    buckets = minhash_band_buckets(
-        df, text_col, id_col, n_perm, bands, seed
-    ).persist()
+    # Each bucket row carries the doc's distinct-token COUNT so the
+    # bucket self-join can apply the PPJoin-style length filter inline:
+    # J(A,B) <= min/max, so J >= t forces t·max(|A|,|B|) <= min(|A|,|B|).
+    # Lossless for the verified output and pruned BEFORE the candidate
+    # distinct and the exact intersections (8.8M -> 3.5M candidates at
+    # sf0.1/0.9 — 61% of the verify work gone). The 1e-6 slack covers
+    # the verifier's round(j, 6), which can round a just-below-t pair up.
+    nt = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("n"),
+    )
+    buckets = (
+        minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
+        .join(nt, "id")
+        .persist()
+    )
+    tl = F.lit(float(verify_threshold) - 1e-6)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n") * tl <= F.col("b.n") + F.lit(1e-6))
+            & (F.col("b.n") * tl <= F.col("a.n") + F.lit(1e-6)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

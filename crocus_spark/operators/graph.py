@@ -68,8 +68,33 @@ def connected_components(
         labels.schema["comp"].dataType, NumericType
     )
     if numeric_ids:
-        # Fast path (numeric node ids — every in-repo caller): fold the
-        # node's OWN label into the neighborhood min by appending a
+        # Fast path (numeric node ids — every in-repo caller), two
+        # phases.
+        #
+        # Phase 1 — STAR CONTRACTION: the init labels already map every
+        # node to its closed-neighborhood min l0(u); projecting each
+        # edge to (l0(u), l0(v)) and dropping self-loops yields a
+        # contracted graph whose components are exactly the images of
+        # the original components (l0 stays inside the component, and
+        # the component min m has l0(m)=m, so the contracted min IS the
+        # original min). Near-dup clique graphs contract to an EMPTY
+        # edge set in this one O(E) pass — the label loop then never
+        # touches the edge-sized relation at all — and chain-ish graphs
+        # shrink ~3× per the same argument as a propagation round plus
+        # a jump. Cost: two label joins (node-sized build side, AQE
+        # broadcasts) + one distinct, all linear in E.
+        lu = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        contracted = (
+            und.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct()
+            .persist()
+        )
+        # Phase 2 — min-label loop over the CONTRACTED graph only. Fold
+        # each node's OWN label into the neighborhood min by appending a
         # self-loop per node, so each round is ONE edge⋈labels join +
         # group-min instead of join + group + a second node-sized
         # labels⋈nbr join. Convergence is checked by an exact decimal
@@ -77,18 +102,23 @@ def connected_components(
         # decrease, so Σcomp strictly decreases until — and only until —
         # the fixpoint (decimal(38,0) over long ids is exact, no float
         # drift, no overflow before ~1e19 nodes).
-        selfed = und.unionByName(
-            labels.select(
+        clabels = (
+            contracted.groupBy(F.col("u").alias("node"))
+            .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        selfed = contracted.unionByName(
+            clabels.select(
                 F.col("node").alias("u"), F.col("node").alias("v")
             )
         ).persist()
-        prev_sum = labels.agg(
+        prev_sum = clabels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
         for _ in range(max_iter):
             stepped = (
                 selfed.join(
-                    labels.select(
+                    clabels.select(
                         F.col("node").alias("v"),
                         F.col("comp").alias("vcomp"),
                     ),
@@ -120,13 +150,37 @@ def connected_components(
                 F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
             ).first()["s"]
             stepped.unpersist()
-            labels = jumped
+            clabels = jumped
             if cur_sum == prev_sum:
+                # Map every original node through its contracted rep:
+                # comp(u) = comp2(l0(u)), falling back to l0(u) for
+                # nodes whose rep had no external edge (star collapsed
+                # whole). The rep relation is component-count-sized —
+                # AQE broadcasts it.
+                out = (
+                    labels.join(
+                        clabels.select(
+                            F.col("node").alias("comp"),
+                            F.col("comp").alias("comp2"),
+                        ),
+                        "comp",
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("comp2"), F.col("comp")).alias(
+                            "comp"
+                        ),
+                    )
+                    .localCheckpoint(eager=True)
+                )
                 selfed.unpersist()
+                contracted.unpersist()
                 und.unpersist()
-                return labels
+                return out
             prev_sum = cur_sum
         selfed.unpersist()
+        contracted.unpersist()
         und.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
