@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load
+from crocus_spark.io import load, spread
 from crocus_spark.operators import dedup as D
 from crocus_spark.operators import multimodal as M
 from crocus_spark.operators import similarity as S
@@ -3815,12 +3815,15 @@ def dedup_cdc_chunking(spark, sf_dir):
     `portable_hash60` over an explicit substring (no rolling state), so
     both engines cut identical chunks and the whole scorecard value-hash
     matches. Spark shape: boundary selection is ARRAY-level (filter over
-    a generated position sequence, fused into the scan — no per-position
-    shuffle); one explode emits (start, end) pairs zipped from the
-    boundary array; the only exchange is the final digest aggregate.
-    Docs shorter than the 8-gram window become a single whole-doc chunk
-    via the always-appended final boundary."""
-    docs = load(spark, sf_dir, "documents").select(
+    a generated position sequence — no per-position shuffle); the input
+    is `spread` first because the per-CHARACTER boundary hash is real
+    CPU and must not serialize into a one-split scan task (no-op at
+    production split counts); one explode emits (start, end) pairs
+    zipped from the boundary array; the only exchange after the spread
+    is the final digest aggregate. Docs shorter than the 8-gram window
+    become a single whole-doc chunk via the always-appended final
+    boundary."""
+    docs = spread(load(spark, sf_dir, "documents"), spark).select(
         "doc_id", D.normalize_text(F.col("text")).alias("norm")
     )
     ln = F.length("norm")

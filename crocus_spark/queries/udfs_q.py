@@ -295,18 +295,39 @@ def udf_cogrouped_asof(spark, sf_dir):
     identical to the per-user cogroup."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+    # The two sides are loaded as SEPARATE scans on purpose: cogroup
+    # sides carved from one shared events DataFrame share attribute
+    # ids, and Spark's relation dedup then drops the right side's
+    # un-aliased user_id from the Arrow payload (the aliased click_id/
+    # click_ts survive), breaking merge_asof(by=) — seen under
+    # count()-style actions. Independent scans give each side its own
+    # attribute ids; each scan is event_type-filter-pruned, and one
+    # shared scan would execute twice across the co-shuffle anyway.
+    clicks = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
     )
-    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_ASOF_BUCKETS))
+    # The bucket is materialized as a column and grouped as a plain
+    # reference (not a per-side derived grouping expression).
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_ASOF_BUCKETS)).alias(
+        "__bkt"
+    )
+    clicks = clicks.select("*", bucket)
+    purchases = purchases.select("*", bucket)
 
     def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         # left = purchases, right = clicks for ONE user_id bucket;
@@ -314,6 +335,16 @@ def udf_cogrouped_asof(spark, sf_dir):
         if len(left) == 0:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "last_click_id"]
+            )
+        if "click_id" not in right.columns:
+            # a side with no rows for this key can arrive column-less
+            right = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    # dtype must match the left on-key for merge_asof
+                    "click_ts": left["purchase_ts"].iloc[:0],
+                }
             )
         left = left.sort_values(["purchase_ts", "purchase_id"])
         # ties on click_ts break to the HIGHEST click_id (the SQL
@@ -337,8 +368,8 @@ def udf_cogrouped_asof(spark, sf_dir):
         return out
 
     return (
-        purchases.groupBy(bucket.alias("__bkt"))
-        .cogroup(clicks.groupBy(bucket.alias("__bkt")))
+        purchases.groupBy("__bkt")
+        .cogroup(clicks.groupBy("__bkt"))
         .applyInPandas(
             asof, "user_id long, purchase_id long, last_click_id long"
         )

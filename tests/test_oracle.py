@@ -39,3 +39,14 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_cogrouped_asof_count_action(spark):
+    """Regression: under count()-shaped actions the optimizer pruned the
+    right cogroup side's un-aliased user_id out of the Arrow payload
+    when both sides were carved from ONE shared events scan (shared
+    attribute ids) — merge_asof(by=) then blew up in the Python worker.
+    compare_frames (toPandas) never exercised that plan shape, so this
+    pins the count() path specifically."""
+    q = REGISTRY["udf_cogrouped_asof"]
+    assert q.fn(spark, SF_SMOKE).count() > 0
