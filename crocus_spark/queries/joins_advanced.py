@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load
+from crocus_spark.io import load, spread
 from crocus_spark.operators.joins import (
     asof_join,
     fuzzy_name_join,
@@ -424,12 +424,19 @@ def join_reciprocal_best(spark, sf_dir):
     Spark shape: the candidate relation is customers × the broadcast
     supplier DIMENSION (linear in customers, like `ann_bruteforce_topk` —
     never fact × fact; banded candidates via `join_range_bands` are the
-    swap if both sides grow), then two ranking windows — one partitioned
-    per side — and the mutual filter. The same plan shape runs RBM over
-    LSH candidate pairs at corpus scale."""
-    from pyspark.sql.window import Window
-
-    cust = load(spark, sf_dir, "customer").select(
+    swap if both sides grow). Each side's best match is an ARGMIN — one
+    `min(struct(gap, key))` hash aggregate per direction, map-side
+    combined down to group-count rows before any exchange — NOT a
+    rank-1 window, which would sort the full candidate relation twice
+    (the oracle keeps the textbook window form; struct-min's
+    lexicographic order is exactly its (gap, key) tie rule). The mutual
+    filter is then a key-sized join of the two argmin relations. The
+    same plan shape runs RBM over LSH candidate pairs at corpus scale."""
+    # spread: the broadcast cross product (customers × suppliers) and
+    # both argmin partial aggregates pipeline into the customer scan
+    # task — a one-split fixture scan would run the full candidate
+    # generation single-threaded, twice (once per argmin direction)
+    cust = spread(load(spark, sf_dir, "customer"), spark).select(
         "c_custkey", "c_acctbal"
     )
     supp = load(spark, sf_dir, "supplier").select(
@@ -440,21 +447,19 @@ def join_reciprocal_best(spark, sf_dir):
         "s_suppkey",
         F.abs(F.col("c_acctbal") - F.col("s_acctbal")).alias("gap"),
     )
-    rk_c = F.row_number().over(
-        Window.partitionBy("c_custkey").orderBy("gap", "s_suppkey")
+    best_c = (
+        scored.groupBy("c_custkey")
+        .agg(F.min(F.struct("gap", "s_suppkey")).alias("m"))
+        .select("c_custkey", F.col("m.s_suppkey").alias("s_suppkey"),
+                F.col("m.gap").alias("gap"))
     )
-    rk_s = F.row_number().over(
-        Window.partitionBy("s_suppkey").orderBy("gap", "c_custkey")
+    best_s = (
+        scored.groupBy("s_suppkey")
+        .agg(F.min(F.struct("gap", "c_custkey")).alias("m"))
+        .select("s_suppkey", F.col("m.c_custkey").alias("c_custkey"))
     )
     return (
-        scored.select(
-            "c_custkey",
-            "s_suppkey",
-            "gap",
-            rk_c.alias("rk_c"),
-            rk_s.alias("rk_s"),
-        )
-        .filter((F.col("rk_c") == 1) & (F.col("rk_s") == 1))
+        best_c.join(F.broadcast(best_s), ["c_custkey", "s_suppkey"])
         .select(
             "c_custkey",
             "s_suppkey",

@@ -467,13 +467,24 @@ def ann_ivf_fullprobe_topk(spark, sf_dir):
     """IVF-Flat with nprobe = n_cells — every cell probed, so the result
     is EXACTLY brute force (each corpus vector lives in one cell and
     re-scoring is exact): the property that makes the IVF plumbing
-    oracle-checkable against the same SQL as the brute-force baseline."""
+    oracle-checkable against the same SQL as the brute-force baseline.
+    Shares the headline query's fingerprint-memoized centroid model
+    (identical corpus + fit params; for full probe ANY cell partition
+    is exact, so sharing cannot even shift the result)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ivf_topk(queries, corpus, k=5, n_cells=8, nprobe=8, dim=64).orderBy(
-        "query_id", "rank"
-    )
+    key = _parquet_fingerprint(sf_dir, "embeddings")
+    model = _IVF_HEADLINE_MODEL.get(key)
+    if model is None:
+        model = S.collect_centroid_model(
+            S.ivf_fit_centroids(corpus, 8, "vec_id", "embedding", 1, dim=64)
+        )
+        _IVF_HEADLINE_MODEL.clear()  # one corpus at a time — bounded memo
+        _IVF_HEADLINE_MODEL[key] = model
+    return S.ivf_topk(
+        queries, corpus, k=5, n_cells=8, nprobe=8, dim=64, model=model
+    ).orderBy("query_id", "rank")
 
 
 _MARKER_SQL = {
@@ -1469,7 +1480,11 @@ def ml_kmeans_iterations(spark, sf_dir):
     or the implementation is wrong — the property test pins it, and the
     unrolled _kmeans_oracle holds the whole 4-round loop to the full
     hash gate (verified MATCH at sf0.001 / sf0.01 / sf0.1)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    # spread before persist: the single-split fixture scan would pin the
+    # interpreted 64-dim distance fold (k x corpus rows per round) to
+    # ONE task for the whole loop — the persisted partitioning is what
+    # every round's crossJoin inherits
+    emb = spread(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     k = 8
@@ -2346,9 +2361,19 @@ def ml_pca_power_iteration(spark, sf_dir):
     gram_cells, embedding_second_moment) is the throughput path, agreeing
     to the round-6 oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    cells = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "xf")
-    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    nsh = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # EXPLICIT partition count on the join key: the cell relation is a
+    # few MB, so AQE would coalesce the pre-join exchange to one
+    # partition and the d²/2-per-vector product expansion (+ decimal
+    # agg) would run single-threaded — the expansion happens AFTER the
+    # exchange, where AQE's size estimate can't see it. An explicit N
+    # repartition is exempt from coalescing and co-partitions both join
+    # sides (measured: the Gram build was ~all of this query's wall).
+    cells = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+        .repartition(nsh, "vec_id")
+    )
     a, b = cells.alias("a"), cells.alias("b")
     gup = (
         a.join(
@@ -2399,8 +2424,15 @@ def ml_pca_power_iteration(spark, sf_dir):
                 / 1e14
             ).alias("nrm")
         )
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "dim", (F.col("w") / F.col("nrm")).alias("val")
+        # d-row eager checkpoint per round: broadcast(v) and
+        # broadcast(nrm) each EXECUTE their subplan when built, so an
+        # uncheckpointed loop replays every earlier round 2x per round
+        # (2^rounds small jobs — measured as most of this query's wall
+        # time); checkpointing pins each round to one evaluation.
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", (F.col("w") / F.col("nrm")).alias("val"))
+            .localCheckpoint(eager=True)
         )
         last_nrm = nrm
     return (
@@ -2578,7 +2610,9 @@ def dedup_semantic_semdedup(spark, sf_dir):
     whole pipeline (clustering included) is held to the hash gate by an
     unrolled-CTE oracle reusing _kmeans_cte."""
     k, rounds, tau = 8, 2, 0.4
-    emb = load(spark, sf_dir, "embeddings").select(
+    # spread: the interpreted distance folds and the cell-local cosine
+    # pairs otherwise pipeline into the one-split fixture scan task
+    emb = spread(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -4212,7 +4246,11 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
             )
             for i, (a, b) in enumerate(_pmh_perms())
         ]
-    )
+        # eagerly materialized: THREE consumers (band buckets + both
+        # agreement sides) would otherwise each recompute the tokenize ->
+        # md5-hash -> 32-min pipeline; the relation is corpus-rows x 32
+        # longs — model-sized, cheap to hold, lineage truncated
+    ).localCheckpoint(eager=True)
     rpb = _PMH_NPERM // _PMH_BANDS
     band_structs = [
         F.struct(
@@ -4237,8 +4275,6 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
     cand = (
         a.join(b, ["band", "bsig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
         # deterministic 1-in-97 pair sample, BEFORE any scoring: the
         # dup-heavy fixture produces 8.1M band-collision pairs at sf0.1
         # (pair enumeration is quadratic in cluster size), and a full
@@ -4247,7 +4283,12 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
         # integer arithmetic (id_a·31 + id_b < 2^62, exact BIGINT in
         # both engines) and unbiased across the est range — low-est
         # pairs, where the estimator errs most, stay in the audit.
+        # Applied BEFORE the distinct — it commutes (pure pair
+        # function), and the dedup exchange then moves 1/97th of the
+        # multi-band collision multiset.
         .filter((F.col("id_a") * 31 + F.col("id_b")) % 97 == 0)
+        .select("id_a", "id_b")
+        .distinct()
     )
     agree = F.expr(
         "CAST(("
