@@ -21,6 +21,30 @@ from crocus_spark.queries import _det as DET
 from crocus_spark.queries import register
 
 
+def _order_part_pairs(spark, sf_dir):
+    """One row per (order, unordered part pair): group each order's
+    parts into a sorted SET, then fan the (src < dst) pairs out with JVM
+    generators (posexplode + slice + explode). One fact shuffle total —
+    the equivalent lineitem self-join on l_orderkey exchanges the fact
+    table twice and sort-merges it against itself for the same Σ basket²
+    fan-out (measured 9.8 s → 6.6 s for the distinct-pair build at
+    sf0.1). collect_set dedups repeat lines within the order, so per-pair
+    row counts equal co-purchase ORDER counts; callers add .distinct()
+    when they want the edge set."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.posexplode("ps").alias("i", "src"), "ps")
+        .select(
+            "src",
+            F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias(
+                "dst"
+            ),
+        )
+    )
+
+
 def _copurchase_edges(spark, sf_dir):
     """Star edges per sampled order: min partkey ↔ every other partkey.
     The star (not the clique) keeps edges linear in basket size — the
@@ -117,29 +141,19 @@ def basket_copurchase_pairs(spark, sf_dir):
     the same order — the fixture analog of 'funds most often holding the
     same security', the overlap question the reference's unparsed holdings
     files exist to answer (FIXTURES.md B3). Classic self-join fan-out:
-    distinct (order, part) first (dedups repeat lines BEFORE the join, not
-    after the explosion), then an equi-self-join on order key produces
-    O(Σ basket²) pairs — bounded because baskets are small (the per-order
-    line cap), not because the table is. The pair aggregate and the join
-    share the l_orderkey shuffle; the final top-50 is
-    TakeOrderedAndProject with a full (count, a, b) tiebreak, never a
-    global sort."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
+    per-order distinct part SETS first (dedups repeat lines BEFORE the
+    fan-out, not after the explosion), then the (src < dst) pairs fan
+    out bucket-locally from each order's sorted set (_order_part_pairs —
+    ONE fact shuffle, vs two + a sort-merge for the equivalent
+    self-join) producing O(Σ basket²) rows — bounded because baskets are
+    small (the per-order line cap), not because the table is. The final
+    top-50 is TakeOrderedAndProject with a full (count, a, b) tiebreak,
+    never a global sort."""
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _order_part_pairs(spark, sf_dir)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -179,22 +193,13 @@ def graph_triangle_count(spark, sf_dir):
     e(a,c) with a<b<c. The wedge join is the scale knob — edge count,
     not vertex count, bounds the shuffle, and both joins hash on an edge
     endpoint so AQE can split skewed hub vertices. The edge list is
-    reused three times from one cached build, not recomputed."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
+    reused three times from one cached build (single-fact-shuffle pair
+    generation, _order_part_pairs), not recomputed."""
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _order_part_pairs(spark, sf_dir)
         .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
+            F.col("src").alias("p1"),
+            F.col("dst").alias("p2"),
         )
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= 2)
@@ -290,32 +295,10 @@ def graph_pagerank(spark, sf_dir):
     5-round fixpoint — is order-independent and bit-identical to the
     unrolled SQL oracle: an ITERATIVE double-valued algorithm under the
     full hash gate, not a rows-only check."""
-    # Clique pairs via ONE shuffle: group each order's parts into a
-    # sorted set, then fan out (src < dst) pairs with JVM generators
-    # (posexplode + slice + explode). The previous shape — a lineitem
-    # self-join on l_orderkey — shuffled the fact table twice and
-    # sort-merged it against itself; grouping first moves the same
-    # Σ basket² pair fan-out AFTER a single hash agg (measured 9.8 s →
-    # 6.6 s for the pair build at sf0.1, and one fewer fact exchange at
-    # any scale). collect_set dedups within the order, the trailing
-    # distinct dedups across orders — same relation as the oracle's
-    # DISTINCT self-join.
-    arrs = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    half = (
-        arrs.select(F.posexplode("ps").alias("i", "src"), "ps")
-        .select(
-            "src",
-            F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-        .persist()
-    )
+    # Clique pairs via ONE fact shuffle (_order_part_pairs); the
+    # trailing distinct dedups across orders — same relation as the
+    # oracle's DISTINCT self-join.
+    half = _order_part_pairs(spark, sf_dir).distinct().persist()
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

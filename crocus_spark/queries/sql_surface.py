@@ -110,6 +110,20 @@ ORDER BY n.n_name
 """
 
 
+_CBO_STAT_COLS = {
+    # Only the columns the reorder decision reads: join keys + the
+    # selective filter + aggregated measures. ANALYZE .. FOR COLUMNS is
+    # per-column work (distinct counts, min/max, histograms); ALL
+    # COLUMNS on the 16-column fact table paid ~3x this for stats no
+    # plan consults. Same policy at 100 TB: stats run at ingest, scoped
+    # to the keys/filters the workload joins and prunes on.
+    "lineitem": "l_orderkey, l_extendedprice, l_discount",
+    "orders": "o_orderkey, o_custkey",
+    "customer": "c_custkey, c_nationkey",
+    "nation": "n_nationkey, n_name",
+}
+
+
 def _cbo_tables(spark, sf_dir):
     """Catalog tables + ANALYZE — the stats CBO reorders from. At
     100 TB, ANALYZE runs at ingest/compaction time, once per table, so
@@ -126,7 +140,10 @@ def _cbo_tables(spark, sf_dir):
         load(spark, sf_dir, t).write.option(
             "path", os.path.join(root, t)
         ).mode("overwrite").format("parquet").saveAsTable(f"cbo_{t}")
-        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(
+            f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS "
+            f"FOR COLUMNS {_CBO_STAT_COLS[t]}"
+        )
 
 
 @register(
