@@ -582,17 +582,80 @@ def cosine_neardup_pairs(
 
     The corpus side is repartitioned to the session's parallelism: the
     fixture parquet is a single row group (one input split), and without
-    the spread all scoring would run in one task (measured 2.5×)."""
+    the spread all scoring would run in one task (measured 2.5×).
+
+    With a probe set, the probe MATRIX is collected (model-sized by the
+    bounded-probe contract — m×d floats, same class as the IVF centroid
+    model) and shipped in the UDF closure, so the Arrow boundary carries
+    the corpus ONCE plus the scored pairs — NOT both vectors
+    materialized per pair, which at m probes multiplies corpus bytes by
+    m through the serializer (measured: the pair-row form shipped ~100MB
+    for a 1MB corpus at sf0.01 and was this query's entire wall). The
+    accumulation loops dimensions in index order with float64
+    elementwise ops — the same left-to-right IEEE sequence as
+    cosine_batch and DuckDB's loop, so scores are bit-identical."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = (probe if probe is not None else df).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    if probe is None:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        ).repartition(par)
+        pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn(
+                "cos", F.round(cosine_batch(F.col("va"), F.col("vb")), 6)
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    import numpy as np
+
+    probe_rows = probe.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).collect()  # bounded probe contract: m×d — model-sized
+    p_ids = np.array([r["id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([list(r["v"]) for r in probe_rows], dtype=np.float64)
+
+    def score(batches):
+        import pandas as pd
+
+        # probe norms in the same dim order as the pair fold
+        nb = np.zeros(P.shape[0])
+        for i in range(P.shape[1]):
+            y = P[:, i]
+            nb = nb + y * y
+        sq_nb = np.sqrt(nb)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["id_b"].to_numpy(dtype=np.int64)
+            C = np.vstack(pdf["vb"].to_numpy()).astype(np.float64)
+            dot = np.zeros((C.shape[0], P.shape[0]))
+            na = np.zeros(C.shape[0])
+            for i in range(C.shape[1]):
+                x = C[:, i]
+                dot = dot + np.outer(x, P[:, i])
+                na = na + x * x
+            cos = dot / (np.sqrt(na)[:, None] * sq_nb[None, :])
+            keep = p_ids[None, :] < c_ids[:, None]
+            ci, pi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": p_ids[pi],
+                    "id_b": c_ids[ci],
+                    "cos_raw": cos[ci, pi],
+                }
+            )
+
+    corpus = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).repartition(par)
+    scored = corpus.mapInPandas(
+        score, "id_a long, id_b long, cos_raw double"
     )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).repartition(
-        par
-    )
-    pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine_batch(F.col("va"), F.col("vb")), 6))
+        scored.withColumn("cos", F.round(F.col("cos_raw"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -3164,7 +3164,16 @@ def series_theil_sen_slope(spark, sf_dir):
             "yq",
         )
     )
-    a = daily.select(F.col("t").alias("t1"), F.col("yq").alias("y1"))
+    nsh = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # EXPLICIT repartition on the probe side: the daily relation is a
+    # few KB, so AQE coalesces the groupBy output to ONE partition and
+    # the n²/2 pair fan-out (which happens AFTER the exchange, invisible
+    # to AQE's size estimate) would run single-threaded — and twice,
+    # because repartitionByRange's boundary sampling is a second
+    # evaluation. Left-side partitions drive the broadcast-NLJ fan-out.
+    a = daily.repartition(nsh).select(
+        F.col("t").alias("t1"), F.col("yq").alias("y1")
+    )
     b = daily.select(F.col("t").alias("t2"), F.col("yq").alias("y2"))
     slopes = (
         a.join(b, F.col("t1") < F.col("t2"))
