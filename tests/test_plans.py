@@ -329,15 +329,20 @@ def test_lateral_explode_is_map_side(spark, registry):
 
 def test_neardup_cosine_broadcasts_bounded_probe(spark, registry):
     """neardup_embedding_cosine must be the probe-semijoin shape: the
-    bounded (vec_id < 50) probe side is BROADCAST and the corpus streams
-    through the scorer once. A corpus×corpus nested loop (both sides
-    unbounded) is quadratic — the r1 scale-killer this pins against."""
+    bounded (vec_id < 50) probe MATRIX rides the scorer closure
+    (model-sized, same class as the IVF centroid model) and the corpus
+    streams through ONE Arrow scorer pass — no join materializes
+    per-pair vector rows (that form shipped corpus bytes × n_probes
+    through the serializer), and a corpus×corpus nested loop (both
+    sides unbounded) is quadratic — the r1 scale-killer this pins
+    against."""
     plan = _plan(registry["neardup_embedding_cosine"].fn(spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in plan  # theta-join, probe broadcast
-    # the broadcast exchange must sit above the FILTERED probe scan:
-    # the probe bound must be pushed into its parquet scan.
-    assert "LessThan(vec_id,50)" in plan or "vec_id#" in plan and "< 50" in plan, plan
+    # one Arrow scorer pass over the corpus, no pair-row join before it
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+    # the corpus scan reads only (id, vector): column pruning intact
+    assert "vec_id" in plan and "embedding" in plan
 
 
 def test_join_hints_change_physical_strategy(spark, registry):
