@@ -230,8 +230,10 @@ def dedup_simhash(spark, sf_dir):
     pigeonhole bound makes the verified pair set EXACTLY the Hamming≤3
     set — deterministic, not recall-lucky — so the whole operator is held
     to an all-pairs DuckDB oracle. The xxhash64 64-bit variant stays the
-    default in the operator for production throughput."""
-    docs = load(spark, sf_dir, "documents")
+    default in the operator for production throughput. spread: the
+    md5-derived per-token hash is real CPU pipelined into the one-split
+    fixture scan task."""
+    docs = spread(load(spark, sf_dir, "documents"), spark)
     return D.simhash_pairs(
         docs,
         "text",
@@ -1295,15 +1297,30 @@ def embedding_quantize_int8(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-def _lloyd_dist2():
+def _lloyd_dist2(dim: int | None = None):
     """Squared-distance fold shared by every Lloyd loop in this module —
-    sequential zip_with/aggregate over "v"/"centroid", the exact IEEE
-    sequence the _kmeans_cte DuckDB oracle replays with list_reduce."""
-    return F.aggregate(
-        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    the exact left-to-right IEEE sequence the _kmeans_cte DuckDB oracle
+    replays with list_reduce. With ``dim`` known (the embeddings
+    contract: 64), the fold is UNROLLED into one flat left-associated
+    SQL expression — bit-identical additions in the same order, but
+    whole-stage-codegen'd instead of Spark's interpreted higher-order
+    evaluator (which costs seconds per million rows on the k×corpus
+    scored relation). ``dim=None`` keeps the generic zip_with/aggregate
+    fold for callers with unknown width."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    terms = " + ".join(
+        f"(element_at(v, {i}) - element_at(centroid, {i}))"
+        f" * (element_at(v, {i}) - element_at(centroid, {i}))"
+        for i in range(1, dim + 1)
     )
+    # left-assoc parse of `0.0D + t1 + t2 + ...` == the fold's
+    # ((0.0 + t1) + t2) + ... accumulation order
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
 def _lloyd_seeds(emb, k):
@@ -1331,7 +1348,8 @@ def _lloyd_assign(emb, centroids, keep_d2=False):
     determinism-critical tie/fold rules can never drift between the two
     hash-gated queries."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cell", _lloyd_dist2().alias("d2")
+        # dim=64: the fixture embeddings contract (unrolled codegen fold)
+        "vec_id", "v", "cell", _lloyd_dist2(dim=64).alias("d2")
     )
     assign = scored.groupBy("vec_id").agg(
         F.min(F.struct("d2", "cell")).alias("m"),
