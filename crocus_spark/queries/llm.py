@@ -110,11 +110,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
       FROM documents
     ),
     sizes AS (SELECT id, len(toks) AS sz FROM base),
-    toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    -- length prefilter INSIDE the shared-token fan-out (lossless for
+    -- the J >= 0.9 output: J <= min/max forces 0.9*max <= min; the
+    -- 1e-6 slack covers round(j,6)) — the DuckDB twin of the engine's
+    -- PPJoin length filter; without it the join materializes the full
+    -- shared-token pair multiset of the dup-clique fixture
+    toks AS (
+      SELECT t.id, t.tok, s.sz
+      FROM (SELECT id, unnest(toks) AS tok FROM base) t
+      JOIN sizes s ON s.id = t.id
+    ),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
       FROM toks a JOIN toks b
         ON a.tok = b.tok AND a.id < b.id
+       AND a.sz * 0.899999 <= b.sz + 1e-6
+       AND b.sz * 0.899999 <= a.sz + 1e-6
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
