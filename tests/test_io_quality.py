@@ -61,3 +61,20 @@ def test_observe_metrics_on_clean_frame(spark):
     n = df.count()
     assert obs.get["n_rows"] == n
     assert obs.get["n_corrupt"] == 0
+
+
+def test_spread_is_noop_at_production_partition_counts(spark):
+    """io.spread() exists to fix one-row-group fixture scans; at real
+    split counts it must add NO shuffle (returns the input unchanged) —
+    a spread that repartitions a 100 TB scan would be a regression."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, par)
+    assert spread(wide, spark) is wide
+    narrow = spark.range(0, 1000, 1, 1).withColumn("x", F.col("id") * 2)
+    out = spread(narrow, spark)
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 1000
