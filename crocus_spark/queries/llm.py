@@ -73,11 +73,21 @@ def text_exact_dedup(spark, sf_dir):
       FROM documents
     ),
     sizes AS (SELECT id, len(toks) AS sz FROM base),
-    toks AS (SELECT id, blk, unnest(toks) AS tok FROM base),
+    -- length prefilter INSIDE the shared-token fan-out (lossless for
+    -- the J >= 0.95 output: J <= min/max forces 0.95*max <= min; 1e-6
+    -- slack covers round(j,6)) — the DuckDB twin of the engine's
+    -- PPJoin length filter, same as the dedup_minhash_lsh oracle
+    toks AS (
+      SELECT t.id, t.blk, t.tok, s.sz
+      FROM (SELECT id, blk, unnest(toks) AS tok FROM base) t
+      JOIN sizes s ON s.id = t.id
+    ),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
       FROM toks a JOIN toks b
         ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+       AND a.sz * 0.949999 <= b.sz + 1e-6
+       AND b.sz * 0.949999 <= a.sz + 1e-6
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_inter,
@@ -2552,10 +2562,19 @@ def ml_feature_scaling(spark, sf_dir):
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
     ), sizes AS (SELECT id, len(toks) AS sz FROM base),
-    toks AS (SELECT id, unnest(toks) AS tok FROM base),
+    -- length prefilter inside the fan-out: lossless for J >= 0.9 (see
+    -- the dedup_minhash_lsh oracle for the argument)
+    toks AS (
+      SELECT t.id, t.tok, s.sz
+      FROM (SELECT id, unnest(toks) AS tok FROM base) t
+      JOIN sizes s ON s.id = t.id
+    ),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.id < b.id
+       AND a.sz * 0.899999 <= b.sz + 1e-6
+       AND b.sz * 0.899999 <= a.sz + 1e-6
       GROUP BY 1, 2
     ), pairs AS (
       SELECT id_a, id_b
