@@ -2895,13 +2895,27 @@ def corpus_dsir_importance(spark, sf_dir):
     size; the only corpus-sized work is one token explode fused into the
     scan and one map-side-combinable per-doc sum. This is the property
     that makes DSIR run on full CommonCrawl."""
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("t"),
-    ).select(
-        "doc_id", "lang", (D.portable_hash60(F.col("t")) % 1024).alias("b")
+    # spread (md5 token hashing is real CPU on a one-split scan), then
+    # ONE eager materialization of the bucketed token relation: FOUR
+    # consumers (raw model, target model, totals, per-doc sum) would
+    # otherwise each replay the explode + md5 pipeline. The relation is
+    # (doc_id, lang, bucket) — narrow; at 100 TB this is the standard
+    # cache-the-feature-relation trade the PPJoin family documents.
+    docs = spread(load(spark, sf_dir, "documents"), spark)
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(D.normalize_text(F.col("text")), " ")
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (D.portable_hash60(F.col("t")) % 1024).alias("b"),
+        )
+        .localCheckpoint(eager=True)
     )
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
     tgt = (
@@ -4006,8 +4020,10 @@ def dedup_shingle_containment(spark, sf_dir):
     that makes `corpus_boilerplate_ngrams` linear) so the inverted-index
     self-join is bounded by capped-df², then one grouped count per
     surviving pair. At 100 TB the candidate step swaps for the PPJoin
-    prefix filter (`operators/dedup.py`) unchanged downstream."""
-    docs = load(spark, sf_dir, "documents").select(
+    prefix filter (`operators/dedup.py`) unchanged downstream.
+    spread: the interpreted shingle-construction lambda is per-position
+    CPU pipelined into the one-split fixture scan task."""
+    docs = spread(load(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.split(D.normalize_text(F.col("text")), " ").alias("ws")
     )
     n = F.size("ws")
