@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import IntegralType
 
 
 def connected_components(
@@ -64,8 +64,14 @@ def connected_components(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # Integral ids only: the loop's convergence checksum sums labels
+    # cast to decimal(38,0), which is exact for byte/short/int/long but
+    # ROUNDS fractional/float ids — a monotone decrease (2.4→1.6) could
+    # leave the checksum unchanged and exit before the fixpoint (doubles
+    # past 2^53 alias the same way). Non-integral ids take the generic
+    # changed-rows path below, which compares labels directly.
     numeric_ids = isinstance(
-        labels.schema["comp"].dataType, NumericType
+        labels.schema["comp"].dataType, IntegralType
     )
     if numeric_ids:
         # Fast path (numeric node ids — every in-repo caller), two

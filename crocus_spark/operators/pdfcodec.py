@@ -348,7 +348,6 @@ def extract_pdf_batch(media, id_col: str = "media_id",
     and an md5 over the extracted text. Arrow-batched; one Python pass
     per partition, no driver collect."""
     import hashlib
-    import re as _re
 
     import pandas as pd
 
@@ -363,7 +362,10 @@ def extract_pdf_batch(media, id_col: str = "media_id",
                 ids.append(int(i))
                 np_.append(pdf_page_count(data))
                 nc.append(len(text))
-                nt.append(len(_re.split(r"\s+", text.strip())))
+                # str.split() gives 0 tokens for empty text — the
+                # regex-split form reported 1, an inconsistent stat for
+                # CID-quarantined docs (n_chars=0 but n_tokens=1).
+                nt.append(len(text.split()))
                 md.append(hashlib.md5(text.encode()).hexdigest())
                 st.append(status)
             yield pd.DataFrame(

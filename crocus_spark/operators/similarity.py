@@ -614,6 +614,14 @@ def cosine_neardup_pairs(
     probe_rows = probe.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).collect()  # bounded probe contract: m×d — model-sized
+    if not probe_rows:
+        # empty probe set: P would be shape (0,) and P.shape[1] inside
+        # the executor-side scorer raises — return the empty result the
+        # old join-based path produced.
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
     p_ids = np.array([r["id"] for r in probe_rows], dtype=np.int64)
     P = np.array([list(r["v"]) for r in probe_rows], dtype=np.float64)
 

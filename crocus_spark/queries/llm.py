@@ -772,8 +772,9 @@ def multimodal_binary_stats(spark, sf_dir):
     SELECT doc_id,
            CAST(GREATEST(1, CEIL(length(t) / 180.0)) AS INT) AS n_pages,
            CAST(length(t) AS BIGINT) AS n_chars,
-           CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT)
-             AS n_tokens,
+           CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(t), '\s+')) END
+                AS BIGINT) AS n_tokens,
            md5(t) AS extracted_md5,
            'ok' AS decode_status
     FROM ascii ORDER BY doc_id

@@ -47,7 +47,12 @@ def fetch_with_retry(
         except urllib.error.HTTPError as e:
             if e.code not in RETRYABLE_STATUS or attempt >= retries:
                 raise
-        except urllib.error.URLError:
+        except OSError:
+            # URLError, socket.timeout/TimeoutError, and raw OS-level
+            # failures raised mid-body by resp.read() all land here —
+            # a timeout during the stream is the classic transient
+            # failure the retry budget exists for, and it does NOT
+            # arrive wrapped in URLError.
             if attempt >= retries:
                 raise
         time.sleep(backoff_s * (2**attempt))
@@ -151,7 +156,12 @@ def download_with_rename(
         except urllib.error.HTTPError as e:
             if e.code not in RETRYABLE_STATUS or attempt >= retries:
                 raise
-        except urllib.error.URLError:
+        except OSError:
+            # URLError, socket.timeout/TimeoutError, and raw OS-level
+            # failures raised mid-body by resp.read() all land here —
+            # a timeout during the stream is the classic transient
+            # failure the retry budget exists for, and it does NOT
+            # arrive wrapped in URLError.
             if attempt >= retries:
                 raise
         time.sleep(backoff_s * (2**attempt))

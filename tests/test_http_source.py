@@ -61,6 +61,26 @@ class _CatalogHandler(BaseHTTPRequestHandler):
         elif self.path == "/gone":
             self.send_response(404)
             self.end_headers()
+        elif self.path == "/slowbody":
+            # first hit: send headers + a partial body, then stall past
+            # the client's read timeout mid-stream — the failure mode
+            # that surfaces as raw TimeoutError from resp.read(), NOT
+            # URLError. Later hits stream the full body promptly.
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header(
+                "Content-Disposition", 'attachment; filename="slow.csv"'
+            )
+            self.send_header("Content-Length", "28")
+            self.end_headers()
+            if cls.fail_first and cls.hits[self.path] == 1:
+                self.wfile.write(b"isin,weight\n")
+                self.wfile.flush()
+                import time as _t
+
+                _t.sleep(2.0)
+                return
+            self.wfile.write(b"isin,weight\nXX0000000000,1\n")
         elif self.path == "/export":
             # the 'click': redirect to the actual file URL, browser-style
             self.send_response(302)
@@ -208,6 +228,25 @@ def test_download_filename_never_escapes_out_dir(http_fixture, tmp_path):
         == "holdings.csv"
     )
     assert filename_from_disposition(None, "http://host/") == "download.bin"
+
+
+def test_download_retries_mid_body_timeout(http_fixture, tmp_path):
+    """A timeout raised mid-body by resp.read() surfaces as raw
+    TimeoutError/socket.timeout (not URLError); it must consume the
+    retry budget like any transient failure instead of escaping the
+    loop and leaving a .partial behind (r4 ADVICE)."""
+    from crocus_spark.sources.http_fetch import download_with_rename
+
+    final = download_with_rename(
+        f"{http_fixture}/slowbody", str(tmp_path),
+        timeout_s=0.5, retries=2, backoff_s=0.01,
+    )
+    assert final.endswith("slow.csv")
+    assert open(final, "rb").read() == b"isin,weight\nXX0000000000,1\n"
+    # the stalled first attempt was retried, and its .partial was
+    # superseded by the successful atomic publish
+    assert [p.name for p in tmp_path.iterdir()] == ["slow.csv"]
+    assert _CatalogHandler.hits["/slowbody"] >= 2
 
 
 def test_download_gives_up_after_budget(http_fixture, tmp_path):

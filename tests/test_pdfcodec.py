@@ -113,6 +113,22 @@ def test_cid_font_quarantined_not_garbled():
     assert extract_pdf_text(_cid_pdf()) == ""
 
 
+def test_quarantined_doc_reports_zero_tokens(spark):
+    # r4 ADVICE: a CID-quarantined doc has text == "", so its stats row
+    # must say n_tokens=0 (len("".split())), not the regex-split 1 —
+    # n_chars=0 with n_tokens=1 is an inconsistency downstream
+    # consumers would trust.
+    from crocus_spark.operators.pdfcodec import extract_pdf_batch
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_cid_pdf()))], "media_id long, content binary"
+    )
+    row = extract_pdf_batch(media).collect()[0]
+    assert row.decode_status == "cid_font"
+    assert row.n_chars == 0
+    assert row.n_tokens == 0
+
+
 def test_length_sliced_stream_containing_endstream_bytes():
     # r3 ADVICE (pdfcodec.py:107): Flate data may contain the literal
     # bytes `endstream`; with /Length present the body must be sliced at

@@ -335,6 +335,47 @@ def test_similarity_operators_handle_empty_query_side(spark):
     assert S.brute_force_topk(no_queries, corpus, k=3).count() == 0
 
 
+def test_cosine_neardup_empty_probe_returns_empty(spark):
+    """r4 ADVICE: an EMPTY probe set must early-return an empty
+    (id_a, id_b, cos) frame — the collected-probe matrix path would
+    otherwise build a shape-(0,) array and crash on P.shape[1] inside
+    the executor scorer."""
+    from crocus_spark.operators.similarity import cosine_neardup_pairs
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(8)], schema
+    )
+    no_probe = spark.createDataFrame([], schema)
+    out = cosine_neardup_pairs(corpus, threshold=0.5, probe=no_probe)
+    assert out.columns == ["id_a", "id_b", "cos"]
+    assert out.count() == 0
+
+
+def test_connected_components_fractional_ids_take_generic_path(spark):
+    """r4 ADVICE: the numeric fast path's convergence checksum casts
+    labels to decimal(38,0), which ROUNDS fractional ids — a monotone
+    decrease like 2.4→1.6 can leave the checksum unchanged and exit
+    before the fixpoint. Double ids must fall through to the generic
+    changed-rows path and still label exactly. The chain ids are
+    spaced 0.8 apart so consecutive labels round to the SAME integer —
+    the exact aliasing the decimal checksum cannot see."""
+    from crocus_spark.operators.graph import connected_components
+
+    # chain 10.0 — 10.8 — 11.6 — ... (21 nodes, diameter forces
+    # multiple propagation rounds) plus an isolated pair
+    chain = [(10.0 + 0.8 * i, 10.0 + 0.8 * (i + 1)) for i in range(20)]
+    edges = chain + [(99.5, 99.9)]
+    df = spark.createDataFrame(edges, "src double, dst double")
+    comp = {
+        r.node: r.comp
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    chain_nodes = [10.0 + 0.8 * i for i in range(21)]
+    assert {comp[n] for n in chain_nodes} == {10.0}
+    assert comp[99.5] == 99.5 and comp[99.9] == 99.5
+
+
 def test_golden_record_no_duplicates_is_empty(spark):
     """A corpus with zero exact duplicates produces an EMPTY golden-record
     relation (the HAVING > 1 contract), not one row per document."""
