@@ -216,15 +216,62 @@ def window_topk_per_group(spark, sf_dir):
 )
 def window_range_frame(spark, sf_dir):
     """RANGE frame on a numeric key (§2B#29): peers within a 500.0 balance
-    band — value-based frames vs the row-based frames above."""
+    band — value-based frames vs the row-based frames above.
+
+    A naive ``Window.orderBy("s_acctbal").rangeBetween(-500, 0)`` compiles
+    to ``Exchange SinglePartition → Sort → Window`` over the WHOLE
+    supplier relation (10k·sf rows — grows with scale; the r4 verdict's
+    one remaining single-task funnel). The value-based frame decomposes
+    exactly over the value-frequency relation instead:
+
+        peers_within_500(x) = cnt(v ≤ x) − cnt(v < x − 500)
+
+    Both terms come from ONE shard-parallel ``running_global`` pass over
+    the union of (value, freq) rows and zero-weight query points at
+    x − 500: ordering by (point, is_value) puts each query point BEFORE
+    any value row at exactly x − 500, so its inclusive running sum is
+    the strict cnt(v < x − 500), while each value row's inclusive
+    running sum is cnt(v ≤ v) — query points carry weight 0 and can
+    never contaminate value cumulatives. The arithmetic is exact:
+    s_acctbal is decimal(15,2), x − 500 stays decimal, frequencies
+    cumulate as longs. The per-row result then fans back over the
+    distinct-values-sized band relation (AQE broadcasts it). Plan-gated
+    in GLOBAL_RANK_FAMILY — no Exchange SinglePartition anywhere."""
+    from crocus_spark.operators.ranking import running_global
+
     s = load(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal").rangeBetween(-500, Window.currentRow)
+    vf = s.groupBy("s_acctbal").agg(F.count(F.lit(1)).alias("_n"))
+    vals = vf.select(
+        F.col("s_acctbal").alias("_pt"),
+        F.col("_n").alias("_w"),
+        F.lit(1).alias("_isv"),
+        F.col("s_acctbal").alias("_qx"),
+    )
+    qpts = vf.select(
+        (F.col("s_acctbal") - F.lit(500)).alias("_pt"),
+        F.lit(0).cast("long").alias("_w"),
+        F.lit(0).alias("_isv"),
+        F.col("s_acctbal").alias("_qx"),
+    )
+    ev = running_global(
+        vals.unionByName(qpts), ["_pt", "_isv"], "_w", out_col="_run"
+    )
+    cum_le = ev.filter(F.col("_isv") == 1).select(
+        F.col("_qx").alias("s_acctbal"), F.col("_run").alias("_cle")
+    )
+    cnt_lt = ev.filter(F.col("_isv") == 0).select(
+        F.col("_qx").alias("s_acctbal"), F.col("_run").alias("_clt")
+    )
+    band = cum_le.join(cnt_lt, "s_acctbal").select(
+        "s_acctbal",
+        (F.col("_cle") - F.col("_clt"))
+        .cast("long")
+        .alias("peers_within_500"),
+    )
     return (
-        s.select(
-            "s_suppkey",
-            "s_acctbal",
-            F.count(F.lit(1)).over(w).alias("peers_within_500"),
-        )
+        s.select("s_suppkey", "s_acctbal")
+        .join(band, "s_acctbal")
+        .select("s_suppkey", "s_acctbal", "peers_within_500")
         .orderBy("s_acctbal", "s_suppkey")
     )
 

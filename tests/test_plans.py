@@ -674,6 +674,10 @@ GLOBAL_RANK_FAMILY = [
     "stats_kaplan_meier",
     "window_skyline_frontier",
     "sketch_kmv_set_algebra",
+    # r5 addition (r4 verdict "What's wrong" #1): the value-based RANGE
+    # frame, decomposed into one running_global pass over the
+    # value-frequency ∪ query-point relation
+    "window_range_frame",
     # analytics_lorenz_deciles is deliberately NOT gated: its only
     # unpartitioned window runs over the 10-row decile relation (the
     # fact-sized rank goes through ranked_global) and the detector
