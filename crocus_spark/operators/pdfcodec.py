@@ -16,8 +16,12 @@ supplies the honest minimum:
   (``\\(``, ``\\)``, ``\\\\``, ``\\n`` and octal) and hex strings.
   Fonts are assumed single-byte with an ASCII-compatible encoding —
   exactly what ``encode_pdf`` emits and what simple generated
-  factsheets use; CID/Type0 PDFs are out of scope and yield whatever
-  their raw bytes decode to.
+  factsheets use. CID/Type0 (Identity-H) fonts — the shape of real
+  generated financial PDFs — are decoded through their embedded
+  ``/ToUnicode`` CMap (bfchar/bfrange, two-byte show strings) when
+  every Type0 font carries one; fonts WITHOUT a ToUnicode stream keep
+  the r4 quarantine (empty text, ``cid_font`` status) — detection over
+  silent mojibake.
 
 The pair is a round-trip proof (tests/test_pdfcodec.py): for printable-
 ASCII pages, ``extract_pdf_text(encode_pdf(pages))`` reproduces the
@@ -153,6 +157,151 @@ def _iter_streams(data: bytes):
         yield d, data[start:e]
         pos = e + len(b"endstream")
 
+# ---------------------------------------------------------------------------
+# ToUnicode CMap support for CID/Type0 (Identity-H) fonts
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.DOTALL)
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _utf16be_hex_to_str(hx: bytes) -> str:
+    hx = re.sub(rb"\s", b"", hx)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode_cmap(stream: bytes) -> dict[int, str]:
+    """Parse a ToUnicode CMap's bfchar/bfrange sections into
+    {2-byte code → unicode string}. Handles the three standard forms:
+    ``<src> <dst>`` pairs, ``<lo> <hi> <dstStart>`` ranges (successive
+    codes increment the LAST UTF-16 code unit of dstStart, per the CMap
+    spec), and ``<lo> <hi> [<d0> <d1> ...]`` explicit arrays. Multi-unit
+    destinations (ligatures like ``fi`` → two code units) pass through
+    as full strings."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(stream):
+        toks = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            code = int(re.sub(rb"\s", b"", src), 16)
+            cmap[code] = _utf16be_hex_to_str(dst)
+    for m in _BFRANGE_RE.finditer(stream):
+        body = m.group(1)
+        pos = 0
+        while True:
+            lo_m = _HEX_RE.search(body, pos)
+            if not lo_m:
+                break
+            hi_m = _HEX_RE.search(body, lo_m.end())
+            if not hi_m:
+                break
+            lo = int(re.sub(rb"\s", b"", lo_m.group(1)), 16)
+            hi = int(re.sub(rb"\s", b"", hi_m.group(1)), 16)
+            nxt = body[hi_m.end():].lstrip()
+            if nxt.startswith(b"["):
+                close = body.find(b"]", hi_m.end())
+                close = len(body) if close < 0 else close
+                arr = _HEX_RE.findall(body[hi_m.end():close])
+                for i, dst in enumerate(arr):
+                    if lo + i <= hi:
+                        cmap[lo + i] = _utf16be_hex_to_str(dst)
+                pos = close + 1
+            else:
+                dst_m = _HEX_RE.search(body, hi_m.end())
+                if not dst_m:
+                    break
+                units = _utf16be_hex_to_str(dst_m.group(1))
+                for i in range(hi - lo + 1):
+                    if units:
+                        bumped = units[:-1] + chr(
+                            (ord(units[-1]) + i) & 0xFFFF
+                        )
+                    else:
+                        bumped = ""
+                    cmap[lo + i] = bumped
+                pos = dst_m.end()
+    return cmap
+
+
+def _build_cid_fontmap(data: bytes):
+    """Resolve the document's CID decoding plan. Returns
+    ``(fontmap, default_cmap)`` where fontmap maps content-stream font
+    resource names (the ``/F1`` in ``/F1 10 Tf``) to either a CMap dict
+    (Type0 font with ToUnicode) or the string ``'simple'`` (single-byte
+    font), and default_cmap applies before any Tf is seen (single-font
+    documents). Returns ``None`` — quarantine — when any Type0 font
+    lacks a usable ToUnicode CMap or a resource name is ambiguous
+    (same name bound to different font objects across pages; exact
+    resolution would need per-page resource scoping)."""
+    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    type0_cmaps: dict[int, dict[int, str]] = {}
+    for num, body in objects.items():
+        if not _TYPE0_RE.search(body):
+            continue
+        ref = _TOUNICODE_REF_RE.search(body)
+        if not ref:
+            return None  # Type0 without ToUnicode — undecodable
+        tobj = objects.get(int(ref.group(1)))
+        if tobj is None:
+            return None
+        cmap: dict[int, str] = {}
+        for d, sbody in _iter_streams(tobj):
+            if b"/FlateDecode" in d:
+                for candidate in (sbody, sbody.rstrip(b"\r\n")):
+                    try:
+                        sbody = zlib.decompress(candidate)
+                        break
+                    except zlib.error:
+                        continue
+                else:
+                    return None
+            elif b"/Filter" in d:
+                return None  # unsupported CMap filter
+            cmap.update(_parse_tounicode_cmap(sbody))
+        if not cmap:
+            return None  # empty/unparseable CMap — nothing decodable
+        type0_cmaps[num] = cmap
+    if not type0_cmaps:
+        return None  # CID markers but no resolvable Type0 font object
+    names: dict[str, int] = {}
+    for body in objects.values():
+        for fm in _FONT_DICT_RE.finditer(body):
+            for nm, onum in _FONT_ENTRY_RE.findall(fm.group(1)):
+                name, onum = nm.decode("latin-1"), int(onum)
+                if names.get(name, onum) != onum:
+                    return None  # ambiguous name — needs page scoping
+                names[name] = onum
+    fontmap = {
+        name: type0_cmaps.get(onum, "simple")
+        for name, onum in names.items()
+    }
+    default_cmap = (
+        next(iter(type0_cmaps.values()))
+        if len(type0_cmaps) == 1
+        else None
+    )
+    return fontmap, default_cmap
+
+
+def _decode_cid_string(v: str, cmap: dict[int, str]) -> str:
+    """Decode a show string through a ToUnicode CMap: the tokenizer's
+    latin-1 values ARE the raw string bytes; Identity-H strings are
+    sequences of 2-byte codes. Unmapped codes are dropped (no mojibake,
+    no replacement noise)."""
+    raw = v.encode("latin-1", "replace")
+    return "".join(
+        cmap.get(int.from_bytes(raw[i : i + 2], "big"), "")
+        for i in range(0, len(raw) - 1, 2)
+    )
+
+
 _OCTAL = re.compile(r"\\([0-7]{1,3})")
 
 
@@ -182,15 +331,27 @@ def _decode_literal(raw: str) -> str:
     return "".join(out)
 
 
+_TF_RE = re.compile(r"/([^\s/<>()\[\]]+)\s+[-+.\d]+\s+Tf\b")
+
+
 def _tokenize_strings(content: str):
     """Yield (kind, value, op) for each text-showing operand in a
     content stream: literal ``(...)`` and hex ``<...>`` strings, tagged
-    with whether they sit inside a TJ array."""
+    with whether they sit inside a TJ array. Font selections
+    (``/F1 10 Tf``) are emitted as ``('font', name, None)`` events so a
+    CID-aware consumer can switch CMaps mid-stream."""
     i, n = 0, len(content)
     in_array = False
     while i < n:
         ch = content[i]
-        if ch == "[":
+        if ch == "/":
+            m = _TF_RE.match(content, i)
+            if m:
+                yield ("font", m.group(1), None)
+                i = m.end()
+            else:
+                i += 1
+        elif ch == "[":
             in_array = True
             i += 1
         elif ch == "]":
@@ -239,13 +400,15 @@ def extract_pdf_text_status(
     where status is one of:
 
     - ``'ok'`` — simple single-byte fonts, every text stream decoded;
-    - ``'cid_font'`` — the document declares a Type0/CID font
-      (``/Subtype /Type0``, ``/CIDFontType*``, ``/Identity-H``): its
-      show strings are multi-byte CID codes that a single-byte reader
-      would render as mojibake, so the text is QUARANTINED (empty) —
-      detection over silent garbage (r3 verdict, "What's missing" #1;
-      the reference's real factsheet/KID PDFs, ishares.py:120-128, are
-      overwhelmingly CID-fonted);
+    - ``'cid_text'`` — the document declares Type0/CID fonts
+      (``/Subtype /Type0``, ``/Identity-H``) and EVERY one carries a
+      ``/ToUnicode`` CMap: two-byte show strings were decoded through
+      the CMap (the common shape of real generated financial PDFs —
+      the reference's factsheet/KID documents, ishares.py:120-128);
+    - ``'cid_font'`` — CID fonts WITHOUT a usable ToUnicode CMap: the
+      show strings are multi-byte CID codes a single-byte reader would
+      render as mojibake, so the text is QUARANTINED (empty) —
+      detection over silent garbage (r3 verdict, "What's missing" #1);
     - ``'unsupported_filter'`` — some content stream uses a filter other
       than FlateDecode and was skipped (partial text returned);
     - ``'no_text'`` — no text-showing content stream found.
@@ -253,8 +416,15 @@ def extract_pdf_text_status(
     Strings concatenate in operator order (Tj / ' / " / TJ-array
     elements); no positional reflow — generated and simple linear-layout
     PDFs read back verbatim."""
+    fontmap: dict[str, object] = {}
+    default_cmap = None
+    is_cid = False
     if _CID_FONT_RE.search(data):
-        return "", "cid_font"
+        plan = _build_cid_fontmap(data)
+        if plan is None:
+            return "", "cid_font"
+        fontmap, default_cmap = plan
+        is_cid = True
     pages: list[str] = []
     skipped_filter = False
     for d, body in _iter_streams(data):
@@ -277,9 +447,17 @@ def extract_pdf_text_status(
         content = body.decode("latin-1", "replace")
         if "BT" not in content:
             continue
-        parts = [
-            v for _, v, _ in _tokenize_strings(content)
-        ]
+        parts: list[str] = []
+        cur_cmap = default_cmap  # before any Tf: single-font default
+        for kind, v, _ in _tokenize_strings(content):
+            if kind == "font":
+                sel = fontmap.get(v, default_cmap)
+                cur_cmap = None if sel == "simple" else sel
+                continue
+            if cur_cmap is not None:
+                parts.append(_decode_cid_string(v, cur_cmap))
+            else:
+                parts.append(v)
         if parts:
             pages.append("".join(parts))
     text = page_sep.join(pages)
@@ -287,7 +465,7 @@ def extract_pdf_text_status(
         return text, "unsupported_filter"
     if not pages:
         return text, "no_text"
-    return text, "ok"
+    return text, "cid_text" if is_cid else "ok"
 
 
 def extract_pdf_text(data: bytes, page_sep: str = "\f") -> str:

