@@ -151,7 +151,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+def spread(
+    df: DataFrame, spark: SparkSession, target: int | None = None
+) -> DataFrame:
     """Round-robin repartition a scan that arrived with fewer partitions
     than the session has cores — the single-file fixture tables are one
     row group each, so Spark's split logic CANNOT parallelize them and
@@ -165,8 +167,14 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     scans as tens of thousands of splits, which is >= the parallelism
     guard, so no shuffle is added. Deliberately round-robin (no key):
     the callers' downstream aggregates hash-shuffle anyway; this only
-    fixes map-stage fan-out."""
-    target = spark.sparkContext.defaultParallelism
+    fixes map-stage fan-out. ``target`` caps the fan-out below the
+    core count for model-sized iterative loops whose per-round jobs are
+    scheduler-overhead-bound at fixture scale (k-means: 4 rounds × 3
+    stages × 32 tasks is ~400 task launches for kilobyte inputs); the
+    no-op-at-production property is unchanged — a real table's split
+    count exceeds any cap, so no shuffle is added."""
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -1365,22 +1365,24 @@ def _lloyd_seeds(emb, k):
     )
 
 
-def _lloyd_assign(emb, centroids, keep_d2=False):
+def _lloyd_assign(emb, centroids, keep_d2=False, carry=()):
     """One Lloyd assignment pass: broadcast the k-row centroid relation,
     argmin via min(struct(d2, cell)) — a partial-aggregating hash agg with
     ties to the lowest cell; no window sort. Shared by
     ml_kmeans_iterations and dedup_semantic_semdedup so the
     determinism-critical tie/fold rules can never drift between the two
-    hash-gated queries."""
+    hash-gated queries. ``carry`` names extra per-vector columns to keep
+    through the argmin (functionally dependent on vec_id, like v)."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         # dim=64: the fixture embeddings contract (unrolled codegen fold)
-        "vec_id", "v", "cell", _lloyd_dist2(dim=64).alias("d2")
+        "vec_id", "v", *carry, "cell", _lloyd_dist2(dim=64).alias("d2")
     )
     assign = scored.groupBy("vec_id").agg(
         F.min(F.struct("d2", "cell")).alias("m"),
         F.first("v").alias("v"),  # v is functionally dependent on vec_id
+        *[F.first(c).alias(c) for c in carry],
     )
-    cols = ["vec_id", "v", F.col("m.cell").alias("cell")]
+    cols = ["vec_id", "v", *carry, F.col("m.cell").alias("cell")]
     if keep_d2:
         cols.append(F.col("m.d2").alias("d2"))
     return assign.select(*cols)
@@ -1523,59 +1525,164 @@ def ml_kmeans_iterations(spark, sf_dir):
     or the implementation is wrong — the property test pins it, and the
     unrolled _kmeans_oracle holds the whole 4-round loop to the full
     hash gate (verified MATCH at sf0.001 / sf0.01 / sf0.1)."""
-    # spread before persist: the single-split fixture scan would pin the
-    # interpreted 64-dim distance fold (k x corpus rows per round) to
-    # ONE task for the whole loop — the persisted partitioning is what
-    # every round's crossJoin inherits
-    emb = spread(load(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # Per-round plan: ONE mapInPandas job, ZERO shuffles. Each Arrow
+    # partition computes, for the round's centroid matrix shipped in
+    # the task closure (k×64 doubles — model-sized): the assignment
+    # (left-assoc float64 fold, identical IEEE sequence to the oracle's
+    # list_reduce), the PREVIOUS round's assignment (recomputed from
+    # the previous centroid matrix — cheaper than persisting and
+    # re-reading a corpus relation), and per-cell partials: member
+    # count, churn count, Σ quantized d2, Σ quantized components. The
+    # driver combines ≤ n_partitions × k partial rows. Exactness
+    # contract (same algebra as the unrolled DuckDB oracle):
+    # - component sums: v is pre-quantized ONCE Spark-side as
+    #   1e9-scaled BIGINTs (CAST(CAST(x AS DECIMAL(30,9))·1e9 AS
+    #   BIGINT)) — int64 partial sums are exact, and the driver's
+    #   Decimal(total)/1e9 → float → /n replays CAST(SUM(decimal) AS
+    #   DOUBLE)/COUNT bit-for-bit;
+    # - inertia: each d2 quantizes via Decimal(repr(d2)) + HALF_UP at
+    #   scale 9 — the same shortest-string-then-setScale path as
+    #   Spark's double→decimal cast (digit strings can differ from
+    #   Java's beyond ~17 significant digits, 6+ orders below the
+    #   scale-9 quantum — the standing cross-engine margin);
+    # - churn: exact integer count of cell ≠ prev_cell.
+    emb = spread(load(spark, sf_dir, "embeddings"), spark, target=8).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) AS"
+            " DECIMAL(30,9)) * 1000000000 AS BIGINT))"
+        ).alias("vq"),
     )
     k = 8
     emb = emb.persist()
-    centroids = _lloyd_seeds(emb, k)
+    seed_rows = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    )
+    centroid_map = {i: v for i, (_, v) in enumerate(seed_rows)}
     history = []
-    prev_assign = None
-    for it in range(4):
-        assign = _lloyd_assign(emb, centroids, keep_d2=True).persist()
-        # ONE action per round: inertia and membership churn in the same
-        # job (the r1 version ran separate inertia/moved jobs — 2-3× the
-        # scheduling + shuffle overhead of the whole loop).
-        if prev_assign is None:
-            row = assign.agg(
-                F.sum(F.col("d2").cast("decimal(30,9)")).cast("double").alias("i"),
-                F.count(F.lit(1)).alias("mv"),
-            ).collect()[0]
-        else:
-            row = (
-                assign.join(
-                    F.broadcast(
-                        prev_assign.select(
-                            "vec_id", F.col("cell").alias("prev_cell")
+    Q9 = Decimal("1.000000000")
+
+    def _round_stats(cmat_prev, cmat_cur):
+        """Build the round's partial-stats mapInPandas fn. cmat_* are
+        k×64 numpy float64 matrices (prev is None in round 0)."""
+        import numpy as np
+        import pandas as pd
+
+        def assign_cells(V):
+            best_d2, best_cell = None, None
+            for cell in range(cmat_cur.shape[0]):
+                c = cmat_cur[cell]
+                acc = np.zeros(V.shape[0])
+                for i in range(V.shape[1]):  # left-assoc, dim order
+                    d = V[:, i] - c[i]
+                    acc = acc + d * d
+                if best_d2 is None:
+                    best_d2, best_cell = acc, np.zeros(len(acc), dtype=np.int64)
+                else:
+                    better = acc < best_d2  # strict: ties keep lower cell
+                    best_d2 = np.where(better, acc, best_d2)
+                    best_cell = np.where(better, cell, best_cell)
+            return best_cell, best_d2
+
+        def assign_only(V, cmat):
+            best_d2, best_cell = None, None
+            for cell in range(cmat.shape[0]):
+                c = cmat[cell]
+                acc = np.zeros(V.shape[0])
+                for i in range(V.shape[1]):
+                    d = V[:, i] - c[i]
+                    acc = acc + d * d
+                if best_d2 is None:
+                    best_d2, best_cell = acc, np.zeros(len(acc), dtype=np.int64)
+                else:
+                    better = acc < best_d2
+                    best_d2 = np.where(better, acc, best_d2)
+                    best_cell = np.where(better, cell, best_cell)
+            return best_cell
+
+        def fn(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                V = np.vstack(b["v"].to_numpy()).astype(np.float64)
+                VQ = np.vstack(b["vq"].to_numpy()).astype(np.int64)
+                cell, d2 = assign_cells(V)
+                prev = (
+                    assign_only(V, cmat_prev)
+                    if cmat_prev is not None
+                    else None
+                )
+                rows = []
+                for c in np.unique(cell):
+                    m = cell == c
+                    sd2q = int(
+                        sum(
+                            int(
+                                Decimal(repr(x)).quantize(
+                                    Q9, rounding=ROUND_HALF_UP
+                                ).scaleb(9)
+                            )
+                            for x in d2[m]
                         )
-                    ),
-                    "vec_id",
-                    "left",
-                )
-                .agg(
-                    F.sum(F.col("d2").cast("decimal(30,9)"))
-                    .cast("double")
-                    .alias("i"),
-                    F.sum(
-                        F.when(
-                            F.col("prev_cell").isNull()
-                            | (F.col("cell") != F.col("prev_cell")),
-                            1,
-                        ).otherwise(0)
-                    ).alias("mv"),
-                )
-                .collect()[0]
+                    )
+                    mv = int(m.sum()) if prev is None else int(
+                        (prev[m] != c).sum()
+                    )
+                    rows.append(
+                        {
+                            "cell": int(c),
+                            "n": int(m.sum()),
+                            "mv": mv,
+                            "sd2q": sd2q,
+                            "svq": VQ[m].sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return fn
+
+    import numpy as np
+
+    cmat_prev = None
+    for it in range(4):
+        cmat_cur = np.array(
+            [centroid_map[c] for c in sorted(centroid_map)],
+            dtype=np.float64,
+        )
+        partials = emb.mapInPandas(
+            _round_stats(cmat_prev, cmat_cur),
+            "cell int, n long, mv long, sd2q decimal(38,0), svq array<decimal(38,0)>",
+        ).collect()
+        per_cell: dict[int, dict] = {}
+        for r in partials:
+            acc = per_cell.setdefault(
+                r["cell"], {"n": 0, "mv": 0, "sd2q": 0, "svq": [0] * 64}
             )
-        history.append((it, float(row.i), int(row.mv)))
-        centroids = _lloyd_recompute(centroids, assign)
-        if prev_assign is not None:
-            prev_assign.unpersist()
-        prev_assign = assign
-    prev_assign.unpersist()
+            acc["n"] += r["n"]
+            acc["mv"] += r["mv"]
+            acc["sd2q"] += int(r["sd2q"])
+            for i, x in enumerate(r["svq"]):
+                acc["svq"][i] += int(x)
+        inertia = float(
+            Decimal(sum(a["sd2q"] for a in per_cell.values())).scaleb(-9)
+        )
+        moved = sum(a["mv"] for a in per_cell.values())
+        history.append((it, inertia, int(moved)))
+        new_map = {
+            c: [
+                float(Decimal(sx).scaleb(-9)) / a["n"]
+                for sx in a["svq"]
+            ]
+            for c, a in per_cell.items()
+        }
+        for c, v in centroid_map.items():
+            new_map.setdefault(c, v)
+        centroid_map = new_map
+        cmat_prev = cmat_cur
     emb.unpersist()
     return spark.createDataFrame(
         history, "iter int, inertia double, n_moved long"
