@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+import tempfile
 from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent)
@@ -70,13 +71,30 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footers — untimed
     _execute(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
 
-    # IVF fit measured SEPARATELY (r3 ADVICE): ann_ivf_topk memoizes the
-    # centroid model (fit-once/serve-many), so min-of-3 below measures
-    # the probe path — which is the serving number. The fit cost is
-    # timed here from a cleared memo and reported as its own key.
+    # IVF costs measured SEPARATELY (r3 ADVICE, r4 task #6):
+    # ann_ivf_topk memoizes the centroid model in-process AND persists
+    # it beside the at-rest store, so three regimes exist and each gets
+    # its own honest number: (1) full refit — both caches cleared, the
+    # distributed fit runs (one-time per corpus content, ever);
+    # (2) process-cold — fresh process, committed model file: one JSON
+    # read + probe, the production cold-start; (3) warm probe — the
+    # serving number, measured by min-of-5 below.
+    import glob as _glob
+
     from crocus_spark.queries import llm as _llm
 
     _llm._IVF_HEADLINE_MODEL.clear()
+    for _mf in _glob.glob(
+        os.path.join(
+            tempfile.gettempdir(), "crocus_spark_io", "ivf_model_*.json"
+        )
+    ):
+        os.unlink(_mf)
+    t0 = time.perf_counter()
+    _execute(REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR))
+    ivf_full_refit = round(time.perf_counter() - t0, 3)
+
+    _llm._IVF_HEADLINE_MODEL.clear()  # keep the model FILE: process-cold
     t0 = time.perf_counter()
     _execute(REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR))
     ivf_fit_and_probe = round(time.perf_counter() - t0, 3)
@@ -105,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "ann_ivf_fit_and_probe_cold_sec": ivf_fit_and_probe,
+                "ann_ivf_full_refit_sec": ivf_full_refit,
                 "budget_violations": violations,
                 "sf": sf,
             }

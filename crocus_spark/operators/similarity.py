@@ -307,13 +307,22 @@ def _centroid_df(spark, cells, mat) -> DataFrame:
     )
 
 
-def assign_cells_projection(vectors: DataFrame, cells, mat) -> DataFrame:
+def assign_cells_projection(
+    vectors: DataFrame, cells, mat, normalize: bool = False
+) -> DataFrame:
     """Shuffle-free nearest-centroid assignment: the k×dim model rides
     into a map-side Arrow UDF as a closure (Spark broadcasts the
     serialized task), so assignment is a pure projection — the corpus is
     never shuffled or replicated k× the way the crossJoin+groupBy argmax
     does. At 100 TB this removes a full corpus exchange per assignment,
     the single biggest avoidable cost in IVF indexing.
+
+    ``normalize=True`` L2-normalizes the input vectors INSIDE the Arrow
+    batch before the dot loop, replaying ``_norm_vec``'s left-to-right
+    IEEE fold (acc + x·x per dim, sqrt, per-component divide)
+    bit-for-bit — callers that only need the CELL no longer pay the
+    interpreted higher-order ``_norm_vec`` lambda over the whole corpus
+    (seconds per million rows; the r4-measured cold-probe wall).
 
     Value parity with ``_assign_cells``: the dimension loop accumulates
     each (vector, centroid) dot in the same left-to-right IEEE order as
@@ -327,12 +336,54 @@ def assign_cells_projection(vectors: DataFrame, cells, mat) -> DataFrame:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         V = np.vstack(v.to_numpy()).astype(np.float64)
+        if normalize:
+            acc = np.zeros(V.shape[0])
+            for i in range(V.shape[1]):  # _norm_vec's fold order
+                x = V[:, i]
+                acc = acc + x * x
+            V = V / np.sqrt(acc)[:, None]
         D = np.zeros((V.shape[0], mat.shape[0]))
         for i in range(V.shape[1]):
             D = D + V[:, i : i + 1] * mat[None, :, i]
         return pd.Series(cells[np.argmax(D, axis=1)], dtype="int32")
 
     return vectors.withColumn("cell", best_cell(F.col("v")))
+
+
+def assign_and_normalize(vectors: DataFrame, cells, mat) -> DataFrame:
+    """One Arrow pass emitting (cell, v) where v is the L2-NORMALIZED
+    double vector and cell its nearest centroid — the fit-loop
+    counterpart of ``assign_cells_projection(normalize=True)`` for
+    consumers that need the normalized components THEMSELVES (the
+    per-cell decimal mean recompute). Normalization replays
+    ``_norm_vec``'s left-to-right fold (acc + x·x per dim, sqrt,
+    per-component divide) and the dot loop replays ``dot_batch``'s
+    order, so every emitted double is bit-identical to the interpreted
+    lambda + projection pair it replaces."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.vstack(b["v"].to_numpy()).astype(np.float64)
+            acc = np.zeros(V.shape[0])
+            for i in range(V.shape[1]):
+                x = V[:, i]
+                acc = acc + x * x
+            V = V / np.sqrt(acc)[:, None]
+            D = np.zeros((V.shape[0], mat.shape[0]))
+            for i in range(V.shape[1]):
+                D = D + V[:, i : i + 1] * mat[None, :, i]
+            yield pd.DataFrame(
+                {
+                    "cell": cells[np.argmax(D, axis=1)].astype("int32"),
+                    "v": list(V),
+                }
+            )
+
+    return vectors.mapInPandas(fn, "cell int, v array<double>")
 
 
 def ivf_fit_centroids(
@@ -354,25 +405,29 @@ def ivf_fit_centroids(
     components are bit-identical at any parallelism. Per iteration the
     corpus is read once and shuffled never; the only exchange carries
     cells × dims of aggregate state — model-sized."""
-    normed = corpus.select(
-        F.col(id_col).alias("id"), _norm_vec(F.col(vec_col)).alias("v")
+    raw = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     # distributed top-n (TakeOrderedAndProject — per-partition partial
     # top-n, merge of n_cells rows), NOT a global row_number window, which
-    # would funnel the whole corpus through one task
-    seeds = normed.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n_cells)
+    # would funnel the whole corpus through one task. Normalization
+    # happens AFTER the limit (n_cells rows) — the corpus-wide
+    # interpreted _norm_vec lambda was most of the cold fit's wall.
+    seeds = raw.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n_cells)
     centroids = (
         # re-key seeds by id order so cell numbering is hash-independent;
         # the window spans only the n_cells seed rows
         seeds.withColumn(
             "cell", (F.row_number().over(Window.orderBy("id")) - 1).cast("int")
-        ).select("cell", F.col("v").alias("centroid"))
+        ).select("cell", _norm_vec(F.col("v")).alias("centroid"))
     )
     for _ in range(lloyd_iters):
         # model-sized collect per iteration (MLlib-KMeans-style), so the
-        # assignment is a map-side projection, not a corpus shuffle
-        assigned = assign_cells_projection(
-            normed, *collect_centroid_model(centroids)
+        # assignment is a map-side projection, not a corpus shuffle;
+        # one Arrow pass emits (cell, normalized v) — numpy replays
+        # _norm_vec's fold bit-for-bit (see assign_and_normalize)
+        assigned = assign_and_normalize(
+            raw, *collect_centroid_model(centroids)
         )
         if dim is not None:
             # dim known up front: ONE aggregation with dim per-component
@@ -460,15 +515,19 @@ def ivf_topk(
     centroids = _centroid_df(corpus.sparkSession, cells, mat)
     # cell assignment as a projection ON the corpus scan itself — no
     # corpus self-join, no shuffle; the raw vector stays alongside for
-    # exact re-scoring
+    # exact re-scoring. Normalization happens inside the Arrow batch
+    # (normalize=True): the corpus-wide interpreted _norm_vec lambda
+    # was this probe path's single biggest cost, and its result was
+    # immediately dropped.
     c = assign_cells_projection(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm_vec(F.col(vec_col)).alias("v"),
+            F.col(vec_col).alias("v"),
         ),
         cells,
         mat,
+        normalize=True,
     ).drop("v")
     # per-query probe list: top-nprobe centroid cells by dot product
     q_normed = queries.select(
@@ -890,10 +949,11 @@ def ivf_topk_at_rest(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
-                _norm_vec(F.col(vec_col)).alias("v"),
+                F.col(vec_col).alias("v"),
             ),
             cells,
             mat,
+            normalize=True,
         ).drop("v")
         indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
 
