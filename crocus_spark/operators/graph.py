@@ -108,6 +108,19 @@ def connected_components(
         # decrease, so Σcomp strictly decreases until — and only until —
         # the fixpoint (decimal(38,0) over long ids is exact, no float
         # drift, no overflow before ~1e19 nodes).
+        # Size the loop's shuffles to the MEASURED contracted-graph
+        # volume (the count materializes the persisted relation the
+        # loop reads anyway): after star contraction the state is often
+        # a few thousand rows, and ~4 jobs/round at the session's full
+        # width is task-launch-bound (measured 4.6 s → 2.6 s at
+        # sf0.01). A billion-edge contracted graph keeps the session
+        # width; the finally below restores it.
+        sess = edges.sparkSession
+        base_width = sess.conf.get("spark.sql.shuffle.partitions")
+        loop_width = max(
+            8, min(int(base_width), contracted.count() // 50000 + 1)
+        )
+        sess.conf.set("spark.sql.shuffle.partitions", str(loop_width))
         clabels = (
             contracted.groupBy(F.col("u").alias("node"))
             .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
@@ -121,76 +134,79 @@ def connected_components(
         prev_sum = clabels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
-        for _ in range(max_iter):
-            stepped = (
-                selfed.join(
-                    clabels.select(
-                        F.col("node").alias("v"),
-                        F.col("comp").alias("vcomp"),
-                    ),
-                    "v",
-                )
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("vcomp").alias("comp"))
-                .persist()
-            )
-            # single pointer jump: comp → comp(comp). Measured on both
-            # fixture graphs (sf0.01/sf0.1): one jump cuts rounds ~2×
-            # vs none (6/7 vs 10/13 rounds), while a second or third
-            # jump saves at most one round and the deeper self-join DAG
-            # inside the checkpoint costs far more than it saves (3
-            # hops regressed the sf0.1 graph 5 s → 60 s).
-            a, b = stepped.alias("a"), stepped.alias("b")
-            jumped = (
-                a.join(b, F.col("a.comp") == F.col("b.node"), "left")
-                .select(
-                    F.col("a.node").alias("node"),
-                    F.least(
-                        F.col("a.comp"),
-                        F.coalesce(F.col("b.comp"), F.col("a.comp")),
-                    ).alias("comp"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = jumped.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
-            stepped.unpersist()
-            clabels = jumped
-            if cur_sum == prev_sum:
-                # Map every original node through its contracted rep:
-                # comp(u) = comp2(l0(u)), falling back to l0(u) for
-                # nodes whose rep had no external edge (star collapsed
-                # whole). The rep relation is component-count-sized —
-                # AQE broadcasts it.
-                out = (
-                    labels.join(
+        try:
+            for _ in range(max_iter):
+                stepped = (
+                    selfed.join(
                         clabels.select(
-                            F.col("node").alias("comp"),
-                            F.col("comp").alias("comp2"),
+                            F.col("node").alias("v"),
+                            F.col("comp").alias("vcomp"),
                         ),
-                        "comp",
-                        "left",
+                        "v",
                     )
+                    .groupBy(F.col("u").alias("node"))
+                    .agg(F.min("vcomp").alias("comp"))
+                    .persist()
+                )
+                # single pointer jump: comp → comp(comp). Measured on both
+                # fixture graphs (sf0.01/sf0.1): one jump cuts rounds ~2×
+                # vs none (6/7 vs 10/13 rounds), while a second or third
+                # jump saves at most one round and the deeper self-join DAG
+                # inside the checkpoint costs far more than it saves (3
+                # hops regressed the sf0.1 graph 5 s → 60 s).
+                a, b = stepped.alias("a"), stepped.alias("b")
+                jumped = (
+                    a.join(b, F.col("a.comp") == F.col("b.node"), "left")
                     .select(
-                        "node",
-                        F.coalesce(F.col("comp2"), F.col("comp")).alias(
-                            "comp"
-                        ),
+                        F.col("a.node").alias("node"),
+                        F.least(
+                            F.col("a.comp"),
+                            F.coalesce(F.col("b.comp"), F.col("a.comp")),
+                        ).alias("comp"),
                     )
                     .localCheckpoint(eager=True)
                 )
-                selfed.unpersist()
-                contracted.unpersist()
-                und.unpersist()
-                return out
-            prev_sum = cur_sum
-        selfed.unpersist()
-        contracted.unpersist()
-        und.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations"
-        )
+                cur_sum = jumped.agg(
+                    F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+                ).first()["s"]
+                stepped.unpersist()
+                clabels = jumped
+                if cur_sum == prev_sum:
+                    # Map every original node through its contracted rep:
+                    # comp(u) = comp2(l0(u)), falling back to l0(u) for
+                    # nodes whose rep had no external edge (star collapsed
+                    # whole). The rep relation is component-count-sized —
+                    # AQE broadcasts it.
+                    out = (
+                        labels.join(
+                            clabels.select(
+                                F.col("node").alias("comp"),
+                                F.col("comp").alias("comp2"),
+                            ),
+                            "comp",
+                            "left",
+                        )
+                        .select(
+                            "node",
+                            F.coalesce(F.col("comp2"), F.col("comp")).alias(
+                                "comp"
+                            ),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    selfed.unpersist()
+                    contracted.unpersist()
+                    und.unpersist()
+                    return out
+                prev_sum = cur_sum
+            selfed.unpersist()
+            contracted.unpersist()
+            und.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations"
+            )
+        finally:
+            sess.conf.set("spark.sql.shuffle.partitions", base_width)
     # Generic path (orderable but non-summable ids, e.g. strings): carry
     # the pre-round label as `old` through the round so convergence is a
     # changed-rows check on the checkpointed output.
