@@ -47,3 +47,52 @@ def test_budget_file_covers_every_headline_query():
     heads = {n for n, q in REGISTRY.items() if "headline" in q.tags}
     missing = heads - set(spec["budgets"])
     assert not missing, f"headline queries without a budget: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# Sweep budgets (r4 verdict task #5): the r1-r3 gate-tail regressions all
+# happened in NON-headline queries that bench_budgets.json never covered;
+# tools/sweep_budgets.json pins every registered query at the gate sf.
+# ---------------------------------------------------------------------------
+
+
+def _load_sweep():
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import sweep
+
+    return sweep
+
+
+def test_sweep_deliberate_slowdown_turns_red():
+    sweep = _load_sweep()
+    spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
+    name, budget = next(iter(spec["budgets"].items()))
+    sf_dir = "/root/testdata/" + spec["sf_dir_basename"]
+    ok, _ = sweep.check_sweep_budgets({name: budget * 0.9}, sf_dir)
+    bad, _ = sweep.check_sweep_budgets({name: budget * 3.0}, sf_dir)
+    assert ok == []
+    assert bad == [name]
+
+
+def test_sweep_budgets_only_bind_at_calibrated_sf():
+    sweep = _load_sweep()
+    spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
+    name, budget = next(iter(spec["budgets"].items()))
+    v, u = sweep.check_sweep_budgets(
+        {name: budget * 5.0}, "/root/testdata/sf0.001"
+    )
+    assert v == [] and u == []
+
+
+def test_sweep_budget_file_covers_every_registered_query():
+    spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
+    from crocus_spark.queries import REGISTRY, queries
+
+    queries()
+    missing = set(REGISTRY) - set(spec["budgets"])
+    assert not missing, (
+        f"queries without a sweep budget (recalibrate "
+        f"tools/gen_sweep_budgets.py): {missing}"
+    )

@@ -17,6 +17,12 @@ from tests.conftest import SF_SMOKE
 
 from crocus_spark.plans import explain_str as _plan
 
+# Fixture scales for the AQE-SENSITIVE gates (r4 verdict task #8):
+# bucketed join, DPP, bloom, salted skew, reciprocal-best make
+# size-driven runtime choices, so their gates must hold at more than
+# one input size in the same pytest run.
+AQE_SENSITIVE_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
 
 @pytest.fixture(scope="module")
 def registry():
@@ -115,18 +121,22 @@ def test_sort_merge_join_for_two_large_sides(spark, registry):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
-def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+@pytest.mark.parametrize("sf_dir", AQE_SENSITIVE_SFS)
+def test_bucketed_join_needs_no_exchange(spark, tmp_path, sf_dir):
     """The SCALE.md co-location claim, executed: lineitem and orders
     written bucketed by orderkey join WITHOUT shuffling either side — the
     only Exchange left in the plan belongs to the downstream groupBy
     (whose key isn't the bucket key). At 100 TB this is the difference
-    between shuffling the two largest tables and shuffling 5 rows."""
+    between shuffling the two largest tables and shuffling 5 rows.
+    Parameterized over two fixture scales (r4 verdict task #8): AQE's
+    runtime choices differ with input size, and a gate that only ever
+    sees sf0.001 can pass on a plan shape sf0.01 would not take."""
     import re
 
     from crocus_spark.io import load
 
-    li = load(spark, SF_SMOKE, "lineitem")
-    o = load(spark, SF_SMOKE, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
     for name, df, key in [
         ("li_bucketed_t", li, "l_orderkey"),
         ("o_bucketed_t", o, "o_orderkey"),
@@ -207,18 +217,22 @@ def test_shuffle_has_no_global_sort(spark):
     assert "SinglePartition" not in plan
 
 
-def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
+@pytest.mark.parametrize("sf_dir", AQE_SENSITIVE_SFS)
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark, sf_dir):
     """The dim-side filter must reach the fact scan's PartitionFilters
     as a dynamicpruning subquery — directory-level pruning decided at
-    runtime, the O(matching days) property for date-partitioned facts."""
+    runtime, the O(matching days) property for date-partitioned facts.
+    Two scales (r4 task #8): DPP's broadcast-reuse decision is
+    size-sensitive."""
     from crocus_spark.queries.runtime_q import join_dpp_prune
 
-    df = join_dpp_prune(spark, SF_SMOKE)
+    df = join_dpp_prune(spark, sf_dir)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
 
 
-def test_bloom_filter_reaches_fact_scan(spark):
+@pytest.mark.parametrize("sf_dir", AQE_SENSITIVE_SFS)
+def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
     """With the application-side size gate lifted (the only knob that
     misrepresents test scale), the urgent-orders key set must appear as
     might_contain(xxhash64(l_orderkey)) in lineitem's scan-side filter —
@@ -228,8 +242,8 @@ def test_bloom_filter_reaches_fact_scan(spark):
     from crocus_spark.io import load
     from crocus_spark.queries.runtime_q import BLOOM_TEST_CONFS, conf_overrides
 
-    li = load(spark, SF_SMOKE, "lineitem")
-    o = load(spark, SF_SMOKE, "orders").filter(
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
@@ -831,3 +845,17 @@ def test_single_partition_detector_catches_naive_range_frame(spark):
         if not _orders_only_shard(line)
     ]
     assert hits, "detector failed to flag a naive global RANGE window"
+
+
+@pytest.mark.parametrize("sf_dir", AQE_SENSITIVE_SFS)
+def test_reciprocal_best_broadcasts_and_argmins(spark, registry, sf_dir):
+    """join_reciprocal_best (r4 task #8's fifth AQE-sensitive shape):
+    the candidate relation must be customers × a BROADCAST supplier
+    dimension (BroadcastNestedLoopJoin, never CartesianProduct), and
+    both per-side best matches must be struct-min hash aggregates, not
+    rank-1 windows sorting the full candidate relation — at both
+    fixture scales."""
+    plan = _plan(registry["join_reciprocal_best"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan

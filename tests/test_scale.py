@@ -4,6 +4,7 @@ physical rewrite, never a semantic one."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crocus_spark.io import load
@@ -15,9 +16,15 @@ def _rowset(df):
     return {tuple(r) for r in df.collect()}
 
 
-def test_salted_join_equals_plain_join(spark):
-    orders = load(spark, SF_SMOKE, "orders")
-    cust = load(spark, SF_SMOKE, "customer").withColumnRenamed(
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Two fixture scales (r4 verdict task #8): AQE's skew/coalesce
+    choices are size-driven, and salting must stay value-neutral under
+    whichever physical plan each size gets."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "o_custkey"
     )
     plain = orders.join(cust, "o_custkey").select(

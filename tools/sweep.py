@@ -15,15 +15,45 @@ re-verification after editing a query.
 
 Output JSON: {name: {"ok": bool|None, "secs": float, "err": str|None}},
 plus a "_summary" entry; prints the 15 slowest to stderr.
+
+Per-query TIME budgets (r4 verdict task #5): tools/sweep_budgets.json
+pins 1.5x a fresh uncontended full-sweep time (floor 2 s) per query at
+its calibrated sf. A full sweep at that sf reports overruns in
+``_summary.budget_violations`` and exits 2 — the gate-tail regressions
+of r1-r3 all happened in NON-headline queries that bench_budgets.json
+does not cover. Budgets only bind on full sweeps (a targeted re-run of
+one query has different cache warmth); unbudgeted new queries are
+listed, never failed.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+BUDGETS_PATH = os.path.join(os.path.dirname(__file__), "sweep_budgets.json")
+
+
+def check_sweep_budgets(times: dict[str, float], sf_dir: str):
+    """(violations, unbudgeted) for a FULL sweep at the budget file's
+    calibrated fixture; ([], []) at any other sf or if no file exists."""
+    try:
+        with open(BUDGETS_PATH) as f:
+            spec = json.load(f)
+    except OSError:
+        return [], []
+    if os.path.basename(os.path.normpath(sf_dir)) != spec["sf_dir_basename"]:
+        return [], []
+    budgets = spec["budgets"]
+    violations = sorted(
+        n for n, t in times.items() if n in budgets and t > budgets[n]
+    )
+    unbudgeted = sorted(n for n in times if n not in budgets)
+    return violations, unbudgeted
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -81,12 +111,22 @@ def main() -> int:
 
     wall = round(time.monotonic() - t_all, 1)
     fails = {k: v for k, v in results.items() if v["ok"] is False}
+    full_sweep = len(sys.argv) <= 3  # budgets bind only on full sweeps
+    violations, unbudgeted = (
+        check_sweep_budgets(
+            {k: v["secs"] for k, v in results.items()}, sf_dir
+        )
+        if full_sweep
+        else ([], [])
+    )
     results["_summary"] = {
         "sf_dir": sf_dir,
         "total_wall_s": wall,
         "n_queries": len(qs),
         "n_fail": len(fails),
         "fails": sorted(fails),
+        "budget_violations": violations,
+        "unbudgeted": unbudgeted,
     }
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
@@ -96,10 +136,18 @@ def main() -> int:
         reverse=True,
     )[:15]
     print(f"\nwall={wall}s  fails={len(fails)} {sorted(fails)}", file=sys.stderr)
+    if violations:
+        print(f"BUDGET VIOLATIONS (over sweep_budgets.json): {violations}",
+              file=sys.stderr)
+    if unbudgeted:
+        print(f"unbudgeted queries (new since calibration): {unbudgeted}",
+              file=sys.stderr)
     print("slowest:", file=sys.stderr)
     for s, k in slow:
         print(f"  {s:7.2f}s {k}", file=sys.stderr)
-    return 1 if fails else 0
+    if fails:
+        return 1
+    return 2 if violations else 0
 
 
 if __name__ == "__main__":
