@@ -108,6 +108,151 @@ def encode_pdf(pages: list[str], chunk: int = 40) -> bytes:
     return bytes(out)
 
 
+def encode_pdf_cid(pages: list[str], chunk: int = 40) -> bytes:
+    """Serialize ``pages`` into a CID/Type0 (Identity-H) PDF — the
+    composite-font shape of real generated financial documents (the
+    reference's factsheet/KID PDFs, ishares.py:120-128): show strings
+    are TWO-BYTE codes, unreadable without the embedded /ToUnicode
+    CMap. Codes are assigned per unique character (sorted, 1-based),
+    the CMap carries bfchar entries in ≤100-pair blocks (CMap spec
+    block limit), and text shows as hex strings — so ANY unicode text
+    (including newlines and astral chars, which map to two UTF-16
+    units) round-trips exactly, unlike the single-byte writer's
+    printable-ASCII contract. Deterministic byte-for-byte."""
+    alphabet = sorted({ch for page in pages for ch in page})
+    if len(alphabet) > 0xFFFE:
+        raise ValueError("alphabet exceeds the 2-byte code space")
+    code_of = {ch: i + 1 for i, ch in enumerate(alphabet)}
+
+    bf_pairs = [
+        "<%04X> <%s>"
+        % (code, ch.encode("utf-16-be").hex().upper())
+        for ch, code in code_of.items()
+    ]
+    blocks = []
+    for i in range(0, len(bf_pairs), 100):
+        blk = bf_pairs[i : i + 100]
+        blocks.append(
+            "%d beginbfchar\n%s\nendbfchar" % (len(blk), "\n".join(blk))
+        )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + "\n".join(blocks)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend\n"
+    ).encode("latin-1")
+    cmap_comp = zlib.compress(cmap, 9)
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    tounicode = add(
+        b"<< /Length "
+        + str(len(cmap_comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + cmap_comp
+        + b"\nendstream"
+    )
+    descendant = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CrocusCID"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> >>"
+    )
+    font = add(
+        (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /CrocusCID"
+            " /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            " /ToUnicode %d 0 R >>" % (descendant, tounicode)
+        ).encode()
+    )
+    content_ids = []
+    for text in pages:
+        pieces = [
+            text[i : i + chunk] for i in range(0, len(text), chunk)
+        ] or [""]
+        tj = " ".join(
+            "<%s>" % "".join("%04X" % code_of[ch] for ch in p) + " -2"
+            for p in pieces
+        )
+        stream = ("BT /F1 10 Tf 36 720 Td [%s] TJ ET" % tj).encode(
+            "latin-1"
+        )
+        comp = zlib.compress(stream, 9)
+        content_ids.append(
+            add(
+                b"<< /Length "
+                + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n"
+                + comp
+                + b"\nendstream"
+            )
+        )
+    pages_id = len(objs) + len(pages) + 1
+    page_ids = [
+        add(
+            (
+                "<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+                " /Contents %d 0 R /Resources << /Font << /F1 %d 0 R"
+                " >> >> >>" % (pages_id, cid, font)
+            ).encode()
+        )
+        for cid in content_ids
+    ]
+    kids = " ".join("%d 0 R" % p for p in page_ids)
+    pages_obj = add(
+        (
+            "<< /Type /Pages /Kids [%s] /Count %d >>"
+            % (kids, len(page_ids))
+        ).encode()
+    )
+    assert pages_obj == pages_id
+    catalog = add(("<< /Type /Catalog /Pages %d 0 R >>" % pages_id).encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += ("%d 0 obj\n" % i).encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += ("xref\n0 %d\n" % (len(objs) + 1)).encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += (
+        "trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    ).encode()
+    return bytes(out)
+
+
+def synth_pdf_cid_table(df, id_col: str, text_col: str, page_chars: int = 180):
+    """(id, pdf binary): like ``synth_pdf_table`` but through the
+    CID/Identity-H writer — the fixture column for the ToUnicode
+    extraction path, carrying FULL unicode text (no ASCII narrowing)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(texts):
+        out = []
+        for t in texts:
+            t = t or ""
+            pages = [
+                t[i : i + page_chars] for i in range(0, len(t), page_chars)
+            ] or [""]
+            out.append(encode_pdf_cid(pages))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias("pdf"))
+
+
 _STREAM_HDR_RE = re.compile(
     rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*"
     rb"stream\r?\n",
@@ -252,6 +397,7 @@ def _build_cid_fontmap(data: bytes):
         if tobj is None:
             return None
         cmap: dict[int, str] = {}
+        saw_cmap_syntax = False
         for d, sbody in _iter_streams(tobj):
             if b"/FlateDecode" in d:
                 for candidate in (sbody, sbody.rstrip(b"\r\n")):
@@ -264,9 +410,13 @@ def _build_cid_fontmap(data: bytes):
                     return None
             elif b"/Filter" in d:
                 return None  # unsupported CMap filter
+            saw_cmap_syntax = saw_cmap_syntax or b"begincmap" in sbody
             cmap.update(_parse_tounicode_cmap(sbody))
-        if not cmap:
-            return None  # empty/unparseable CMap — nothing decodable
+        if not cmap and not saw_cmap_syntax:
+            return None  # unparseable CMap — nothing decodable
+        # a well-formed CMap with zero mappings (empty-alphabet writer
+        # output) is VALID: there are no codes to decode, not a
+        # quarantine case
         type0_cmaps[num] = cmap
     if not type0_cmaps:
         return None  # CID markers but no resolvable Type0 font object

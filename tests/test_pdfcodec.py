@@ -192,6 +192,36 @@ def test_cid_bfrange_increments_last_code_unit():
     assert cmap[0x32] == "fk"
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",)  # lone surrogates can't UTF-16
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_cid_roundtrip_property(pages):
+    """encode_pdf_cid → extract round-trips ARBITRARY unicode pages
+    exactly (the single-byte writer only promises printable ASCII):
+    every char rides as a 2-byte code through the generated /ToUnicode
+    CMap, including newlines, combining marks, and astral chars."""
+    from crocus_spark.operators.pdfcodec import encode_pdf_cid
+
+    pdf = encode_pdf_cid(pages)
+    text, status = extract_pdf_text_status(pdf)
+    assert status == "cid_text"
+    # compare the JOINED text: a page containing \f itself is
+    # indistinguishable from a page break after the join — the
+    # separator is a presentation choice, not part of the contract
+    # (the registered query extracts with page_sep="")
+    assert text == "\f".join(pages)
+
+
 def test_cid_font_quarantined_not_garbled():
     # r3 verdict "What's missing" #1: CID/Type0 PDFs must be FLAGGED,
     # never silently ingested as mojibake
