@@ -793,7 +793,23 @@ def _orders_only_shard(consumer_line: str) -> bool:
     return bool(cols) and cols == {"_shard"}
 
 
-def test_registry_wide_no_data_sized_single_partition(spark, registry):
+@pytest.fixture(scope="module")
+def registry_plans(spark, registry):
+    """One walk over EVERY registered query's physical plan, shared by
+    all registry-wide detectors below (the walk — plan build + eager
+    checkpoints — is the expensive part; string scans are free)."""
+    return {
+        name: q.fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name, q in sorted(registry.items())
+    }
+
+
+def test_registry_wide_no_data_sized_single_partition(
+    registry, registry_plans
+):
     """Walk all registered queries' physical plans; every
     Exchange SinglePartition feeding a Sort/Window must either order
     only the _shard metadata relation or belong to a query pinned on
@@ -801,9 +817,7 @@ def test_registry_wide_no_data_sized_single_partition(spark, registry):
     automated version of the manual audit that missed
     window_range_frame two rounds running."""
     offenders: dict[str, list[str]] = {}
-    for name, q in sorted(registry.items()):
-        df = q.fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in registry_plans.items():
         hits = [
             line
             for node, line in _single_partition_consumers(plan)
@@ -818,6 +832,39 @@ def test_registry_wide_no_data_sized_single_partition(spark, registry):
     )
     # the allowlist must not rot: every pinned name still exists
     gone = [n for n in SINGLE_PARTITION_ALLOWLIST if n not in registry]
+    assert not gone, f"allowlisted queries no longer registered: {gone}"
+
+
+# Queries whose CartesianProduct is deliberate AND bounded — both sides
+# are guarded/dimension-sized by construction. Anything else with a
+# Cartesian node is a bug: an unguarded cross product grows O(n·m) with
+# data and is the canonical 100 TB plan killer.
+CARTESIAN_ALLOWLIST = {
+    "join_cross_grid": "deliberate guarded cross join — 25-row region×status grid (the §2B#18 demonstration)",
+}
+
+
+def test_registry_wide_no_unguarded_cartesian(registry, registry_plans):
+    """No registered query's physical plan may contain a
+    CartesianProduct node unless pinned with a boundedness
+    justification — piggybacks on the shared plan walk, so the whole
+    check is a string scan."""
+    offenders = {
+        name: [
+            line.strip()[:120]
+            for line in plan.splitlines()
+            if "CartesianProduct" in line
+        ]
+        for name, plan in registry_plans.items()
+        if "CartesianProduct" in plan
+        and name not in CARTESIAN_ALLOWLIST
+    }
+    assert not offenders, (
+        f"unguarded CartesianProduct in: {offenders} — broadcast the "
+        "small side or pin on CARTESIAN_ALLOWLIST with a boundedness "
+        "justification"
+    )
+    gone = [n for n in CARTESIAN_ALLOWLIST if n not in registry]
     assert not gone, f"allowlisted queries no longer registered: {gone}"
 
 
