@@ -1,7 +1,11 @@
 """Recalibrate tools/sweep_budgets.json from a fresh UNCONTENDED full
-sweep JSON (r4 verdict task #5): budget = 1.5x the measured per-query
-time, floor 2 s — loose enough for host noise, tight enough that a 3x
-single-query regression turns the sweep red.
+sweep JSON (r4 verdict task #5): budget = 2.0x the measured per-query
+time, floor 2.5 s. The factor is sized to the OBSERVED host-load
+variance (same-code full sweeps measured 278-351 s within one morning;
+heavy dedup queries swing 2-3x under external load) while still
+turning red on the 3x single-query regression the mechanism exists to
+catch. Calibrate from the ELEMENT-WISE MIN of several fresh sweeps,
+never a single noisy run.
 
 Usage:
     python tools/gen_sweep_budgets.py /tmp/sweep_sf001.json [sf0.01]
@@ -20,14 +24,16 @@ def main() -> int:
     with open(src) as f:
         results = json.load(f)
     budgets = {
-        name: round(max(2.0, r["secs"] * 1.5), 2)
+        name: round(max(2.5, r["secs"] * 2.0), 2)
         for name, r in sorted(results.items())
         if name != "_summary"
     }
     spec = {
         "_comment": (
-            "Per-query sweep wall-time budgets (sec) at %s: 1.5x a fresh "
-            "uncontended full-sweep time (floor 2 s). tools/sweep.py "
+            "Per-query sweep wall-time budgets (sec) at %s: 2.0x the "
+            "element-wise MIN of fresh uncontended full sweeps (floor "
+            "2.5 s; factor sized to observed host-load variance, still "
+            "red at a 3x regression). tools/sweep.py "
             "reports overruns in _summary.budget_violations and exits 2; "
             "tests/test_bench_budgets.py pins the checking logic. "
             "Recalibrate with tools/gen_sweep_budgets.py after deliberate "
