@@ -849,7 +849,10 @@ def multimodal_pdf_text(spark, sf_dir):
     shuffle carries them, nothing visits the driver."""
     from crocus_spark.operators import pdfcodec as P
 
-    docs = load(spark, sf_dir, "documents").select(
+    # spread: encode+decode are the per-row cost; the one-split
+    # fixture scan would serialize the whole codec chain (no-op at
+    # production split counts)
+    docs = spread(load(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
     )
     pdfs = P.synth_pdf_table(docs, "doc_id", "t")
@@ -911,7 +914,9 @@ def search_pdf_corpus(spark, sf_dir):
     TakeOrderedAndProject."""
     from crocus_spark.operators import pdfcodec as P
 
-    docs = load(spark, sf_dir, "documents")
+    # spread: encode+decode are the per-row cost; one-split scans
+    # would serialize the whole codec chain (no-op at production)
+    docs = spread(load(spark, sf_dir, "documents"), spark)
     ascii_docs = docs.select(
         "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
     )
@@ -1920,7 +1925,12 @@ def multimodal_pdf_cid_text(spark, sf_dir):
     driver, never a shuffle."""
     from crocus_spark.operators import pdfcodec as P
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the one-row-group fixture scan would pin the per-doc
+    # encode (CMap build + Flate) AND decode to ONE task for the whole
+    # chain — no-op at production split counts
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     pdfs = P.synth_pdf_cid_table(docs, "doc_id", "text")
     media = M.to_media_table(pdfs, "doc_id", "pdf", "pdf")
     return P.extract_pdf_batch(media).orderBy("doc_id")

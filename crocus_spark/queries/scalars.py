@@ -374,12 +374,28 @@ def map_higher_order_battery(spark, sf_dir):
     cells = li.groupBy("l_orderkey", "l_linestatus").agg(
         F.count(F.lit(1)).alias("v")
     )
-    m = cells.groupBy("l_orderkey").agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("l_linestatus").alias("k"), "v"))
-            )
-        ).alias("m")
+    # explicit-N ROUND-ROBIN repartition: the per-order map relation is
+    # a few MB, so size-based AQE coalescing folds the aggregate's
+    # exchange to one partition — but the lambda battery below is
+    # INTERPRETED per row (transform_keys/map_filter/map_zip_with have
+    # no codegen), and its cost is invisible to AQE's size estimate. A
+    # keyed repartition would be eliminated as redundant (the aggregate
+    # already hash-distributes on the key); the round-robin exchange
+    # with an explicit N survives and keeps the battery cores-wide
+    # (measured 4.0 s → 1.0 s warm at sf0.1).
+    nsh = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = (
+        cells.groupBy("l_orderkey")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("l_linestatus").alias("k"), "v")
+                    )
+                )
+            ).alias("m")
+        )
+        .repartition(nsh)
     )
     def entries(mp):
         return F.array_join(
