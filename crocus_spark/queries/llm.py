@@ -2623,60 +2623,60 @@ def ml_pca_power_iteration(spark, sf_dir):
             ).alias("g")
         )
     )
-    gm = gup.unionAll(
-        gup.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+    # The iteration state is a d-vector and the operand a d² cell set —
+    # MODEL-sized by this module's own standing definition (the k-means
+    # centroid matrix and IVF codebook already live driver-side). One
+    # collect of the 4,096 Gram cells replaces 4 rounds × 3 jobs of
+    # broadcast-matvec dataflow (the r4 form needed a d-row eager
+    # checkpoint per round just to stop broadcast-subplan replay); at
+    # 100 TB only the Gram BUILD above ever touches the corpus, and a
+    # 64×64 eigeniteration is driver arithmetic under any honest
+    # reading of scale. Bit-exactness vs the unchanged DuckDB oracle is
+    # preserved op-for-op: Spark's round(x) on a double is HALF_UP on
+    # the shortest-string decimal — exactly
+    # Decimal(repr(x)).quantize(1, ROUND_HALF_UP); the scaled-integer
+    # partial sums are exact Python ints (≤6.4e13 and ≤6.4e15, both
+    # within float-exact range for the final cast); sqrt and divide are
+    # correctly-rounded IEEE in both runtimes.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cells_g = {
+        (r["i"], r["j"]): r["g"] for r in gup.collect()
+    }  # upper triangle; mirror below
+    for (i, j), g in list(cells_g.items()):
+        if i != j:
+            cells_g[(j, i)] = g
+    dims = sorted({i for i, _ in cells_g})
+
+    def _round_long(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
-    ).localCheckpoint(eager=True)  # d² rows — model-sized
-    v = (
-        gm.select(F.col("i").alias("dim"))
-        .distinct()
-        .select(
-            "dim",
-            F.when(F.col("dim") == 0, 1.0).otherwise(0.0).alias("val"),
-        )
-    )
+
+    vec = {i: (1.0 if i == 0 else 0.0) for i in dims}
+    nrm = 0.0
     for _ in range(4):
-        w = (
-            gm.join(F.broadcast(v), gm.j == v.dim)
-            .groupBy(F.col("i").alias("dim"))
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("g") * F.col("val") * 1e12).cast("long")
-                    ).cast("double")
-                    / 1e12
-                ).alias("w")
+        w = {
+            i: float(
+                sum(
+                    _round_long(cells_g[(i, j)] * vec[j] * 1e12)
+                    for j in dims
+                    if (i, j) in cells_g
+                )
             )
+            / 1e12
+            for i in dims
+        }
+        nrm = math.sqrt(
+            float(sum(_round_long(w[i] * w[i] * 1e14) for i in dims))
+            / 1e14
         )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("w") * F.col("w") * 1e14).cast("long")
-                ).cast("double")
-                / 1e14
-            ).alias("nrm")
-        )
-        # d-row eager checkpoint per round: broadcast(v) and
-        # broadcast(nrm) each EXECUTE their subplan when built, so an
-        # uncheckpointed loop replays every earlier round 2x per round
-        # (2^rounds small jobs — measured as most of this query's wall
-        # time); checkpointing pins each round to one evaluation.
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("dim", (F.col("w") / F.col("nrm")).alias("val"))
-            .localCheckpoint(eager=True)
-        )
-        last_nrm = nrm
-    return (
-        v.crossJoin(F.broadcast(last_nrm))
-        .select(
-            "dim",
-            F.col("val").alias("component"),
-            F.col("nrm").alias("eigenvalue_est"),
-        )
-        .orderBy("dim")
-    )
+        vec = {i: w[i] / nrm for i in dims}
+    return spark.createDataFrame(
+        [(i, vec[i], nrm) for i in dims],
+        "dim int, component double, eigenvalue_est double",
+    ).orderBy("dim")
 
 
 @register(

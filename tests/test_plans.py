@@ -472,15 +472,21 @@ def test_bellman_ford_has_no_nested_loop(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pca_matvec_broadcasts_the_vector(spark, registry):
-    """ml_pca_power_iteration's matvec joins the d-row vector onto the
-    d²-cell Gram relation — the vector side must broadcast; neither side
-    is ever corpus-sized after the Gram build."""
-    # (the only nested-loop joins permitted are the broadcast 1-row
-    # norm-scalar crosses, which have no join condition by construction)
-    plan = _plan(registry["ml_pca_power_iteration"].fn(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_pca_iteration_is_model_sided(spark, registry):
+    """ml_pca_power_iteration (r5 form): the corpus is touched ONLY by
+    the single distributed Gram pass inside the query function; the
+    returned relation is the d-row literal produced by the driver-side
+    eigeniteration over the collected d² cells — its plan must contain
+    NO file scan, no join, no exchange beyond the final sort. The
+    eigenvector itself must be unit-norm (the iteration's invariant)."""
+    df = registry["ml_pca_power_iteration"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "FileScan" not in plan, plan
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 64
+    n2 = sum(r.component * r.component for r in rows)
+    assert abs(n2 - 1.0) < 1e-9
 
 
 def test_referential_checks_are_anti_joins(spark, registry):
