@@ -427,14 +427,18 @@ def _ivf_headline_model(sf_dir, corpus):
         "ivf_model_%s_%s.json"
         % (os.path.basename(os.path.normpath(sf_dir)), fp),
     )
+    model = None
     if os.path.exists(mpath):
-        with open(mpath) as f:
-            d = json.load(f)
-        model = (
-            np.array(d["cells"], dtype=np.int32),
-            np.array(d["mat"], dtype=np.float64),
-        )
-    else:
+        try:
+            with open(mpath) as f:
+                d = json.load(f)
+            model = (
+                np.array(d["cells"], dtype=np.int32),
+                np.array(d["mat"], dtype=np.float64),
+            )
+        except (OSError, ValueError, KeyError):
+            model = None  # unreadable cache — refit below, rewrite
+    if model is None:
         model = S.collect_centroid_model(
             S.ivf_fit_centroids(corpus, 8, "vec_id", "embedding", 1, dim=64)
         )
@@ -1665,10 +1669,13 @@ def ml_kmeans_iterations(spark, sf_dir):
                 rows = []
                 for c in np.unique(cell):
                     m = cell == c
+                    # float(x): numpy 2.x reprs scalars as
+                    # 'np.float64(...)' — the plain-float repr is the
+                    # shortest-string contract the quantization needs
                     sd2q = int(
                         sum(
                             int(
-                                Decimal(repr(x)).quantize(
+                                Decimal(repr(float(x))).quantize(
                                     Q9, rounding=ROUND_HALF_UP
                                 ).scaleb(9)
                             )
