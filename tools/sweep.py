@@ -17,13 +17,13 @@ Output JSON: {name: {"ok": bool|None, "secs": float, "err": str|None}},
 plus a "_summary" entry; prints the 15 slowest to stderr.
 
 Per-query TIME budgets (r4 verdict task #5): tools/sweep_budgets.json
-pins 1.5x a fresh uncontended full-sweep time (floor 2 s) per query at
-its calibrated sf. A full sweep at that sf reports overruns in
-``_summary.budget_violations`` and exits 2 — the gate-tail regressions
-of r1-r3 all happened in NON-headline queries that bench_budgets.json
-does not cover. Budgets only bind on full sweeps (a targeted re-run of
-one query has different cache warmth); unbudgeted new queries are
-listed, never failed.
+pins 2.5x the per-query MEDIAN of several fresh uncontended full
+sweeps (floor 3 s) at its calibrated sf. A full sweep at that sf
+reports overruns in ``_summary.budget_violations`` and exits 2 — the
+gate-tail regressions of r1-r3 all happened in NON-headline queries
+that bench_budgets.json does not cover. Budgets only bind on full
+sweeps (a targeted re-run of one query has different cache warmth);
+unbudgeted new queries are listed, never failed.
 """
 
 from __future__ import annotations
