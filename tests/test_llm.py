@@ -350,6 +350,52 @@ def test_ivf_memoized_model_equals_fresh_fit(spark):
     assert refit == fresh
 
 
+def test_ivf_disk_model_cache_round_trips_and_survives_corruption(spark):
+    """r5: the fitted model persists as JSON beside the at-rest store so
+    a COLD process serves with one read. The loaded model must be
+    bit-identical to the fit that wrote it (floats round-trip through
+    shortest-repr), and a CORRUPT cache file must refit and rewrite,
+    never crash or serve garbage."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from crocus_spark.queries import llm as L
+
+    sf = "/root/testdata/sf0.001"
+    key = L._parquet_fingerprint(sf, "embeddings")
+    fp = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    mpath = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "ivf_model_%s_%s.json"
+        % (os.path.basename(os.path.normpath(sf)), fp),
+    )
+    if os.path.exists(mpath):
+        os.unlink(mpath)
+    L._IVF_HEADLINE_MODEL.clear()
+    emb = L.load(spark, sf, "embeddings")
+    corpus = emb.filter(L.F.col("vec_id") >= 10)
+    _, fitted = L._ivf_headline_model(sf, corpus)
+    assert os.path.exists(mpath)  # fit persisted the model file
+    L._IVF_HEADLINE_MODEL.clear()
+    _, loaded = L._ivf_headline_model(sf, corpus)
+    assert np.array_equal(loaded[0], fitted[0])
+    assert np.array_equal(loaded[1], fitted[1])  # bit-identical floats
+    # corrupt cache: refit, rewrite, same model
+    with open(mpath, "w") as f:
+        f.write("{not json")
+    L._IVF_HEADLINE_MODEL.clear()
+    _, refit = L._ivf_headline_model(sf, corpus)
+    assert np.array_equal(refit[1], fitted[1])
+    import json
+
+    with open(mpath) as f:
+        json.load(f)  # cache rewritten valid
+
+
 def test_ivf_memo_invalidates_on_fixture_rewrite(tmp_path):
     """Touching any data file of the embeddings table changes the memo
     key — a regenerated fixture at the same path can never be served
