@@ -470,3 +470,21 @@ def test_zstd_smaller_than_snappy_on_text(spark):
             )
         )
     assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_session_factory_pins_scale_confs(spark):
+    """The session factory's scale-critical settings must survive
+    refactors: AQE on with SIZE-based coalescing (r5:
+    parallelismFirst=false — the default refuses to coalesce below the
+    core count, so every kilobyte shuffle launches a full-width stage),
+    skew-join handling, ANSI mode, and UTC (the oracle-comparability
+    pins)."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "false"
+    )
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.ansi.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
