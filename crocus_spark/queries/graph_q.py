@@ -30,9 +30,38 @@ def _order_part_pairs(spark, sf_dir):
     fan-out (measured 9.8 s → 6.6 s for the distinct-pair build at
     sf0.1). collect_set dedups repeat lines within the order, so per-pair
     row counts equal co-purchase ORDER counts; callers add .distinct()
-    when they want the edge set."""
+    when they want the edge set.
+
+    Both exchanges in this pipeline are EXPLICIT keyed repartitions
+    (r5 verdict "what's wrong #1"): under size-based AQE coalescing
+    (``parallelismFirst=false`` + 8 MB advisory, session.py) the
+    post-groupBy exchange looks tiny to the estimator (one narrow row
+    per order) and coalesces to 1-3 partitions — but the
+    posexplode+slice generation downstream multiplies rows by Σ basket²,
+    invisible to the estimate, so the explosion and every consumer
+    aggregate ran ~serially (A/B at sf0.1: warm 1.97-2.21 s coalesced vs
+    0.88-1.09 s with both explicit exchanges; the old-conf baseline was
+    1.21-1.37 s). ``repartition(n, key)`` has shuffle origin
+    REPARTITION_BY_NUM, which AQE never coalesces — plan-gated in
+    tests/test_plans.py — and because it hash-partitions on the very
+    keys the adjacent aggregates group by, each repartition IS that
+    aggregate's exchange (exchange reuse; no extra shuffle is added):
+    the first feeds groupBy(l_orderkey), the second feeds every
+    caller's groupBy/distinct on (src, dst) — basket counts, triangle
+    edges, pagerank's half-edge distinct. The trade is losing map-side
+    partial aggregation, which is a no-op here: (order, part) repeats
+    within a map partition are rare, and distinct pairs ≈ pair rows
+    (measured 1.2 M rows at sf0.1, pair space is quadratic in parts),
+    so the shuffle moves the same bytes either way. Width grows with
+    the input (max of core count and scan splits — io.spread's rule),
+    so at 100 TB it tracks the scan's tens of thousands of splits
+    rather than pinning a fixture-sized constant."""
+    li = load(spark, sf_dir, "lineitem")
+    n = max(
+        spark.sparkContext.defaultParallelism, li.rdd.getNumPartitions()
+    )
     return (
-        load(spark, sf_dir, "lineitem")
+        li.repartition(n, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select(F.posexplode("ps").alias("i", "src"), "ps")
@@ -42,6 +71,7 @@ def _order_part_pairs(spark, sf_dir):
                 "dst"
             ),
         )
+        .repartition(n, "src", "dst")
     )
 
 

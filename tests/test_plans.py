@@ -900,6 +900,47 @@ def test_single_partition_detector_catches_naive_range_frame(spark):
     assert hits, "detector failed to flag a naive global RANGE window"
 
 
+def test_basket_fanout_exchanges_survive_aqe(spark, registry):
+    """The _order_part_pairs pipeline (r5 verdict "What's wrong" #1)
+    must keep BOTH of its explicit keyed exchanges in the FINAL adaptive
+    plan: the per-order aggregate relation is small by AQE's size
+    estimate but the posexplode downstream multiplies rows by Σ basket²,
+    so size-based coalescing (parallelismFirst=false, session.py)
+    serializes the explosion and the pair aggregation if the widths are
+    left to the estimate. REPARTITION_BY_NUM exchanges are never
+    coalesced by AQE — this pins that both repartitions stay explicit
+    (they feed basket, triangle-count, and pagerank)."""
+    import re
+
+    df = registry["basket_copurchase_pairs"].fn(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_explicit = plan.count("REPARTITION_BY_NUM")
+    assert n_explicit >= 2, (
+        "expected the two explicit keyed fan-out exchanges "
+        f"(l_orderkey; src,dst) in the final plan, found {n_explicit}"
+    )
+    # no explicit exchange's consumer (nearest less-indented ancestor)
+    # may be a coalesced AQEShuffleRead
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    for i, line in enumerate(lines):
+        if "REPARTITION_BY_NUM" not in line:
+            continue
+        cur = indent(line)
+        for j in range(i - 1, -1, -1):
+            if indent(lines[j]) < cur:
+                if "AQEShuffleRead" in lines[j]:
+                    assert "coalesced" not in lines[j], (
+                        "AQE coalesced an explicit fan-out exchange: "
+                        f"{lines[j].strip()[:120]}"
+                    )
+                break
+
+
 @pytest.mark.parametrize("sf_dir", AQE_SENSITIVE_SFS)
 def test_reciprocal_best_broadcasts_and_argmins(spark, registry, sf_dir):
     """join_reciprocal_best (r4 task #8's fifth AQE-sensitive shape):
