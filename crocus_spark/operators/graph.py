@@ -120,21 +120,26 @@ def connected_components(
         loop_width = max(
             8, min(int(base_width), contracted.count() // 50000 + 1)
         )
+        # the narrowed width is scoped by the try below, which starts
+        # IMMEDIATELY after the set: the init jobs (clabels, selfed,
+        # prev_sum) run inside it, so a failure or interrupt in any loop
+        # job restores base_width instead of leaking the narrow setting
+        # session-wide (the session is shared by every later query)
         sess.conf.set("spark.sql.shuffle.partitions", str(loop_width))
-        clabels = (
-            contracted.groupBy(F.col("u").alias("node"))
-            .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        selfed = contracted.unionByName(
-            clabels.select(
-                F.col("node").alias("u"), F.col("node").alias("v")
-            )
-        ).persist()
-        prev_sum = clabels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
         try:
+            clabels = (
+                contracted.groupBy(F.col("u").alias("node"))
+                .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            selfed = contracted.unionByName(
+                clabels.select(
+                    F.col("node").alias("u"), F.col("node").alias("v")
+                )
+            ).persist()
+            prev_sum = clabels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
             for _ in range(max_iter):
                 stepped = (
                     selfed.join(

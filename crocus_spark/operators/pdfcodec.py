@@ -679,6 +679,15 @@ def extract_pdf_batch(media, id_col: str = "media_id",
 
     import pandas as pd
 
+    # Token = maximal run of non-whitespace under RE2 semantics, the
+    # regex engine the DuckDB oracle's regexp_extract_all(text, '\S+')
+    # uses: RE2's \s is the ASCII set [\t\n\f\r ] ONLY (no \v, no
+    # U+00A0/U+2028/U+3000). Python's str.split() splits on ALL unicode
+    # whitespace, so it diverges on any unicode-whitespace character in
+    # document text — the full-unicode CID query's contract includes
+    # those (r5 ADVICE; pinned by a unicode-whitespace fixture test).
+    token_re = re.compile(r"[^\t\n\f\r ]+")
+
     def fn(batches):
         for pdf_batch in batches:
             ids, np_, nc, nt, md, st = [], [], [], [], [], []
@@ -690,10 +699,10 @@ def extract_pdf_batch(media, id_col: str = "media_id",
                 ids.append(int(i))
                 np_.append(pdf_page_count(data))
                 nc.append(len(text))
-                # str.split() gives 0 tokens for empty text — the
-                # regex-split form reported 1, an inconsistent stat for
-                # CID-quarantined docs (n_chars=0 but n_tokens=1).
-                nt.append(len(text.split()))
+                # findall gives 0 tokens for empty text (the
+                # string_split_regex form reported 1, an inconsistent
+                # stat for CID-quarantined docs: n_chars=0, n_tokens=1)
+                nt.append(len(token_re.findall(text)))
                 md.append(hashlib.md5(text.encode()).hexdigest())
                 st.append(status)
             yield pd.DataFrame(

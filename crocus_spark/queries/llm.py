@@ -1415,24 +1415,21 @@ def _lloyd_seeds(emb, k):
     )
 
 
-def _lloyd_assign(emb, centroids, keep_d2=False, carry=()):
+def _lloyd_assign(emb, centroids, keep_d2=False):
     """One Lloyd assignment pass: broadcast the k-row centroid relation,
     argmin via min(struct(d2, cell)) — a partial-aggregating hash agg with
-    ties to the lowest cell; no window sort. Shared by
-    ml_kmeans_iterations and dedup_semantic_semdedup so the
-    determinism-critical tie/fold rules can never drift between the two
-    hash-gated queries. ``carry`` names extra per-vector columns to keep
-    through the argmin (functionally dependent on vec_id, like v)."""
+    ties to the lowest cell; no window sort. Used by
+    dedup_semantic_semdedup; kept minimal because the tie/fold rules here
+    are determinism-critical (hash-gated against the oracle)."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         # dim=64: the fixture embeddings contract (unrolled codegen fold)
-        "vec_id", "v", *carry, "cell", _lloyd_dist2(dim=64).alias("d2")
+        "vec_id", "v", "cell", _lloyd_dist2(dim=64).alias("d2")
     )
     assign = scored.groupBy("vec_id").agg(
         F.min(F.struct("d2", "cell")).alias("m"),
         F.first("v").alias("v"),  # v is functionally dependent on vec_id
-        *[F.first(c).alias(c) for c in carry],
     )
-    cols = ["vec_id", "v", *carry, F.col("m.cell").alias("cell")]
+    cols = ["vec_id", "v", F.col("m.cell").alias("cell")]
     if keep_d2:
         cols.append(F.col("m.d2").alias("d2"))
     return assign.select(*cols)
@@ -1685,13 +1682,30 @@ def ml_kmeans_iterations(spark, sf_dir):
                     mv = int(m.sum()) if prev is None else int(
                         (prev[m] != c).sum()
                     )
+                    # int64 column sums wrap SILENTLY in numpy; the
+                    # combine schema is decimal(38,0) precisely so
+                    # partials stay exact at scale. Fast int64 path only
+                    # when |rows| * max|component| provably fits; else
+                    # object-dtype (Python int) summation — exact at any
+                    # magnitude.
+                    vq_cell = VQ[m]
+                    vmax = (
+                        int(np.abs(vq_cell).max()) if vq_cell.size else 0
+                    )
+                    if vq_cell.shape[0] * max(vmax, 1) < 2**62:
+                        svq = vq_cell.sum(axis=0).tolist()
+                    else:
+                        svq = [
+                            int(x)
+                            for x in vq_cell.sum(axis=0, dtype=object)
+                        ]
                     rows.append(
                         {
                             "cell": int(c),
                             "n": int(m.sum()),
                             "mv": mv,
                             "sd2q": sd2q,
-                            "svq": VQ[m].sum(axis=0).tolist(),
+                            "svq": svq,
                         }
                     )
                 yield pd.DataFrame(rows)

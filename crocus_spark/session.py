@@ -95,6 +95,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Pre-import pandas/pyarrow/numpy + the engine's worker-side
+        # operator modules ONCE in the python-worker daemon; forked
+        # workers inherit them copy-on-write. Without this, the first
+        # cores-wide Arrow stage pays ~1.2 s × cores of import work
+        # (measured 5.5 s wall on an idle 32-core host, ~20 s under
+        # load — the r5 in-sweep multimodal_pdf_cid_text blowup).
+        .config("spark.python.daemon.module", "crocus_spark.worker_daemon")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -139,6 +146,17 @@ def _prewarm_python_datasource(spark) -> None:
             spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
                 spark._jsparkSession
             )
+            # Arrow pool first (pandas-UDF stages are the common case):
+            # launching any Python stage starts the worker daemon, whose
+            # one-time ~3.5 s import chain (worker_daemon.py pre-imports
+            # pandas/pyarrow/serializers once; forks are then O(ms))
+            # this hides off the first real query's wall clock. One
+            # task is enough — post-daemon forks measured 32 tasks in
+            # 0.5 s.
+            def _noop(batches):
+                yield from batches
+
+            spark.range(0, 1, 1, 1).mapInPandas(_noop, "id long").count()
             register_catalog_source(spark)
             register_catalog_sink(spark)
             tiny = (

@@ -247,6 +247,46 @@ def test_quarantined_doc_reports_zero_tokens(spark):
     assert row.n_tokens == 0
 
 
+def test_unicode_whitespace_token_count_matches_oracle_regex(spark):
+    # r5 ADVICE (llm.py:1928): the engine tokenizer must agree with the
+    # oracle's regexp_extract_all(text, '\S+') under RE2 semantics —
+    # \s there is the ASCII set [\t\n\f\r ] only. Python str.split()
+    # splits on ALL unicode whitespace (U+00A0, U+2028, U+3000, and \v),
+    # so a full-unicode CID document with those characters flipped
+    # n_tokens. Pin the agreement on exactly those characters through
+    # the real CID round-trip AND against DuckDB itself.
+    import duckdb
+
+    from crocus_spark.operators.multimodal import to_media_table
+    from crocus_spark.operators.pdfcodec import (
+        extract_pdf_batch,
+        synth_pdf_cid_table,
+    )
+
+    texts = [
+        "a\u00a0b c",        # NBSP joins under RE2: 2 tokens, not 3
+        "x\u3000y\u2028z",  # ideographic space + line sep: 1 token
+        "v\x0bw",               # \v is NOT RE2 whitespace
+        "tab\tsplit\nand done",  # ASCII whitespace still splits
+        "",                     # empty: zero tokens
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    media = to_media_table(
+        synth_pdf_cid_table(docs, "doc_id", "text"), "doc_id", "pdf", "pdf"
+    )
+    got = {
+        r.doc_id: r.n_tokens for r in extract_pdf_batch(media).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (want,) = con.execute(
+            r"SELECT len(regexp_extract_all(?, '\S+'))", [t]
+        ).fetchone()
+        assert got[i] == want, (i, t, got[i], want)
+
+
 def test_length_sliced_stream_containing_endstream_bytes():
     # r3 ADVICE (pdfcodec.py:107): Flate data may contain the literal
     # bytes `endstream`; with /Length present the body must be sliced at

@@ -488,3 +488,34 @@ def test_session_factory_pins_scale_confs(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.sql.ansi.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+    # r6: python workers fork from the pre-importing daemon — without
+    # it the first cores-wide Arrow stage pays ~1.2 s × cores of
+    # pandas/pyarrow imports (5.5 s idle, ~20 s under host load)
+    assert (
+        conf.get("spark.python.daemon.module")
+        == "crocus_spark.worker_daemon"
+    )
+
+
+def test_worker_daemon_preimports_reach_workers(spark):
+    """Forked python workers must inherit the daemon's pre-imported
+    modules copy-on-write: a probe UDF that checks sys.modules WITHOUT
+    importing the engine package must see the operator modules already
+    loaded. If the daemon wiring regresses (conf dropped, import error
+    swallowed), workers cold-import per fork and this flags it."""
+    import pandas as pd
+
+    def probe(batches):
+        import sys
+
+        hit = int(
+            "crocus_spark.operators.pdfcodec" in sys.modules
+            and "numpy" in sys.modules
+        )
+        for b in batches:
+            yield pd.DataFrame({"hit": [hit] * len(b)})
+
+    rows = (
+        spark.range(0, 4, 1, 4).mapInPandas(probe, "hit int").collect()
+    )
+    assert rows and all(r["hit"] == 1 for r in rows)
