@@ -17,6 +17,7 @@ per host (partition coalescing), not by sleeping harder.
 
 from __future__ import annotations
 
+import http.client
 import json
 import time
 import urllib.error
@@ -156,12 +157,22 @@ def download_with_rename(
         except urllib.error.HTTPError as e:
             if e.code not in RETRYABLE_STATUS or attempt >= retries:
                 raise
-        except OSError:
-            # URLError, socket.timeout/TimeoutError, and raw OS-level
-            # failures raised mid-body by resp.read() all land here —
-            # a timeout during the stream is the classic transient
-            # failure the retry budget exists for, and it does NOT
-            # arrive wrapped in URLError.
+        except (
+            urllib.error.URLError,
+            TimeoutError,
+            ConnectionError,
+            http.client.HTTPException,
+        ):
+            # Retry only NETWORK failures: URLError (connect phase),
+            # TimeoutError (socket.timeout — mid-body resp.read()
+            # raises it raw, unwrapped), ConnectionError (reset/aborted
+            # mid-stream), HTTPException (IncompleteRead on a truncated
+            # body). The previous bare ``except OSError`` also captured
+            # deterministic LOCAL filesystem failures from the .partial
+            # write/fsync/replace in this same try (ENOSPC, EACCES,
+            # missing out_dir) and burned the whole backoff budget on
+            # an error that can never succeed (r5 ADVICE) — those now
+            # propagate immediately.
             if attempt >= retries:
                 raise
         time.sleep(backoff_s * (2**attempt))

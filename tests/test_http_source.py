@@ -249,6 +249,30 @@ def test_download_retries_mid_body_timeout(http_fixture, tmp_path):
     assert _CatalogHandler.hits["/slowbody"] >= 2
 
 
+def test_download_local_fs_failure_fails_fast(http_fixture, tmp_path):
+    """A deterministic LOCAL filesystem failure (missing output
+    directory → the .partial open fails) must propagate immediately:
+    it can never heal, so spending the exponential-backoff budget on it
+    only delays the error (r5 ADVICE). One request proves no retry."""
+    import time as _t
+
+    from crocus_spark.sources.http_fetch import download_with_rename
+
+    _CatalogHandler.hits.clear()
+    t0 = _t.monotonic()
+    with pytest.raises(OSError):
+        download_with_rename(
+            f"{http_fixture}/export", str(tmp_path / "missing" / "dir"),
+            retries=5, backoff_s=0.5,
+        )
+    # no backoff sleeps: 5 retries at 0.5s exponential would be >7s
+    assert _t.monotonic() - t0 < 2.0
+    # exactly 2 hits: the fixture's injected transient 503 + its retry
+    # (network retries still work) — then the OSError ends the loop; a
+    # retried local failure would have burned all 5 (hits == 6)
+    assert _CatalogHandler.hits["/export"] == 2
+
+
 def test_download_gives_up_after_budget(http_fixture, tmp_path):
     import urllib.error
 
