@@ -199,10 +199,15 @@ def chunk_audio(
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
 ) -> DataFrame:
-    """Frame-sampling plumbing (video path): emit one row per sampled
-    'frame' offset — pure arithmetic stand-in for a real demuxer, shaped
-    exactly like the production explode (one input row → ≤ max_frames
-    output rows). JVM-side sequence + explode, no Python."""
+    """Frame-sampling plumbing over OPAQUE payloads: emit one row per
+    sampled byte offset — the format-agnostic explode shape (one input
+    row → ≤ max_frames output rows) for payloads whose container the
+    engine does not parse. JVM-side sequence + explode, no Python.
+    For real video containers the engine has an actual demux now:
+    operators/videocodec.parse_avi emits per-frame byte ranges and
+    decode_avi_frames decodes them through the image codec (query
+    multimodal_video_frames, full value oracle) — this helper remains
+    the fallback for formats without a parser."""
     offsets = F.slice(
         F.sequence(
             F.lit(0),

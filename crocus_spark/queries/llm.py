@@ -1957,6 +1957,85 @@ def multimodal_pdf_cid_text(spark, sf_dir):
     return P.extract_pdf_batch(media).orderBy("doc_id")
 
 
+def _video_oracle() -> str:
+    """Closed-form oracle for multimodal_video_frames: the synthetic
+    frame pattern (videocodec.synth_frame) keeps every pixel term
+    below 256, so the position-weighted channel sum collapses to
+    base·Σw + 3·Σwx + 5·Σwy with grid constants computed (never
+    hand-typed) from the same module the engine encodes with."""
+    from crocus_spark.operators import videocodec as V
+
+    s1, sx, sy = V._weight_constants()
+    grad = 3 * sx + 5 * sy
+    chan = {
+        "wsum_r": V._CHANNEL_OFF[0],
+        "wsum_g": V._CHANNEL_OFF[1],
+        "wsum_b": V._CHANNEL_OFF[2],
+    }
+    sums = ",\n           ".join(
+        f"CAST(((doc_id*3 + frame*7 + {off}) % 150) * {s1} + {grad} "
+        f"AS BIGINT) AS {col}"
+        for col, off in chan.items()
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(doc_id % 5 AS INT))) AS frame
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           {V.VIDEO_W} AS width, {V.VIDEO_H} AS height,
+           CAST(1 + doc_id % 5 AS INT) AS n_frames,
+           CAST(10 + doc_id % 20 AS INT) AS fps,
+           {sums}
+    FROM f ORDER BY doc_id, frame
+    """
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=_video_oracle(),
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Video container demux + frame decode end-to-end (r5 verdict
+    "What's missing" #1 — replaces the byte-offset stand-in as the
+    §2B#60 video row): per document, a REAL single-stream AVI (RIFF
+    lists, avih/strh/strf headers, 00db DIB frame chunks, idx1 index —
+    operators/videocodec.encode_avi) is synthesized from a closed-form
+    gradient pattern, then demuxed back by the real parser (per-frame
+    byte ranges cross-checked against BOTH the main header's frame
+    count and idx1) and each frame decoded through the EXISTING image
+    codec (DIB bits = a headerless BMP body). The reference's
+    factsheet/KID *documents* (ishares.json:9-10) set the
+    binary-column precedent; video is the same contract at
+    frames-per-row granularity.
+
+    Output: one row per (video, frame) with header metadata and
+    position-weighted per-channel pixel sums computed from the DECODED
+    pixels. The weights (1 + x + W·y) are distinct per position, so a
+    row-order, padding, or BGR-swizzle bug changes the sums — while
+    the oracle evaluates the pattern's closed form, never touching the
+    codec: hash-green = the round-trip proof (the multimodal_pdf_text
+    discipline applied to video).
+
+    Scale shape: encode and demux+decode are Arrow batch loops fused
+    over the scan partitioning; video bytes live only inside executors
+    — never the driver, never a shuffle. At 100 TB real videos arrive
+    as binary columns and the demux emits byte ranges, so frame-level
+    work reads only the sampled ranges."""
+    from crocus_spark.operators import videocodec as V
+
+    # spread: per-row encode/demux/decode off a one-row-group fixture
+    # scan would serialize the codec chain (no-op at production splits)
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+    vids = V.synth_avi_table(docs, "doc_id")
+    media = M.to_media_table(vids, "doc_id", "video", "video")
+    return V.extract_video_frames(media).orderBy("doc_id", "frame")
+
+
 @register(
     "dedup_span_removal",
     oracle=f"""
