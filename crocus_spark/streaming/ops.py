@@ -274,16 +274,22 @@ def foreach_batch_merge_totals(
     aggregates MERGE into a versioned parquet state table, and the final
     state equals the batch groupBy over all data ever seen.
 
-    State is kept as ALGEBRAIC partials (count + decimal sum) in
-    ``state_root/v{batch_id}`` directories — each batch reads the latest
-    version and writes a NEW one (never overwriting what it reads; the
-    poor man's table-format snapshot, which is exactly how Delta/Iceberg
-    commit). This is the pattern for every "streaming materialized view"
-    the built-in sinks can't express: arbitrary merge logic, exactly-once
-    per batch via the checkpoint's batch_id (a replayed batch_id
-    overwrites its own version dir — idempotent). State shuffled per
-    batch is keyspace-sized, not history-sized."""
-    import glob as _glob
+    State is kept as ALGEBRAIC partials (count + decimal sum) in the
+    manifest-logged snapshot store (operators/maintenance): each batch
+    PINS the latest committed manifest below its batch_id, merges, and
+    commits the result as version ``batch_id`` — data into a fresh
+    immutable directory, then ONE atomic manifest swap. Exactly-once
+    per batch via the checkpoint's batch_id: a replayed batch commits
+    with ``replace=True``, atomically superseding its own earlier
+    manifest while readers pinned to any committed version keep
+    reading intact files (the r5 store's directory listing had no such
+    commit point — a reader could list a half-written version). State
+    shuffled per batch is keyspace-sized, not history-sized."""
+    from crocus_spark.operators.maintenance import (
+        commit_snapshot,
+        list_snapshot_versions,
+        read_snapshot,
+    )
 
     spark = events.sparkSession
 
@@ -292,13 +298,11 @@ def foreach_batch_merge_totals(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
         )
-        versions = sorted(
-            _glob.glob(os.path.join(state_root, "v*")),
-            key=lambda p: int(os.path.basename(p)[1:]),
-        )
-        prior = [v for v in versions if int(os.path.basename(v)[1:]) < batch_id]
+        prior = [
+            v for v in list_snapshot_versions(state_root) if v < batch_id
+        ]
         if prior:
-            state = spark.read.parquet(prior[-1])
+            state = read_snapshot(spark, state_root, prior[-1])
             merged = (
                 state.unionByName(partial)
                 .groupBy("user_id")
@@ -309,8 +313,8 @@ def foreach_batch_merge_totals(
             )
         else:
             merged = partial
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{batch_id}")
+        commit_snapshot(
+            merged, state_root, version=batch_id, replace=True
         )
 
     q = (
@@ -322,11 +326,7 @@ def foreach_batch_merge_totals(
         .start()
     )
     q.awaitTermination()
-    versions = sorted(
-        _glob.glob(os.path.join(state_root, "v*")),
-        key=lambda p: int(os.path.basename(p)[1:]),
-    )
-    return spark.read.parquet(versions[-1])
+    return read_snapshot(spark, state_root)
 
 
 def stateful_user_totals_tws(events: DataFrame) -> DataFrame:

@@ -161,15 +161,19 @@ def test_compaction_collapses_files_and_keeps_clustering(spark):
     count, (b) preserve every row, and (c) leave doc_id range-clustered
     so footer min/max skipping still works — non-overlapping id ranges
     across files. Footers are read directly, no Spark in the loop."""
-    from crocus_spark.operators.maintenance import parquet_data_files
+    from crocus_spark.operators.maintenance import (
+        parquet_data_files,
+        snapshot_data_path,
+    )
     from crocus_spark.queries.maintenance_q import maintenance_compact_files
     from crocus_spark.queries.sources_q import SCRATCH
 
     import pyarrow.parquet as pq
 
     n = maintenance_compact_files(spark, SF_SMOKE).count()
-    frag = parquet_data_files(f"{SCRATCH}/compact_frag")
-    out = parquet_data_files(f"{SCRATCH}/compact_out")
+    root = f"{SCRATCH}/compact_store"
+    frag = parquet_data_files(snapshot_data_path(root, 0))
+    out = parquet_data_files(snapshot_data_path(root, 1))
     assert len(frag) == 64
     assert 1 <= len(out) <= 6  # target was total/4 (+range-split slack)
     assert n == sum(

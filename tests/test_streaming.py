@@ -225,9 +225,8 @@ def test_foreachbatch_merge_across_batches(spark, tmp_path):
     """The merge must be correct ACROSS micro-batches, not just within
     one: split events into 3 arrival files, force maxFilesPerTrigger=1
     (3 separate merges), and the final state must still equal the batch
-    group-by. Also: every batch leaves a version dir (snapshot history)."""
-    import glob
-
+    group-by. Also: every batch leaves a committed version (snapshot
+    history through the manifest log)."""
     from crocus_spark.io import load
     from crocus_spark.streaming.ops import (
         EVENTS_STREAM_SCHEMA,
@@ -259,4 +258,6 @@ def test_foreachbatch_merge_across_batches(spark, tmp_path):
     )
     got = sorted(map(tuple, final.collect()))
     assert got == expected
-    assert len(glob.glob(f"{state_root}/v*")) >= 3, "one version per batch"
+    from crocus_spark.operators.maintenance import list_snapshot_versions
+
+    assert len(list_snapshot_versions(state_root)) >= 3, "one version per batch"
