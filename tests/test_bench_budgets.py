@@ -65,25 +65,92 @@ def _load_sweep():
     return sweep
 
 
+def _result(spec, name, factor):
+    """One sweep-result row at ``factor`` × the budget on the spec's
+    OWN metric, with the other metric kept under budget — the gate must
+    bind on the declared metric only."""
+    metric = spec.get("metric", "secs")
+    budget = spec["budgets"][name]
+    other = "secs" if metric == "cpu_s" else "cpu_s"
+    return {name: {metric: budget * factor, other: budget * 0.5}}
+
+
 def test_sweep_deliberate_slowdown_turns_red():
     sweep = _load_sweep()
     spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
-    name, budget = next(iter(spec["budgets"].items()))
+    name = next(iter(spec["budgets"]))
     sf_dir = "/root/testdata/" + spec["sf_dir_basename"]
-    ok, _ = sweep.check_sweep_budgets({name: budget * 0.9}, sf_dir)
-    bad, _ = sweep.check_sweep_budgets({name: budget * 3.0}, sf_dir)
+    ok, _ = sweep.check_sweep_budgets(_result(spec, name, 0.9), sf_dir)
+    bad, _ = sweep.check_sweep_budgets(_result(spec, name, 3.0), sf_dir)
     assert ok == []
     assert bad == [name]
+
+
+def test_sweep_budget_binds_on_cpu_not_wall_once_calibrated():
+    """r5 verdict task #5: once the spec's metric is cpu_s, a
+    loaded-host WALL inflation with flat CPU must NOT violate — and a
+    CPU regression must, even with wall under budget."""
+    sweep = _load_sweep()
+    spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
+    if spec.get("metric", "secs") != "cpu_s":
+        import pytest
+
+        pytest.skip("budgets not yet recalibrated on cpu_s")
+    name = next(iter(spec["budgets"]))
+    budget = spec["budgets"][name]
+    sf_dir = "/root/testdata/" + spec["sf_dir_basename"]
+    wall_inflated = {name: {"secs": budget * 6.0, "cpu_s": budget * 0.8}}
+    cpu_regressed = {name: {"secs": budget * 0.8, "cpu_s": budget * 3.0}}
+    assert sweep.check_sweep_budgets(wall_inflated, sf_dir)[0] == []
+    assert sweep.check_sweep_budgets(cpu_regressed, sf_dir)[0] == [name]
 
 
 def test_sweep_budgets_only_bind_at_calibrated_sf():
     sweep = _load_sweep()
     spec = json.loads((REPO / "tools" / "sweep_budgets.json").read_text())
-    name, budget = next(iter(spec["budgets"].items()))
+    name = next(iter(spec["budgets"]))
     v, u = sweep.check_sweep_budgets(
-        {name: budget * 5.0}, "/root/testdata/sf0.001"
+        _result(spec, name, 5.0), "/root/testdata/sf0.001"
     )
     assert v == [] and u == []
+
+
+def test_tree_cpu_counter_sees_own_and_child_cpu():
+    """The /proc tree CPU counter must attribute both this process's
+    CPU and a live CHILD's CPU to the interval — the property that
+    makes sweep budgets load-robust (JVM + worker CPU is where query
+    cost actually lands)."""
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    sweep = _load_sweep()
+    c0 = sweep.tree_cpu_seconds()
+    # ~0.2s of own CPU
+    t_end = _t.process_time() + 0.2
+    while _t.process_time() < t_end:
+        pass
+    # a child that burns ~0.3s CPU and stays alive until we sample
+    child = subprocess.Popen(
+        [
+            _sys.executable,
+            "-c",
+            "import time\n"
+            "e = time.process_time() + 0.3\n"
+            "while time.process_time() < e: pass\n"
+            "time.sleep(10)",
+        ]
+    )
+    try:
+        deadline = _t.monotonic() + 10
+        while _t.monotonic() < deadline:
+            if sweep.tree_cpu_seconds() - c0 >= 0.45:
+                break
+            _t.sleep(0.05)
+        assert sweep.tree_cpu_seconds() - c0 >= 0.45
+    finally:
+        child.kill()
+        child.wait()
 
 
 def test_sweep_budget_file_covers_every_registered_query():

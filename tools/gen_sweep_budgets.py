@@ -26,31 +26,41 @@ def main() -> int:
         i = args.index("--sf")
         sf_base = args[i + 1]
         args = args[:i] + args[i + 2:]
+    # Budget on process-tree CPU time when the sweeps recorded it (r5
+    # verdict task #5): CPU is load-invariant for the same work, so a
+    # loaded host no longer false-alarms, while a real regression (more
+    # work) moves CPU and wall alike and still turns the gate red.
+    metric = "cpu_s"
     times: dict[str, list[float]] = {}
     for src in args:
         with open(src) as f:
             results = json.load(f)
         for name, r in results.items():
-            if name != "_summary":
-                times.setdefault(name, []).append(r["secs"])
+            if name == "_summary":
+                continue
+            if metric not in r:
+                metric = "secs"  # pre-r6 sweep outputs: wall fallback
+            times.setdefault(name, []).append(r.get(metric, r["secs"]))
     budgets = {
         name: round(max(3.0, statistics.median(ts) * 2.5), 2)
         for name, ts in sorted(times.items())
     }
     spec = {
         "_comment": (
-            "Per-query sweep wall-time budgets (sec) at %s: 2.5x the "
-            "per-query MEDIAN across several fresh uncontended full "
-            "sweeps (floor 3 s; sized to observed 2-4x host-load "
-            "variance, still red at a sustained 3x regression). "
-            "tools/sweep.py reports overruns in "
-            "_summary.budget_violations and exits 2; "
+            "Per-query sweep %s budgets (sec) at %s: 2.5x the "
+            "per-query MEDIAN across several fresh full sweeps "
+            "(floor 3 s; still red at a sustained 3x regression). "
+            "Since r6 the metric is process-tree CPU time (cpu_s) — "
+            "host load inflates wall, not CPU, so loaded-host sweeps "
+            "no longer false-alarm. tools/sweep.py reports overruns "
+            "in _summary.budget_violations and exits 2; "
             "tests/test_bench_budgets.py pins the checking logic. "
             "Recalibrate with tools/gen_sweep_budgets.py over several "
             "sweep outputs, never to paper over a regression."
-            % sf_base
+            % (metric, sf_base)
         ),
         "sf_dir_basename": sf_base,
+        "metric": metric,
         "budgets": budgets,
     }
     out = os.path.join(os.path.dirname(__file__), "sweep_budgets.json")
