@@ -128,10 +128,12 @@ def graph_connected_components(spark, sf_dir):
     fixpoint (operators/graph.py): per round two key-partitioned joins,
     state = one row per node, rounds ~ log(diameter) — no driver-side
     graph, no quadratic pair set. The oracle computes the same components
-    by 12 UNROLLED propagate+jump rounds (``_det.components_unrolled_sql``
-    — exact for diameters ≤ 8190, fail-loud beyond); r3's recursive
-    closure materialized an O(Σ comp²) reach relation that alone cost
-    ~6 min of the sf0.1 sweep. Output: every node with its component id
+    by one star-contraction pass + 12 UNROLLED propagate+jump rounds
+    over the contracted edge image (``_det.components_unrolled_sql``
+    — exact for contracted diameters ≤ 8190, fail-loud beyond); r3's
+    recursive closure materialized an O(Σ comp²) reach relation that
+    alone cost ~6 min of the sf0.1 sweep. Output: every node with its
+    component id
     (min part key in the component) and component size."""
     # star edges are canonical (root = min partkey < dst) and distinct
     # by construction — skip the symmetrize-distinct shuffle

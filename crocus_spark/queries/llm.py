@@ -2858,19 +2858,23 @@ def ml_feature_scaling(spark, sf_dir):
     ), sizes AS (SELECT id, len(toks) AS sz FROM base),
     -- length prefilter inside the fan-out: lossless for J >= 0.9 (see
     -- the dedup_minhash_lsh oracle for the argument)
-    toks AS (
+    -- toks/inter/pairs MATERIALIZED (r6): sym references pairs twice
+    -- (both union directions) and the ~100M-row exact-verification
+    -- join behind it is the oracle's cost floor — inlining re-derives
+    -- parts of it (measured 32.6 -> 29.3 s at sf0.1)
+    toks AS MATERIALIZED (
       SELECT t.id, t.tok, s.sz
       FROM (SELECT id, unnest(toks) AS tok FROM base) t
       JOIN sizes s ON s.id = t.id
     ),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
       FROM toks a JOIN toks b
         ON a.tok = b.tok AND a.id < b.id
        AND a.sz * 0.899999 <= b.sz + 1e-6
        AND b.sz * 0.899999 <= a.sz + 1e-6
       GROUP BY 1, 2
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.id = id_a
@@ -2899,9 +2903,12 @@ def dedup_minhash_verified_clusters(spark, sf_dir):
     Jaccard-0.9 graph whenever banding recall is 1.0 — measured true at
     sf0.001 / sf0.01 / sf0.1 with 48 perms × 12 bands (two orders of
     magnitude of S-curve margin, see ``dedup_minhash_lsh``) — so the
-    whole clustering is held to a full value oracle: 12 unrolled
-    propagate+jump min-label rounds (``_det.components_unrolled_sql``,
-    exact for cluster diameters ≤ 8190, fail-loud beyond). r3's
+    whole clustering is held to a full value oracle: one
+    star-contraction pass + 12 unrolled propagate+jump min-label rounds
+    over the contracted image (``_det.components_unrolled_sql``, exact
+    for contracted cluster diameters ≤ 8190, fail-loud beyond —
+    near-dup cliques contract to an EMPTY edge set, so the rounds stop
+    re-joining the 1.9 M-row sym relation 12×). r3's
     recursive-closure oracle materialized O(Σ cluster²) reach pairs —
     ~20 min of the sf0.1 sweep on its own. Engine label loop cost stays
     O(dup edges) per round, corpus-free."""
