@@ -900,6 +900,36 @@ def test_single_partition_detector_catches_naive_range_frame(spark):
     assert hits, "detector failed to flag a naive global RANGE window"
 
 
+# Queries allowed to carry a row-at-a-time BatchEvalPython node — each
+# entry must justify why the Python eval is NOT on a data-sized path.
+ROW_PYTHON_ALLOWLIST: dict[str, str] = {}
+
+
+def test_registry_wide_no_row_at_a_time_python(registry, registry_plans):
+    """No registered query's physical plan may evaluate Python
+    row-at-a-time (BatchEvalPython): every Python stage must be
+    Arrow-batched (ArrowEvalPython / mapInPandas / mapInArrow — 10-100x
+    the throughput at 100 TB). Piggybacks on the shared plan walk; the
+    empty allowlist is the claim that the whole registry is currently
+    Arrow-only, and any regression names itself here."""
+    offenders = {
+        name: [
+            line.strip()[:120]
+            for line in plan.splitlines()
+            if "BatchEvalPython" in line
+        ]
+        for name, plan in registry_plans.items()
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWLIST
+    }
+    assert not offenders, (
+        f"row-at-a-time Python eval in: {offenders} — use a pandas_udf /"
+        " mapInPandas (Arrow-batched) or pin on ROW_PYTHON_ALLOWLIST"
+        " with a size justification"
+    )
+    gone = [n for n in ROW_PYTHON_ALLOWLIST if n not in registry]
+    assert not gone, f"allowlisted queries no longer registered: {gone}"
+
+
 def test_basket_fanout_exchanges_survive_aqe(spark, registry):
     """The _order_part_pairs pipeline (r5 verdict "What's wrong" #1)
     must keep BOTH of its explicit keyed exchanges in the FINAL adaptive
