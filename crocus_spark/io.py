@@ -151,6 +151,45 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def scan_width(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Planned scan parallelism for a fixture table, floored at the
+    session's core count — from FILE METADATA (bytes /
+    maxPartitionBytes, Spark's own split rule), never from
+    ``df.rdd.getNumPartitions()``, whose DataFrame→RDD conversion costs
+    ~0.1-0.5 s of py4j plan work PER FRESH PLAN (measured; it taxed
+    every basket/triangle/pagerank call). Callers use this to size
+    explicit-width repartitions that must grow with the data: at
+    fixture scale it returns the core count; at 100 TB the byte-derived
+    split count dominates and the width tracks the scan."""
+    import glob as _glob
+    import math
+
+    core = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            nbytes = os.path.getsize(path)
+        else:
+            nbytes = sum(
+                os.path.getsize(p)
+                for p in _glob.glob(os.path.join(path, "*.parquet"))
+            )
+    except OSError:
+        return core
+    import re as _re
+
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    units = {"b": 1, "k": 1024, "kb": 1024, "m": 1 << 20, "mb": 1 << 20,
+             "g": 1 << 30, "gb": 1 << 30}
+    m = _re.match(r"(\d+)\s*([a-z]*)", raw)
+    max_pb = (
+        int(m.group(1)) * units.get(m.group(2), 1) if m else 134217728
+    )
+    return max(core, math.ceil(nbytes / max(1, max_pb)))
+
+
 def spread(
     df: DataFrame, spark: SparkSession, target: int | None = None
 ) -> DataFrame:

@@ -53,13 +53,15 @@ def _order_part_pairs(spark, sf_dir):
     within a map partition are rare, and distinct pairs ≈ pair rows
     (measured 1.2 M rows at sf0.1, pair space is quadratic in parts),
     so the shuffle moves the same bytes either way. Width grows with
-    the input (max of core count and scan splits — io.spread's rule),
-    so at 100 TB it tracks the scan's tens of thousands of splits
-    rather than pinning a fixture-sized constant."""
+    the input (max of core count and byte-derived scan splits —
+    io.scan_width, pure file metadata: df.rdd.getNumPartitions() cost
+    ~0.1-0.5 s of py4j plan conversion per fresh plan), so at 100 TB
+    it tracks the scan's tens of thousands of splits rather than
+    pinning a fixture-sized constant."""
+    from crocus_spark.io import scan_width
+
     li = load(spark, sf_dir, "lineitem")
-    n = max(
-        spark.sparkContext.defaultParallelism, li.rdd.getNumPartitions()
-    )
+    n = scan_width(spark, sf_dir, "lineitem")
     return (
         li.repartition(n, "l_orderkey")
         .groupBy("l_orderkey")

@@ -95,6 +95,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Python UDTFs evaluate through Arrow batches
+        # (ArrowEvalPythonUDTF) instead of row-at-a-time pickling —
+        # same 10-100x Arrow-vs-row argument as pandas UDFs; the
+        # registry-wide no-BatchEvalPython detector keeps the whole
+        # query surface Arrow-only (tests/test_plans.py).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Pre-import pandas/pyarrow/numpy + the engine's worker-side
         # operator modules ONCE in the python-worker daemon; forked
         # workers inherit them copy-on-write. Without this, the first
