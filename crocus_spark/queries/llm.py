@@ -72,31 +72,26 @@ def text_exact_dedup(spark, sf_dir):
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
     ),
-    sizes AS (SELECT id, len(toks) AS sz FROM base),
-    -- length prefilter INSIDE the shared-token fan-out (lossless for
-    -- the J >= 0.95 output: J <= min/max forces 0.95*max <= min; 1e-6
-    -- slack covers round(j,6)) — the DuckDB twin of the engine's
-    -- PPJoin length filter, same as the dedup_minhash_lsh oracle
-    toks AS (
-      SELECT t.id, t.blk, t.tok, s.sz
-      FROM (SELECT id, blk, unnest(toks) AS tok FROM base) t
-      JOIN sizes s ON s.id = t.id
-    ),
+    -- token-set bitmasks (r6, _det.token_mask_sql — see the
+    -- dedup_minhash_lsh oracle for the why and the fail-loud bound);
+    -- lossless length prefilter unchanged (J >= 0.95 forces
+    -- 0.95*max <= min; 1e-6 slack covers round(j,6)). The bitmask
+    -- pair join yields n_inter = 0 rows the token join never
+    -- materialized — all below threshold, filtered identically.
+    {DET.token_mask_sql(extra_cols="blk")},
     inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b
-        ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count((a.mask & b.mask)::BIT)::BIGINT AS n_inter,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM masks a JOIN masks b
+        ON a.blk = b.blk AND a.id < b.id
        AND a.sz * 0.949999 <= b.sz + 1e-6
        AND b.sz * 0.949999 <= a.sz + 1e-6
-      GROUP BY 1, 2
     )
-    SELECT id_a, id_b, n_inter,
-           sa.sz AS sz_a, sb.sz AS sz_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    SELECT id_a, id_b, n_inter, sz_a, sz_b,
+           round(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.id = id_a
-    JOIN sizes sb ON sb.id = id_b
-    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.95
+    WHERE round(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6) >= 0.95
     ORDER BY id_a, id_b
     """,
     tags=("llm", "dedup", "headline"),
@@ -119,32 +114,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
     ),
-    sizes AS (SELECT id, len(toks) AS sz FROM base),
-    -- length prefilter INSIDE the shared-token fan-out (lossless for
-    -- the J >= 0.9 output: J <= min/max forces 0.9*max <= min; the
-    -- 1e-6 slack covers round(j,6)) — the DuckDB twin of the engine's
-    -- PPJoin length filter; without it the join materializes the full
-    -- shared-token pair multiset of the dup-clique fixture
-    toks AS (
-      SELECT t.id, t.tok, s.sz
-      FROM (SELECT id, unnest(toks) AS tok FROM base) t
-      JOIN sizes s ON s.id = t.id
-    ),
+    -- token-set bitmasks (r6, _det.token_mask_sql): the shared-token
+    -- self-join exploded on the fixture's ~31-token vocabulary (~200M
+    -- collision rows, 18.2 s at sf0.1); bit_count over HUGEINT masks
+    -- yields the identical exact pair set in 1.4 s, fail-loud if the
+    -- vocabulary ever exceeds 126. Length prefilter unchanged
+    -- (lossless for J >= 0.9: J <= min/max forces 0.9*max <= min;
+    -- 1e-6 slack covers round(j,6)).
+    {DET.token_mask_sql()},
     inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b
-        ON a.tok = b.tok AND a.id < b.id
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count((a.mask & b.mask)::BIT)::BIGINT AS n_inter,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM masks a JOIN masks b
+        ON a.id < b.id
        AND a.sz * 0.899999 <= b.sz + 1e-6
        AND b.sz * 0.899999 <= a.sz + 1e-6
-      GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+           round(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6)
              AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.id = id_a
-    JOIN sizes sb ON sb.id = id_b
-    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.9
+    WHERE round(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6) >= 0.9
     ORDER BY id_a, id_b
     """,
     tags=("llm", "dedup"),
@@ -2855,31 +2846,24 @@ def ml_feature_scaling(spark, sf_dir):
       SELECT doc_id AS id,
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
-    ), sizes AS (SELECT id, len(toks) AS sz FROM base),
-    -- length prefilter inside the fan-out: lossless for J >= 0.9 (see
-    -- the dedup_minhash_lsh oracle for the argument)
-    -- toks/inter/pairs MATERIALIZED (r6): sym references pairs twice
-    -- (both union directions) and the ~100M-row exact-verification
-    -- join behind it is the oracle's cost floor — inlining re-derives
-    -- parts of it (measured 32.6 -> 29.3 s at sf0.1)
-    toks AS MATERIALIZED (
-      SELECT t.id, t.tok, s.sz
-      FROM (SELECT id, unnest(toks) AS tok FROM base) t
-      JOIN sizes s ON s.id = t.id
     ),
-    inter AS MATERIALIZED (
-      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b
-        ON a.tok = b.tok AND a.id < b.id
-       AND a.sz * 0.899999 <= b.sz + 1e-6
-       AND b.sz * 0.899999 <= a.sz + 1e-6
-      GROUP BY 1, 2
-    ), pairs AS MATERIALIZED (
-      SELECT id_a, id_b
-      FROM inter
-      JOIN sizes sa ON sa.id = id_a
-      JOIN sizes sb ON sb.id = id_b
-      WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+    -- token-set bitmasks (r6, _det.token_mask_sql — see the
+    -- dedup_minhash_lsh oracle): the exact J >= 0.9 pair set from
+    -- bit_count over HUGEINT masks instead of the ~200M-row
+    -- shared-token self-join; lossless length prefilter unchanged.
+    -- pairs MATERIALIZED: sym references it twice (both directions).
+    {DET.token_mask_sql()},
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count((a.mask & b.mask)::BIT)::BIGINT AS n_inter,
+               a.sz AS sz_a, b.sz AS sz_b
+        FROM masks a JOIN masks b
+          ON a.id < b.id
+         AND a.sz * 0.899999 <= b.sz + 1e-6
+         AND b.sz * 0.899999 <= a.sz + 1e-6
+      )
+      WHERE round(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6)
             >= 0.9
     ), sym AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -3620,11 +3604,20 @@ def embedding_matryoshka_quality(spark, sf_dir):
              list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
       FROM documents
     ),
-    base AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
-    delta AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+    -- token-set bitmasks (r6, _det.token_mask_sql — see the
+    -- dedup_minhash_lsh oracle): per-pair len(list_intersect(...))
+    -- over the delta x base theta-join was the remaining cost (~30 s
+    -- of sf0.1 sweep); bit_count over HUGEINT masks is the identical
+    -- exact intersection. base CTE shape for the helper: (id, toks).
+    base AS (SELECT doc_id AS id, toks FROM keyed),
+    {DET.token_mask_sql()},
+    kb AS (SELECT k.doc_id, k.h, m.mask, m.sz
+           FROM keyed k JOIN masks m ON m.id = k.doc_id),
+    corpus AS (SELECT * FROM kb WHERE doc_id % 10 <> 0),
+    delta AS (SELECT * FROM kb WHERE doc_id % 10 = 0),
     exact AS MATERIALIZED (
       SELECT d.doc_id, MIN(b.doc_id) AS dup_of
-      FROM delta d JOIN base b ON b.h = d.h
+      FROM delta d JOIN corpus b ON b.h = d.h
       GROUP BY d.doc_id
     ),
     near AS (
@@ -3632,15 +3625,14 @@ def embedding_matryoshka_quality(spark, sf_dir):
       -- J >= t forces min(|a|,|b|)/max >= t, and the kept set includes
       -- the round(J,6) >= 0.9 boundary (J >= 0.8999995 => ratio >
       -- 0.89), so the 89/100 integer test cuts ~2/3 of the delta x base
-      -- pairs without changing a single output row (31 s -> 10 s of
-      -- sf0.1 sweep)
+      -- pairs without changing a single output row
       SELECT doc_id, MIN(bdoc) AS dup_of FROM (
         SELECT d.doc_id AS doc_id, b.doc_id AS bdoc,
-               len(list_intersect(d.toks, b.toks)) AS ni,
-               len(d.toks) AS sd, len(b.toks) AS sb
-        FROM delta d JOIN base b
-          ON len(b.toks) * 100 >= len(d.toks) * 89
-         AND len(d.toks) * 100 >= len(b.toks) * 89
+               bit_count((d.mask & b.mask)::BIT)::BIGINT AS ni,
+               d.sz AS sd, b.sz AS sb
+        FROM delta d JOIN corpus b
+          ON b.sz * 100 >= d.sz * 89
+         AND d.sz * 100 >= b.sz * 89
         WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
       )
       WHERE round(CAST(ni AS DOUBLE) / (sd + sb - ni), 6) >= 0.9
