@@ -103,7 +103,13 @@ def zscore_by_group(df: DataFrame, group_col: str = "c_nationkey") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@udtf(returnType="pos: int, bigram: string")
+# useArrow=True pinned at the DEFINITION: with useArrow=None the eval
+# type resolves from the active session's pythonUDTF.arrow conf at
+# decoration time — module import order decided whether the plan got
+# ArrowEvalPythonUDTF or row-at-a-time BatchEvalPythonUDTF (the
+# registry-wide detector caught the flip when imports preceded the
+# session). Explicit beats conf-dependent for an eval-type contract.
+@udtf(returnType="pos: int, bigram: string", useArrow=True)
 class BigramUDTF:
     """Word-bigram generator as a UDTF (§2B#63): lateral-joinable table
     function, the row-expanding escape hatch (the set-returning analog of
