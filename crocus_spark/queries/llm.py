@@ -2028,6 +2028,63 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_wav_windows",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(256 + (doc_id % 7) * 64 AS INT) AS n,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i
+      FROM p
+    ), v AS (
+      -- "win", not "window": WINDOW is a clause keyword where GROUP BY
+      -- parses, in both engines
+      SELECT doc_id, n, rate, CAST(i // 160 AS INT) AS win,
+             (doc_id * 7 + i * 13) % 2001 - 1000 AS x
+      FROM s
+    )
+    SELECT doc_id, win, rate AS sample_rate, n AS n_samples,
+           CAST(COUNT(*) AS INT) AS win_n,
+           CAST(SUM(x) AS BIGINT) AS sum_s,
+           CAST(MIN(x) AS INT) AS min_s,
+           CAST(MAX(x) AS INT) AS max_s
+    FROM v
+    GROUP BY doc_id, win, rate, n
+    ORDER BY doc_id, win
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_wav_windows(spark, sf_dir):
+    """Audio container demux + sample windowing end-to-end — the audio
+    modality's REAL container path, completing the set (image PNG/BMP/
+    PPM, PDF incl. CID, video AVI, audio WAV; ``chunk_audio`` stays as
+    the format-agnostic byte fallback): per document a deterministic
+    int16 PCM waveform is serialized into a real RIFF/WAVE file
+    (operators/audiocodec.encode_wav), then demuxed back by the
+    fail-loud parser (RIFF walk, PCM fmt validation, sample-aligned
+    data chunk) and windowed over DECODED SAMPLES — the unit real
+    feature extraction uses — with integer-exact per-window stats
+    (sum/min/max; order-free, engine-portable, no float RMS hash risk).
+    The oracle regenerates the waveform arithmetic in SQL and never
+    touches the codec: hash-green = the round-trip proof (same
+    discipline as multimodal_pdf_text / multimodal_video_frames).
+
+    Scale shape: encode and demux+window are Arrow batch loops fused
+    over the scan partitioning; WAV bytes stay executor-side, and the
+    demux emits the data chunk's byte range so windowing reads only
+    samples."""
+    from crocus_spark.operators import audiocodec as A
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+    wavs = A.synth_wav_table(docs, "doc_id")
+    media = M.to_media_table(wavs, "doc_id", "audio", "audio")
+    return A.extract_wav_windows(media).orderBy("doc_id", "win")
+
+
+@register(
     "dedup_span_removal",
     oracle=f"""
     WITH toks AS (
