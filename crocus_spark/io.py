@@ -151,6 +151,47 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _max_partition_bytes(spark: SparkSession) -> int:
+    import re as _re
+
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    units = {"b": 1, "k": 1024, "kb": 1024, "m": 1 << 20, "mb": 1 << 20,
+             "g": 1 << 30, "gb": 1 << 30}
+    m = _re.match(r"(\d+)\s*([a-z]*)", raw)
+    return int(m.group(1)) * units.get(m.group(2), 1) if m else 134217728
+
+
+def _planned_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
+    """Estimated split count for a FILE-BACKED plan from metadata alone
+    (Σ bytes / maxPartitionBytes — Spark's split rule, ignoring only the
+    small-file open-cost packing): df.inputFiles() is a ~20 ms listing
+    where the DataFrame→RDD conversion spread() previously used costs
+    ~0.1-0.5 s of py4j plan work per fresh plan — and spread sits on a
+    dozen query hot paths. Returns None (caller falls back to the RDD
+    path) for non-file or non-local sources."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(p.path))
+        except OSError:
+            return None
+    return max(1, math.ceil(total / _max_partition_bytes(spark)))
+
+
 def scan_width(spark: SparkSession, sf_dir: str, table: str) -> int:
     """Planned scan parallelism for a fixture table, floored at the
     session's core count — from FILE METADATA (bytes /
@@ -176,18 +217,9 @@ def scan_width(spark: SparkSession, sf_dir: str, table: str) -> int:
             )
     except OSError:
         return core
-    import re as _re
-
-    raw = str(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    ).strip().lower()
-    units = {"b": 1, "k": 1024, "kb": 1024, "m": 1 << 20, "mb": 1 << 20,
-             "g": 1 << 30, "gb": 1 << 30}
-    m = _re.match(r"(\d+)\s*([a-z]*)", raw)
-    max_pb = (
-        int(m.group(1)) * units.get(m.group(2), 1) if m else 134217728
+    return max(
+        core, math.ceil(nbytes / max(1, _max_partition_bytes(spark)))
     )
-    return max(core, math.ceil(nbytes / max(1, max_pb)))
 
 
 def spread(
@@ -211,10 +243,19 @@ def spread(
     scheduler-overhead-bound at fixture scale (k-means: 4 rounds × 3
     stages × 32 tasks is ~400 task launches for kilobyte inputs); the
     no-op-at-production property is unchanged — a real table's split
-    count exceeds any cap, so no shuffle is added."""
+    count exceeds any cap, so no shuffle is added.
+
+    Current parallelism comes from ``_planned_scan_partitions`` (file
+    metadata, ~20 ms) when the plan is file-backed — every in-repo
+    caller passes a scan — with ``df.rdd.getNumPartitions()`` (an
+    RDD-conversion costing ~0.1-0.5 s of py4j plan work per fresh
+    plan) kept as the fallback for non-file inputs."""
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    cur = _planned_scan_partitions(df, spark)
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
+    if cur >= target:
         return df
     return df.repartition(target)
 

@@ -41,8 +41,16 @@ def main() -> int:
             if metric not in r:
                 metric = "secs"  # pre-r6 sweep outputs: wall fallback
             times.setdefault(name, []).append(r.get(metric, r["secs"]))
+    # Floor: 3 s for wall; 10 s for cpu_s — process-tree CPU on sub-1s
+    # queries spikes 3-8 s transiently (a single multi-core GC burst or
+    # cleanup spillover from the previous query lands in the window),
+    # so a 3 s CPU floor false-alarmed on five tiny queries the first
+    # round it ran. The mechanism exists to catch 10-30 s gate-tail
+    # blowups; a "regression" that keeps a query under 10 s of CPU is
+    # immaterial to the gate budget.
+    floor = 10.0 if metric == "cpu_s" else 3.0
     budgets = {
-        name: round(max(3.0, statistics.median(ts) * 2.5), 2)
+        name: round(max(floor, statistics.median(ts) * 2.5), 2)
         for name, ts in sorted(times.items())
     }
     spec = {
