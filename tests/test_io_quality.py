@@ -78,3 +78,41 @@ def test_spread_is_noop_at_production_partition_counts(spark):
     out = spread(narrow, spark)
     assert out.rdd.getNumPartitions() == par
     assert out.count() == 1000
+
+
+def test_spread_width_from_file_metadata(spark, tmp_path):
+    """r6: spread's current-parallelism estimate comes from inputFiles
+    byte sizes (the RDD-conversion fallback cost 0.1-0.5 s of py4j plan
+    work PER FRESH PLAN across a dozen callers). A one-file fixture
+    scan must still spread to core width; a scan whose bytes exceed
+    target × maxPartitionBytes must be left untouched."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import (
+        _planned_scan_partitions,
+        scan_width,
+        spread,
+    )
+    from tests.conftest import SF_SMOKE
+
+    par = spark.sparkContext.defaultParallelism
+    from crocus_spark.io import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+    est = _planned_scan_partitions(docs, spark)
+    assert est == 1  # one small fixture file = one split
+    assert spread(docs, spark).rdd.getNumPartitions() == par
+    # non-file plans return None and take the RDD fallback
+    assert _planned_scan_partitions(spark.range(10), spark) is None
+    # scan_width floors at core count and grows with bytes: shrink the
+    # split size so the same file maps to > par splits
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        w = scan_width(spark, SF_SMOKE, "documents")
+        assert w > par
+        est2 = _planned_scan_partitions(docs, spark)
+        assert est2 == w  # both read the same metadata rule
+        # spread must then be a no-op: estimated splits >= target
+        assert spread(docs, spark) is docs
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
