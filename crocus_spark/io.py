@@ -163,14 +163,45 @@ def _max_partition_bytes(spark: SparkSession) -> int:
     return int(m.group(1)) * units.get(m.group(2), 1) if m else 134217728
 
 
+_SCAN_SHAPE_NODES = frozenset(
+    {"Relation", "LogicalRelation", "Project", "Filter", "SubqueryAlias", "View"}
+)
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is a bare file scan under only
+    partition-preserving, row-preserving-per-split nodes (project /
+    filter / alias). ``df.inputFiles()`` reports the UNDERLYING scan for
+    any file-backed plan — a df with an upstream shuffle, aggregate, or
+    coalesce would report the scan's byte-derived split count rather
+    than its actual (possibly 1-partition) distribution and make
+    spread() skip a needed repartition (r6 ADVICE). The analyzed plan is
+    already materialized (analysis is eager), so this is one small py4j
+    string fetch, not a plan conversion."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("(", 1)[0]
+        if not node:
+            continue
+        if node not in _SCAN_SHAPE_NODES:
+            return False
+    return True
+
+
 def _planned_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
-    """Estimated split count for a FILE-BACKED plan from metadata alone
-    (Σ bytes / maxPartitionBytes — Spark's split rule, ignoring only the
-    small-file open-cost packing): df.inputFiles() is a ~20 ms listing
-    where the DataFrame→RDD conversion spread() previously used costs
-    ~0.1-0.5 s of py4j plan work per fresh plan — and spread sits on a
-    dozen query hot paths. Returns None (caller falls back to the RDD
-    path) for non-file or non-local sources."""
+    """Estimated split count for a SCAN-SHAPED file-backed plan from
+    metadata alone (Σ bytes / maxPartitionBytes — Spark's split rule,
+    ignoring only the small-file open-cost packing): df.inputFiles() is
+    a ~20 ms listing where the DataFrame→RDD conversion spread()
+    previously used costs ~0.1-0.5 s of py4j plan work per fresh plan —
+    and spread sits on a dozen query hot paths. Returns None (caller
+    falls back to the RDD path) for non-file, non-local, or
+    non-scan-shaped sources (plans with an upstream shuffle/aggregate/
+    coalesce, whose actual distribution the file listing would
+    misreport)."""
     import math
     from urllib.parse import unquote, urlparse
 
@@ -179,6 +210,8 @@ def _planned_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
     except Exception:
         return None
     if not files:
+        return None
+    if not _is_scan_shaped(df):
         return None
     total = 0
     for f in files:

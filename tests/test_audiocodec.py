@@ -100,3 +100,35 @@ def test_synth_waveform_matches_contract():
         back = decode_wav_samples(wav)
         want = [(aid * 7 + i * 13) % 2001 - 1000 for i in range(n)]
         assert back == want
+
+
+def test_multichannel_windows_cover_all_samples(spark):
+    """r6 ADVICE (medium): windowing the flat interleaved array by
+    n_samples covered only the first 1/channels of a multi-channel WAV
+    and mixed L/R positions. Windows are now over FRAMES: every int16
+    sample lands in exactly one window, and a window's stats run over
+    both channels of its frames."""
+    from crocus_spark.operators.audiocodec import extract_wav_windows
+
+    # 10 frames stereo, window=4 frames -> windows of 4/4/2 frames
+    frames = [(i * 3 - 5, -(i * 7) + 2) for i in range(10)]
+    interleaved = [s for fr in frames for s in fr]
+    wav = encode_wav(interleaved, 16000, channels=2)
+    meta = parse_wav(wav)
+    assert meta["channels"] == 2 and meta["n_samples"] == 10
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, content binary")
+    rows = {
+        r["win"]: r
+        for r in extract_wav_windows(df, window=4).collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    # every sample covered exactly once: sum of window sums == total sum
+    assert sum(r["sum_s"] for r in rows.values()) == sum(interleaved)
+    assert sum(r["win_n"] for r in rows.values()) == len(interleaved)
+    for w, r in rows.items():
+        block = [s for fr in frames[w * 4 : w * 4 + 4] for s in fr]
+        assert r["win_n"] == len(block)
+        assert r["sum_s"] == sum(block)
+        assert r["min_s"] == min(block)
+        assert r["max_s"] == max(block)
+        assert r["n_samples"] == 10 and r["sample_rate"] == 16000

@@ -163,3 +163,49 @@ def test_sweep_budget_file_covers_every_registered_query():
         f"queries without a sweep budget (recalibrate "
         f"tools/gen_sweep_budgets.py): {missing}"
     )
+
+
+def test_gen_budgets_never_mixes_cpu_and_wall_units(tmp_path):
+    """r6 ADVICE: mixing r6 (cpu_s) and pre-r6 (secs-only) sweep
+    outputs must budget on WALL for every query — the metric is decided
+    over ALL rows of ALL files first, never flipped mid-accumulation
+    (which left CPU and wall seconds in the same median)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _P
+
+    tool = _P(__file__).parent.parent / "tools" / "gen_sweep_budgets.py"
+    new = tmp_path / "r6.json"  # cpu_s present
+    old = tmp_path / "r5.json"  # wall only
+    new.write_text(_json.dumps({
+        "qa": {"ok": True, "secs": 1.0, "cpu_s": 40.0},
+        "qb": {"ok": True, "secs": 2.0, "cpu_s": 80.0},
+        "_summary": {},
+    }))
+    old.write_text(_json.dumps({
+        "qa": {"ok": True, "secs": 1.0},
+        "qb": {"ok": True, "secs": 2.0},
+    }))
+
+    def run(*srcs):
+        outp = tmp_path / "budgets.json"
+        subprocess.run(
+            [_sys.executable, str(tool), *map(str, srcs),
+             "--out", str(outp)],
+            check=True, capture_output=True,
+        )
+        return _json.loads(outp.read_text())
+
+    mixed = run(new, old)
+    assert mixed["metric"] == "secs"
+    # qa median must be wall (1.0), floored at 3 — NOT median(40, 1)*2.5
+    assert mixed["budgets"]["qa"] == 3.0
+    assert mixed["budgets"]["qb"] == 5.0
+    # order independence: pre-r6 file first must give the same result
+    assert run(old, new) == mixed
+    # homogeneous r6 inputs still budget on CPU with the 10 s floor
+    cpu = run(new)
+    assert cpu["metric"] == "cpu_s"
+    assert cpu["budgets"]["qa"] == 100.0
+    assert cpu["budgets"]["qb"] == 200.0

@@ -116,3 +116,36 @@ def test_spread_width_from_file_metadata(spark, tmp_path):
         assert spread(docs, spark) is docs
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
+
+
+def test_spread_fast_path_requires_scan_shaped_plan(spark):
+    """r6 ADVICE: inputFiles() reports the UNDERLYING scan for any
+    file-backed plan, so a df with an upstream shuffle/aggregate/
+    coalesce must NOT take the metadata fast path (it would report the
+    scan's split count instead of its own — possibly 1-partition —
+    distribution and skip a needed repartition). Scan-shaped plans
+    (scan, projected, filtered, view-aliased) keep the fast path."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import _planned_scan_partitions, load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    # scan / project / filter: fast path holds
+    assert _planned_scan_partitions(docs, spark) == 1
+    shaped = docs.select("doc_id", "lang").filter(F.col("doc_id") > 3)
+    assert _planned_scan_partitions(shaped, spark) == 1
+    docs.createOrReplaceTempView("_spread_guard_docs")
+    viewed = spark.table("_spread_guard_docs").select("doc_id")
+    assert _planned_scan_partitions(viewed, spark) == 1
+    # aggregate / coalesce / repartition / join over the SAME scan:
+    # inputFiles() still lists the file, but the fast path must decline
+    agg = docs.groupBy("lang").count()
+    assert agg.inputFiles()  # precondition: the trap is live
+    assert _planned_scan_partitions(agg, spark) is None
+    assert _planned_scan_partitions(docs.coalesce(1), spark) is None
+    assert _planned_scan_partitions(docs.repartition(4), spark) is None
+    assert (
+        _planned_scan_partitions(docs.join(docs.select("doc_id"), "doc_id"), spark)
+        is None
+    )

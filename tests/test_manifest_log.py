@@ -192,3 +192,187 @@ def test_manifest_is_the_commit_point(tmp_path):
         open(os.path.join(root, "_manifests", "m00000000.json"))
     )
     assert m["data_dir"] == "d-orphan" and m["n_files"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Writer schema in the manifest (r6 verdict task #2): commits record
+# their schema, validate it against the table's latest committed schema,
+# and a pinned reader learns a version's shape from metadata alone.
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    SchemaCompatibilityError,
+    expire_snapshots,
+    snapshot_data_path,
+    snapshot_schema,
+)
+
+
+def _schema_json(*fields):
+    """Spark StructType JSON dict from (name, type, nullable) triples —
+    built through pyspark's own types so the dicts match what
+    df.schema.json() commits."""
+    from pyspark.sql import types as T
+
+    import re as _re
+
+    atomic = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+    }
+
+    def typ(t):
+        if t in atomic:
+            return atomic[t]
+        m = _re.match(r"decimal\((\d+),(\d+)\)\Z", t)
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+
+    return T.StructType(
+        [T.StructField(n, typ(t), nullable) for n, t, nullable in fields]
+    ).jsonValue()
+
+
+def _data_dir(root: str, name: str) -> str:
+    path = os.path.join(root, name)
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"k": [1, 2, 3]}), os.path.join(path, "part-000.parquet")
+    )
+    return name
+
+
+def test_schema_recorded_and_readable(tmp_path):
+    root = str(tmp_path / "store")
+    s0 = _schema_json(("k", "long", True), ("v", "double", True))
+    commit_manifest(root, _data_dir(root, "d-0"), schema_json=s0)
+    st = snapshot_schema(root, 0)
+    assert st is not None and [f.name for f in st.fields] == ["k", "v"]
+    assert st.jsonValue() == s0
+    # schema-less commits (pre-schema manifests) read back as None
+    commit_manifest(root, _data_dir(root, "d-1"))
+    assert snapshot_schema(root, 1) is None
+
+
+def test_schema_additive_nullable_passes_and_gates(tmp_path):
+    root = str(tmp_path / "store")
+    s0 = _schema_json(("k", "long", True), ("v", "double", True))
+    commit_manifest(root, _data_dir(root, "d-0"), schema_json=s0)
+    # additive NULLABLE column: allowed
+    s1 = _schema_json(
+        ("k", "long", True), ("v", "double", True), ("w", "int", True)
+    )
+    assert commit_manifest(root, _data_dir(root, "d-1"), schema_json=s1) == 1
+    # type change: refused, and NO manifest links (version count frozen)
+    s_bad = _schema_json(
+        ("k", "string", True), ("v", "double", True), ("w", "int", True)
+    )
+    with pytest.raises(SchemaCompatibilityError, match="type changed"):
+        commit_manifest(root, _data_dir(root, "d-2"), schema_json=s_bad)
+    # column drop: refused
+    with pytest.raises(SchemaCompatibilityError, match="dropped"):
+        commit_manifest(
+            root, _data_dir(root, "d-3"),
+            schema_json=_schema_json(("k", "long", True)),
+        )
+    # nullable -> required tightening: refused
+    s_tight = _schema_json(
+        ("k", "long", True), ("v", "double", False), ("w", "int", True)
+    )
+    with pytest.raises(SchemaCompatibilityError, match="tightened"):
+        commit_manifest(root, _data_dir(root, "d-4"), schema_json=s_tight)
+    # additive REQUIRED column: refused (old rows have no value for it)
+    s_req = _schema_json(
+        ("k", "long", True), ("v", "double", True),
+        ("w", "int", True), ("z", "int", False),
+    )
+    with pytest.raises(SchemaCompatibilityError, match="must be nullable"):
+        commit_manifest(root, _data_dir(root, "d-5"), schema_json=s_req)
+    assert list_snapshot_versions(root) == [0, 1]
+    # ... and no temp manifest leaked behind the refused commits
+    leftovers = [
+        f for f in os.listdir(os.path.join(root, "_manifests"))
+        if f.startswith(".tmp-")
+    ]
+    assert leftovers == []
+    # explicit migration override: the SAME incompatible schema commits
+    assert commit_manifest(
+        root, _data_dir(root, "d-6"), schema_json=s_bad,
+        allow_incompatible=True,
+    ) == 2
+
+
+def test_schema_decimal_precision_widening_allowed(tmp_path):
+    """sum(decimal(p,s)) re-aggregated widens precision at equal scale —
+    Spark's own typing for the snapshot_time_travel merge loop; Iceberg
+    allows exactly this promotion."""
+    root = str(tmp_path / "store")
+    commit_manifest(
+        root, _data_dir(root, "d-0"),
+        schema_json=_schema_json(("v", "decimal(35,6)", True)),
+    )
+    assert commit_manifest(
+        root, _data_dir(root, "d-1"),
+        schema_json=_schema_json(("v", "decimal(38,6)", True)),
+    ) == 1
+    # narrowing back, or a scale change, is a type change
+    with pytest.raises(SchemaCompatibilityError):
+        commit_manifest(
+            root, _data_dir(root, "d-2"),
+            schema_json=_schema_json(("v", "decimal(20,6)", True)),
+        )
+    with pytest.raises(SchemaCompatibilityError):
+        commit_manifest(
+            root, _data_dir(root, "d-3"),
+            schema_json=_schema_json(("v", "decimal(38,2)", True)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Mixed legacy + manifest stores (r6 ADVICE): legacy v{n} history stays
+# listable, numbering seeds past it, expiry handles both layouts.
+# ---------------------------------------------------------------------------
+
+
+def _legacy_dir(root: str, version: int) -> str:
+    path = os.path.join(root, f"v{version}")
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"k": [version]}), os.path.join(path, "part-000.parquet")
+    )
+    return path
+
+
+def test_mixed_store_merges_legacy_history(tmp_path):
+    root = str(tmp_path / "store")
+    _legacy_dir(root, 0)
+    _legacy_dir(root, 1)
+    assert list_snapshot_versions(root) == [0, 1]
+    # first manifest commit seeds AFTER the legacy history, not at 0
+    v = commit_manifest(root, _data_dir(root, "d-a"))
+    assert v == 2
+    assert list_snapshot_versions(root) == [0, 1, 2]
+    # per-version resolution: legacy versions resolve to v{n}, manifest
+    # versions to their committed data dir
+    assert snapshot_data_path(root, 0).endswith("v0")
+    assert snapshot_data_path(root, 2).endswith("d-a")
+
+
+def test_mixed_store_expiry_handles_both_layouts(tmp_path):
+    root = str(tmp_path / "store")
+    _legacy_dir(root, 0)
+    _legacy_dir(root, 1)
+    commit_manifest(root, _data_dir(root, "d-a"))  # v2
+    commit_manifest(root, _data_dir(root, "d-b"))  # v3
+    dropped = expire_snapshots(root, keep_last=2)
+    assert dropped == [0, 1]
+    assert list_snapshot_versions(root) == [2, 3]
+    assert not os.path.exists(os.path.join(root, "v0"))
+    assert not os.path.exists(os.path.join(root, "v1"))
+    assert os.path.isdir(os.path.join(root, "d-a"))
+    # expire across the layout boundary: legacy dir AND manifest version
+    dropped = expire_snapshots(root, keep_last=1)
+    assert dropped == [2]
+    assert not os.path.isdir(os.path.join(root, "d-a"))
+    assert os.path.isdir(os.path.join(root, "d-b"))

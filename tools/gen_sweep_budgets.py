@@ -9,6 +9,7 @@ to catch.
 
 Usage:
     python tools/gen_sweep_budgets.py out1.json [out2.json ...] [--sf sf0.01]
+        [--out tools/sweep_budgets.json]
 """
 
 from __future__ import annotations
@@ -22,25 +23,42 @@ import sys
 def main() -> int:
     args = sys.argv[1:]
     sf_base = "sf0.01"
+    out = os.path.join(os.path.dirname(__file__), "sweep_budgets.json")
     if "--sf" in args:
         i = args.index("--sf")
         sf_base = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
         args = args[:i] + args[i + 2:]
     # Budget on process-tree CPU time when the sweeps recorded it (r5
     # verdict task #5): CPU is load-invariant for the same work, so a
     # loaded host no longer false-alarms, while a real regression (more
     # work) moves CPU and wall alike and still turns the gate red.
-    metric = "cpu_s"
-    times: dict[str, list[float]] = {}
+    # Two passes (r6 ADVICE): decide the metric over ALL rows of ALL
+    # files FIRST, then accumulate. The old single pass flipped the
+    # metric from cpu_s to secs mid-accumulation when mixing r6 and
+    # pre-r6 sweep outputs, leaving CPU seconds and wall seconds in the
+    # same per-query lists — medians over mixed units.
+    loaded = []
     for src in args:
         with open(src) as f:
             results = json.load(f)
+        loaded.append(results)
+    rows = [
+        r
+        for results in loaded
+        for name, r in results.items()
+        if name != "_summary"
+    ]
+    metric = "cpu_s" if rows and all("cpu_s" in r for r in rows) else "secs"
+    times: dict[str, list[float]] = {}
+    for results in loaded:
         for name, r in results.items():
             if name == "_summary":
                 continue
-            if metric not in r:
-                metric = "secs"  # pre-r6 sweep outputs: wall fallback
-            times.setdefault(name, []).append(r.get(metric, r["secs"]))
+            times.setdefault(name, []).append(r[metric])
     # Floor: 3 s for wall; 10 s for cpu_s — process-tree CPU on sub-1s
     # queries spikes 3-8 s transiently (a single multi-core GC burst or
     # cleanup spillover from the previous query lands in the window),
@@ -71,7 +89,6 @@ def main() -> int:
         "metric": metric,
         "budgets": budgets,
     }
-    out = os.path.join(os.path.dirname(__file__), "sweep_budgets.json")
     with open(out, "w") as f:
         json.dump(spec, f, indent=1, sort_keys=True)
     print(f"wrote {out}: {len(budgets)} budgets")
