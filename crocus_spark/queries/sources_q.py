@@ -17,7 +17,7 @@ import shutil
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crocus_spark.io import FIXTURE_SCHEMAS, load
+from crocus_spark.io import FIXTURE_SCHEMAS, load, spread
 from crocus_spark.queries import register
 from crocus_spark.queries._det import dsum
 
@@ -323,6 +323,108 @@ def io_orc_roundtrip(spark, sf_dir):
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "io_avro_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("io", "avro"),
+)
+def io_avro_roundtrip(spark, sf_dir):
+    """Avro sink → Avro source round-trip, completing the row-format
+    trio (parquet/ORC/Avro — r6 verdict task #3): documents written as
+    deflate-coded Avro object container files and read back through the
+    partition-parallel Python Data Source (one .avro file per input
+    partition, schema from ONE file header at planning time — never a
+    data scan). The OCF codec is stdlib-only from the public Avro spec
+    (operators/avrocodec.py) because the external spark-avro jar is not
+    deployed in this container; on a cluster that ships it,
+    ``spark.read.format("avro")`` swaps in behind this same query. The
+    md5 digests prove the varint/union/utf-8 encode→decode chain is
+    lossless per row, matching the reference's JSON-landing precedent
+    (base_scraper.py:165-170) at the schema'd, splittable format a
+    Kafka-adjacent pipeline actually lands."""
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    path = _scratch("avro_docs")
+    shutil.rmtree(path, ignore_errors=True)
+    # spread: the one-row-group fixture scan would otherwise encode the
+    # whole table in ONE Python task and land ONE file (= one read
+    # task); cores-wide files are also the shape a real landing zone has
+    docs = spread(load(spark, sf_dir, "documents"), spark)
+    (
+        docs.write.format("crocus_avro_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("crocus_avro").option("path", path).load()
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+@register(
+    "io_avro_typed_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           MIN(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS first_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("io", "avro"),
+)
+def io_avro_typed_roundtrip(spark, sf_dir):
+    """Avro round-trip of the TYPED orders table — the logical-type
+    surface: timestamps travel as ``timestamp-micros`` longs and return
+    microsecond-exact (integer epoch arithmetic at both boundaries,
+    never float seconds), doubles as IEEE little-endian bits. The reader
+    here pins an EXPLICIT schema (skipping even the header read), the
+    same no-inference contract every fixture scan follows; the grouped
+    aggregate with a min-date digest proves values, not just row counts,
+    survive."""
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    path = _scratch("avro_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = spread(load(spark, sf_dir, "orders"), spark)
+    (
+        orders.write.format("crocus_avro_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.schema(FIXTURE_SCHEMAS["orders"])
+        .format("crocus_avro")
+        .option("path", path)
+        .load()
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+            F.min(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("first_date"),
             dsum("o_totalprice", "sum_total"),
         )
         .orderBy("o_orderpriority")
@@ -655,9 +757,9 @@ def io_orc_pruned_scan(spark, sf_dir):
     three projected columns even if the writer later widens the file
     (predicate pushdown and pruning flow through the same DataSource V2
     scan surface as parquet). Complements ``io_orc_roundtrip``, which
-    round-trips the full table. (Avro would complete the row-format trio
-    but is an external Spark module not deployed in this container —
-    gated out rather than stubbed.)"""
+    round-trips the full table. (Avro completes the row-format trio via
+    the stdlib OCF codec + Python Data Source — ``io_avro_roundtrip`` /
+    ``io_avro_typed_roundtrip``.)"""
     path = _scratch("orc_orders_pruned")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

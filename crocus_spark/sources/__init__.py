@@ -8,6 +8,12 @@ logic belongs in a distributed engine: the per-page fetch becomes
 fetches them in parallel with restarts/retries handled by the scheduler.
 """
 
+from crocus_spark.sources.avro_source import (
+    AvroDataSource,
+    AvroSink,
+    register_avro_sink,
+    register_avro_source,
+)
 from crocus_spark.sources.catalog_source import (
     CatalogDataSource,
     CatalogJsonSink,
@@ -18,9 +24,13 @@ from crocus_spark.sources.catalog_source import (
 )
 
 __all__ = [
+    "AvroDataSource",
+    "AvroSink",
     "CatalogDataSource",
     "CatalogJsonSink",
     "CatalogStreamDataSource",
+    "register_avro_sink",
+    "register_avro_source",
     "register_catalog_sink",
     "register_catalog_source",
     "register_catalog_stream_source",

@@ -1,0 +1,176 @@
+"""Round-trip proofs for the stdlib Avro OCF codec (operators/avrocodec)
+and its Python Data Source plumbing (sources/avro_source) — the same
+writer/parser round-trip discipline as the PDF/PNG/RIFF codecs, which is
+what lets io_avro_roundtrip carry a full value oracle."""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crocus_spark.operators.avrocodec import (
+    MAGIC,
+    decode_ocf,
+    encode_ocf,
+    iter_ocf_records,
+    parse_ocf_header,
+)
+
+REC = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+    ],
+}
+
+
+def _recs(n):
+    return [
+        {"k": i, "s": None if i % 3 == 0 else "x" * (i % 7), "d": i / 7.0}
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_basic(codec):
+    data = encode_ocf(_recs(100), REC, codec=codec, records_per_block=16)
+    assert data[:4] == MAGIC
+    schema, back = decode_ocf(data)
+    assert schema == REC
+    assert back == _recs(100)
+
+
+def test_deflate_actually_compresses():
+    recs = [{"k": 1, "s": "abc" * 50, "d": 0.5}] * 500
+    raw = encode_ocf(recs, REC, codec="null")
+    packed = encode_ocf(recs, REC, codec="deflate")
+    assert len(packed) < len(raw) / 5
+    assert decode_ocf(packed)[1] == recs
+
+
+def test_fail_loud_on_corruption():
+    data = encode_ocf(_recs(10), REC)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_ocf(b"XXXX" + data[4:])
+    with pytest.raises(ValueError, match="truncated block"):
+        list(iter_ocf_records(data[:-3]))
+    # flip a sync byte: torn block must raise, never return short
+    schema, codec, sync, pos = parse_ocf_header(data)
+    idx = data.rindex(sync)
+    torn = data[:idx] + bytes([data[idx] ^ 0xFF]) + data[idx + 1 :]
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        list(iter_ocf_records(torn))
+    with pytest.raises(ValueError, match="unsupported codec"):
+        encode_ocf(_recs(1), REC, codec="snappy")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False),
+        ),
+        max_size=60,
+    )
+)
+def test_roundtrip_property(rows):
+    recs = [{"k": k, "s": s, "d": d} for k, s, d in rows]
+    _schema, back = decode_ocf(encode_ocf(recs, REC, records_per_block=7))
+    assert back == recs
+
+
+def test_complex_types_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "array", "items": "float"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+    recs = [
+        {"a": [1.5, -0.25], "m": {"x": 1, "y": -2}, "b": b"\x00\xff", "flag": True},
+        {"a": [], "m": {}, "b": None, "flag": False},
+    ]
+    _s, back = decode_ocf(encode_ocf(recs, schema))
+    # floats narrow to float32 on the wire — compare through the cast
+    exp = [
+        dict(
+            r,
+            a=[struct.unpack("<f", struct.pack("<f", x))[0] for x in r["a"]],
+        )
+        for r in recs
+    ]
+    assert back == exp
+
+
+# ---------------------------------------------------------------------------
+# Schema mapping + Spark Data Source round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_schema_mapping_inverse():
+    from pyspark.sql import types as T
+
+    from crocus_spark.sources.avro_source import (
+        avro_schema_to_spark,
+        spark_schema_to_avro,
+    )
+
+    st_ = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("vec", T.ArrayType(T.FloatType(), False), True),
+            T.StructField("raw", T.BinaryType(), True),
+        ]
+    )
+    avro = spark_schema_to_avro(st_)
+    assert avro["fields"][0]["type"] == "long"  # non-nullable: no union
+    assert avro["fields"][1]["type"] == ["null", "string"]
+    back = avro_schema_to_spark(avro)
+    assert back == st_
+
+
+def test_datasource_roundtrip_typed(spark, tmp_path):
+    """Write → read through the registered source: timestamps
+    microsecond-exact, dates exact, arrays exact, nulls preserved."""
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    rows = [
+        (
+            1,
+            "a",
+            datetime(2024, 3, 1, 12, 34, 56, 789123),
+            date(2024, 2, 29),
+            [1.5, -2.25],
+        ),
+        (2, None, datetime(1969, 12, 31, 23, 59, 59, 1), None, []),
+    ]
+    ddl = (
+        "k long, s string, ts timestamp, day date, vec array<float>"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "avro_out")
+    df.write.format("crocus_avro_sink").option("path", path).mode(
+        "append"
+    ).save()
+    back = spark.read.format("crocus_avro").option("path", path).load()
+    assert back.schema == df.schema
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == rows
