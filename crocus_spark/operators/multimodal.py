@@ -101,10 +101,15 @@ def synth_image_table(
 
 
 def fake_decode_image(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in decoder for plumbing tests: derives a fake
-    (width, height, channels) from the payload length alone, so results
-    are reproducible and SQL-checkable (width/height are pure arithmetic
-    on byte_len)."""
+    """Deterministic PLUMBING-TEST decoder: derives a fake (width,
+    height, channels) from the payload length alone, so results are
+    reproducible and SQL-checkable (width/height are pure arithmetic on
+    byte_len). NOT the engine's decode path — real decoding is
+    operators/imagecodec.decode_image (PNG/BMP/PPM, used by
+    multimodal_real_decode) passed through the same
+    ``decode_media_batch(media, decoder=...)`` seam, which is also where
+    a third-party codec (Pillow etc.) plugs in on a cluster that ships
+    one."""
     n = len(content)
     width = 1 + (n * 7919) % 1024
     height = 1 + (n * 104729) % 768

@@ -983,11 +983,15 @@ def search_pdf_corpus(spark, sf_dir):
     tags=("llm", "multimodal"),
 )
 def multimodal_fake_decode(spark, sf_dir):
-    """Media decode via mapInPandas (§2B#60): REAL Arrow-batched plumbing
-    (bytes → pandas batches → per-payload decoder → typed rows); the codec
-    itself is the deterministic fake (container has no image libs — see
-    operators/multimodal.py decode_image stub), which is what makes the
-    Python path SQL-checkable."""
+    """Media decode via mapInPandas with the PLUMBING-TEST fake codec:
+    REAL Arrow-batched shape (bytes → pandas batches → per-payload
+    decoder → typed rows) under a decoder that derives dimensions from
+    byte length arithmetically, which is what makes this path
+    SQL-checkable independent of any codec. The IMAGE row of §2B#60 is
+    ``multimodal_real_decode`` — same plumbing, the engine's real
+    PNG/BMP/PPM codecs (operators/imagecodec); a third-party decoder
+    (Pillow/torchvision) swaps in as the ``decoder=`` argument
+    unchanged."""
     docs = load(spark, sf_dir, "documents")
     media = M.to_media_table(docs, "doc_id", "text", "image")
     return M.decode_media_batch(media, M.fake_decode_image).orderBy("media_id")
@@ -1068,10 +1072,13 @@ def multimodal_real_decode(spark, sf_dir):
     tags=("llm", "multimodal"),
 )
 def multimodal_audio_chunks(spark, sf_dir):
-    """Audio-chunking plumbing (audio path of §2B#60): fixed-size byte
-    windows per payload with an Arrow-batched per-chunk feature (RMS
-    stand-in for spectrogram/MFCC). One row in → ≤16 chunk rows out — the
-    explode-then-extract shape of every audio featurizer at scale."""
+    """Byte-window chunking over UNPARSED payloads with an Arrow-batched
+    per-chunk feature — the audio-shaped FALLBACK for formats without an
+    in-engine codec. The AUDIO row of §2B#60 is
+    ``multimodal_audio_wav_windows`` (real RIFF/WAVE PCM demux +
+    decoded-sample windows, operators/audiocodec); this keeps the
+    explode-then-extract plumbing honest for unknown binary: fixed-size
+    byte windows, one row in → ≤16 chunk rows out, RMS over raw bytes."""
     docs = load(spark, sf_dir, "documents")
     media = M.to_media_table(docs, "doc_id", "text", "audio")
     return M.chunk_audio(media, chunk_bytes=64, max_chunks=16).orderBy(
@@ -1080,7 +1087,7 @@ def multimodal_audio_chunks(spark, sf_dir):
 
 
 @register(
-    "multimodal_frame_sample",
+    "multimodal_byte_offsets_fallback",
     oracle="""
     WITH frames AS (
       SELECT doc_id AS media_id,
@@ -1096,10 +1103,16 @@ def multimodal_audio_chunks(spark, sf_dir):
     """,
     tags=("llm", "multimodal"),
 )
-def multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing (video path of §2B#60): one row per sampled
-    offset, ≤8 frames per media item — the demuxer stand-in, all JVM-side
-    sequence+explode."""
+def multimodal_byte_offsets_fallback(spark, sf_dir):
+    """Byte-offset sampling over UNPARSED payloads — the fallback for
+    formats no codec in the engine demuxes (renamed from
+    multimodal_frame_sample, r6 verdict task #6: the VIDEO row of §2B#60
+    is ``multimodal_video_frames``, which demuxes real RIFF/AVI
+    containers through operators/videocodec and decodes actual frames —
+    this query is NOT that). What survives here is the honest byte-level
+    shape: one row per sampled offset, bounded fan-out per media item,
+    all JVM-side sequence+explode — the triage pass a landing zone runs
+    over unknown binary before a format-specific demuxer exists."""
     docs = load(spark, sf_dir, "documents")
     media = M.to_media_table(docs, "doc_id", "text", "video")
     return M.sample_frames(media, every_n_bytes=64, max_frames=8).orderBy(

@@ -114,8 +114,9 @@ SURVEY_2B = [
     (58, "TF-IDF / vectorize", ["text_tfidf_topk"]),
     (59, "fuzzy name match", ["join_fuzzy_name"]),
     (60, "multimodal columns",
-     ["multimodal_binary_stats", "multimodal_fake_decode",
-      "multimodal_frame_sample", "multimodal_audio_chunks"]),
+     ["multimodal_real_decode", "multimodal_video_frames",
+      "multimodal_audio_wav_windows", "multimodal_pdf_text",
+      "multimodal_binary_stats"]),
     (61, "scalar pandas UDF", ["udf_pandas_scalar"]),
     (62, "UDAF", ["udaf_weighted_mean"]),
     (63, "UDTF", ["udtf_bigrams"]),
