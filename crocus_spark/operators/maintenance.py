@@ -38,6 +38,7 @@ __all__ = [
     "SchemaCompatibilityError",
     "list_snapshot_versions",
     "read_snapshot",
+    "read_snapshot_pruned",
     "expire_snapshots",
 ]
 
@@ -300,6 +301,44 @@ def snapshot_schema(state_root: str, version: int):
     return None if s is None else T.StructType.fromJson(s)
 
 
+def _file_column_stats(path: str, columns: list[str]) -> dict | None:
+    """Per-file [min, max] for ``columns`` from the parquet FOOTER
+    (merged across row groups) — the stats a manifest records so query
+    planning can skip files without opening them. Values must be
+    JSON-representable (ints/floats/strings/dates-as-ISO); a column
+    with no usable stats maps to None. Returns None if the footer has
+    no statistics at all."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def jsonable(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in columns:
+        if col not in names:
+            out[col] = None
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[col] = [jsonable(lo), jsonable(hi)] if ok else None
+    return out
+
+
 def commit_manifest(
     state_root: str,
     data_dir: str,
@@ -307,6 +346,7 @@ def commit_manifest(
     replace: bool = False,
     schema_json: str | dict | None = None,
     allow_incompatible: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Atomically commit ``data_dir`` (relative to ``state_root``,
     already fully written, never to be mutated again) as a snapshot
@@ -354,6 +394,17 @@ def commit_manifest(
     }
     if schema_json is not None:
         body["schema"] = schema_json
+    if stats_columns:
+        # per-file [min,max] from parquet footers — recorded ONCE at
+        # commit so every later query plans file-skipping from the
+        # manifest alone (Iceberg's manifest-stats pruning): O(1 small
+        # JSON read) at plan time instead of O(files) footer opens.
+        # Footers are read here while the commit already owns the data
+        # dir; readers never open a footer for pruning again.
+        body["stats_columns"] = list(stats_columns)
+        body["file_stats"] = [
+            _file_column_stats(p, list(stats_columns)) for p, _sz in files
+        ]
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     while True:
         v = version
@@ -397,6 +448,7 @@ def commit_snapshot(
     version: int | None = None,
     replace: bool = False,
     allow_incompatible: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a full-state snapshot commit: parquet into a
     fresh uniquely named data directory, then one atomic manifest
@@ -414,6 +466,7 @@ def commit_snapshot(
         replace=replace,
         schema_json=df.schema.json(),
         allow_incompatible=allow_incompatible,
+        stats_columns=stats_columns,
     )
 
 
@@ -442,6 +495,54 @@ def read_snapshot(
     schema = snapshot_schema(state_root, version)
     reader = spark.read if schema is None else spark.read.schema(schema)
     return reader.parquet(snapshot_data_path(state_root, version))
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    state_root: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Time-travel read that PRUNES data files from the pinned
+    manifest's recorded column stats before Spark ever sees them: only
+    files whose committed [min, max] for ``column`` intersects
+    [lo, hi] are handed to the reader (files without usable stats are
+    conservatively kept — pruning must never change results). This is
+    manifest-level data skipping, the Iceberg planning model: at 100 TB
+    the difference between opening tens of thousands of parquet footers
+    per query and one small JSON read. Spark's own footer-level row-
+    group skipping still applies INSIDE each selected file — the two
+    layers compose. The caller's predicate must still be applied to the
+    returned frame (pruning is file-granular); returns
+    (DataFrame, {"files_total", "files_selected"})."""
+    versions = list_snapshot_versions(state_root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {state_root}")
+    if version is None:
+        version = versions[-1]
+    m = read_manifest(state_root, version)
+    data_root = os.path.join(state_root, m["data_dir"])
+    files = [rel for rel, _sz in m["files"]]
+    stats = m.get("file_stats")
+    cols = m.get("stats_columns", [])
+    if stats is None or column not in cols:
+        raise ValueError(
+            f"manifest v{version} records no stats for {column!r}; "
+            f"commit with stats_columns to enable pruning (has: {cols})"
+        )
+    keep = []
+    for rel, fstats in zip(files, stats):
+        mm = (fstats or {}).get(column)
+        if mm is None or (mm[1] >= lo and mm[0] <= hi):
+            keep.append(os.path.join(data_root, rel))
+    schema = snapshot_schema(state_root, version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    info = {"files_total": len(files), "files_selected": len(keep)}
+    if not keep:  # empty frame with the committed schema
+        return reader.parquet(data_root).limit(0), info
+    return reader.parquet(*keep), info
 
 
 def compact_snapshot(

@@ -212,6 +212,61 @@ def snapshot_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "snapshot_stats_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey) // 5 FROM orders)
+                         AND (SELECT (2 * MAX(o_orderkey)) // 5 FROM orders)
+    """,
+    tags=("maintenance", "snapshot", "pruning"),
+)
+def snapshot_stats_pruned_scan(spark, sf_dir):
+    """Manifest-level data skipping (the Iceberg planning model, on top
+    of this round's schema-carrying manifests): the commit records each
+    data file's parquet-footer [min, max] for the cluster key ONCE, so
+    every later query prunes files from the pinned manifest alone — one
+    small JSON read at plan time instead of O(files) footer opens,
+    which at 100 TB is the difference between sub-second and
+    minutes-long planning. Orders are committed range-clustered on
+    o_orderkey into 16 files (narrow per-file key rectangles — the
+    layout compaction/Z-order maintain); the read hands Spark ONLY the
+    files whose committed range intersects the predicate band, asserts
+    the pruning actually skipped most of the store, re-applies the
+    row-level predicate (pruning is file-granular and conservative:
+    stat-less files are kept), and aggregates. The oracle computes the
+    same band from the source table — a hash match proves skipping
+    never changed results. Spark's own row-group skipping still applies
+    inside each selected file; the layers compose."""
+    from crocus_spark.operators.maintenance import read_snapshot_pruned
+
+    root = _scratch("stats_pruned_store")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    clustered = orders.repartitionByRange(
+        16, F.col("o_orderkey")
+    ).sortWithinPartitions("o_orderkey")
+    commit_snapshot(clustered, root, stats_columns=["o_orderkey"])
+    # scale-relative band (the 20-40% key slice): ~3 of 16 range-files
+    # match at every fixture scale, so pruning is exercised, never
+    # vacuous; one 1-row aggregate collect, bounded by contract
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = mx // 5, (2 * mx) // 5
+    back, info = read_snapshot_pruned(spark, root, "o_orderkey", lo, hi)
+    assert info["files_selected"] < info["files_total"], info
+    return back.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
     "snapshot_changelog_cdc",
     oracle="""
     WITH v0 AS (

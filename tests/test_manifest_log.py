@@ -376,3 +376,64 @@ def test_mixed_store_expiry_handles_both_layouts(tmp_path):
     assert dropped == [2]
     assert not os.path.isdir(os.path.join(root, "d-a"))
     assert os.path.isdir(os.path.join(root, "d-b"))
+
+
+# ---------------------------------------------------------------------------
+# Per-file column stats in the manifest → file-skipping reads
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    commit_snapshot,
+    read_snapshot_pruned,
+)
+
+
+def _stats_store(spark, tmp_path, n_files=8):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "stats_store")
+    df = (
+        spark.range(0, 8000)
+        .withColumn("v", F.pmod("id", F.lit(97)))
+        .repartitionByRange(n_files, "id")
+        .sortWithinPartitions("id")
+    )
+    commit_snapshot(df, root, stats_columns=["id"])
+    return root
+
+
+def test_manifest_records_file_stats(spark, tmp_path):
+    root = _stats_store(spark, tmp_path)
+    m = read_manifest(root, 0)
+    assert m["stats_columns"] == ["id"]
+    assert len(m["file_stats"]) == m["n_files"] >= 4
+    ranges = [tuple(s["id"]) for s in m["file_stats"]]
+    # range clustering -> disjoint, ordered-after-sorting rectangles
+    for lo, hi in ranges:
+        assert 0 <= lo <= hi < 8000
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # disjoint
+    # every row covered
+    assert min(r[0] for r in ranges) == 0
+    assert max(r[1] for r in ranges) == 7999
+
+
+def test_pruned_read_skips_files_and_preserves_results(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _stats_store(spark, tmp_path)
+    back, info = read_snapshot_pruned(spark, root, "id", 1000, 2999)
+    assert info["files_selected"] < info["files_total"]
+    got = back.filter(F.col("id").between(1000, 2999)).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    assert got["n"] == 2000 and got["s"] == sum(range(1000, 3000))
+    # out-of-domain band: zero files, empty frame, committed schema kept
+    empty, info0 = read_snapshot_pruned(spark, root, "id", 50000, 60000)
+    assert info0["files_selected"] == 0
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+    # un-statted column refuses loudly instead of mispruning
+    with pytest.raises(ValueError, match="no stats"):
+        read_snapshot_pruned(spark, root, "v", 0, 1)
