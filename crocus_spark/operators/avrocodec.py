@@ -261,11 +261,27 @@ def encode_ocf(
 ) -> bytes:
     """Serialize dict records into one Avro OCF (bytes). ``schema`` is
     the parsed record-schema JSON; ``codec`` is ``null`` or ``deflate``."""
+    out = io.BytesIO()
+    encode_ocf_to(out, records, schema, codec, records_per_block)
+    return out.getvalue()
+
+
+def encode_ocf_to(
+    out,
+    records,
+    schema: dict,
+    codec: str = "deflate",
+    records_per_block: int = 4096,
+) -> int:
+    """Stream dict records into ``out`` (a binary file object) as one
+    Avro OCF, flushing a block every ``records_per_block`` records —
+    memory stays O(block), never O(partition), which is what lets a
+    writer task serialize a multi-GB partition without buffering it
+    (the sink's path at 100 TB). Returns the record count."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     schema_json = json.dumps(schema, separators=(",", ":"))
     sync = _deterministic_sync(schema_json)
-    out = io.BytesIO()
     out.write(MAGIC)
     meta = {
         "avro.schema": schema_json.encode("utf-8"),
@@ -295,12 +311,14 @@ def encode_ocf(
         out.write(sync)
         buf.clear()
 
+    n = 0
     for rec in records:
         buf.append(rec)
+        n += 1
         if len(buf) >= records_per_block:
             flush()
     flush()
-    return out.getvalue()
+    return n
 
 
 def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:

@@ -38,7 +38,7 @@ from pyspark.sql.datasource import (
 )
 
 from crocus_spark.operators.avrocodec import (
-    encode_ocf,
+    encode_ocf_to,
     iter_ocf_records,
     read_ocf_schema,
 )
@@ -267,18 +267,23 @@ class _AvroWriter(DataSourceWriter):
     def write(self, iterator):
         _os.makedirs(self.path, exist_ok=True)
         fields = self.schema.fields
-        records = []
-        for row in iterator:
-            records.append(
-                {
+
+        def records():
+            for row in iterator:
+                yield {
                     f.name: _to_avro_value(f.dataType, row[i])
                     for i, f in enumerate(fields)
                 }
-            )
+
         tmp = _os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.avro")
+        # STREAMED block-by-block: task memory is O(block), not
+        # O(partition) — a multi-GB partition serializes without ever
+        # materializing as a Python list
         with open(tmp, "wb") as f:
-            f.write(encode_ocf(records, self.avro_schema, codec=self.codec))
-        return _AvroCommit(tmp, len(records))
+            n = encode_ocf_to(
+                f, records(), self.avro_schema, codec=self.codec
+            )
+        return _AvroCommit(tmp, n)
 
     def commit(self, messages):
         for i, m in enumerate(messages):
