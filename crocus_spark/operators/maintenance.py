@@ -39,6 +39,7 @@ __all__ = [
     "list_snapshot_versions",
     "read_snapshot",
     "read_snapshot_pruned",
+    "commit_equality_deletes",
     "expire_snapshots",
 ]
 
@@ -347,6 +348,7 @@ def commit_manifest(
     schema_json: str | dict | None = None,
     allow_incompatible: bool = False,
     stats_columns: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically commit ``data_dir`` (relative to ``state_root``,
     already fully written, never to be mutated again) as a snapshot
@@ -405,6 +407,8 @@ def commit_manifest(
         body["file_stats"] = [
             _file_column_stats(p, list(stats_columns)) for p, _sz in files
         ]
+    if extra:
+        body.update(extra)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     while True:
         v = version
@@ -494,7 +498,100 @@ def read_snapshot(
     # column existed reads with ITS schema, not the current one).
     schema = snapshot_schema(state_root, version)
     reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(snapshot_data_path(state_root, version))
+    df = reader.parquet(snapshot_data_path(state_root, version))
+    mf = _manifest_file(state_root, version)
+    if os.path.exists(mf):
+        df = _apply_deletes(
+            spark, state_root, read_manifest(state_root, version), df
+        )
+    return df
+
+
+def _apply_deletes(
+    spark: SparkSession, state_root: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Apply a manifest's committed equality-delete set: one LEFT ANTI
+    join on the delete key columns. The delete set is delta-sized by
+    construction (cumulative keys, deduplicated at commit), so AQE
+    broadcasts it in practice; when a store accumulates table-scale
+    deletes the right move is compaction (fold deletes into a rewritten
+    data dir), not a bigger join."""
+    d = manifest.get("deletes")
+    if d is None:
+        return df
+    keys = spark.read.parquet(os.path.join(state_root, d["data_dir"]))
+    return df.join(keys, on=d["key_columns"], how="left_anti")
+
+
+def commit_equality_deletes(
+    delete_df: DataFrame,
+    state_root: str,
+    key_columns: list[str],
+) -> int:
+    """Row-level delete WITHOUT rewriting history — Iceberg's equality-
+    delete files (format spec v2), the GDPR-erasure / late-correction
+    shape: the new version's manifest points at the PREVIOUS version's
+    data directory unchanged (zero data copied) plus a delete set of key
+    tuples; readers of the new version anti-join the keys out, readers
+    pinned to older versions still see the rows. Cost is O(delta): one
+    small parquet write + one metadata commit, never O(table) — at
+    100 TB that is the difference between erasing a user in seconds and
+    rewriting petabytes.
+
+    Delete sets are CUMULATIVE per version (the new version's delete
+    dir holds previous deletes ∪ new), so a reader applies exactly one
+    delete set — no log replay — and compaction can fold deletes into a
+    rewritten data dir and drop them. ``key_columns`` must match any
+    previous delete commit's key columns (one equality contract per
+    store; fail-loud otherwise)."""
+    spark = delete_df.sparkSession
+    versions = list_snapshot_versions(state_root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {state_root}")
+    prev = read_manifest(state_root, versions[-1])
+    prev_deletes = prev.get("deletes")
+    if prev_deletes is not None and prev_deletes["key_columns"] != key_columns:
+        raise ValueError(
+            f"delete key columns {key_columns} != committed contract "
+            f"{prev_deletes['key_columns']}"
+        )
+    new_keys = delete_df.select(*key_columns).distinct()
+    if prev_deletes is not None:
+        old = spark.read.parquet(
+            os.path.join(state_root, prev_deletes["data_dir"])
+        )
+        new_keys = new_keys.unionByName(old).distinct()
+    del_dir = f"del-{uuid.uuid4().hex[:12]}"
+    new_keys.write.mode("overwrite").parquet(
+        os.path.join(state_root, del_dir)
+    )
+    del_files = parquet_data_files(os.path.join(state_root, del_dir))
+    body_extra = {
+        "deletes": {
+            "data_dir": del_dir,
+            "files": [
+                [
+                    os.path.relpath(p, os.path.join(state_root, del_dir)),
+                    sz,
+                ]
+                for p, sz in del_files
+            ],
+            "key_columns": list(key_columns),
+        }
+    }
+    # data files are unchanged, so the previous version's footer stats
+    # carry over verbatim — no re-read of any footer
+    for k in ("stats_columns", "file_stats"):
+        if k in prev:
+            body_extra[k] = prev[k]
+    # the new version SHARES the previous version's data dir (immutable,
+    # refcounted at expiry); only metadata + the delete set are new
+    return commit_manifest(
+        state_root,
+        prev["data_dir"],
+        schema_json=prev.get("schema"),
+        extra=body_extra,
+    )
 
 
 def read_snapshot_pruned(
@@ -542,7 +639,7 @@ def read_snapshot_pruned(
     info = {"files_total": len(files), "files_selected": len(keep)}
     if not keep:  # empty frame with the committed schema
         return reader.parquet(data_root).limit(0), info
-    return reader.parquet(*keep), info
+    return _apply_deletes(spark, state_root, m, reader.parquet(*keep)), info
 
 
 def compact_snapshot(
@@ -607,15 +704,18 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     # versions drop manifest-first with data-dir refcounting; legacy
     # ``v{n}`` versions (one private dir each, never shared) drop by
     # directory.
+    def _dirs(v: int) -> set[str]:
+        m = read_manifest(state_root, v)
+        dirs = {m["data_dir"]}
+        if m.get("deletes") is not None:
+            dirs.add(m["deletes"]["data_dir"])
+        return dirs
+
     referenced = {
-        read_manifest(state_root, v)["data_dir"]
-        for v in keep
-        if v in manifested
+        d for v in keep if v in manifested for d in _dirs(v)
     }
     dropped_dirs = {
-        read_manifest(state_root, v)["data_dir"]
-        for v in drop
-        if v in manifested
+        d for v in drop if v in manifested for d in _dirs(v)
     }
     for v in drop:
         if v in manifested:

@@ -267,6 +267,74 @@ def snapshot_stats_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "snapshot_equality_deletes",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE user_id % 7 <> 3 AND user_id % 11 <> 5
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "deletes"),
+)
+def snapshot_equality_deletes(spark, sf_dir):
+    """Row-level deletes WITHOUT rewriting history (Iceberg v2 equality
+    deletes; the GDPR-erasure shape the reference could only handle by
+    regenerating whole JSON files, base_scraper.py:165-178): v0 commits
+    the per-user aggregate table; v1 and v2 each commit only a SET OF
+    KEYS to erase (two successive erasure requests) — the manifests of
+    v1/v2 point at v0's data directory unchanged (the query asserts the
+    data dir is shared, i.e. zero bytes of table data were copied) plus
+    a cumulative delete-key parquet. Reading v2 applies ONE anti-join
+    of the delta-sized delete set; reading v0 still returns every user
+    (asserted — time travel is unaffected by later erasures, exactly
+    the snapshot-isolation contract). At 100 TB: erasing a user costs
+    one small parquet write + one metadata commit instead of a table
+    rewrite, and the read-side anti-join broadcasts while deletes stay
+    delta-sized; compaction folds them away when they accumulate. The
+    oracle recomputes the surviving aggregate from the source — a hash
+    match proves the delete semantics, not just that rows vanished."""
+    from crocus_spark.operators.maintenance import (
+        commit_equality_deletes,
+        read_manifest,
+    )
+
+    root = _scratch("eq_deletes_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    state = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+    )
+    commit_snapshot(state, root)
+    n_users_v0 = read_snapshot(spark, root, 0).count()
+    users = state.select("user_id")
+    v1 = commit_equality_deletes(
+        users.filter(F.pmod("user_id", F.lit(7)) == 3), root, ["user_id"]
+    )
+    v2 = commit_equality_deletes(
+        users.filter(F.pmod("user_id", F.lit(11)) == 5), root, ["user_id"]
+    )
+    assert (v1, v2) == (1, 2), (v1, v2)
+    # zero-copy: all three versions share one immutable data dir
+    dirs = {read_manifest(root, v)["data_dir"] for v in (0, 1, 2)}
+    assert len(dirs) == 1, dirs
+    # time travel is erasure-proof: v0 still sees every user
+    assert read_snapshot(spark, root, 0).count() == n_users_v0
+    return (
+        read_snapshot(spark, root, 2)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "snapshot_changelog_cdc",
     oracle="""
     WITH v0 AS (

@@ -437,3 +437,58 @@ def test_pruned_read_skips_files_and_preserves_results(spark, tmp_path):
     # un-statted column refuses loudly instead of mispruning
     with pytest.raises(ValueError, match="no stats"):
         read_snapshot_pruned(spark, root, "v", 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes: zero-copy row-level erasure + expiry refcounting
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    commit_equality_deletes,
+    read_snapshot,
+)
+
+
+def test_equality_deletes_zero_copy_and_cumulative(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    df = spark.range(0, 100).withColumn("v", F.pmod("id", F.lit(7)))
+    commit_snapshot(df, root)
+    v1 = commit_equality_deletes(
+        spark.range(0, 10).select("id"), root, ["id"]
+    )
+    v2 = commit_equality_deletes(
+        spark.range(90, 100).select("id"), root, ["id"]
+    )
+    assert (v1, v2) == (1, 2)
+    # zero-copy: one shared data dir across all versions
+    assert len({read_manifest(root, v)["data_dir"] for v in (0, 1, 2)}) == 1
+    # cumulative semantics and time-travel isolation
+    assert read_snapshot(spark, root, 0).count() == 100
+    assert read_snapshot(spark, root, 1).count() == 90
+    got = sorted(r.id for r in read_snapshot(spark, root, 2).collect())
+    assert got == list(range(10, 90))
+    # key-contract mismatch refuses loudly
+    with pytest.raises(ValueError, match="contract"):
+        commit_equality_deletes(
+            spark.range(0, 1).select(F.col("id").alias("v")), root, ["v"]
+        )
+
+
+def test_expiry_refcounts_shared_data_and_delete_dirs(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.range(0, 50)
+    commit_snapshot(df, root)  # v0
+    commit_equality_deletes(spark.range(0, 5), root, ["id"])  # v1
+    commit_equality_deletes(spark.range(5, 8), root, ["id"])  # v2
+    data_dir = read_manifest(root, 0)["data_dir"]
+    d1 = read_manifest(root, 1)["deletes"]["data_dir"]
+    d2 = read_manifest(root, 2)["deletes"]["data_dir"]
+    # dropping v0+v1 must keep the SHARED data dir (v2 references it)
+    dropped = expire_snapshots(root, keep_last=1)
+    assert dropped == [0, 1]
+    assert os.path.isdir(os.path.join(root, data_dir))
+    assert not os.path.isdir(os.path.join(root, d1))  # v1's delete set gone
+    assert os.path.isdir(os.path.join(root, d2))
+    assert read_snapshot(spark, root).count() == 42
