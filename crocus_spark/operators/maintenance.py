@@ -40,6 +40,10 @@ __all__ = [
     "read_snapshot",
     "read_snapshot_pruned",
     "commit_equality_deletes",
+    "set_branch",
+    "get_branch",
+    "list_branches",
+    "read_branch",
     "expire_snapshots",
 ]
 
@@ -682,6 +686,73 @@ def compact_snapshot(
     return v, stats
 
 
+REFS_DIR = "_refs"
+_REF_NAME_RE = re.compile(r"[A-Za-z0-9_.-]{1,64}\Z")
+
+
+def _ref_file(state_root: str, name: str) -> str:
+    if not _REF_NAME_RE.match(name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(state_root, REFS_DIR, f"{name}.json")
+
+
+def set_branch(
+    state_root: str, name: str, version: int, fast_forward_only: bool = True
+) -> None:
+    """Point branch ``name`` at ``version`` — one atomic os.replace of a
+    tiny JSON ref file (Iceberg's named refs): readers of a branch
+    resolve the pointer once, then pin that version's manifest as
+    usual, so a concurrent re-point can never tear them. With
+    ``fast_forward_only`` (the default, Iceberg's branch semantics for
+    publishes) a move to an older version than the branch currently
+    holds is refused — rollbacks must be explicit, never a lost race."""
+    versions = list_snapshot_versions(state_root)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions})"
+        )
+    rf = _ref_file(state_root, name)
+    os.makedirs(os.path.dirname(rf), exist_ok=True)
+    if fast_forward_only and os.path.exists(rf):
+        cur = get_branch(state_root, name)
+        if version < cur:
+            raise ValueError(
+                f"branch {name!r} at v{cur}: fast-forward to v{version} "
+                "refused (pass fast_forward_only=False to roll back)"
+            )
+    tmp = rf + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, rf)
+
+
+def get_branch(state_root: str, name: str) -> int:
+    with open(_ref_file(state_root, name)) as f:
+        return int(json.load(f)["version"])
+
+
+def list_branches(state_root: str) -> dict[str, int]:
+    rdir = os.path.join(state_root, REFS_DIR)
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in os.listdir(rdir):
+        if f.endswith(".json"):
+            with open(os.path.join(rdir, f)) as fh:
+                r = json.load(fh)
+            out[r["name"]] = int(r["version"])
+    return out
+
+
+def read_branch(spark: SparkSession, state_root: str, name: str) -> DataFrame:
+    """Read the version a branch points at — resolve the ref ONCE, then
+    the normal pinned-manifest read (deletes applied, committed schema
+    used)."""
+    return read_snapshot(spark, state_root, get_branch(state_root, name))
+
+
 def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     """Retention expiry (VACUUM): delete all but the newest ``keep_last``
     committed versions. Returns the versions removed.
@@ -698,6 +769,10 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
 
     versions = list_snapshot_versions(state_root)
     drop = versions[:-keep_last] if keep_last > 0 else versions
+    # a version any branch ref points at is NEVER expired — a ref is a
+    # running reader that hasn't started yet (Iceberg's retention rule)
+    pinned = set(list_branches(state_root).values())
+    drop = [v for v in drop if v not in pinned]
     keep = [v for v in versions if v not in drop]
     manifested = _manifest_versions(state_root)
     # Mixed stores expire per-version by layout (r6 ADVICE): manifest

@@ -335,6 +335,113 @@ def snapshot_equality_deletes(spark, sf_dir):
 
 
 @register(
+    "snapshot_branch_wap",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(25,6))) AS value_dec
+      FROM events
+      WHERE event_id % 2 = 0 OR value >= 0
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events, CAST(value_dec AS DOUBLE) AS value_sum
+    FROM merged
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "branch"),
+)
+def snapshot_branch_wap(spark, sf_dir):
+    """Write-Audit-Publish through branch refs (Iceberg's named-refs
+    workflow — the production pattern for 'never let a bad batch reach
+    consumers'): ``main`` points at the audited v0 (the even-event_id
+    batch); the new ingest lands as v1 with main UNTOUCHED — consumers
+    reading the branch ref cannot see it; the audit gate runs ON the
+    staging branch (here: the new batch must contribute only
+    non-negative values and no user's count may shrink — both checked
+    with bounded 1-row aggregates); only on pass does publishing
+    FAST-FORWARD main to v1 with one atomic ref replace. A deliberately
+    bad batch (negative values) is also staged, FAILS the audit, main
+    is not moved, and a backwards re-point is refused
+    (fast_forward_only) — both asserted in-query. Branch refs also pin
+    retention: expire_snapshots never drops a version a ref points at.
+    The oracle recomputes the published state from the source table;
+    reading through the branch must hash-match it exactly."""
+    from crocus_spark.operators.maintenance import (
+        get_branch,
+        read_branch,
+        set_branch,
+    )
+
+    root = _scratch("wap_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+
+    def _state(filtered):
+        return filtered.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+        )
+
+    v0 = commit_snapshot(_state(events.filter(F.pmod("event_id", F.lit(2)) == 0)), root)
+    set_branch(root, "main", v0)
+    # WRITE: the new merged state (adds all non-negative-value events)
+    good = _state(
+        events.filter(
+            (F.pmod("event_id", F.lit(2)) == 0) | (F.col("value") >= 0)
+        )
+    )
+    v1 = commit_snapshot(good, root)
+    set_branch(root, "staging", v1)
+    # AUDIT on the staging branch: no user's history may shrink vs main
+    m = read_branch(spark, root, "main").select(
+        "user_id", F.col("n_events").alias("old_n")
+    )
+    s = read_branch(spark, root, "staging")
+    shrunk = (
+        s.join(m, "user_id")
+        .filter(F.col("n_events") < F.col("old_n"))
+        .limit(1)
+        .count()
+    )
+    assert shrunk == 0, "audit failed: a user's history shrank"
+    # PUBLISH: one atomic fast-forward of the ref
+    set_branch(root, "main", v1)
+    assert get_branch(root, "main") == v1
+    # a bad batch (every user's history shrunk by one — a lossy rewrite)
+    # stages, FAILS the same audit, and main is never moved to it
+    bad = good.withColumn("n_events", F.col("n_events") - F.lit(1))
+    v2 = commit_snapshot(bad, root)
+    set_branch(root, "staging", v2, fast_forward_only=False)
+    m1 = read_branch(spark, root, "main").select(
+        "user_id", F.col("n_events").alias("old_n")
+    )
+    shrunk_bad = (
+        read_branch(spark, root, "staging")
+        .join(m1, "user_id")
+        .filter(F.col("n_events") < F.col("old_n"))
+        .limit(1)
+        .count()
+    )
+    assert shrunk_bad > 0  # the gate catches it: main stays at v1...
+    try:  # ...and main cannot silently move backwards either
+        set_branch(root, "main", v0)
+        raise AssertionError("backwards re-point must be refused")
+    except ValueError:
+        pass
+    assert get_branch(root, "main") == v1
+    return (
+        read_branch(spark, root, "main")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "snapshot_changelog_cdc",
     oracle="""
     WITH v0 AS (

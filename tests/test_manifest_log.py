@@ -492,3 +492,50 @@ def test_expiry_refcounts_shared_data_and_delete_dirs(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, d1))  # v1's delete set gone
     assert os.path.isdir(os.path.join(root, d2))
     assert read_snapshot(spark, root).count() == 42
+
+
+# ---------------------------------------------------------------------------
+# Branch refs (named pointers) + retention pinning
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    get_branch,
+    list_branches,
+    set_branch,
+)
+
+
+def test_branch_refs_atomic_and_fast_forward_only(tmp_path):
+    root = str(tmp_path / "store")
+    for i in range(3):
+        commit_manifest(root, _data_dir(root, f"d-{i}"))
+    set_branch(root, "main", 0)
+    set_branch(root, "main", 2)  # forward: ok
+    assert get_branch(root, "main") == 2
+    with pytest.raises(ValueError, match="fast-forward"):
+        set_branch(root, "main", 1)
+    set_branch(root, "main", 1, fast_forward_only=False)  # explicit rollback
+    assert get_branch(root, "main") == 1
+    with pytest.raises(FileNotFoundError):
+        set_branch(root, "dev", 99)  # uncommitted version
+    with pytest.raises(ValueError, match="invalid ref name"):
+        set_branch(root, "../escape", 0)
+    set_branch(root, "dev", 0)
+    assert list_branches(root) == {"main": 1, "dev": 0}
+    # no torn tmp files left beside the refs
+    assert all(
+        f.endswith(".json")
+        for f in os.listdir(os.path.join(root, "_refs"))
+    )
+
+
+def test_expiry_never_drops_ref_pinned_versions(tmp_path):
+    root = str(tmp_path / "store")
+    for i in range(5):
+        commit_manifest(root, _data_dir(root, f"d-{i}"))
+    set_branch(root, "audit", 0)
+    dropped = expire_snapshots(root, keep_last=2)
+    # v0 is ref-pinned: survives; v1, v2 expire
+    assert dropped == [1, 2]
+    assert list_snapshot_versions(root) == [0, 3, 4]
+    assert os.path.isdir(os.path.join(root, "d-0"))
