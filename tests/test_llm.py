@@ -420,3 +420,65 @@ def test_ivf_memo_invalidates_on_fixture_rewrite(tmp_path):
     os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     k2 = L._parquet_fingerprint(str(dst), "embeddings")
     assert k1 != k2
+
+
+# ---------------------------------------------------------------------------
+# ANN: sharded HNSW (operators/hnsw) vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_recall_and_determinism(emb):
+    """Recall@5 of sharded HNSW against exact top-5 >= 0.9 on the
+    fixture; every returned score is an exact cosine (the graph only
+    chooses CANDIDATES, scores are true dot products, so overlapping
+    pairs agree with brute force bit-for-bit at the round boundary);
+    and two independent runs return identical rows — the graph is a
+    pure function of shard content (hash levels, sorted inserts)."""
+    from crocus_spark.operators.hnsw import hnsw_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    bf = S.brute_force_topk(queries, corpus, k=5).collect()
+    ann = hnsw_topk(queries, corpus, k=5, n_shards=4).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.9, f"recall@5 {recall:.3f}"
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert abs(bf_scores[key] - r.cos) < 1e-9, key
+    again = hnsw_topk(queries, corpus, k=5, n_shards=4).collect()
+    assert sorted(map(tuple, ann)) == sorted(map(tuple, again))
+
+
+def test_hnsw_graph_invariants():
+    """Structural invariants from the paper on a synthetic shard:
+    bidirectional-ish bounded degree (<= 2M at layer 0, <= M above),
+    levels contiguous, entry at the top level, and greedy search from
+    the entry reaches every queried point's true neighbor on an easy
+    corpus (recall 1.0 at n=400, ef=64)."""
+    import numpy as np
+
+    from crocus_spark.operators.hnsw import build_hnsw, search_hnsw
+
+    rng = np.random.default_rng(3)
+    n, dim, M = 400, 8, 8
+    mat = rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = list(range(n))
+    g = build_hnsw(ids, mat, M=M, ef_construction=64)
+    assert g["levels"][g["entry"]] == max(g["levels"])
+    for lvl, layer in enumerate(g["layers"]):
+        cap = 2 * M if lvl == 0 else M
+        for node, nbrs in layer.items():
+            assert len(nbrs) <= cap, (lvl, node, len(nbrs))
+            assert node not in nbrs  # no self-loops
+            assert g["levels"][node] >= lvl  # contiguous levels
+    hits = 0
+    for qi in range(40):
+        exact = int(np.argsort(-(mat @ mat[qi]))[1])
+        got = [nid for _c, nid in search_hnsw(g, mat, mat[qi], 2, ef=64)]
+        hits += int(ids[exact] in got)
+    assert hits >= 38, hits
