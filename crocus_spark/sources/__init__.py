@@ -10,9 +10,11 @@ fetches them in parallel with restarts/retries handled by the scheduler.
 
 from crocus_spark.sources.avro_source import (
     AvroDataSource,
+    AvroLandingStreamSource,
     AvroSink,
     register_avro_sink,
     register_avro_source,
+    register_avro_stream_source,
 )
 from crocus_spark.sources.catalog_source import (
     CatalogDataSource,
@@ -25,12 +27,14 @@ from crocus_spark.sources.catalog_source import (
 
 __all__ = [
     "AvroDataSource",
+    "AvroLandingStreamSource",
     "AvroSink",
     "CatalogDataSource",
     "CatalogJsonSink",
     "CatalogStreamDataSource",
     "register_avro_sink",
     "register_avro_source",
+    "register_avro_stream_source",
     "register_catalog_sink",
     "register_catalog_source",
     "register_catalog_stream_source",
