@@ -523,6 +523,66 @@ def stream_stream_left_outer(spark, sf_dir):
 
 
 @register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           click_id, purchase_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts < click_ts + INTERVAL '30 minutes'
+    ORDER BY click_id, purchase_id, user_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """Watermarked stream-stream FULL OUTER join — the last §2B#51 join
+    form (inner and left-outer already green): unmatched rows from BOTH
+    sides must emit, each only once the watermark has passed its side's
+    join horizon; the end-of-stream sentinel
+    (stage_stream_with_flush_sentinel) pushes both watermarks past
+    every real window so the finite replay flushes completely and the
+    streamed result equals the batch FULL JOIN bit-for-bit. State
+    expiry is the same watermark+window bound as the inner form —
+    bounded on an unbounded stream, which is the entire design rule."""
+    from crocus_spark.streaming.ops import (
+        EVENTS_STREAM_SCHEMA,
+        stage_stream_with_flush_sentinel,
+    )
+
+    stage = stage_stream_with_flush_sentinel(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ev = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
+    out = run_available_now(
+        stream_stream_attribution(ev, "30 minutes", "1 hour", "full_outer"),
+        "append",
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)  # drop the sentinel's own row
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "click_ts"
+            ),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+        )
+        .orderBy("click_id", "purchase_id", "user_id")
+    )
+
+
+@register(
     "stream_avro_landing",
     oracle="""
     SELECT lang,

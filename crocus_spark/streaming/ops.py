@@ -249,8 +249,10 @@ def stream_stream_attribution(
     # emission horizon is therefore part of the operator's SEMANTICS on
     # a finite replay: clicks younger than final_watermark - window stay
     # unreported. Same state-expiry bound as inner.
+    # coalesce covers full_outer's purchase-only rows (c_user null);
+    # for inner/left_outer c_user is never null, so this is identical
     return clicks.join(purchases, cond, join_type).select(
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",
