@@ -1952,6 +1952,47 @@ def ann_ivf_at_rest(spark, sf_dir):
 
 
 @register(
+    "ann_hnsw_at_rest",
+    oracle=None,  # approximate (same rows-only policy + written
+    # justification as ann_hnsw_topk / ann_ivf_at_rest); serving from
+    # committed graphs is pinned IDENTICAL to a fresh build-and-serve in
+    # tests/test_llm.py, and recall rides on the same graph family the
+    # ann_hnsw_topk property test bounds.
+    tags=("llm", "similarity", "storage"),
+)
+def ann_hnsw_at_rest(spark, sf_dir):
+    """HNSW serving from COMMITTED per-shard graphs (§2B#55 at its
+    storage formulation, completing the build-once/serve-many pair the
+    IVF store established): the corpus lands partitionBy(shard) with one
+    persisted graph JSON per shard; queries load graphs — construction
+    cost zero at serve time — beam-search each shard, and merge local
+    top-k. The store path is keyed on the corpus content fingerprint,
+    so a committed index serves as-is while a regenerated fixture
+    rebuilds; a graph whose id list disagrees with its shard's rows
+    fails loud (drift detection), never silently mis-serves."""
+    import hashlib
+    import os
+    import tempfile
+
+    from crocus_spark.operators.hnsw import hnsw_topk_at_rest
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    key = _parquet_fingerprint(sf_dir, "embeddings")
+    fp = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "hnsw_store_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), fp),
+    )
+    return hnsw_topk_at_rest(
+        spark, queries, corpus, path, k=5, n_shards=4, reuse_store=True
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "multimodal_pdf_cid_text",
     oracle=r"""
     SELECT doc_id,

@@ -482,3 +482,56 @@ def test_hnsw_graph_invariants():
         got = [nid for _c, nid in search_hnsw(g, mat, mat[qi], 2, ef=64)]
         hits += int(ids[exact] in got)
     assert hits >= 38, hits
+
+
+def test_hnsw_at_rest_serves_committed_graphs(emb, tmp_path):
+    """At-rest HNSW: serving from committed graphs returns EXACTLY what
+    a fresh build-and-serve returns (same shard membership -> same
+    graphs); a reuse call must not rebuild (graph mtimes unchanged);
+    and graph/store drift fails loud."""
+    import json
+    import os
+
+    from crocus_spark.operators.hnsw import hnsw_topk, hnsw_topk_at_rest
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "hnsw_store")
+    spark = emb.sparkSession
+    first = hnsw_topk_at_rest(
+        spark, queries, corpus, path, k=5, n_shards=4, reuse_store=True
+    ).collect()
+    gdir = os.path.join(path, "_graphs")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(gdir, f)) for f in os.listdir(gdir)
+    }
+    again = hnsw_topk_at_rest(
+        spark, queries, corpus, path, k=5, n_shards=4, reuse_store=True
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(gdir, f)) for f in os.listdir(gdir)
+    }  # serve-only: nothing rebuilt
+    # recall parity with the in-memory sharded search is not exact
+    # (different shard hash) but both must hit >= 0.9 vs brute force
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(queries, corpus, k=5).collect()
+    }
+    at_rest = {(r.query_id, r.neighbor_id) for r in first}
+    assert len(bf & at_rest) / len(bf) >= 0.9
+    # drift detection: corrupt one graph's id list -> loud failure
+    victim = sorted(
+        f for f in os.listdir(gdir) if f.startswith("shard-")
+    )[0]
+    gp = os.path.join(gdir, victim)
+    g = json.load(open(gp))
+    g["ids"] = g["ids"][:-1]
+    json.dump(g, open(gp, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="drift"):
+        hnsw_topk_at_rest(
+            spark, queries, corpus, path, k=5, n_shards=4,
+            reuse_store=True,
+        ).collect()

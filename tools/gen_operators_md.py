@@ -106,7 +106,7 @@ SURVEY_2B = [
       "dedup_simhash"]),
     (55, "similarity search (ANN)",
      ["ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-      "ann_ivf_fullprobe_topk", "ann_hnsw_topk",
+      "ann_ivf_fullprobe_topk", "ann_hnsw_topk", "ann_hnsw_at_rest",
       "neardup_embedding_cosine", "ann_centroid_classify"]),
     (56, "text normalization/tokenization", ["text_token_stats"]),
     (57, "text stats / quality",
