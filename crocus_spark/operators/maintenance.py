@@ -659,30 +659,61 @@ def compact_snapshot(
     reader's perspective). Concurrent readers pinned to any earlier
     manifest keep reading their immutable files; a concurrent writer
     racing the same version number simply wins or loses the manifest
-    link and retries. Returns (new version, stats)."""
+    link and retries. Returns (new version, stats).
+
+    Compacting a version that carries equality deletes FOLDS THEM: the
+    rewrite reads through the delete anti-join (never the raw data dir
+    — that would resurrect erased rows) and the compacted manifest
+    carries no delete set, so the erasure becomes physical and the
+    read-side anti-join cost drops to zero. This is exactly how delete
+    files retire in Iceberg/Delta: accumulate as O(delta) metadata,
+    fold at the next rewrite."""
     versions = list_snapshot_versions(state_root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {state_root}")
-    src = snapshot_data_path(state_root, versions[-1])
+    latest = versions[-1]
+    mf = _manifest_file(state_root, latest)
+    m = read_manifest(state_root, latest) if os.path.exists(mf) else {}
+    src = snapshot_data_path(state_root, latest)
     out_dir = f"d-{uuid.uuid4().hex[:12]}"
-    _df, stats = compact_small_files(
-        spark,
-        src,
-        os.path.join(state_root, out_dir),
-        target_file_bytes,
-        sort_col=sort_col,
-        schema=schema,
-    )
-    # Contents are unchanged, so the compacted version carries the
-    # source version's committed schema forward (a compaction must never
-    # be a schema change).
-    mf = _manifest_file(state_root, versions[-1])
-    carried = (
-        read_manifest(state_root, versions[-1]).get("schema")
-        if os.path.exists(mf)
-        else None
-    )
-    v = commit_manifest(state_root, out_dir, schema_json=carried)
+    if m.get("deletes") is not None:
+        # delete-folding rewrite: logical content (post-anti-join) lands
+        # physically; sizing still targets target_file_bytes via the
+        # same byte-measured repartition compact_small_files uses
+        df = read_snapshot(spark, state_root, latest)
+        files_before = parquet_data_files(src)
+        total = sum(sz for _p, sz in files_before)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if sort_col is not None:
+            df = df.repartitionByRange(
+                n_out, F.col(sort_col)
+            ).sortWithinPartitions(sort_col)
+        else:
+            df = df.repartition(n_out)
+        out_path = os.path.join(state_root, out_dir)
+        df.write.mode("overwrite").parquet(out_path)
+        files_after = parquet_data_files(out_path)
+        stats = {
+            "files_before": len(files_before),
+            "files_after": len(files_after),
+            "bytes_before": total,
+            "bytes_after": sum(sz for _p, sz in files_after),
+            "target_files": n_out,
+            "deletes_folded": True,
+        }
+    else:
+        _df, stats = compact_small_files(
+            spark,
+            src,
+            os.path.join(state_root, out_dir),
+            target_file_bytes,
+            sort_col=sort_col,
+            schema=schema,
+        )
+    # Logical contents are unchanged, so the compacted version carries
+    # the source version's committed schema forward (a compaction must
+    # never be a schema change).
+    v = commit_manifest(state_root, out_dir, schema_json=m.get("schema"))
     return v, stats
 
 

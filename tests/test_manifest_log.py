@@ -539,3 +539,25 @@ def test_expiry_never_drops_ref_pinned_versions(tmp_path):
     assert dropped == [1, 2]
     assert list_snapshot_versions(root) == [0, 3, 4]
     assert os.path.isdir(os.path.join(root, "d-0"))
+
+
+def test_compaction_folds_deletes_never_resurrects(spark, tmp_path):
+    """Compacting a deletes-carrying version must fold the delete set
+    physically — reading the raw data dir would RESURRECT erased rows
+    (the bug class this test pins). The compacted version carries no
+    delete metadata and reads identically."""
+    from crocus_spark.operators.maintenance import compact_snapshot
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 100).repartition(8), root)
+    commit_equality_deletes(spark.range(0, 20), root, ["id"])
+    assert read_snapshot(spark, root).count() == 80
+    v, stats = compact_snapshot(spark, root, target_file_bytes=1 << 30)
+    assert stats.get("deletes_folded") is True
+    m = read_manifest(root, v)
+    assert m.get("deletes") is None  # physical now, no anti-join at read
+    got = sorted(r.id for r in read_snapshot(spark, root, v).collect())
+    assert got == list(range(20, 100))
+    # and expiry of the pre-compaction versions is safe afterwards
+    expire_snapshots(root, keep_last=1)
+    assert sorted(r.id for r in read_snapshot(spark, root).collect()) == got
