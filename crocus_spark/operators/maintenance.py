@@ -652,11 +652,13 @@ def compact_snapshot(
     target_file_bytes: int,
     sort_col: str | None = None,
     schema=None,
+    version: int | None = None,
 ) -> tuple[int, dict]:
-    """OPTIMIZE over the snapshot store: rewrite the LATEST version's
-    data into a compacted fresh directory and commit it as a NEW
-    version (table contents unchanged — a metadata-only change from the
-    reader's perspective). Concurrent readers pinned to any earlier
+    """OPTIMIZE over the snapshot store: rewrite one version's data
+    (default: the LATEST; pass ``version`` to compact a branch head
+    that is not the newest commit) into a compacted fresh directory and
+    commit it as a NEW version (table contents unchanged — a
+    metadata-only change from the reader's perspective). Concurrent readers pinned to any earlier
     manifest keep reading their immutable files; a concurrent writer
     racing the same version number simply wins or loses the manifest
     link and retries. Returns (new version, stats).
@@ -671,7 +673,11 @@ def compact_snapshot(
     versions = list_snapshot_versions(state_root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {state_root}")
-    latest = versions[-1]
+    latest = versions[-1] if version is None else version
+    if latest not in versions:
+        raise FileNotFoundError(
+            f"version {latest} not in {versions} under {state_root}"
+        )
     mf = _manifest_file(state_root, latest)
     m = read_manifest(state_root, latest) if os.path.exists(mf) else {}
     src = snapshot_data_path(state_root, latest)
@@ -711,9 +717,17 @@ def compact_snapshot(
             schema=schema,
         )
     # Logical contents are unchanged, so the compacted version carries
-    # the source version's committed schema forward (a compaction must
-    # never be a schema change).
-    v = commit_manifest(state_root, out_dir, schema_json=m.get("schema"))
+    # the source version's committed schema VERBATIM — identity is the
+    # strongest compatibility, so the evolution gate is vacuous here and
+    # is skipped: checking instead against whatever the NEWEST commit's
+    # schema happens to be would apply the wrong lineage when an older
+    # branch head is compacted past unrelated staging commits (a
+    # compaction must never be a schema change, and with a carried
+    # schema it cannot be).
+    v = commit_manifest(
+        state_root, out_dir, schema_json=m.get("schema"),
+        allow_incompatible=True,
+    )
     return v, stats
 
 

@@ -1,0 +1,142 @@
+"""The snapshot store end-to-end, as a USER would drive it — the
+lakehouse lifecycle the engine grew across rounds 6-7, in one script:
+
+1. COMMIT a table (atomic manifest, writer schema recorded, per-file
+   column stats for the cluster key);
+2. EVOLVE the schema additively (validated at commit; a type-changing
+   commit is refused);
+3. PRUNE a key-band read from manifest stats alone (no footer opens);
+4. ERASE rows with an equality-delete commit (zero data copied;
+   time travel to the pre-delete version still sees everything);
+5. PUBLISH through a branch with write-audit-publish (bad batches
+   never reach ``main``);
+6. COMPACT — folding the delete set physically;
+7. EXPIRE history (branch-pinned versions survive).
+
+Everything here is the public ``crocus_spark.operators.maintenance``
+API over plain parquet + JSON manifests — no table-format library; the
+protocol is the published Delta/Iceberg recipe (put-if-absent commits,
+immutable data dirs, pinned readers). Run:
+``python examples/lakehouse_store.py`` (smoke-tested by
+tests/test_examples.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    SchemaCompatibilityError,
+    commit_equality_deletes,
+    commit_snapshot,
+    compact_snapshot,
+    expire_snapshots,
+    get_branch,
+    list_snapshot_versions,
+    read_branch,
+    read_manifest,
+    read_snapshot,
+    read_snapshot_pruned,
+    set_branch,
+)
+
+
+def run(spark, root: str | None = None) -> dict:
+    root = root or tempfile.mkdtemp(prefix="crocus_lakehouse_example_")
+    shutil.rmtree(root, ignore_errors=True)
+    out: dict = {"root": root}
+
+    # 1. commit: 1000 orders, range-clustered so file stats are narrow
+    orders = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("order_id"),
+            F.pmod("id", F.lit(7)).alias("customer"),
+            (F.col("id") % 97 * 1.5).alias("amount"),
+        )
+        .repartitionByRange(8, "order_id")
+        .sortWithinPartitions("order_id")
+    )
+    v0 = commit_snapshot(orders, root, stats_columns=["order_id"])
+    out["v0"] = v0
+
+    # 2. additive evolution commits; a type change is refused AT COMMIT
+    evolved = orders.withColumn(
+        "channel", F.when(F.col("order_id") % 2 == 0, "web")
+    )
+    v1 = commit_snapshot(
+        evolved.repartitionByRange(8, "order_id"), root,
+        stats_columns=["order_id"],
+    )
+    out["v1"] = v1
+    try:
+        commit_snapshot(
+            evolved.withColumn("amount", F.col("amount").cast("string")),
+            root,
+        )
+        raise AssertionError("type change must be refused")
+    except SchemaCompatibilityError as e:
+        out["refused"] = str(e)
+
+    # 3. stats-pruned read: only files overlapping the key band open
+    band, info = read_snapshot_pruned(spark, root, "order_id", 100, 299)
+    out["pruning"] = info
+    out["band_rows"] = band.filter(
+        F.col("order_id").between(100, 299)
+    ).count()
+
+    # 4. GDPR-style erasure: customer 3 disappears from NEW versions only
+    doomed = read_snapshot(spark, root, v1).filter(
+        F.col("customer") == 3
+    ).select("order_id")
+    v2 = commit_equality_deletes(doomed, root, ["order_id"])
+    out["v2"] = v2
+    out["rows_after_delete"] = read_snapshot(spark, root, v2).count()
+    out["rows_time_travel"] = read_snapshot(spark, root, v1).count()
+
+    # 5. write-audit-publish: consumers follow `main`
+    set_branch(root, "main", v2)
+    bad = read_snapshot(spark, root, v2).limit(10)  # lossy "ingest"
+    v3 = commit_snapshot(bad, root)
+    set_branch(root, "staging", v3)
+    audit_ok = (
+        read_branch(spark, root, "staging").count()
+        >= read_branch(spark, root, "main").count()
+    )
+    out["audit_ok"] = audit_ok
+    if audit_ok:  # it is not — main stays where it was
+        set_branch(root, "main", v3)
+    out["main_version"] = get_branch(root, "main")
+
+    # 6. compaction of the MAIN branch head folds the delete set
+    # physically (the staged bad batch is the newest commit — compaction
+    # targets what consumers read, not whatever landed last)
+    v4, stats = compact_snapshot(
+        spark, root, target_file_bytes=1 << 30,
+        version=get_branch(root, "main"),
+    )
+    out["compaction"] = stats
+    out["deletes_in_compacted"] = read_manifest(root, v4).get("deletes")
+    out["rows_compacted"] = read_snapshot(spark, root, v4).count()
+
+    # 7. retention: main's pin survives even when its version ages out
+    dropped = expire_snapshots(root, keep_last=1)
+    out["dropped"] = dropped
+    out["versions_left"] = list_snapshot_versions(root)
+    out["main_still_readable"] = read_branch(spark, root, "main").count()
+    return out
+
+
+if __name__ == "__main__":
+    from crocus_spark.session import get_spark
+
+    res = run(get_spark(app_name="lakehouse-example"))
+    for k, v in res.items():
+        print(f"{k}: {v}")

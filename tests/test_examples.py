@@ -39,3 +39,25 @@ def test_confront_example_runs_green(spark):
     assert rep[("ishares", "equity")].n_products == 2
     assert rep[("vanguard", "bond")].n_products == 1
     assert rep[("ishares", "bond")].avg_ter_pct == 0.2
+
+
+def test_lakehouse_store_example_runs_green(spark, tmp_path):
+    """The snapshot-store lifecycle example (commit -> evolve -> prune
+    -> erase -> WAP -> compact -> expire) runs green as a plain user
+    script, with every step's invariant visible in its output."""
+    import lakehouse_store as ex
+
+    out = ex.run(spark, root=str(tmp_path / "store"))
+    assert (out["v0"], out["v1"], out["v2"]) == (0, 1, 2)
+    assert "type changed" in out["refused"]
+    assert out["pruning"]["files_selected"] < out["pruning"]["files_total"]
+    assert out["band_rows"] == 200
+    # erasure: customer 3 owns ~1/7 of orders; time travel unaffected
+    assert out["rows_after_delete"] < 1000 == out["rows_time_travel"]
+    assert out["audit_ok"] is False and out["main_version"] == 2
+    assert out["compaction"]["deletes_folded"] is True
+    assert out["deletes_in_compacted"] is None
+    assert out["rows_compacted"] == out["rows_after_delete"]
+    # expiry kept main's pinned version alive
+    assert 2 in out["versions_left"]
+    assert out["main_still_readable"] == out["rows_after_delete"]
