@@ -561,3 +561,23 @@ def test_compaction_folds_deletes_never_resurrects(spark, tmp_path):
     # and expiry of the pre-compaction versions is safe afterwards
     expire_snapshots(root, keep_last=1)
     assert sorted(r.id for r in read_snapshot(spark, root).collect()) == got
+
+
+def test_pruned_read_scans_only_selected_files(spark, tmp_path):
+    """The pruned frame's scan must touch ONLY the manifest-selected
+    files — inputFiles() is the plan's own file list, so this pins the
+    bytes-read claim, not just result correctness."""
+    root = _stats_store(spark, tmp_path)
+    m = read_manifest(root, 0)
+    back, info = read_snapshot_pruned(spark, root, "id", 1000, 2999)
+    assert 0 < info["files_selected"] < info["files_total"]
+    assert len(back.inputFiles()) == info["files_selected"]
+    # and the selected files are exactly those whose committed range
+    # intersects the band
+    expected = {
+        rel
+        for (rel, _sz), st in zip(m["files"], m["file_stats"])
+        if st["id"][1] >= 1000 and st["id"][0] <= 2999
+    }
+    got = {os.path.basename(p) for p in back.inputFiles()}
+    assert got == {os.path.basename(r) for r in expected}
