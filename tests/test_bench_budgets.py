@@ -209,3 +209,26 @@ def test_gen_budgets_never_mixes_cpu_and_wall_units(tmp_path):
     assert cpu["metric"] == "cpu_s"
     assert cpu["budgets"]["qa"] == 100.0
     assert cpu["budgets"]["qb"] == 200.0
+
+
+def test_tree_cpu_survives_child_exit():
+    """r7: the tree-CPU counter must be MONOTONIC across worker churn —
+    a child that burns CPU and then EXITS (reaped) must stay counted
+    via the parent's cutime/cstime. The live-only sum measured a
+    negative per-query delta the first time a Python worker pool
+    teardown landed mid-interval."""
+    import subprocess
+    import sys as _sys
+
+    sweep = _load_sweep()
+    before = sweep.tree_cpu_seconds()
+    # a short-lived child burning ~0.3s of CPU, fully reaped by .run()
+    subprocess.run(
+        [_sys.executable, "-c",
+         "i=0\nwhile i < 4_000_000: i += 1"],
+        check=True,
+    )
+    after = sweep.tree_cpu_seconds()
+    assert after - before > 0.05, (before, after)
+    # and it never goes backwards once the child is gone
+    assert sweep.tree_cpu_seconds() >= after - 0.01

@@ -68,12 +68,19 @@ def check_sweep_budgets(results: dict[str, dict], sf_dir: str):
 
 
 def tree_cpu_seconds() -> float:
-    """Total CPU (utime+stime) of this process and every LIVE
-    descendant — driver Python, the Spark JVM it forked, and the JVM's
-    Python workers — from one /proc pass. Descendants that exit
-    mid-interval drop out of the after-snapshot (workers persist in
-    practice; the daemon pool is long-lived). Linux-only by design:
-    the sweep gate runs on the Linux harness."""
+    """Total CPU of this process and every descendant — driver Python,
+    the Spark JVM it forked, and the JVM's Python workers — from one
+    /proc pass: utime+stime of each LIVE tree process PLUS its
+    cutime/cstime (CPU of its already-reaped dead children). The
+    waited-children terms are what make the counter MONOTONIC across
+    worker-pool churn: when the JVM recycles a Python worker pool, the
+    dead workers' CPU folds into the JVM's cutime instead of vanishing
+    from the after-snapshot — a live-only sum measured a NEGATIVE
+    -346 cpu-s for one query the first time a pool teardown landed
+    mid-interval (r7), silently under-counting everything after it. No
+    double count: cutime covers only reaped children, which by
+    definition are absent from the live sum. Linux-only by design: the
+    sweep gate runs on the Linux harness."""
     clk = os.sysconf("SC_CLK_TCK")
     info: dict[int, tuple[int, int]] = {}
     for pid in os.listdir("/proc"):
@@ -86,7 +93,11 @@ def tree_cpu_seconds() -> float:
             continue  # raced an exit
         # comm may contain spaces/parens — fields resume after last ')'
         rest = st[st.rfind(b")") + 2 :].split()
-        info[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        info[int(pid)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12])      # utime+stime (self)
+            + int(rest[13]) + int(rest[14]),   # cutime+cstime (reaped kids)
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _cpu) in info.items():
         children.setdefault(ppid, []).append(pid)
