@@ -751,6 +751,8 @@ def set_branch(
     ``fast_forward_only`` (the default, Iceberg's branch semantics for
     publishes) a move to an older version than the branch currently
     holds is refused — rollbacks must be explicit, never a lost race."""
+    import fcntl
+
     versions = list_snapshot_versions(state_root)
     if version not in versions:
         raise FileNotFoundError(
@@ -758,19 +760,30 @@ def set_branch(
         )
     rf = _ref_file(state_root, name)
     os.makedirs(os.path.dirname(rf), exist_ok=True)
-    if fast_forward_only and os.path.exists(rf):
-        cur = get_branch(state_root, name)
-        if version < cur:
-            raise ValueError(
-                f"branch {name!r} at v{cur}: fast-forward to v{version} "
-                "refused (pass fast_forward_only=False to roll back)"
-            )
-    tmp = rf + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump({"name": name, "version": version}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, rf)
+    # The read-check-replace must be ONE critical section: without the
+    # lock, two racing publishers both pass the fast-forward check and
+    # whichever os.replace lands LAST wins — the older version can move
+    # the branch backwards, exactly what fast_forward_only exists to
+    # forbid (two-process race test in tests/test_manifest_log.py). A
+    # per-ref flock serializes publishers; on an object-store catalog
+    # the same section is the catalog's compare-and-swap (Iceberg's
+    # commit primitive for refs).
+    lock_path = rf + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if fast_forward_only and os.path.exists(rf):
+            cur = get_branch(state_root, name)
+            if version < cur:
+                raise ValueError(
+                    f"branch {name!r} at v{cur}: fast-forward to v{version} "
+                    "refused (pass fast_forward_only=False to roll back)"
+                )
+        tmp = rf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, rf)
 
 
 def get_branch(state_root: str, name: str) -> int:

@@ -522,9 +522,9 @@ def test_branch_refs_atomic_and_fast_forward_only(tmp_path):
         set_branch(root, "../escape", 0)
     set_branch(root, "dev", 0)
     assert list_branches(root) == {"main": 1, "dev": 0}
-    # no torn tmp files left beside the refs
+    # no torn tmp files left beside the refs (lock files are expected)
     assert all(
-        f.endswith(".json")
+        f.endswith((".json", ".lock"))
         for f in os.listdir(os.path.join(root, "_refs"))
     )
 
@@ -581,3 +581,56 @@ def test_pruned_read_scans_only_selected_files(spark, tmp_path):
     }
     got = {os.path.basename(p) for p in back.inputFiles()}
     assert got == {os.path.basename(r) for r in expected}
+
+
+def test_concurrent_publishers_never_move_branch_backwards(tmp_path):
+    """Two REAL processes race fast-forward publishes over the same
+    branch in opposite version orders; a reader polls the ref
+    throughout. Invariants: the observed version sequence is
+    MONOTONICALLY non-decreasing (the flock'd read-check-replace makes
+    the TOCTOU backwards-move impossible) and the final ref is the
+    maximum committed version."""
+    root = str(tmp_path / "store")
+    n_versions = 12
+    for i in range(n_versions):
+        commit_manifest(root, _data_dir(root, f"d-{i}"))
+    set_branch(root, "main", 0)
+    publisher = r"""
+import os, sys, time
+sys.path.insert(0, %(repo)r)
+from crocus_spark.operators.maintenance import set_branch
+root, order = sys.argv[1], sys.argv[2]
+versions = list(range(%(n)d))
+if order == "desc":
+    versions = versions[::-1]
+ok = refused = 0
+for v in versions:
+    try:
+        set_branch(root, "main", v)
+        ok += 1
+    except ValueError:
+        refused += 1  # older than current: correctly refused
+    time.sleep(0.001)
+print(order, "ok", ok, "refused", refused)
+""" % {"repo": REPO, "n": n_versions}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", publisher, root, order],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for order in ("asc", "desc")
+    ]
+    from crocus_spark.operators.maintenance import get_branch
+
+    seen = [get_branch(root, "main")]
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        seen.append(get_branch(root, "main"))
+        if all(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.001)
+    outs = [p.communicate(timeout=30) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    seen.append(get_branch(root, "main"))
+    assert seen == sorted(seen), "branch moved backwards"
+    assert seen[-1] == n_versions - 1
