@@ -549,53 +549,75 @@ def commit_equality_deletes(
     previous delete commit's key columns (one equality contract per
     store; fail-loud otherwise)."""
     spark = delete_df.sparkSession
-    versions = list_snapshot_versions(state_root)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions under {state_root}")
-    prev = read_manifest(state_root, versions[-1])
-    prev_deletes = prev.get("deletes")
-    if prev_deletes is not None and prev_deletes["key_columns"] != key_columns:
-        raise ValueError(
-            f"delete key columns {key_columns} != committed contract "
-            f"{prev_deletes['key_columns']}"
+    while True:
+        versions = list_snapshot_versions(state_root)
+        if not versions:
+            raise FileNotFoundError(
+                f"no snapshot versions under {state_root}"
+            )
+        latest = versions[-1]
+        prev = read_manifest(state_root, latest)
+        prev_deletes = prev.get("deletes")
+        if (
+            prev_deletes is not None
+            and prev_deletes["key_columns"] != key_columns
+        ):
+            raise ValueError(
+                f"delete key columns {key_columns} != committed contract "
+                f"{prev_deletes['key_columns']}"
+            )
+        new_keys = delete_df.select(*key_columns).distinct()
+        if prev_deletes is not None:
+            old = spark.read.parquet(
+                os.path.join(state_root, prev_deletes["data_dir"])
+            )
+            new_keys = new_keys.unionByName(old).distinct()
+        del_dir = f"del-{uuid.uuid4().hex[:12]}"
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(state_root, del_dir)
         )
-    new_keys = delete_df.select(*key_columns).distinct()
-    if prev_deletes is not None:
-        old = spark.read.parquet(
-            os.path.join(state_root, prev_deletes["data_dir"])
-        )
-        new_keys = new_keys.unionByName(old).distinct()
-    del_dir = f"del-{uuid.uuid4().hex[:12]}"
-    new_keys.write.mode("overwrite").parquet(
-        os.path.join(state_root, del_dir)
-    )
-    del_files = parquet_data_files(os.path.join(state_root, del_dir))
-    body_extra = {
-        "deletes": {
-            "data_dir": del_dir,
-            "files": [
-                [
-                    os.path.relpath(p, os.path.join(state_root, del_dir)),
-                    sz,
-                ]
-                for p, sz in del_files
-            ],
-            "key_columns": list(key_columns),
+        del_files = parquet_data_files(os.path.join(state_root, del_dir))
+        body_extra = {
+            "deletes": {
+                "data_dir": del_dir,
+                "files": [
+                    [
+                        os.path.relpath(
+                            p, os.path.join(state_root, del_dir)
+                        ),
+                        sz,
+                    ]
+                    for p, sz in del_files
+                ],
+                "key_columns": list(key_columns),
+            }
         }
-    }
-    # data files are unchanged, so the previous version's footer stats
-    # carry over verbatim — no re-read of any footer
-    for k in ("stats_columns", "file_stats"):
-        if k in prev:
-            body_extra[k] = prev[k]
-    # the new version SHARES the previous version's data dir (immutable,
-    # refcounted at expiry); only metadata + the delete set are new
-    return commit_manifest(
-        state_root,
-        prev["data_dir"],
-        schema_json=prev.get("schema"),
-        extra=body_extra,
-    )
+        # data files are unchanged, so the previous version's footer
+        # stats carry over verbatim — no re-read of any footer
+        for k in ("stats_columns", "file_stats"):
+            if k in prev:
+                body_extra[k] = prev[k]
+        # the new version SHARES the previous version's data dir
+        # (immutable, refcounted at expiry); only metadata + the delete
+        # set are new. The commit is pinned to EXACTLY latest+1
+        # (put-if-absent): the plain optimistic retry would be a LOST
+        # DELETE — two concurrent erasers both union against version n,
+        # and the race loser's "cumulative" set, committed blindly at
+        # n+2, would resurrect the winner's keys. On conflict the whole
+        # set recomputes against the new latest (compare-and-swap over
+        # the manifest log); the abandoned delete dir is an orphan of
+        # the same class as a crashed writer's data dir — invisible,
+        # VACUUM territory.
+        try:
+            return commit_manifest(
+                state_root,
+                prev["data_dir"],
+                version=latest + 1,
+                schema_json=prev.get("schema"),
+                extra=body_extra,
+            )
+        except FileExistsError:
+            continue  # a commit landed since we read `latest`: recompute
 
 
 def read_snapshot_pruned(

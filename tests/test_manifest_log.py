@@ -634,3 +634,38 @@ print(order, "ok", ok, "refused", refused)
     seen.append(get_branch(root, "main"))
     assert seen == sorted(seen), "branch moved backwards"
     assert seen[-1] == n_versions - 1
+
+
+def test_concurrent_erasers_lose_no_deletes(spark, tmp_path):
+    """Lost-delete race (the class the CAS commit exists for): four
+    erasers commit disjoint key ranges CONCURRENTLY, each computing its
+    cumulative set against whatever version it happened to read. The
+    compare-and-swap commit forces a recompute on conflict, so the
+    final version's delete set is the union of ALL four — a blind
+    optimistic retry would resurrect the winners' keys."""
+    import threading
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 400), root)
+    ranges = [(0, 50), (100, 150), (200, 250), (300, 350)]
+    errors = []
+
+    def erase(lo, hi):
+        try:
+            commit_equality_deletes(spark.range(lo, hi), root, ["id"])
+        except Exception as e:  # surface, don't swallow
+            errors.append(e)
+
+    threads = [threading.Thread(target=erase, args=r) for r in ranges]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert list_snapshot_versions(root) == [0, 1, 2, 3, 4]
+    got = sorted(r.id for r in read_snapshot(spark, root).collect())
+    expected = [
+        i for i in range(400)
+        if not any(lo <= i < hi for lo, hi in ranges)
+    ]
+    assert got == expected  # every eraser's keys gone — none resurrected
