@@ -386,8 +386,21 @@ def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
 
 def read_ocf_schema(path: str) -> dict:
     """Parse ONLY the header of an ``.avro`` file — the planning-time
-    schema read (O(header bytes), never the whole file)."""
+    schema read (O(header bytes), never the whole file). Reads a 64 KiB
+    prefix and doubles on demand for pathological metadata blocks (a
+    wide-schema header can legitimately exceed one prefix; a fixed cap
+    would mis-report it as truncation)."""
+    size = 65536
     with open(path, "rb") as f:
-        head = f.read(65536)
-    schema, _codec, _sync, _pos = parse_ocf_header(head)
-    return schema
+        if f.read(4) != MAGIC:  # never heals — don't re-read the file
+            raise ValueError("not an Avro object container file (bad magic)")
+        while True:
+            f.seek(0)
+            head = f.read(size)
+            try:
+                schema, _codec, _sync, _pos = parse_ocf_header(head)
+                return schema
+            except ValueError:
+                if len(head) < size:  # whole file read: genuinely bad
+                    raise
+                size *= 2
