@@ -286,10 +286,21 @@ class _AvroWriter(DataSourceWriter):
         return _AvroCommit(tmp, n)
 
     def commit(self, messages):
+        # name PAST the existing files: a second append batch must not
+        # clobber the first's part-00000 (index-only naming silently
+        # overwrote on re-append), and the offset keeps names monotonic
+        # — the contract the streaming source's consumed-file-count
+        # offset relies on. Concurrent appends to ONE directory remain
+        # single-writer-per-batch, as for any file sink without a
+        # manifest; the snapshot store is the multi-writer path.
+        base = len(
+            [f for f in _os.listdir(self.path)
+             if f.endswith(".avro") and not f.startswith(".")]
+        )
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = _os.path.join(self.path, f"part-{i:05d}.avro")
+            final = _os.path.join(self.path, f"part-{base + i:05d}.avro")
             _os.replace(m.tmp_path, final)
 
     def abort(self, messages):

@@ -294,10 +294,17 @@ class _CatalogJsonWriter(DataSourceWriter):
         return _JsonCommit(tmp, n)
 
     def commit(self, messages):
+        # offset past existing files: re-appending to a directory must
+        # not clobber the previous batch's part-00000 (same fix as the
+        # Avro sink; single-writer per batch remains the contract)
+        base = len(
+            [f for f in _os.listdir(self.path)
+             if f.endswith(".json") and not f.startswith(".")]
+        )
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = _os.path.join(self.path, f"part-{i:05d}.json")
+            final = _os.path.join(self.path, f"part-{base + i:05d}.json")
             _os.replace(m.tmp_path, final)
 
     def abort(self, messages):

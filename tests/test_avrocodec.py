@@ -174,3 +174,24 @@ def test_datasource_roundtrip_typed(spark, tmp_path):
     assert back.schema == df.schema
     got = sorted([tuple(r) for r in back.collect()])
     assert got == rows
+
+
+def test_sink_reappend_does_not_clobber(spark, tmp_path):
+    """A second append batch to the same directory must extend it, not
+    overwrite part-00000 (index-only naming silently clobbered)."""
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    path = str(tmp_path / "landing")
+    a = spark.range(0, 10).selectExpr("id AS k")
+    b = spark.range(100, 110).selectExpr("id AS k")
+    a.repartition(2).write.format("crocus_avro_sink").option(
+        "path", path
+    ).mode("append").save()
+    b.repartition(2).write.format("crocus_avro_sink").option(
+        "path", path
+    ).mode("append").save()
+    back = spark.read.format("crocus_avro").option("path", path).load()
+    got = sorted(r.k for r in back.collect())
+    assert got == list(range(0, 10)) + list(range(100, 110))
