@@ -82,7 +82,8 @@ def tree_cpu_seconds() -> float:
     definition are absent from the live sum. Linux-only by design: the
     sweep gate runs on the Linux harness."""
     clk = os.sysconf("SC_CLK_TCK")
-    info: dict[int, tuple[int, int]] = {}
+    me = os.getpid()
+    info: dict[int, tuple[int, int, int]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -94,21 +95,32 @@ def tree_cpu_seconds() -> float:
         # comm may contain spaces/parens — fields resume after last ')'
         rest = st[st.rfind(b")") + 2 :].split()
         info[int(pid)] = (
-            int(rest[1]),
+            int(rest[1]),                      # ppid
+            int(rest[3]),                      # session id
             int(rest[11]) + int(rest[12])      # utime+stime (self)
             + int(rest[13]) + int(rest[14]),   # cutime+cstime (reaped kids)
         )
+    # membership = ppid tree ∪ same-session: a Spark python worker whose
+    # DAEMON dies first reparents to init while still alive — it leaves
+    # any ppid tree but keeps the session id, so the sid set keeps its
+    # CPU counted (the r7 follow-up to the reaped-children fix: pool
+    # crashes mid-sweep still measured -184 cpu-s via reparenting).
     children: dict[int, list[int]] = {}
-    for pid, (ppid, _cpu) in info.items():
+    for pid, (ppid, _sid, _cpu) in info.items():
         children.setdefault(ppid, []).append(pid)
-    total = 0
-    stack = [os.getpid()]
+    members: set[int] = set()
+    stack = [me]
     while stack:
         p = stack.pop()
-        if p in info:
-            total += info[p][1]
+        if p in members or p not in info:
+            continue
+        members.add(p)
         stack.extend(children.get(p, []))
-    return total / clk
+    my_sid = info[me][1] if me in info else -1
+    for pid, (_ppid, sid, _cpu) in info.items():
+        if sid == my_sid and my_sid > 0:
+            members.add(pid)
+    return sum(info[p][2] for p in members) / clk
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
