@@ -232,3 +232,27 @@ def test_tree_cpu_survives_child_exit():
     assert after - before > 0.05, (before, after)
     # and it never goes backwards once the child is gone
     assert sweep.tree_cpu_seconds() >= after - 0.01
+
+
+def test_invalid_cpu_interval_neither_passes_nor_violates(tmp_path):
+    """A pool-teardown-invalidated interval (cpu_s None, cpu_invalid)
+    must be excluded from budget comparison — not crash on None, not
+    count as a violation, not mask a wall-metric check — and be listed
+    for the operator to see."""
+    sweep = _load_sweep()
+    spec_sf = json.loads(
+        (Path(__file__).parent.parent / "tools" / "sweep_budgets.json")
+        .read_text()
+    )["sf_dir_basename"]
+    results = {
+        "q1_pricing_summary": {
+            "ok": True, "secs": 1.0, "cpu_s": None,
+            "cpu_invalid": True, "err": None,
+        },
+        "flagship_confront": {
+            "ok": True, "secs": 1.0, "cpu_s": 1e9, "err": None,
+        },
+    }
+    violations, _unb = sweep.check_sweep_budgets(results, f"/x/{spec_sf}")
+    assert "q1_pricing_summary" not in violations  # invalid: skipped
+    assert "flagship_confront" in violations  # real overruns still red

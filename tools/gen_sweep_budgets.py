@@ -52,11 +52,18 @@ def main() -> int:
         for name, r in results.items()
         if name != "_summary"
     ]
-    metric = "cpu_s" if rows and all("cpu_s" in r for r in rows) else "secs"
+    # cpu_s None rows (pool-teardown-invalidated intervals, r7) don't
+    # demote the metric — they're skipped per-row; only files that
+    # never recorded cpu_s (pre-r6) force the wall fallback
+    metric = (
+        "cpu_s"
+        if rows and all("cpu_s" in r for r in rows)
+        else "secs"
+    )
     times: dict[str, list[float]] = {}
     for results in loaded:
         for name, r in results.items():
-            if name == "_summary":
+            if name == "_summary" or r.get(metric) is None:
                 continue
             times.setdefault(name, []).append(r[metric])
     # Floor: 3 s for wall; 10 s for cpu_s — process-tree CPU on sub-1s

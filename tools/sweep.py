@@ -58,10 +58,22 @@ def check_sweep_budgets(results: dict[str, dict], sf_dir: str):
         return [], []
     metric = spec.get("metric", "secs")
     budgets = spec["budgets"]
+
+    def measured(r):
+        v = r.get(metric)
+        # cpu_s None = measurement invalidated by a mid-window worker
+        # pool teardown (see tree_cpu_seconds); an invalid interval is
+        # neither a pass nor a violation — the row is reported in
+        # _summary as cpu_invalid and the next sweep re-measures it
+        return v if v is not None else (r["secs"] if metric != "secs" else None)
+
     violations = sorted(
         n
         for n, r in results.items()
-        if n in budgets and r.get(metric, r["secs"]) > budgets[n]
+        if n in budgets
+        and not r.get("cpu_invalid")
+        and measured(r) is not None
+        and measured(r) > budgets[n]
     )
     unbudgeted = sorted(n for n in results if n not in budgets)
     return violations, unbudgeted
@@ -173,10 +185,27 @@ def main() -> int:
             ok, err = False, f"{type(ex).__name__}: {ex}"[:500]
         secs = round(time.monotonic() - t0, 3)
         cpu_s = round(tree_cpu_seconds() - c0, 3)
-        results[name] = {"ok": ok, "secs": secs, "cpu_s": cpu_s, "err": err}
+        if cpu_s < 0:
+            # a python worker pool (its daemon runs in its OWN session,
+            # workers reparent to init when it dies) was torn down
+            # inside this window: accumulated CPU left the visible set
+            # faster than this query added any, so the interval
+            # measurement is INVALID — record that honestly instead of
+            # a bogus negative. Seen only on degraded hosts where
+            # stretched walls cross worker idle timeouts; wall time and
+            # correctness are unaffected.
+            results[name] = {
+                "ok": ok, "secs": secs, "cpu_s": None,
+                "cpu_invalid": True, "err": err,
+            }
+        else:
+            results[name] = {
+                "ok": ok, "secs": secs, "cpu_s": cpu_s, "err": err,
+            }
         status = "PASS" if ok else ("rows" if ok is None and not err else "FAIL")
+        cpu_str = f"{cpu_s:7.2f}s" if cpu_s >= 0 else "  n/a (pool churn)"
         print(
-            f"{status:4s} {secs:7.2f}s cpu={cpu_s:7.2f}s {name}"
+            f"{status:4s} {secs:7.2f}s cpu={cpu_str} {name}"
             + (f"  {err}" if err else ""),
             flush=True,
         )
@@ -199,6 +228,9 @@ def main() -> int:
         "fails": sorted(fails),
         "budget_violations": violations,
         "unbudgeted": unbudgeted,
+        "cpu_invalid": sorted(
+            k for k, v in results.items() if v.get("cpu_invalid")
+        ),
     }
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
