@@ -3636,3 +3636,148 @@ def series_split_adjustment(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stats_fdr_benjamini_hochberg",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    scored AS (
+      SELECT n_name, n_i, r_i,
+             ((CAST(r_i AS DOUBLE) / CAST(n_i AS DOUBLE))
+               - (CAST(SUM(r_i) OVER () AS DOUBLE)
+                  / CAST(SUM(n_i) OVER () AS DOUBLE))) AS d,
+             (CAST(SUM(r_i) OVER () AS DOUBLE)
+              / CAST(SUM(n_i) OVER () AS DOUBLE)) AS p0
+      FROM per_nation
+    ),
+    z AS (
+      SELECT n_name, n_i, r_i,
+             ((d * d) * CAST(n_i AS DOUBLE)) / (p0 * (1.0 - p0)) AS z2
+      FROM scored
+    ),
+    ranked AS (
+      SELECT n_name, n_i, r_i, z2,
+             1.0 / (1.0 + z2) AS p_raw,
+             CAST(ROW_NUMBER() OVER (ORDER BY z2 DESC, n_name)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM z
+    ),
+    adjusted AS (
+      SELECT n_name, n_i, r_i, z2, p_raw, i, m,
+             LEAST(1.0, MIN((p_raw * CAST(m AS DOUBLE))
+                            / CAST(i AS DOUBLE)) OVER (
+               ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS padj
+      FROM ranked
+    )
+    SELECT n_name, n_i, r_i,
+           CAST(z2 AS FLOAT) AS z2,
+           CAST(p_raw AS FLOAT) AS p_cantelli,
+           i AS bh_rank, m AS m_tests,
+           CAST(padj AS FLOAT) AS p_adjusted,
+           (padj <= 0.05) AS reject_05
+    FROM adjusted
+    ORDER BY bh_rank
+    """,
+    tags=("stats", "fdr", "multiple-testing"),
+)
+def stats_fdr_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up over the per-nation return-rate
+    tests — the many-hypothesis sibling of the drift monitors
+    (dq_distribution_drift, dq_psi_stability): when a screen runs one
+    test PER KEY (here: is a nation's return rate off the global
+    rate?), raw per-test thresholds multiply false alarms, and BH is
+    the standard correction (Benjamini & Hochberg 1995, JRSS-B).
+
+    Per-test p-value: the one-sided Cantelli bound p = 1/(1+z^2) with
+    z^2 = (p_i - p0)^2 * n_i / (p0 (1-p0)) — a distribution-free VALID
+    p-value bound (Cantelli's inequality) chosen deliberately over a
+    normal-CDF p because it is a pure rational function of exact
+    integer counts: every arithmetic step is an IEEE-754 basic op
+    (+,-,*,/), which both engines round identically, so the full
+    pipeline — scores, ranks, the m/i re-scaling, the reverse
+    cumulative min — is bit-exact cross-engine with NO transcendental
+    calls and NO quantization step. BH adjusted p is the standard
+    monotone form padj_(i) = min_{j>=i}(p_(j) * m / j) capped at 1;
+    reject at level alpha iff padj <= alpha (equivalent to the
+    classic max-k step-up rule).
+
+    Spark shape at 100 TB: the fact joins collapse to ONE partial+final
+    aggregate over the scan (25 rows out — nation-bounded); everything
+    after is window math over that 25-row relation, so the
+    SinglePartition exchange the plan detector sees is dimension-sized
+    by construction (allowlisted with that justification). Reference
+    hook: the daily-snapshot 'confront' loop (reference README.md:3-8)
+    is exactly a per-key screen re-run every day — at fleet scale it
+    needs an FDR guard, not 25 independent alpha=0.05 tests."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    per = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("long").alias("r_i"),
+        )
+    )
+    w_all = Window.partitionBy()
+    p0 = F.sum("r_i").over(w_all).cast("double") / F.sum("n_i").over(
+        w_all
+    ).cast("double")
+    d = (F.col("r_i").cast("double") / F.col("n_i").cast("double")) - p0
+    scored = per.select("n_name", "n_i", "r_i", d.alias("d"), p0.alias("p0"))
+    z2 = ((F.col("d") * F.col("d")) * F.col("n_i").cast("double")) / (
+        F.col("p0") * (F.lit(1.0) - F.col("p0"))
+    )
+    zrel = scored.select("n_name", "n_i", "r_i", z2.alias("z2"))
+    w_rank = Window.orderBy(F.col("z2").desc(), F.col("n_name"))
+    ranked = zrel.select(
+        "n_name",
+        "n_i",
+        "r_i",
+        "z2",
+        (F.lit(1.0) / (F.lit(1.0) + F.col("z2"))).alias("p_raw"),
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    w_rev = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pm = (F.col("p_raw") * F.col("m").cast("double")) / F.col("i").cast(
+        "double"
+    )
+    padj = F.least(F.lit(1.0), F.min(pm).over(w_rev))
+    return (
+        ranked.withColumn("padj", padj)
+        .select(
+            "n_name",
+            "n_i",
+            "r_i",
+            F.col("z2").cast("float").alias("z2"),
+            F.col("p_raw").cast("float").alias("p_cantelli"),
+            F.col("i").alias("bh_rank"),
+            F.col("m").alias("m_tests"),
+            F.col("padj").cast("float").alias("p_adjusted"),
+            (F.col("padj") <= 0.05).alias("reject_05"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -552,3 +552,57 @@ def sql_tpch_q4(spark, sf_dir):
     condition, not a post-filter."""
     _register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_dec) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6)) AS volume_dec
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1999-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_tpch_q7", oracle=_TPCH_Q7_SQL, tags=("sql", "tpch"))
+def sql_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) adapted to the fixture nations — the
+    canonical SELF-JOINED-DIMENSION pattern: nation joins the fact twice
+    under two roles (supplier's n1, customer's n2) with a symmetric
+    two-nation predicate, then revenue rolls up by (supp, cust, year).
+    Verbatim-identical SQL on both engines; the trade pair is
+    NATION_3<->NATION_7 (the fixture's names are synthetic).
+
+    Determinism: the volume terms aggregate in exact DECIMAL(25,6)
+    (`_det.py` rule) and EXTRACT(YEAR ...) is cast to BIGINT on both
+    sides (DuckDB yields BIGINT, Spark INT — the cast unifies the
+    schema). Spark plan at 100 TB: both nation role-copies broadcast
+    (25 rows), the symmetric OR-pair predicate prunes each side BEFORE
+    the fact joins, the shipdate range reaches the lineitem scan as
+    PushedFilters, and the year is computed post-join on the surviving
+    sliver — lineitem shuffles once for the orders join, never for the
+    dims. The self-joined-dimension shape is why this stresses join
+    planning: a naive planner joins nation once and loses the role
+    split, or post-filters the pair predicate after a full fact×fact
+    blowup."""
+    _register_views(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    )
+    return spark.sql(_TPCH_Q7_SQL)

@@ -745,6 +745,7 @@ SINGLE_PARTITION_ALLOWLIST = {
     "series_seasonal_decompose": "day-level aggregate series — calendar-sized",
     "series_split_adjustment": "day-level aggregate series — calendar-sized",
     "stats_chi2_independence": "contingency-cell relation — k×m category combinations",
+    "stats_fdr_benjamini_hochberg": "nation-level test relation — one row per nation (dim-bounded)",
     "window_lag_lead": "day-level aggregate (aggregate-first by design, windows.py docstring)",
     "window_moving_frame": "day-level aggregate (aggregate-first by design)",
 }
