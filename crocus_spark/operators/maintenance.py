@@ -306,6 +306,26 @@ def snapshot_schema(state_root: str, version: int):
     return None if s is None else T.StructType.fromJson(s)
 
 
+def _stats_jsonable(v):
+    """Normalize a stats boundary value to its manifest (JSON)
+    representation: dates/timestamps → ISO strings, bytes → UTF-8.
+    Used for BOTH sides of every min/max comparison — the values a
+    commit records and the lo/hi a pruning reader passes — so a caller
+    handing in a ``datetime.date`` compares apples to apples instead of
+    raising TypeError against the stored string. ISO-8601 strings order
+    lexicographically in chronological order (fixed-width date fields,
+    'T'-separated time, fractional seconds only extend equal prefixes),
+    which is what makes string comparison a faithful stand-in for the
+    temporal comparison here."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 def _file_column_stats(path: str, columns: list[str]) -> dict | None:
     """Per-file [min, max] for ``columns`` from the parquet FOOTER
     (merged across row groups) — the stats a manifest records so query
@@ -313,17 +333,9 @@ def _file_column_stats(path: str, columns: list[str]) -> dict | None:
     JSON-representable (ints/floats/strings/dates-as-ISO); a column
     with no usable stats maps to None. Returns None if the footer has
     no statistics at all."""
-    import datetime
-
     import pyarrow.parquet as pq
 
-    def jsonable(v):
-        if isinstance(v, (datetime.date, datetime.datetime)):
-            return v.isoformat()
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
-        return v
-
+    jsonable = _stats_jsonable
     md = pq.ParquetFile(path).metadata
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out = {}
@@ -655,6 +667,11 @@ def read_snapshot_pruned(
             f"manifest v{version} records no stats for {column!r}; "
             f"commit with stats_columns to enable pruning (has: {cols})"
         )
+    # normalize the caller's bounds through the SAME conversion the
+    # commit applied to the stored stats (dates/datetimes → ISO,
+    # bytes → UTF-8): a datetime.date lo against a string min/max is
+    # then a well-defined chronological comparison, not a TypeError
+    lo, hi = _stats_jsonable(lo), _stats_jsonable(hi)
     keep = []
     for rel, fstats in zip(files, stats):
         mm = (fstats or {}).get(column)

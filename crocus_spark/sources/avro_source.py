@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from crocus_spark.sources.sink_naming import existing_parts, next_part_index
 from crocus_spark.operators.avrocodec import (
     encode_ocf_to,
     iter_ocf_records,
@@ -256,7 +257,8 @@ class _AvroCommit(WriterCommitMessage):
 
 
 class _AvroWriter(DataSourceWriter):
-    def __init__(self, options, schema: T.StructType):
+    def __init__(self, options, schema: T.StructType, overwrite: bool = False):
+        self.overwrite = overwrite
         self.path = options.get("path")
         if not self.path:
             raise ValueError("crocus_avro_sink requires option 'path'")
@@ -286,20 +288,25 @@ class _AvroWriter(DataSourceWriter):
         return _AvroCommit(tmp, n)
 
     def commit(self, messages):
-        # name PAST the existing files: a second append batch must not
-        # clobber the first's part-00000 (index-only naming silently
-        # overwrote on re-append), and the offset keeps names monotonic
-        # — the contract the streaming source's consumed-file-count
-        # offset relies on. Concurrent appends to ONE directory remain
-        # single-writer-per-batch, as for any file sink without a
-        # manifest; the snapshot store is the multi-writer path.
-        base = len(
-            [f for f in _os.listdir(self.path)
-             if f.endswith(".avro") and not f.startswith(".")]
-        )
-        for i, m in enumerate(messages):
-            if m is None:
-                continue
+        # Name PAST the existing files so a second append batch cannot
+        # clobber the first's parts; base = max(existing index)+1 and
+        # compact numbering over non-None messages (see sink_naming) so
+        # neither a gap in the directory nor a None commit message can
+        # ever make os.replace land on a committed part. Names stay
+        # monotonic — the contract the streaming source's consumed-
+        # file-count offset relies on.
+        if self.overwrite:
+            # honor df.write.mode("overwrite"): truncate the committed
+            # parts at the PUBLISH point (tasks already wrote temps —
+            # deleting here keeps write/commit two-phase). A streaming
+            # reader tailing this directory must not race an overwrite;
+            # that combination is outside the landing-zone contract.
+            for f in existing_parts(self.path, ".avro"):
+                _os.remove(_os.path.join(self.path, f))
+            base = 0
+        else:
+            base = next_part_index(self.path, ".avro")
+        for i, m in enumerate([m for m in messages if m is not None]):
             final = _os.path.join(self.path, f"part-{base + i:05d}.avro")
             _os.replace(m.tmp_path, final)
 
@@ -317,7 +324,7 @@ class AvroSink(DataSource):
         return "crocus_avro_sink"
 
     def writer(self, schema, overwrite):
-        return _AvroWriter(self.options, schema)
+        return _AvroWriter(self.options, schema, overwrite=overwrite)
 
 
 # ---------------------------------------------------------------------------

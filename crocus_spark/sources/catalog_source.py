@@ -263,6 +263,8 @@ import uuid as _uuid
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
+from crocus_spark.sources.sink_naming import existing_parts, next_part_index
+
 
 class _JsonCommit(WriterCommitMessage):
     def __init__(self, tmp_path: str, n_rows: int):
@@ -278,10 +280,11 @@ class _CatalogJsonWriter(DataSourceWriter):
     executor-parallel answer to the reference's single-threaded
     whole-file rewrite."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("crocus_catalog_sink requires option 'path'")
+        self.overwrite = overwrite
 
     def write(self, iterator):
         _os.makedirs(self.path, exist_ok=True)
@@ -294,16 +297,18 @@ class _CatalogJsonWriter(DataSourceWriter):
         return _JsonCommit(tmp, n)
 
     def commit(self, messages):
-        # offset past existing files: re-appending to a directory must
-        # not clobber the previous batch's part-00000 (same fix as the
-        # Avro sink; single-writer per batch remains the contract)
-        base = len(
-            [f for f in _os.listdir(self.path)
-             if f.endswith(".json") and not f.startswith(".")]
-        )
-        for i, m in enumerate(messages):
-            if m is None:
-                continue
+        # base = max(existing part index)+1 with compact numbering over
+        # non-None messages (see sink_naming): neither a directory gap
+        # nor a None commit message can make os.replace clobber a
+        # committed part. Single-writer per batch remains the contract.
+        if self.overwrite:
+            # honor df.write.mode("overwrite") at the publish point
+            for f in existing_parts(self.path, ".json"):
+                _os.remove(_os.path.join(self.path, f))
+            base = 0
+        else:
+            base = next_part_index(self.path, ".json")
+        for i, m in enumerate([m for m in messages if m is not None]):
             final = _os.path.join(self.path, f"part-{base + i:05d}.json")
             _os.replace(m.tmp_path, final)
 
@@ -322,7 +327,7 @@ class CatalogJsonSink(DataSource):
         return "crocus_catalog_sink"
 
     def writer(self, schema, overwrite):
-        return _CatalogJsonWriter(self.options)
+        return _CatalogJsonWriter(self.options, overwrite=overwrite)
 
 
 def register_catalog_sink(spark) -> None:

@@ -195,3 +195,88 @@ def test_sink_reappend_does_not_clobber(spark, tmp_path):
     back = spark.read.format("crocus_avro").option("path", path).load()
     got = sorted(r.k for r in back.collect())
     assert got == list(range(0, 10)) + list(range(100, 110))
+
+
+def test_sink_naming_survives_directory_gaps(spark, tmp_path):
+    """r7 ADVICE: the commit base must be max(existing part index)+1,
+    never a file COUNT — after an external deletion punches a gap,
+    count < max+1 and count-based naming would os.replace straight
+    over a committed part."""
+    import os
+
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    path = str(tmp_path / "gappy")
+    a = spark.range(0, 10).selectExpr("id AS k")
+    a.repartition(2).write.format("crocus_avro_sink").option(
+        "path", path
+    ).mode("append").save()
+    assert sorted(os.listdir(path)) == ["part-00000.avro", "part-00001.avro"]
+    survivor = os.path.join(path, "part-00001.avro")
+    with open(survivor, "rb") as f:
+        survivor_bytes = f.read()
+    os.remove(os.path.join(path, "part-00000.avro"))  # the gap
+    b = spark.range(100, 110).selectExpr("id AS k")
+    b.repartition(2).write.format("crocus_avro_sink").option(
+        "path", path
+    ).mode("append").save()
+    # new parts named PAST the survivor; survivor's bytes untouched
+    assert sorted(os.listdir(path)) == [
+        "part-00001.avro", "part-00002.avro", "part-00003.avro",
+    ]
+    with open(survivor, "rb") as f:
+        assert f.read() == survivor_bytes
+    got = sorted(
+        r.k
+        for r in spark.read.format("crocus_avro")
+        .option("path", path).load().collect()
+    )
+    # part-00000's rows are gone (external delete), batch b fully there
+    assert got[-10:] == list(range(100, 110))
+
+
+def test_sink_honors_overwrite_mode(spark, tmp_path):
+    """r7 ADVICE: mode('overwrite') must truncate the committed parts,
+    not silently append — silent duplication is worse than an error."""
+    import os
+
+    from crocus_spark.sources import register_avro_sink, register_avro_source
+
+    register_avro_sink(spark)
+    register_avro_source(spark)
+    path = str(tmp_path / "ow")
+    spark.range(0, 10).selectExpr("id AS k").write.format(
+        "crocus_avro_sink"
+    ).option("path", path).mode("append").save()
+    spark.range(500, 503).selectExpr("id AS k").repartition(1).write.format(
+        "crocus_avro_sink"
+    ).option("path", path).mode("overwrite").save()
+    assert sorted(os.listdir(path)) == ["part-00000.avro"]
+    got = sorted(
+        r.k
+        for r in spark.read.format("crocus_avro")
+        .option("path", path).load().collect()
+    )
+    assert got == [500, 501, 502]
+
+
+def test_next_part_index_unit():
+    """Gap-proof and noise-proof: max+1 over parsable part stems; files
+    with the extension but foreign stems can't collide so they don't
+    move the max."""
+    import os
+    import tempfile
+
+    from crocus_spark.sources.sink_naming import next_part_index
+
+    with tempfile.TemporaryDirectory() as d:
+        assert next_part_index(d, ".avro") == 0
+        for name in (
+            "part-00000.avro", "part-00007.avro", "foreign.avro",
+            "part-xx.avro", ".tmp-abc.avro", "part-00003.json",
+        ):
+            open(os.path.join(d, name), "wb").close()
+        assert next_part_index(d, ".avro") == 8
+        assert next_part_index(d, ".json") == 4

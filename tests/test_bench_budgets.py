@@ -256,3 +256,74 @@ def test_invalid_cpu_interval_neither_passes_nor_violates(tmp_path):
     violations, _unb = sweep.check_sweep_budgets(results, f"/x/{spec_sf}")
     assert "q1_pricing_summary" not in violations  # invalid: skipped
     assert "flagship_confront" in violations  # real overruns still red
+
+
+def test_tree_cpu_ignores_session_siblings_when_not_leader():
+    """r7 ADVICE: the sid union must apply ONLY when the measuring
+    process is its own session leader. From an interactive shell the
+    login session contains unrelated jobs; their CPU must not land in
+    per-query deltas. A same-session NON-descendant burner (double-fork
+    orphan) burns ~0.8 cpu-s; a non-leader's delta must not see it."""
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from tools.sweep import tree_cpu_seconds
+assert os.getsid(0) != os.getpid(), "launched as leader; test invalid"
+pid = os.fork()
+if pid == 0:
+    if os.fork() == 0:
+        # orphan: same session, reparented away from our ppid tree
+        e = time.process_time() + 0.8
+        while time.process_time() < e:
+            pass
+        os._exit(0)
+    os._exit(0)
+os.waitpid(pid, 0)
+before = tree_cpu_seconds()
+time.sleep(1.2)  # orphan burns its 0.8 cpu-s in this window
+print(tree_cpu_seconds() - before)
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, check=True,
+    )
+    delta = float(out.stdout.strip().splitlines()[-1])
+    assert delta < 0.4, delta
+
+
+def test_tree_cpu_counts_reparented_workers_when_leader():
+    """The flip side (the r7 reparenting fix must survive the r7-ADVICE
+    scoping): once the sweep owns its session (_own_session), a
+    reparented same-session worker's CPU IS counted."""
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from tools.sweep import _own_session, tree_cpu_seconds
+_own_session()
+assert os.getsid(0) == os.getpid(), "setsid failed"
+pid = os.fork()
+if pid == 0:
+    if os.fork() == 0:
+        e = time.process_time() + 0.8
+        while time.process_time() < e:
+            pass
+        time.sleep(5)  # stay alive until sampled
+        os._exit(0)
+    os._exit(0)
+os.waitpid(pid, 0)
+before = tree_cpu_seconds()
+time.sleep(1.2)
+print(tree_cpu_seconds() - before)
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, check=True, timeout=60,
+    )
+    delta = float(out.stdout.strip().splitlines()[-1])
+    assert delta > 0.5, delta

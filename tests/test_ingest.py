@@ -119,3 +119,39 @@ def test_holdings_ingest_quarantines_and_stores(spark, tmp_path):
     back = read_holdings(spark, base, "2025-02-28", "ishares")
     assert back.count() == 1
     assert back.first().holding_name == "APPLE INC"
+
+
+def test_catalog_sink_gap_safe_and_overwrite(spark, tmp_path):
+    """r7 ADVICE (same fix as the Avro sink): part naming is
+    max(existing index)+1 with compact non-None numbering, and
+    mode('overwrite') truncates instead of silently appending."""
+    import os
+
+    from crocus_spark.sources import (
+        register_catalog_sink,
+        register_catalog_source,
+    )
+
+    register_catalog_sink(spark)
+    register_catalog_source(spark)
+    path = str(tmp_path / "cat_sink")
+    spark.range(0, 6).selectExpr("id AS k").repartition(2).write.format(
+        "crocus_catalog_sink"
+    ).option("path", path).mode("append").save()
+    assert sorted(os.listdir(path)) == ["part-00000.json", "part-00001.json"]
+    os.remove(os.path.join(path, "part-00000.json"))  # punch a gap
+    spark.range(100, 103).selectExpr("id AS k").repartition(1).write.format(
+        "crocus_catalog_sink"
+    ).option("path", path).mode("append").save()
+    # named past the survivor, never onto it
+    assert sorted(os.listdir(path)) == ["part-00001.json", "part-00002.json"]
+    spark.range(7, 9).selectExpr("id AS k").repartition(1).write.format(
+        "crocus_catalog_sink"
+    ).option("path", path).mode("overwrite").save()
+    assert sorted(os.listdir(path)) == ["part-00000.json"]
+    got = sorted(
+        r.k for r in spark.read.json(path).selectExpr(
+            "CAST(k AS long) AS k"
+        ).collect()
+    )
+    assert got == [7, 8]

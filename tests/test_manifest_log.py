@@ -669,3 +669,36 @@ def test_concurrent_erasers_lose_no_deletes(spark, tmp_path):
         if not any(lo <= i < hi for lo, hi in ranges)
     ]
     assert got == expected  # every eraser's keys gone — none resurrected
+
+
+def test_pruned_read_accepts_temporal_bounds(spark, tmp_path):
+    """r7 ADVICE: read_snapshot_pruned compares caller lo/hi against
+    manifest stats that were JSON-ified (dates → ISO strings); passing
+    datetime.date bounds must prune correctly via the same conversion,
+    not raise TypeError — and must agree exactly with ISO-string
+    bounds."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "date_store")
+    df = (
+        spark.range(0, 365)
+        .withColumn(
+            "day",
+            F.date_add(F.to_date(F.lit("2024-01-01")), F.col("id").cast("int")),
+        )
+        .repartitionByRange(6, "day")
+        .sortWithinPartitions("day")
+    )
+    commit_snapshot(df, root, stats_columns=["day"])
+    lo, hi = datetime.date(2024, 3, 1), datetime.date(2024, 3, 31)
+    back, info = read_snapshot_pruned(spark, root, "day", lo, hi)
+    assert info["files_selected"] < info["files_total"]
+    n = back.filter(F.col("day").between(F.lit(lo), F.lit(hi))).count()
+    assert n == 31
+    back2, info2 = read_snapshot_pruned(
+        spark, root, "day", "2024-03-01", "2024-03-31"
+    )
+    assert info2 == info
+    assert back2.count() == back.count()

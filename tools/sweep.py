@@ -128,10 +128,16 @@ def tree_cpu_seconds() -> float:
             continue
         members.add(p)
         stack.extend(children.get(p, []))
+    # sid union ONLY when this process is its own session leader (the
+    # sweep re-execs itself under setsid in main()): from an
+    # interactive shell the login session contains the shell and every
+    # unrelated concurrent job, whose CPU would land in per-query
+    # deltas and trip budget gates on foreign work (r7 ADVICE).
     my_sid = info[me][1] if me in info else -1
-    for pid, (_ppid, sid, _cpu) in info.items():
-        if sid == my_sid and my_sid > 0:
-            members.add(pid)
+    if my_sid == me:
+        for pid, (_ppid, sid, _cpu) in info.items():
+            if sid == my_sid:
+                members.add(pid)
     return sum(info[p][2] for p in members) / clk
 
 TABLES = (
@@ -140,7 +146,23 @@ TABLES = (
 ).split()
 
 
+def _own_session() -> None:
+    """Make the sweep its own session leader so tree_cpu_seconds' sid
+    union captures reparented Spark workers WITHOUT unrelated login-
+    session siblings. fork + setsid in the child (a process-group
+    leader cannot setsid itself); the parent just waits and forwards
+    the exit code. Fork happens before any Spark/JVM state exists."""
+    if os.getsid(0) == os.getpid():
+        return
+    pid = os.fork()
+    if pid:
+        _wpid, status = os.waitpid(pid, 0)
+        sys.exit(os.waitstatus_to_exitcode(status))
+    os.setsid()
+
+
 def main() -> int:
+    _own_session()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_sf001.json"
 
