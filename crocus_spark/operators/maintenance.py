@@ -39,7 +39,11 @@ __all__ = [
     "list_snapshot_versions",
     "read_snapshot",
     "read_snapshot_pruned",
+    "read_snapshot_with_positions",
+    "manifest_data_files",
     "commit_equality_deletes",
+    "commit_positional_deletes",
+    "commit_append",
     "set_branch",
     "get_branch",
     "list_branches",
@@ -210,6 +214,25 @@ def snapshot_data_path(state_root: str, version: int) -> str:
     if os.path.exists(mf):
         return os.path.join(state_root, read_manifest(state_root, version)["data_dir"])
     return snapshot_version_path(state_root, version)
+
+
+def manifest_data_files(
+    state_root: str, m: dict
+) -> list[tuple[str, str, int]]:
+    """Every data file a manifest references as ``(absolute dir,
+    relative file, size)`` — the primary ``data_dir`` first, then any
+    ``append_dirs`` in commit order. This is the ONE accessor readers
+    use to enumerate data, so a manifest that references several
+    immutable directories (append commits) is invisible to them: the
+    logical table is simply the concatenation."""
+    out = [
+        (os.path.join(state_root, m["data_dir"]), rel, sz)
+        for rel, sz in m["files"]
+    ]
+    for a in m.get("append_dirs", []):
+        d = os.path.join(state_root, a["data_dir"])
+        out.extend((d, rel, sz) for rel, sz in a["files"])
+    return out
 
 
 _DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)\Z")
@@ -514,13 +537,243 @@ def read_snapshot(
     # column existed reads with ITS schema, not the current one).
     schema = snapshot_schema(state_root, version)
     reader = spark.read if schema is None else spark.read.schema(schema)
-    df = reader.parquet(snapshot_data_path(state_root, version))
     mf = _manifest_file(state_root, version)
-    if os.path.exists(mf):
-        df = _apply_deletes(
-            spark, state_root, read_manifest(state_root, version), df
-        )
+    if not os.path.exists(mf):  # legacy v{n} store: one private dir
+        return reader.parquet(snapshot_data_path(state_root, version))
+    m = read_manifest(state_root, version)
+    dirs = [os.path.join(state_root, m["data_dir"])] + [
+        os.path.join(state_root, a["data_dir"])
+        for a in m.get("append_dirs", [])
+    ]
+    df = reader.parquet(*dirs)
+    # positional deletes FIRST: they tag rows with _metadata, which is
+    # only resolvable on the raw file scan, not after a join
+    df = _apply_pos_deletes(spark, state_root, m, df)
+    df = _apply_deletes(spark, state_root, m, df)
     return df
+
+
+def _apply_pos_deletes(
+    spark: SparkSession, state_root: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Apply a manifest's committed POSITIONAL-delete set: tag each
+    scanned row with its physical address (``_metadata.file_name``,
+    ``_metadata.row_index`` — file names are job-UUID-unique across the
+    store's directories) and anti-join the committed (file, position)
+    tuples out. Like equality deletes the set is delta-sized, so AQE
+    broadcasts the anti-join; unlike equality deletes it can erase ONE
+    copy of a row that has exact duplicates, because the address is
+    unique even when every data column collides. ``df`` must be the raw
+    multi-dir file scan (``_metadata`` resolves only there)."""
+    pd_ = manifest.get("pos_deletes")
+    if pd_ is None:
+        return df
+    tagged = df.select(
+        "*",
+        F.col("_metadata.file_name").alias("__cs_file"),
+        F.col("_metadata.row_index").alias("__cs_pos"),
+    )
+    keys = spark.read.parquet(
+        os.path.join(state_root, pd_["data_dir"])
+    ).select(
+        F.col("file_name").alias("__cs_file"),
+        F.col("row_index").alias("__cs_pos"),
+    )
+    return tagged.join(keys, ["__cs_file", "__cs_pos"], "left_anti").drop(
+        "__cs_file", "__cs_pos"
+    )
+
+
+def read_snapshot_with_positions(
+    spark: SparkSession, state_root: str, version: int | None = None
+) -> DataFrame:
+    """:func:`read_snapshot` plus each LIVE row's physical address as
+    ``_file`` (data file name) and ``_pos`` (row index within it) — the
+    scan a caller runs to CHOOSE positional deletes: filter this frame
+    to the rows to erase, keep (_file, _pos), hand them to
+    :func:`commit_positional_deletes`. Positions address raw immutable
+    files, so they stay valid across append and delete commits (old
+    files never move) and retire at compaction, where the rewrite folds
+    them into a fresh physical layout."""
+    versions = list_snapshot_versions(state_root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {state_root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} under {state_root}"
+        )
+    mf = _manifest_file(state_root, version)
+    if not os.path.exists(mf):
+        raise ValueError(
+            "positional addressing needs a manifest-committed version "
+            f"(v{version} is a legacy store)"
+        )
+    m = read_manifest(state_root, version)
+    schema = snapshot_schema(state_root, version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    dirs = [os.path.join(state_root, m["data_dir"])] + [
+        os.path.join(state_root, a["data_dir"])
+        for a in m.get("append_dirs", [])
+    ]
+    tagged = reader.parquet(*dirs).select(
+        "*",
+        F.col("_metadata.file_name").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    pd_ = m.get("pos_deletes")
+    if pd_ is not None:
+        keys = spark.read.parquet(
+            os.path.join(state_root, pd_["data_dir"])
+        ).select(
+            F.col("file_name").alias("_file"),
+            F.col("row_index").alias("_pos"),
+        )
+        tagged = tagged.join(keys, ["_file", "_pos"], "left_anti")
+    return _apply_deletes(spark, state_root, m, tagged)
+
+
+def commit_positional_deletes(
+    pos_df: DataFrame, state_root: str
+) -> int:
+    """Row-level delete by PHYSICAL ADDRESS — Iceberg v2's positional
+    delete files, the delete flavor equality deletes cannot express:
+    erasing SOME copies of exactly-duplicated rows (an equality key
+    would erase them all) or rows selected by a scan rather than by
+    key. ``pos_df`` carries ``_file``/``_pos`` columns as produced by
+    :func:`read_snapshot_with_positions`; the commit stores the
+    cumulative (file_name, row_index) set and points at the previous
+    version's data unchanged — O(delta), zero data copied, and readers
+    pinned to older versions still see the rows.
+
+    Same CAS discipline as equality deletes: pinned to exactly
+    latest+1, recomputed against the new latest on a lost race, so two
+    concurrent erasers can never resurrect each other's tombstones.
+    Coexists with an equality-delete set (both anti-joins apply) and
+    with append commits (appended files never move, so addresses stay
+    valid); compaction folds both kinds."""
+    spark = pos_df.sparkSession
+    cols = set(pos_df.columns)
+    if not {"_file", "_pos"} <= cols:
+        raise ValueError(
+            f"pos_df needs _file/_pos columns (has {sorted(cols)}); "
+            "select them from read_snapshot_with_positions"
+        )
+    new_keys = pos_df.select(
+        F.col("_file").alias("file_name"),
+        F.col("_pos").cast("long").alias("row_index"),
+    ).distinct()
+    while True:
+        versions = list_snapshot_versions(state_root)
+        if not versions:
+            raise FileNotFoundError(
+                f"no snapshot versions under {state_root}"
+            )
+        latest = versions[-1]
+        prev = read_manifest(state_root, latest)
+        keys = new_keys
+        prev_pd = prev.get("pos_deletes")
+        if prev_pd is not None:
+            old = spark.read.parquet(
+                os.path.join(state_root, prev_pd["data_dir"])
+            )
+            keys = keys.unionByName(old).distinct()
+        del_dir = f"pdel-{uuid.uuid4().hex[:12]}"
+        keys.write.mode("overwrite").parquet(
+            os.path.join(state_root, del_dir)
+        )
+        del_files = parquet_data_files(os.path.join(state_root, del_dir))
+        body_extra = {
+            "pos_deletes": {
+                "data_dir": del_dir,
+                "files": [
+                    [
+                        os.path.relpath(
+                            p, os.path.join(state_root, del_dir)
+                        ),
+                        sz,
+                    ]
+                    for p, sz in del_files
+                ],
+            }
+        }
+        # data unchanged: equality deletes, appends, and footer stats
+        # all carry over verbatim
+        for k in ("deletes", "append_dirs", "stats_columns", "file_stats"):
+            if k in prev:
+                body_extra[k] = prev[k]
+        try:
+            return commit_manifest(
+                state_root,
+                prev["data_dir"],
+                version=latest + 1,
+                schema_json=prev.get("schema"),
+                extra=body_extra,
+            )
+        except FileExistsError:
+            continue  # a commit landed since we read `latest`: recompute
+
+
+def commit_append(
+    df: DataFrame, state_root: str, allow_incompatible: bool = False
+) -> int:
+    """APPEND commit: write only the NEW rows into a fresh immutable
+    directory and commit a manifest that references the previous
+    version's data unchanged plus the new directory — O(delta) data
+    written, never O(table). This is the manifest-log analog of
+    Iceberg/Delta append commits, and what makes a continuously-growing
+    100 TB table affordable: the full-state :func:`commit_snapshot`
+    rewrites everything per version, an append writes the day's
+    increment. Readers see the concatenation (``manifest_data_files``);
+    pinned readers of older versions are untouched because no
+    referenced file ever moves.
+
+    The appended schema passes the same additive-nullable evolution
+    gate as full commits. If the store records per-file column stats,
+    the append extends them with ITS files' footer stats — pruned reads
+    keep planning from the manifest alone. Lost CAS races retry with
+    the SAME already-written data dir (pure-metadata retry)."""
+    add_dir = f"a-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(state_root, add_dir))
+    add_files = parquet_data_files(os.path.join(state_root, add_dir))
+    rel_files = [
+        [os.path.relpath(p, os.path.join(state_root, add_dir)), sz]
+        for p, sz in add_files
+    ]
+    while True:
+        versions = list_snapshot_versions(state_root)
+        if not versions:
+            raise FileNotFoundError(
+                f"no snapshot versions under {state_root}; "
+                "create the table with commit_snapshot first"
+            )
+        latest = versions[-1]
+        prev = read_manifest(state_root, latest)
+        body_extra = {
+            "append_dirs": list(prev.get("append_dirs", []))
+            + [{"data_dir": add_dir, "files": rel_files}],
+        }
+        for k in ("deletes", "pos_deletes"):
+            if k in prev:
+                body_extra[k] = prev[k]
+        if prev.get("stats_columns"):
+            cols = prev["stats_columns"]
+            body_extra["stats_columns"] = cols
+            body_extra["file_stats"] = list(prev["file_stats"]) + [
+                _file_column_stats(p, list(cols)) for p, _sz in add_files
+            ]
+        try:
+            return commit_manifest(
+                state_root,
+                prev["data_dir"],
+                version=latest + 1,
+                schema_json=df.schema.json(),
+                allow_incompatible=allow_incompatible,
+                extra=body_extra,
+            )
+        except FileExistsError:
+            continue  # pure-metadata retry against the new latest
 
 
 def _apply_deletes(
@@ -605,8 +858,10 @@ def commit_equality_deletes(
             }
         }
         # data files are unchanged, so the previous version's footer
-        # stats carry over verbatim — no re-read of any footer
-        for k in ("stats_columns", "file_stats"):
+        # stats, append list, and positional-delete set carry over
+        # verbatim — no re-read of any footer
+        for k in ("stats_columns", "file_stats", "append_dirs",
+                  "pos_deletes"):
             if k in prev:
                 body_extra[k] = prev[k]
         # the new version SHARES the previous version's data dir
@@ -659,7 +914,10 @@ def read_snapshot_pruned(
         version = versions[-1]
     m = read_manifest(state_root, version)
     data_root = os.path.join(state_root, m["data_dir"])
-    files = [rel for rel, _sz in m["files"]]
+    # (dir, rel, size) across the primary dir AND append dirs — the
+    # manifest's file_stats list is aligned with exactly this order
+    # (appends extend it with their files' footer stats at commit)
+    entries = manifest_data_files(state_root, m)
     stats = m.get("file_stats")
     cols = m.get("stats_columns", [])
     if stats is None or column not in cols:
@@ -673,16 +931,17 @@ def read_snapshot_pruned(
     # then a well-defined chronological comparison, not a TypeError
     lo, hi = _stats_jsonable(lo), _stats_jsonable(hi)
     keep = []
-    for rel, fstats in zip(files, stats):
+    for (d, rel, _sz), fstats in zip(entries, stats):
         mm = (fstats or {}).get(column)
         if mm is None or (mm[1] >= lo and mm[0] <= hi):
-            keep.append(os.path.join(data_root, rel))
+            keep.append(os.path.join(d, rel))
     schema = snapshot_schema(state_root, version)
     reader = spark.read if schema is None else spark.read.schema(schema)
-    info = {"files_total": len(files), "files_selected": len(keep)}
+    info = {"files_total": len(entries), "files_selected": len(keep)}
     if not keep:  # empty frame with the committed schema
         return reader.parquet(data_root).limit(0), info
-    return _apply_deletes(spark, state_root, m, reader.parquet(*keep)), info
+    pruned = _apply_pos_deletes(spark, state_root, m, reader.parquet(*keep))
+    return _apply_deletes(spark, state_root, m, pruned), info
 
 
 def compact_snapshot(
@@ -721,12 +980,23 @@ def compact_snapshot(
     m = read_manifest(state_root, latest) if os.path.exists(mf) else {}
     src = snapshot_data_path(state_root, latest)
     out_dir = f"d-{uuid.uuid4().hex[:12]}"
-    if m.get("deletes") is not None:
-        # delete-folding rewrite: logical content (post-anti-join) lands
-        # physically; sizing still targets target_file_bytes via the
-        # same byte-measured repartition compact_small_files uses
+    folds = (
+        m.get("deletes") is not None
+        or m.get("pos_deletes") is not None
+        or bool(m.get("append_dirs"))
+    )
+    if folds:
+        # logical-content rewrite: read THROUGH the delete anti-joins
+        # (equality AND positional — raw dirs would resurrect erased
+        # rows) and across every appended dir, landing one compacted
+        # physical layout; the new manifest carries no delete sets and
+        # no append list. Sizing targets target_file_bytes via the same
+        # byte-measured repartition compact_small_files uses.
         df = read_snapshot(spark, state_root, latest)
-        files_before = parquet_data_files(src)
+        files_before = [
+            (os.path.join(d, rel), sz)
+            for d, rel, sz in manifest_data_files(state_root, m)
+        ]
         total = sum(sz for _p, sz in files_before)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if sort_col is not None:
@@ -879,8 +1149,11 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     def _dirs(v: int) -> set[str]:
         m = read_manifest(state_root, v)
         dirs = {m["data_dir"]}
-        if m.get("deletes") is not None:
-            dirs.add(m["deletes"]["data_dir"])
+        for k in ("deletes", "pos_deletes"):
+            if m.get(k) is not None:
+                dirs.add(m[k]["data_dir"])
+        for a in m.get("append_dirs", []):
+            dirs.add(a["data_dir"])
         return dirs
 
     referenced = {

@@ -643,3 +643,145 @@ def maintenance_scd2_merge(spark, sf_dir):
         F.lit(None).cast("int").alias("valid_to"),
     )
     return closed_or_kept.unionByName(new_rows).orderBy("key", "valid_from")
+
+
+@register(
+    "snapshot_append_incremental",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "value_sum")}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "append"),
+)
+def snapshot_append_incremental(spark, sf_dir):
+    """APPEND commits on the snapshot store — the continuously-growing-
+    table shape (the reference lands one new scrape file per run,
+    base_scraper.py:165-178; this is that lifecycle with a real commit
+    protocol). Day-0 creates the table, days 1-2 land as
+    ``commit_append``: each writes ONLY its increment into a fresh
+    immutable directory and links a manifest referencing old data
+    untouched — O(delta) data written per commit where full-state
+    snapshots rewrite the table every version. At 100 TB this is the
+    difference between an append being seconds of new-data write and a
+    multi-hour table rewrite. The query asserts the delta property
+    structurally (three data dirs; each day's dir holds roughly a third
+    of the bytes, never a re-copy of history) and then aggregates the
+    final version; the oracle computes the same totals from the raw
+    fixture, so a hash match proves no append lost or duplicated a
+    row. Older versions stay pinned and readable (time travel across
+    append history is asserted with exact counts)."""
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        manifest_data_files,
+        read_manifest,
+    )
+
+    root = _scratch("append_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    day = [
+        events.filter(F.pmod("event_id", F.lit(3)) == d).coalesce(2)
+        for d in range(3)
+    ]
+    commit_snapshot(day[0], root)
+    n0 = read_snapshot(spark, root, 0).count()
+    commit_append(day[1], root)
+    commit_append(day[2], root)
+    m2 = read_manifest(root, 2)
+    # structurally O(delta): exactly two appended dirs, and history was
+    # never re-copied — every referenced file belongs to exactly one of
+    # the three immutable day-dirs
+    assert len(m2.get("append_dirs", [])) == 2, m2.keys()
+    dirs = {d for d, _rel, _sz in manifest_data_files(root, m2)}
+    assert len(dirs) == 3
+    primary = sum(sz for _r, sz in m2["files"])
+    for a in m2["append_dirs"]:
+        delta = sum(sz for _r, sz in a["files"])
+        assert delta < 1.2 * primary  # a day's worth, not the table
+    # time travel across the append history still pins exact states
+    assert read_snapshot(spark, root, 0).count() == n0
+    assert read_snapshot(spark, root, 1).count() > n0
+    return (
+        read_snapshot(spark, root, 2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "snapshot_positional_dedup",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "value_sum")}
+    FROM events
+    WHERE event_id % 4 = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "posdelete", "dedup"),
+)
+def snapshot_positional_dedup(spark, sf_dir):
+    """POSITIONAL deletes (Iceberg v2's second delete flavor) doing the
+    one job equality deletes cannot: erasing chosen COPIES of exact
+    duplicate rows. A tenth of the table lands twice (the re-delivered
+    batch / at-least-once ingestion shape); an equality delete keyed on
+    any column set would erase BOTH copies. The fix: read with physical
+    addresses (``_metadata.file_name``/``row_index``), keep rank>1
+    copies per event_id, commit those (file, position) tuples as a
+    cumulative positional-delete set — O(delta) metadata, zero data
+    rewritten, older versions still show the duplicates. The oracle
+    aggregates the clean fixture subset, so a hash match proves exactly
+    one copy of every row survived. At 100 TB the delete set stays
+    delta-sized and the read-side anti-join broadcasts; compaction
+    folds it physically (tests/test_manifest_log.py)."""
+    from pyspark.sql import Window
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_positional_deletes,
+        read_snapshot_with_positions,
+    )
+
+    root = _scratch("posdel_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    base = events.filter(F.pmod("event_id", F.lit(4)) == 0).coalesce(2)
+    commit_snapshot(base, root)
+    redelivered = events.filter(
+        F.pmod("event_id", F.lit(40)) == 0
+    ).coalesce(1)
+    commit_append(redelivered, root)  # v1: a tenth of the rows now dup
+    wp = read_snapshot_with_positions(spark, root)
+    w = Window.partitionBy("event_id").orderBy("_file", "_pos")
+    extras = (
+        wp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("_file", "_pos")
+    )
+    v2 = commit_positional_deletes(extras, root)
+    dup_version = read_snapshot(spark, root, 1)
+    clean = read_snapshot(spark, root, v2)
+    # the duplicated version stays pinned; the clean one lost ONLY the
+    # extra copies
+    assert dup_version.count() > clean.count()
+    return (
+        clean.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )

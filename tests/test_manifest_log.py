@@ -702,3 +702,196 @@ def test_pruned_read_accepts_temporal_bounds(spark, tmp_path):
     )
     assert info2 == info
     assert back2.count() == back.count()
+
+
+# ---------------------------------------------------------------------------
+# Append commits (multi-dir manifests) + positional deletes
+# ---------------------------------------------------------------------------
+
+from crocus_spark.operators.maintenance import (  # noqa: E402
+    SchemaCompatibilityError,
+    commit_append,
+    commit_equality_deletes,
+    commit_positional_deletes,
+    compact_snapshot,
+    manifest_data_files,
+    read_snapshot,
+    read_snapshot_with_positions,
+)
+
+
+def test_append_commits_are_delta_sized_and_isolated(spark, tmp_path):
+    """An append commit writes ONLY the increment: the new version's
+    manifest references the previous data untouched plus one fresh dir
+    whose bytes are delta-sized, old pinned readers are unaffected, and
+    the new version reads the concatenation."""
+    root = str(tmp_path / "store")
+    base = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS g")
+    v0 = commit_snapshot(base.repartition(4), root)
+    inc = spark.range(10_000, 10_500).selectExpr(
+        "id AS k", "id % 7 AS g"
+    ).coalesce(1)  # size the increment's files; 32 near-empty parquet
+    # files would be all footer overhead at fixture scale
+    v1 = commit_append(inc, root)
+    assert read_snapshot(spark, root, v1).count() == 10_500
+    assert read_snapshot(spark, root, v0).count() == 10_000  # pinned
+    m0, m1 = read_manifest(root, v0), read_manifest(root, v1)
+    assert m1["data_dir"] == m0["data_dir"]  # primary untouched
+    assert len(m1["append_dirs"]) == 1
+    primary_bytes = sum(sz for _r, sz in m1["files"])
+    delta_bytes = sum(sz for _r, sz in m1["append_dirs"][0]["files"])
+    assert delta_bytes < 0.5 * primary_bytes  # O(delta), not O(table)
+    got = sorted(
+        r.k for r in read_snapshot(spark, root, v1)
+        .filter("k >= 9998").collect()
+    )
+    assert got == [9998, 9999] + list(range(10_000, 10_500))
+
+
+def test_append_extends_stats_and_pruned_reads(spark, tmp_path):
+    """Appends extend the manifest's per-file stats with THEIR files'
+    footer stats, so pruned reads keep planning from the manifest alone
+    and a band that lives only in the appended files skips the
+    base files entirely."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    base = (
+        spark.range(0, 8000).selectExpr("id AS k")
+        .repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    commit_snapshot(base, root, stats_columns=["k"])
+    inc = (
+        spark.range(20_000, 24_000).selectExpr("id AS k")
+        .repartitionByRange(2, "k").sortWithinPartitions("k")
+    )
+    v1 = commit_append(inc, root)
+    m = read_manifest(root, v1)
+    assert len(m["file_stats"]) == len(manifest_data_files(root, m))
+    back, info = read_snapshot_pruned(spark, root, "k", 21_000, 21_999)
+    assert info["files_total"] >= 6
+    assert info["files_selected"] <= 2  # appended band skips the base
+    n = back.filter(F.col("k").between(21_000, 21_999)).count()
+    assert n == 1000
+
+
+def test_append_schema_evolution_gate(spark, tmp_path):
+    """Appends pass the same additive-nullable evolution gate as full
+    commits: a new nullable column lands (old files read as NULL);
+    a type change is refused before any manifest links."""
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 100).selectExpr("id AS k"), root)
+    widened = spark.range(100, 150).selectExpr(
+        "id AS k", "nullif(CAST(id AS string), '') AS note"
+    )  # nullif keeps the new column NULLABLE — the gate requires it
+    v1 = commit_append(widened, root)
+    back = read_snapshot(spark, root, v1)
+    assert back.count() == 150
+    assert back.filter("note IS NULL").count() == 100  # old rows
+    assert back.filter("note IS NOT NULL").count() == 50
+    bad = spark.range(150, 160).selectExpr("CAST(id AS string) AS k")
+    with pytest.raises(SchemaCompatibilityError):
+        commit_append(bad, root)
+    assert list_snapshot_versions(root) == [0, 1]  # nothing linked
+
+
+def test_concurrent_appends_lose_no_rows(spark, tmp_path):
+    """Lost-append race: four writers append disjoint ranges
+    concurrently; the CAS commit (pinned latest+1, metadata-only retry)
+    means every append lands exactly once — the final version is the
+    base plus ALL four increments."""
+    import threading
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 100).selectExpr("id AS k"), root)
+    ranges = [(1000, 1050), (2000, 2050), (3000, 3050), (4000, 4050)]
+    errors = []
+
+    def append(lo, hi):
+        try:
+            commit_append(spark.range(lo, hi).selectExpr("id AS k"), root)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=append, args=r) for r in ranges]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert list_snapshot_versions(root) == [0, 1, 2, 3, 4]
+    got = sorted(r.k for r in read_snapshot(spark, root).collect())
+    expected = list(range(100)) + [
+        i for lo, hi in ranges for i in range(lo, hi)
+    ]
+    assert got == sorted(expected)
+
+
+def test_positional_deletes_erase_single_copies(spark, tmp_path):
+    """The delete flavor equality deletes CANNOT express: with exact
+    duplicate rows, a positional delete erases chosen COPIES by
+    physical address, leaving one survivor per group — and readers
+    pinned before the delete still see the duplicates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    base = spark.range(0, 500).selectExpr("id AS k", "id % 5 AS g")
+    commit_snapshot(base, root)
+    dup = spark.range(0, 60).selectExpr("id AS k", "id % 5 AS g")
+    v1 = commit_append(dup, root)  # rows 0..59 now exist twice
+    wp = read_snapshot_with_positions(spark, root)
+    w = Window.partitionBy("k", "g").orderBy("_file", "_pos")
+    extras = (
+        wp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("_file", "_pos")
+    )
+    v2 = commit_positional_deletes(extras, root)
+    after = read_snapshot(spark, root, v2)
+    assert after.count() == 500
+    assert after.distinct().count() == 500  # exactly one copy each
+    assert read_snapshot(spark, root, v1).count() == 560  # pinned
+    # bad input fails loudly
+    with pytest.raises(ValueError, match="_file/_pos"):
+        commit_positional_deletes(base.limit(1), root)
+
+
+def test_positional_and_equality_deletes_compose_and_fold(spark, tmp_path):
+    """Both delete kinds apply on one read, compaction folds BOTH into
+    a physical rewrite (never resurrecting a row), and expiry then
+    drops the retired delete dirs once no surviving manifest references
+    them."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    base = spark.range(0, 1000).selectExpr("id AS k", "id % 10 AS g")
+    commit_snapshot(base, root)
+    wp = read_snapshot_with_positions(spark, root)
+    pos = wp.filter(F.col("k") < 100).select("_file", "_pos")
+    commit_positional_deletes(pos, root)  # k in [0,100) gone
+    commit_equality_deletes(
+        spark.createDataFrame([(7,)], "g long"), root, ["g"]
+    )  # g == 7 gone
+    expected = sorted(
+        i for i in range(100, 1000) if i % 10 != 7
+    )
+    got = sorted(r.k for r in read_snapshot(spark, root).collect())
+    assert got == expected
+    v, stats = compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert stats["deletes_folded"]
+    m = read_manifest(root, v)
+    assert m.get("deletes") is None and m.get("pos_deletes") is None
+    assert not m.get("append_dirs")
+    got2 = sorted(r.k for r in read_snapshot(spark, root, v).collect())
+    assert got2 == expected
+    expire_snapshots(root, keep_last=1)
+    left = {
+        d for d in _os.listdir(root)
+        if d.startswith(("pdel-", "del-", "a-"))
+    }
+    assert left == set()  # retired delete/append dirs vacuumed
+    assert sorted(r.k for r in read_snapshot(spark, root).collect()) \
+        == expected
