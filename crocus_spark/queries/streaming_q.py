@@ -676,3 +676,109 @@ def stream_avro_landing(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "stream_snapshot_cdc",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'insert' AS op, 0 AS version, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT 'insert', 1, COUNT(*), COUNT(DISTINCT user_id),
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+      FROM events WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT 'delete_key', 2, COUNT(*), COUNT(DISTINCT user_id),
+             CAST(NULL AS DOUBLE)
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 3)
+      UNION ALL
+      SELECT 'delete', 3, COUNT(*), COUNT(DISTINCT user_id),
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+      FROM events
+      WHERE event_id % 3 <= 1 AND event_id % 50 = 1 AND user_id % 7 <> 3
+    ) WHERE n > 0
+    ORDER BY version
+    """,
+    tags=("streaming", "cdc", "snapshot", "lakehouse"),
+)
+def stream_snapshot_cdc(spark, sf_dir):
+    """CDC TAIL of the snapshot store's manifest log as a structured
+    stream (`crocus_snapshot_tail`) — the Delta-streaming-source shape
+    and the read side that makes the whole commit protocol incremental:
+    the reference re-reads entire snapshot files per run
+    (base_scraper.py:72-83); a consumer of this feed sees only what
+    each commit CHANGED. The store accrues four commits — initial
+    snapshot (day-0 events), an append (day-1 increment), an equality
+    delete (a user cohort erased: key-only tombstones, O(delta)), and a
+    positional delete (specific rows erased: full PRE-IMAGES, because
+    the (file, position) tombstones name exactly which rows died) —
+    then one availableNow drain replays the log from version 0 with
+    the manifest version as the checkpointed offset. The oracle
+    recomputes every batch's rows from the raw fixture, so a hash match
+    proves the feed emitted exactly each commit's delta: no row of
+    history re-read, none skipped, inserts file-parallel. At 100 TB
+    planning stays O(manifests + delete sets) and row data only ever
+    moves for the files a commit actually touched."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_positional_deletes,
+        commit_snapshot,
+        read_snapshot_with_positions,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    register_snapshot_tail_source(spark)
+    root = _scratch("cdc_tail_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    day0 = events.filter(F.pmod("event_id", F.lit(3)) == 0).coalesce(2)
+    day1 = events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1)
+    commit_snapshot(day0, root)                                    # v0
+    commit_append(day1, root)                                      # v1
+    cohort = events.filter(F.pmod("user_id", F.lit(7)) == 3).select(
+        "user_id"
+    ).distinct()
+    commit_equality_deletes(cohort, root, ["user_id"])             # v2
+    live = read_snapshot_with_positions(spark, root)
+    doomed = live.filter(F.pmod("event_id", F.lit(50)) == 1).select(
+        "_file", "_pos"
+    )
+    commit_positional_deletes(doomed, root)                        # v3
+    name = f"snapshot_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.table(name)
+    return (
+        feed.groupBy(
+            F.col("_op").alias("op"),
+            F.col("_version").cast("int").alias("version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("version")
+    )

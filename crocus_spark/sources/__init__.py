@@ -24,8 +24,14 @@ from crocus_spark.sources.catalog_source import (
     register_catalog_source,
     register_catalog_stream_source,
 )
+from crocus_spark.sources.snapshot_stream import (
+    SnapshotTailSource,
+    register_snapshot_tail_source,
+)
 
 __all__ = [
+    "SnapshotTailSource",
+    "register_snapshot_tail_source",
     "AvroDataSource",
     "AvroLandingStreamSource",
     "AvroSink",
