@@ -49,6 +49,7 @@ __all__ = [
     "list_branches",
     "read_branch",
     "expire_snapshots",
+    "vacuum_orphans",
 ]
 
 
@@ -1170,6 +1171,64 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
     for d in sorted(dropped_dirs - referenced):
         shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
     return drop
+
+
+_DATA_DIR_PREFIXES = ("d-", "a-", "del-", "pdel-")
+
+
+def vacuum_orphans(state_root: str, grace_seconds: float = 86400.0):
+    """Remove data/delete directories NO manifest references — the
+    debris the commit protocol deliberately leaves behind: a writer
+    that crashed between its data write and the manifest link, or a
+    CAS loser's recomputed delete/append dir. Orphans are invisible to
+    every reader (a version exists only via its manifest), so this is
+    pure space reclamation — Delta VACUUM for unreferenced files.
+
+    ``grace_seconds`` is the safety window (Delta's retention check):
+    a dir younger than it may belong to an IN-FLIGHT commit whose
+    manifest hasn't linked yet, so it is never touched. The grace must
+    exceed the longest plausible data-write duration; the 24 h default
+    is Delta's production floor, tests pass 0 on quiesced stores.
+    Stale manifest temp files (``.tmp-*`` left by crashed committers)
+    age out under the same rule. Returns the removed directory/file
+    names."""
+    import shutil
+    import time
+
+    now = time.time()
+    referenced: set[str] = set()
+    for v in _manifest_versions(state_root):
+        m = read_manifest(state_root, v)
+        referenced.add(m["data_dir"])
+        for k in ("deletes", "pos_deletes"):
+            if m.get(k) is not None:
+                referenced.add(m[k]["data_dir"])
+        for a in m.get("append_dirs", []):
+            referenced.add(a["data_dir"])
+    removed: list[str] = []
+    for entry in sorted(os.listdir(state_root)):
+        if not entry.startswith(_DATA_DIR_PREFIXES):
+            continue
+        if entry in referenced:
+            continue
+        p = os.path.join(state_root, entry)
+        if not os.path.isdir(p):
+            continue
+        if now - os.path.getmtime(p) < grace_seconds:
+            continue  # possibly an in-flight commit's data
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(entry)
+    mdir = os.path.join(state_root, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if not f.startswith(".tmp-"):
+                continue
+            p = os.path.join(mdir, f)
+            if now - os.path.getmtime(p) < grace_seconds:
+                continue
+            os.unlink(p)
+            removed.append(os.path.join(MANIFEST_DIR, f))
+    return removed
 
 
 def zorder_key(a, b, bits: int = 16):

@@ -782,3 +782,89 @@ def stream_snapshot_cdc(spark, sf_dir):
         )
         .orderBy("version")
     )
+
+
+@register(
+    "stream_cdc_apply_merge",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE event_id % 3 <= 1
+      AND user_id % 7 <> 3
+      AND event_id % 50 <> 1
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "snapshot", "merge"),
+)
+def stream_cdc_apply_merge(spark, sf_dir):
+    """The CONSUMER half of the CDC loop: tail one store's change feed
+    (`crocus_snapshot_tail`) and MAINTAIN a derived per-user aggregate
+    store from it via foreachBatch — Delta CDF driving a materialized
+    aggregate. Inserts add algebraic partials, positional-delete
+    PRE-IMAGES subtract theirs (the reason the feed carries full rows
+    for that op), equality-delete key tombstones anti-join their users
+    out, and each batch commits the derived state exactly-once
+    (version = batch_id, replace-mode manifest swap). The oracle
+    computes the surviving aggregate straight from the fixture, so a
+    hash match proves feed production AND application compose to the
+    truth — end to end, per-batch cost is churn-sized, never
+    source-history sized. Producer commits: day-0 snapshot, day-1
+    append, a user-cohort equality delete, a row-level positional
+    delete."""
+    import shutil
+    import uuid as _uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_positional_deletes,
+        commit_snapshot,
+        read_snapshot_with_positions,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+    from crocus_spark.streaming.ops import foreach_batch_apply_cdc
+
+    register_snapshot_tail_source(spark)
+    src_root = _scratch("cdc_apply_src")
+    derived_root = _scratch("cdc_apply_derived")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(derived_root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    commit_snapshot(
+        events.filter(F.pmod("event_id", F.lit(3)) == 0).coalesce(2),
+        src_root,
+    )
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1),
+        src_root,
+    )
+    cohort = (
+        events.filter(F.pmod("user_id", F.lit(7)) == 3)
+        .select("user_id")
+        .distinct()
+    )
+    commit_equality_deletes(cohort, src_root, ["user_id"])
+    live = read_snapshot_with_positions(spark, src_root)
+    commit_positional_deletes(
+        live.filter(F.pmod("event_id", F.lit(50)) == 1).select(
+            "_file", "_pos"
+        ),
+        src_root,
+    )
+    feed = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", src_root)
+        .load()
+    )
+    state = foreach_batch_apply_cdc(feed, derived_root)
+    return (
+        state.select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        ).orderBy("user_id")
+    )

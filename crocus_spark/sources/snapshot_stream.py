@@ -192,15 +192,11 @@ class _SnapshotTailReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
-        versions = [
-            v for v in _committed_versions(self.root)
-            if start["v"] <= v < end["v"]
-        ]
+        committed = _committed_versions(self.root)  # one listing per batch
+        versions = [v for v in committed if start["v"] <= v < end["v"]]
         for v in versions:
             cur = _read_manifest(self.root, v)
-            prev_versions = [
-                p for p in _committed_versions(self.root) if p < v
-            ]
+            prev_versions = [p for p in committed if p < v]
             prev = (
                 _read_manifest(self.root, prev_versions[-1])
                 if prev_versions

@@ -895,3 +895,50 @@ def test_positional_and_equality_deletes_compose_and_fold(spark, tmp_path):
     assert left == set()  # retired delete/append dirs vacuumed
     assert sorted(r.k for r in read_snapshot(spark, root).collect()) \
         == expected
+
+
+def test_vacuum_orphans_reclaims_only_unreferenced(spark, tmp_path):
+    """Crashed-writer debris (a data dir with no manifest link, a CAS
+    loser's delete dir, a stale manifest temp) is reclaimed; every dir
+    ANY manifest references survives, and a fresh orphan inside the
+    grace window — possibly an in-flight commit — is never touched."""
+    import os as _os
+    import time as _time
+
+    from crocus_spark.operators.maintenance import vacuum_orphans
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 100).selectExpr("id AS k"), root)
+    commit_append(
+        spark.range(100, 120).selectExpr("id AS k").coalesce(1), root
+    )
+    commit_equality_deletes(
+        spark.createDataFrame([(5,)], "k long"), root, ["k"]
+    )
+    # crashed writer: data written, manifest never linked
+    _os.makedirs(_os.path.join(root, "d-deadbeef0001"))
+    open(
+        _os.path.join(root, "d-deadbeef0001", "part-0.parquet"), "wb"
+    ).close()
+    _os.makedirs(_os.path.join(root, "pdel-deadbeef02"))
+    # stale committer temp in the manifest dir
+    open(_os.path.join(root, "_manifests", ".tmp-stale"), "wb").close()
+    before = set(_os.listdir(root))
+    # grace window: nothing young is touched
+    assert vacuum_orphans(root, grace_seconds=3600) == []
+    assert set(_os.listdir(root)) == before
+    # age everything out, then vacuum
+    old = _time.time() - 10
+    for entry in ("d-deadbeef0001", "pdel-deadbeef02"):
+        _os.utime(_os.path.join(root, entry), (old, old))
+    _os.utime(_os.path.join(root, "_manifests", ".tmp-stale"), (old, old))
+    removed = vacuum_orphans(root, grace_seconds=1)
+    assert set(removed) == {
+        "d-deadbeef0001",
+        "pdel-deadbeef02",
+        _os.path.join("_manifests", ".tmp-stale"),
+    }
+    # every committed version still reads exactly
+    assert read_snapshot(spark, root, 0).count() == 100
+    assert read_snapshot(spark, root, 1).count() == 120
+    assert read_snapshot(spark, root, 2).count() == 119
