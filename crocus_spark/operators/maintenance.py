@@ -39,6 +39,7 @@ __all__ = [
     "list_snapshot_versions",
     "read_snapshot",
     "read_snapshot_pruned",
+    "read_snapshot_pruned_where",
     "read_snapshot_with_positions",
     "manifest_data_files",
     "commit_equality_deletes",
@@ -908,6 +909,27 @@ def read_snapshot_pruned(
     layers compose. The caller's predicate must still be applied to the
     returned frame (pruning is file-granular); returns
     (DataFrame, {"files_total", "files_selected"})."""
+    return read_snapshot_pruned_where(
+        spark, state_root, {column: (lo, hi)}, version=version
+    )
+
+
+def read_snapshot_pruned_where(
+    spark: SparkSession,
+    state_root: str,
+    bounds: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Multi-predicate manifest pruning: ``bounds`` maps column →
+    (lo, hi), a file survives only if EVERY column's recorded [min,max]
+    intersects its range — the conjunctive planning Iceberg does, and
+    the read side that makes Z-ORDER clustering pay: a z-ordered
+    rewrite gives each file a narrow rectangle in BOTH dimensions, so a
+    2-D range predicate prunes multiplicatively where a single-column
+    sort only prunes on its own axis. Files lacking usable stats for
+    any bound column are conservatively kept (pruning must never change
+    results); every bound column must be in the manifest's
+    ``stats_columns`` (fail-loud otherwise)."""
     versions = list_snapshot_versions(state_root)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {state_root}")
@@ -921,20 +943,29 @@ def read_snapshot_pruned(
     entries = manifest_data_files(state_root, m)
     stats = m.get("file_stats")
     cols = m.get("stats_columns", [])
-    if stats is None or column not in cols:
+    missing = [c for c in bounds if stats is None or c not in cols]
+    if missing:
         raise ValueError(
-            f"manifest v{version} records no stats for {column!r}; "
+            f"manifest v{version} records no stats for {missing}; "
             f"commit with stats_columns to enable pruning (has: {cols})"
         )
     # normalize the caller's bounds through the SAME conversion the
     # commit applied to the stored stats (dates/datetimes → ISO,
     # bytes → UTF-8): a datetime.date lo against a string min/max is
     # then a well-defined chronological comparison, not a TypeError
-    lo, hi = _stats_jsonable(lo), _stats_jsonable(hi)
+    norm = {
+        c: (_stats_jsonable(lo), _stats_jsonable(hi))
+        for c, (lo, hi) in bounds.items()
+    }
     keep = []
     for (d, rel, _sz), fstats in zip(entries, stats):
-        mm = (fstats or {}).get(column)
-        if mm is None or (mm[1] >= lo and mm[0] <= hi):
+        ok = True
+        for c, (lo, hi) in norm.items():
+            mm = (fstats or {}).get(c)
+            if mm is not None and (mm[1] < lo or mm[0] > hi):
+                ok = False
+                break
+        if ok:
             keep.append(os.path.join(d, rel))
     schema = snapshot_schema(state_root, version)
     reader = spark.read if schema is None else spark.read.schema(schema)

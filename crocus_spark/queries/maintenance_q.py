@@ -785,3 +785,80 @@ def snapshot_positional_dedup(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "snapshot_zorder_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 150 AND 350
+      AND l_suppkey BETWEEN 20 AND 60
+    """,
+    tags=("maintenance", "layout", "zorder", "snapshot", "pruning"),
+)
+def snapshot_zorder_pruned_scan(spark, sf_dir):
+    """Z-order clustering COMPOSED with manifest-level multi-predicate
+    pruning — the two layout features finally paying each other off:
+    lineitem is rewritten z-ordered on (l_partkey, l_suppkey) straight
+    into a snapshot data dir and committed with footer stats on BOTH
+    columns, so each file's manifest entry is a narrow rectangle in the
+    2-D key space. `read_snapshot_pruned_where` then plans a 2-D range
+    predicate as the CONJUNCTION of per-column stats intersections
+    (Iceberg's planning model): the query asserts the 2-D selection is
+    no larger than either single-column selection — the multiplicative
+    pruning a z-order exists to buy, impossible for a layout sorted on
+    one column. Planning cost is one small JSON read at ANY table size;
+    the oracle pins the surviving aggregate to the raw fixture, proving
+    file-granular pruning changed nothing. At 100 TB: a compaction/
+    OPTIMIZE rewrite produces exactly this layout, and every
+    dashboard-style rectangle query afterwards touches O(answer) files."""
+    import os as _os
+    import uuid as _uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_manifest,
+        read_snapshot_pruned_where,
+        zorder_rewrite,
+    )
+
+    root = _scratch("zorder_snapshot")
+    shutil.rmtree(root, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    d = f"d-{_uuid.uuid4().hex[:12]}"
+    zorder_rewrite(
+        li, _os.path.join(root, d), "l_partkey", "l_suppkey", n_files=16
+    )
+    commit_manifest(
+        root,
+        d,
+        schema_json=li.schema.json(),
+        stats_columns=["l_partkey", "l_suppkey"],
+    )
+    band = {"l_partkey": (150, 350), "l_suppkey": (20, 60)}
+    both, info = read_snapshot_pruned_where(spark, root, band)
+    _a, ia = read_snapshot_pruned_where(
+        spark, root, {"l_partkey": band["l_partkey"]}
+    )
+    _b, ib = read_snapshot_pruned_where(
+        spark, root, {"l_suppkey": band["l_suppkey"]}
+    )
+    # conjunctive pruning: never worse than either axis alone, and the
+    # z-order actually skipped files
+    assert info["files_selected"] <= min(
+        ia["files_selected"], ib["files_selected"]
+    ), (info, ia, ib)
+    assert info["files_selected"] < info["files_total"], info
+    return both.filter(
+        F.col("l_partkey").between(150, 350)
+        & F.col("l_suppkey").between(20, 60)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

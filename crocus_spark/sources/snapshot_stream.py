@@ -122,15 +122,36 @@ class _SnapshotTailReader(DataSourceStreamReader):
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
         )
+        # Rate limit: at most N commits per micro-batch (Delta's
+        # maxFilesPerTrigger, by version) — bounds a steady-state
+        # consumer's per-batch work. 0/absent = unbounded. The anchor
+        # is this READER INSTANCE's progress: the engine never tells a
+        # fresh reader the checkpointed offset before its first
+        # latestOffset call, so the first batch after a (re)start is
+        # deliberately unbounded — an offset lower than the checkpoint
+        # would move the stream backwards and re-emit versions, which
+        # is strictly worse than one big catch-up batch. From the
+        # second batch on, every batch advances ≤ N versions.
+        self.versions_per_batch = int(options.get("versions_per_batch", 0))
         # data fields = committed schema; the feed appends _op/_version
         self.data_fields = [f.name for f in schema.fields[:-2]]
+        self._anchor = None  # highest end offset this instance has seen
 
     def initialOffset(self) -> dict:
         return {"v": 0}
 
     def latestOffset(self) -> dict:
         versions = _committed_versions(self.root)
-        return {"v": (versions[-1] + 1) if versions else 0}
+        latest_end = (versions[-1] + 1) if versions else 0
+        if self.versions_per_batch <= 0 or self._anchor is None:
+            self._anchor = max(latest_end, self._anchor or 0)
+            return {"v": self._anchor}
+        end = max(
+            self._anchor,
+            min(latest_end, self._anchor + self.versions_per_batch),
+        )
+        self._anchor = end
+        return {"v": end}
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; manifests are immutable

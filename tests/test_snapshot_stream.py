@@ -174,3 +174,48 @@ def test_rewrite_refused_unless_skipped(spark, tmp_path):
     feed = spark.table(name)
     assert feed.count() == 400  # v0+v1 inserts; the rewrite contributed 0
     assert feed.filter("_version = 2").count() == 0
+
+
+def test_versions_per_batch_rate_limits_steady_state(spark, tmp_path):
+    """versions_per_batch (Delta's maxFilesPerTrigger analog) bounds
+    how far latestOffset advances per batch once the reader has
+    anchored — and a FRESH reader's first offset is deliberately
+    unbounded, because an offset below the engine's checkpoint would
+    move the stream backwards and re-emit versions."""
+    from pyspark.sql import types as T
+
+    from crocus_spark.sources.snapshot_stream import _SnapshotTailReader
+
+    root = _store(spark, tmp_path)  # v0, v1
+    schema = T.StructType.fromJson(read_manifest(root, 1)["schema"])
+    schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_version", T.LongType(), False),
+        ]
+    )
+    r = _SnapshotTailReader(
+        {"path": root, "versions_per_batch": "2"}, schema
+    )
+    # first call: unbounded catch-up (anchor unknown before this)
+    assert r.latestOffset() == {"v": 2}
+    # four more commits land while the stream runs
+    for lo in (400, 500, 600, 700):
+        commit_append(
+            spark.range(lo, lo + 10).selectExpr(
+                "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+            ).coalesce(1),
+            root,
+        )
+    # steady state: ≤ 2 versions per batch, monotone, catches up
+    assert r.latestOffset() == {"v": 4}
+    parts = r.partitions({"v": 2}, {"v": 4})
+    assert {p.version for p in parts} == {2, 3}
+    assert r.latestOffset() == {"v": 6}
+    assert r.latestOffset() == {"v": 6}  # no new commits: no progress
+    # a restarted reader (fresh instance) jumps straight to the head
+    r2 = _SnapshotTailReader(
+        {"path": root, "versions_per_batch": "2"}, schema
+    )
+    assert r2.latestOffset() == {"v": 6}
