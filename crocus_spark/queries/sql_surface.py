@@ -606,3 +606,184 @@ def sql_tpch_q7(spark, sf_dir):
         ["supplier", "lineitem", "orders", "customer", "nation"],
     )
     return spark.sql(_TPCH_Q7_SQL)
+
+
+_TPCH_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", oracle=_TPCH_Q6_SQL, tags=("sql", "tpch"))
+def sql_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure-scan aggregate —
+    no join, one pass, every predicate eligible for pushdown. Verbatim-
+    identical SQL on both engines; the product quantizes to
+    DECIMAL(25,6) per `_det.py` so the sum is order-free. Spark plan at
+    100 TB: all three predicates reach the parquet scan (shipdate and
+    quantity as PushedFilters; min/max row-group stats kill whole
+    chunks), the aggregate is partial+final with a 1-row exchange —
+    this query IS the scan, which is the point: it bounds how fast the
+    engine can touch a year of the fact table."""
+    _register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_TPCH_Q6_SQL)
+
+
+_TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_return_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,6))) AS DOUBLE) DESC,
+             c_custkey
+    LIMIT 20
+"""
+
+
+@register("sql_tpch_q10", oracle=_TPCH_Q10_SQL, tags=("sql", "tpch"))
+def sql_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): which customers returned
+    the most revenue in a half-year — three-table fact join + dim
+    broadcast, top-20 by a computed aggregate. Verbatim-identical SQL
+    on both engines; revenue aggregates in exact decimal and the tie
+    on equal revenue breaks on c_custkey so LIMIT 20 is deterministic.
+    Spark plan at 100 TB: the orderdate window prunes orders at the
+    scan, the pruned orders drive the lineitem join (returnflag pushed
+    to lineitem's scan), nation broadcasts, and TakeOrderedAndProject
+    keeps only 20 rows per partition before the final merge — no
+    global sort of the aggregate ever materializes."""
+    _register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    return spark.sql(_TPCH_Q10_SQL)
+
+
+_TPCH_Q14_SQL = """
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))
+                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(25,6))) AS DOUBLE) * 100.0
+           AS DOUBLE) AS promo_revenue_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))
+                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01'
+      AND l_shipdate <  DATE '1996-04-01'
+"""
+
+
+@register("sql_tpch_q14", oracle=_TPCH_Q14_SQL, tags=("sql", "tpch"))
+def sql_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
+    month of the fact joined to the part dim (the fixture's p_type
+    carries a literal 'PROMO' class). Verbatim-identical SQL; both
+    numerator and denominator aggregate in exact decimal, the ratio is
+    computed in IEEE double FROM those exact decimals (one divide, one
+    multiply — bit-identical across engines), and both terms are also
+    emitted raw so a ratio bug can't hide. Spark plan at 100 TB: one
+    month of lineitem survives the scan filter, part broadcasts, the
+    CASE rides the join output — one scan, one broadcast, a 1-row
+    result."""
+    _register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_TPCH_Q14_SQL)
+
+
+_TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("sql_tpch_q19", oracle=_TPCH_Q19_SQL, tags=("sql", "tpch"))
+def sql_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue) — the DISJUNCTIVE-predicate
+    stress test: three OR'd (brand, size, quantity) branches that mix
+    columns from BOTH join sides. Verbatim-identical SQL on both
+    engines. The optimizer work is predicate decomposition: Catalyst
+    factors the per-side conjuncts it can — the p_brand IN
+    (...)/p_size and l_quantity envelopes — out of the OR and pushes
+    them to the part and lineitem scans, so the join sees only
+    candidate rows and the full disjunction evaluates residually on
+    the join output. At 100 TB that scan-side factoring is the
+    difference between joining three brands' slivers and joining the
+    whole fact table."""
+    _register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_TPCH_Q19_SQL)
+
+
+_TPCH_Q22_SQL = """
+    WITH pos AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer, pos
+      WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.cents
+        AND MOD(c_nationkey, 5) IN (0, 2, 3)
+    )
+    SELECT MOD(c_nationkey, 5) AS cntry_grp,
+           COUNT(*) AS n_custs,
+           CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS total_acctbal
+    FROM rich
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = rich.c_custkey
+        AND o_orderdate >= DATE '1997-01-01'
+    )
+    GROUP BY MOD(c_nationkey, 5)
+    ORDER BY cntry_grp
+"""
+
+
+@register("sql_tpch_q22", oracle=_TPCH_Q22_SQL, tags=("sql", "tpch"))
+def sql_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted to the fixture:
+    above-average-balance customers in selected country groups
+    (nationkey mod 5 stands in for the phone prefix) with NO order
+    since 1997 — scalar-subquery threshold + NOT EXISTS anti-join +
+    grouped rollup, the lapsed-customer shape. Verbatim-identical SQL.
+    Determinism: the mean-balance comparison is CROSS-MULTIPLIED exact
+    integers (balance cents × count > total cents) instead of a
+    decimal/double division whose scale rules differ between engines;
+    balances convert to cents via one IEEE multiply + half-away round,
+    bit-identical in both. Spark plan at 100 TB: the `pos` aggregate is
+    a 1-row broadcast, the anti-join keys on o_custkey with the date
+    filter pushed to the orders scan, and the final rollup is 5
+    groups."""
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_TPCH_Q22_SQL)
