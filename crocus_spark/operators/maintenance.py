@@ -674,6 +674,29 @@ def commit_positional_deletes(
             )
         latest = versions[-1]
         prev = read_manifest(state_root, latest)
+        # VALIDATE the addresses against the manifest we are committing
+        # on top of: a rewrite (compaction / full re-commit) racing this
+        # delete replaces the files the positions name — the anti-join
+        # would then silently match nothing and the rows would
+        # RESURRECT. Iceberg validates delete files the same way at
+        # commit. Driver-side collect is the delete set's distinct file
+        # names — delta-sized by contract.
+        live_files = {
+            os.path.basename(rel)
+            for _d, rel, _sz in manifest_data_files(state_root, prev)
+        }
+        named = {
+            r.file_name
+            for r in new_keys.select("file_name").distinct().collect()
+        }
+        stale = sorted(named - live_files)
+        if stale:
+            raise ValueError(
+                "stale positional deletes: the current version no longer "
+                f"contains {stale[:3]}{'...' if len(stale) > 3 else ''} — "
+                "the table was rewritten since the positions were chosen; "
+                "re-select them from read_snapshot_with_positions"
+            )
         keys = new_keys
         prev_pd = prev.get("pos_deletes")
         if prev_pd is not None:

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import json as _json
 import os as _os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -111,7 +111,7 @@ class _EqDeletePartition(InputPartition):
 
     keys: list[tuple]
     key_columns: list[str]
-    version: int = field(default=0)
+    version: int
 
 
 class _SnapshotTailReader(DataSourceStreamReader):
@@ -225,19 +225,13 @@ class _SnapshotTailReader(DataSourceStreamReader):
             )
             if prev is None:
                 # initial snapshot: everything is an insert
-                for d in [cur["data_dir"]] + [
-                    a["data_dir"] for a in cur.get("append_dirs", [])
-                ]:
+                groups = [(cur["data_dir"], cur["files"])] + [
+                    (a["data_dir"], a["files"])
+                    for a in cur.get("append_dirs", [])
+                ]
+                for d, files in groups:
                     base = _os.path.join(self.root, d)
-                    for rel, _sz in (
-                        cur["files"]
-                        if d == cur["data_dir"]
-                        else next(
-                            a["files"]
-                            for a in cur["append_dirs"]
-                            if a["data_dir"] == d
-                        )
-                    ):
+                    for rel, _sz in files:
                         parts.append(
                             _FilePartition(_os.path.join(base, rel), v)
                         )

@@ -942,3 +942,29 @@ def test_vacuum_orphans_reclaims_only_unreferenced(spark, tmp_path):
     assert read_snapshot(spark, root, 0).count() == 100
     assert read_snapshot(spark, root, 1).count() == 120
     assert read_snapshot(spark, root, 2).count() == 119
+
+
+def test_positional_delete_refuses_stale_addresses(spark, tmp_path):
+    """A positional delete whose addresses predate a REWRITE must be
+    refused at commit: the rewritten table no longer contains the named
+    files, the anti-join would silently match nothing, and the rows
+    would resurrect. Fresh addresses from the rewritten table commit
+    fine."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 300).selectExpr("id AS k"), root)
+    wp = read_snapshot_with_positions(spark, root)
+    doomed = wp.filter(F.col("k") < 10).select("_file", "_pos")
+    doomed = doomed.localCheckpoint()  # pin the OLD addresses
+    compact_snapshot(spark, root, target_file_bytes=1 << 20)  # rewrite
+    with pytest.raises(ValueError, match="stale positional deletes"):
+        commit_positional_deletes(doomed, root)
+    fresh = (
+        read_snapshot_with_positions(spark, root)
+        .filter(F.col("k") < 10)
+        .select("_file", "_pos")
+    )
+    v = commit_positional_deletes(fresh, root)
+    got = sorted(r.k for r in read_snapshot(spark, root, v).collect())
+    assert got == list(range(10, 300))
