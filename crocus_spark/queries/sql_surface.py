@@ -787,3 +787,146 @@ def sql_tpch_q22(spark, sf_dir):
     groups."""
     _register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_TPCH_Q22_SQL)
+
+
+_TPCH_Q8_SQL = """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_dec
+                         ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                / CAST(SUM(volume_dec) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume_dec) AS DOUBLE) AS total_volume
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,6)) AS volume_dec,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'STANDARD'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate <  DATE '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@register("sql_tpch_q8", oracle=_TPCH_Q8_SQL, tags=("sql", "tpch"))
+def sql_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share) — the widest join in the suite:
+    eight relations, nation twice under two roles, region gating the
+    CUSTOMER side while the share is computed over the SUPPLIER side.
+    Verbatim-identical SQL on both engines; volumes aggregate in exact
+    decimal and the share divides the two exact sums in IEEE double.
+    Spark plan at 100 TB: region→nation(c) folds to a broadcast filter
+    on customer, part's type filter prunes before the fact join,
+    supplier and both nation roles broadcast — lineitem is the only
+    shuffled relation, and only its two-year, one-type sliver."""
+    _register_views(
+        spark,
+        sf_dir,
+        ["part", "lineitem", "orders", "customer",
+         "nation", "region", "supplier"],
+    )
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+_TPCH_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("sql_tpch_q13", oracle=_TPCH_Q13_SQL, tags=("sql", "tpch"))
+def sql_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER with a
+    predicate ON THE JOIN CONDITION (not a post-filter — customers whose
+    every order is urgent must still appear with count 0), then an
+    aggregate OF an aggregate. Verbatim-identical SQL; all outputs are
+    integers. Spark plan at 100 TB: the priority filter pushes into the
+    orders scan because it references only the preserved-side-null
+    stream side, the outer join shuffles on custkey, and the second
+    aggregate is over at most |distinct counts| rows — the histogram is
+    tiny no matter the table."""
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+_TPCH_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))) AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev_dec AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@register("sql_tpch_q15", oracle=_TPCH_Q15_SQL, tags=("sql", "tpch"))
+def sql_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): a named revenue view consumed twice —
+    once joined to supplier, once reduced to a scalar MAX that selects
+    the winner(s). Verbatim-identical SQL; the argmax compares EXACT
+    decimals (a double argmax can crown different winners per engine on
+    last-ulp ties), output casts to double only at the boundary. Spark
+    plan at 100 TB: the CTE computes once per consumer from a
+    quarter-sliver of the fact (both scans carry the pushed date
+    range), the scalar max broadcasts as a 1-row subquery, and supplier
+    joins only the max-revenue keys."""
+    _register_views(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+_TPCH_Q17_SQL = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND p_size < 10
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@register("sql_tpch_q17", oracle=_TPCH_Q17_SQL, tags=("sql", "tpch"))
+def sql_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the CORRELATED
+    AGGREGATE subquery — each line compares against one-fifth of ITS
+    part's average quantity. Verbatim-identical SQL. Determinism: the
+    fixture's quantities are integral doubles, so per-part sums are
+    exact in IEEE regardless of order, AVG is one exact-sum divide, and
+    0.2*avg is one multiply — bit-identical thresholds in both engines;
+    the revenue output aggregates in exact decimal. Spark plan at
+    100 TB: Catalyst de-correlates into an aggregate over lineitem
+    grouped by partkey joined back on the key — two shuffles on the
+    same key, never a per-row subquery execution; the brand/size
+    filters prune part before either."""
+    _register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_TPCH_Q17_SQL)
