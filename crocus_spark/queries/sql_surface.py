@@ -930,3 +930,66 @@ def sql_tpch_q17(spark, sf_dir):
     filters prune part before either."""
     _register_views(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(_TPCH_Q17_SQL)
+
+
+_AQP_SAMPLE_SQL = """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS q,
+             md5('aqp:' || CAST(l_orderkey AS STRING) || ':'
+                 || CAST(l_linenumber AS STRING)) AS h
+      FROM lineitem
+    ),
+    est AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_sample,
+             CAST(CAST(SUM(q) AS DOUBLE) / 10000.0 / 0.1 AS DOUBLE)
+               AS est_revenue,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+                  AS DOUBLE) / 1e8 AS sumsq
+      FROM base
+      WHERE h < '1999999999999999999999999999999a'
+      GROUP BY l_returnflag
+    ),
+    exact AS (
+      SELECT l_returnflag,
+             CAST(CAST(SUM(q) AS DOUBLE) / 10000.0 AS DOUBLE)
+               AS exact_revenue
+      FROM base
+      GROUP BY l_returnflag
+    )
+    SELECT est.l_returnflag AS l_returnflag, n_sample, est_revenue,
+           CAST(1.96 * SQRT(sumsq * 90.0) AS DOUBLE)
+             AS ci95_halfwidth,
+           exact_revenue
+    FROM est JOIN exact ON est.l_returnflag = exact.l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register("sql_aqp_sample_ci", oracle=_AQP_SAMPLE_SQL, tags=("sql", "aqp", "sampling"))
+def sql_aqp_sample_ci(spark, sf_dir):
+    """Approximate query processing with ERROR BARS: estimate per-flag
+    total revenue from a 10% deterministic hash sample (Bernoulli by
+    md5 threshold — the hash IS the sample, so the estimate is
+    reproducible across engines, runs, and partitionings, and fully
+    oracle-checkable where an engine-RNG TABLESAMPLE never is) plus a
+    Horvitz-Thompson 95% CI from the sampled second moment. At 100 TB
+    the sample predicate rides the scan (a 10x cheaper aggregate with a
+    quantified error), which is the dashboards-over-petabytes shape.
+    Determinism end-to-end: revenue quantizes to exact ten-thousandths
+    (one IEEE multiply + half-away round, bit-identical), sums are
+    integer/decimal-exact, and the CI is a fixed chain of IEEE ops over
+    those exact sums (sqrt is correctly-rounded everywhere). The query
+    also ASSERTS the estimate lands within 6 sigma of the exact total —
+    a fixed hash either always passes or a bug broke the estimator."""
+    _register_views(spark, sf_dir, ["lineitem"])
+    out = spark.sql(_AQP_SAMPLE_SQL)
+    # bounded driver-side check: ≤ |distinct returnflag| = 3 rows
+    for r in out.collect():
+        sigma = r.ci95_halfwidth / 1.96
+        assert abs(r.est_revenue - r.exact_revenue) <= 6 * sigma, (
+            r.l_returnflag, r.est_revenue, r.exact_revenue, sigma,
+        )
+    return out
