@@ -131,6 +131,89 @@ def run(spark, root: str | None = None) -> dict:
     out["dropped"] = dropped
     out["versions_left"] = list_snapshot_versions(root)
     out["main_still_readable"] = read_branch(spark, root, "main").count()
+
+    # ---- round-8 lifecycle: the table grows and changes O(delta) ----
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_positional_deletes,
+        read_snapshot_with_positions,
+        vacuum_orphans,
+    )
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    feed_root = root + "_feed"
+    shutil.rmtree(feed_root, ignore_errors=True)
+
+    def day(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("order_id"),
+                F.pmod("id", F.lit(7)).alias("customer"),
+                (F.col("id") % 97 * 1.5).alias("amount"),
+            )
+            .coalesce(1)
+        )
+
+    # 8. APPEND commits: each day lands as its increment only —
+    #    history is never rewritten (O(delta), not O(table))
+    commit_snapshot(day(0, 500), feed_root)           # day 0 → v0
+    commit_append(day(500, 700), feed_root)           # day 1 → v1
+    out["feed_rows"] = read_snapshot(spark, feed_root).count()
+
+    # 9. a batch is RE-DELIVERED (at-least-once ingestion); positional
+    #    deletes erase exactly the extra copies — the one delete an
+    #    equality key cannot express
+    commit_append(day(600, 700), feed_root)           # dup rows → v2
+    from pyspark.sql import Window
+
+    wp = read_snapshot_with_positions(spark, feed_root)
+    extras = (
+        wp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("order_id").orderBy("_file", "_pos")
+            ),
+        )
+        .filter(F.col("rn") > 1)
+        .select("_file", "_pos")
+    )
+    commit_positional_deletes(extras, feed_root)      # v3
+    out["feed_rows_deduped"] = read_snapshot(spark, feed_root).count()
+
+    # 10. the CDC TAIL replays the whole story as a change feed:
+    #     inserts file-parallel, deleted rows as full pre-images
+    register_snapshot_tail_source(spark)
+    sink = tempfile.mkdtemp(prefix="crocus_lakehouse_feed_")
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", feed_root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="crocus_lakehouse_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(sink)
+    out["cdc_ops"] = {
+        r["_op"]: r["n"]
+        for r in feed.groupBy("_op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # 11. VACUUM reclaims a crashed writer's debris (a data dir no
+    #     manifest ever linked) — committed data is provably untouched
+    import os as _os
+
+    _os.makedirs(_os.path.join(feed_root, "d-crashed-writer"))
+    out["vacuumed"] = vacuum_orphans(feed_root, grace_seconds=0)
+    out["feed_rows_after_vacuum"] = read_snapshot(spark, feed_root).count()
     return out
 
 

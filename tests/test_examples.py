@@ -61,3 +61,19 @@ def test_lakehouse_store_example_runs_green(spark, tmp_path):
     # expiry kept main's pinned version alive
     assert 2 in out["versions_left"]
     assert out["main_still_readable"] == out["rows_after_delete"]
+
+
+def test_lakehouse_example_round8_steps(spark, tmp_path):
+    """The appended round-8 lifecycle steps: O(delta) appends, the
+    re-delivered batch deduped by positional deletes, the CDC tail
+    replaying every commit's delta, and vacuum leaving committed data
+    untouched."""
+    import lakehouse_store as ex
+
+    out = ex.run(spark, root=str(tmp_path / "store"))
+    assert out["feed_rows"] == 700
+    assert out["feed_rows_deduped"] == 700  # dup copies gone, data kept
+    # feed: 500 + 200 + 100 inserts, 100 pre-image deletes
+    assert out["cdc_ops"] == {"insert": 800, "delete": 100}
+    assert out["vacuumed"] == ["d-crashed-writer"]
+    assert out["feed_rows_after_vacuum"] == 700
