@@ -2169,7 +2169,15 @@ def multimodal_audio_wav_windows(spark, sf_dir):
     )
     wavs = A.synth_wav_table(docs, "doc_id")
     media = M.to_media_table(wavs, "doc_id", "audio", "audio")
-    return A.extract_wav_windows(media).orderBy("doc_id", "win")
+    # localCheckpoint BEFORE the sort: orderBy's range-boundary sampling
+    # re-executes its input lineage, which here is BOTH cores-wide
+    # Python stages (encode, demux+window) — the duplicated Python work
+    # was this query's entire sweep-CPU variance (15 cpu-s warm vs
+    # 30-269 across sweeps when the re-run landed on a cold worker
+    # pool). The checkpointed relation is the window STATS, thousands
+    # of rows, never the audio bytes.
+    wins = A.extract_wav_windows(media).localCheckpoint(eager=True)
+    return wins.orderBy("doc_id", "win")
 
 
 @register(
