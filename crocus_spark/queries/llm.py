@@ -26,6 +26,17 @@ from crocus_spark.operators import multimodal as M
 from crocus_spark.operators import similarity as S
 from crocus_spark.operators import text as X
 from crocus_spark.queries import _det as DET
+
+
+def _pin_sorted(df, *cols):
+    """Eagerly localCheckpoint a SMALL codec-stage result before its
+    presentation sort: orderBy's range-boundary sampling re-executes
+    its input lineage, which for the multimodal queries means running
+    every cores-wide Arrow/Python stage TWICE on the collect path
+    (count() probes miss it — count() drops the sort). The pinned
+    relation is per-row stats/text, never media bytes, so the
+    checkpoint is thousands of rows."""
+    return df.localCheckpoint(eager=True).orderBy(*cols)
 from crocus_spark.queries import register
 
 _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -886,7 +897,7 @@ def multimodal_pdf_text(spark, sf_dir):
     )
     pdfs = P.synth_pdf_table(docs, "doc_id", "t")
     media = M.to_media_table(pdfs, "doc_id", "pdf", "pdf")
-    return P.extract_pdf_batch(media).orderBy("doc_id")
+    return _pin_sorted(P.extract_pdf_batch(media), "doc_id")
 
 
 @register(
@@ -2033,7 +2044,7 @@ def multimodal_pdf_cid_text(spark, sf_dir):
     )
     pdfs = P.synth_pdf_cid_table(docs, "doc_id", "text")
     media = M.to_media_table(pdfs, "doc_id", "pdf", "pdf")
-    return P.extract_pdf_batch(media).orderBy("doc_id")
+    return _pin_sorted(P.extract_pdf_batch(media), "doc_id")
 
 
 def _video_oracle() -> str:
@@ -2112,7 +2123,7 @@ def multimodal_video_frames(spark, sf_dir):
     )
     vids = V.synth_avi_table(docs, "doc_id")
     media = M.to_media_table(vids, "doc_id", "video", "video")
-    return V.extract_video_frames(media).orderBy("doc_id", "frame")
+    return _pin_sorted(V.extract_video_frames(media), "doc_id", "frame")
 
 
 @register(
@@ -2169,15 +2180,11 @@ def multimodal_audio_wav_windows(spark, sf_dir):
     )
     wavs = A.synth_wav_table(docs, "doc_id")
     media = M.to_media_table(wavs, "doc_id", "audio", "audio")
-    # localCheckpoint BEFORE the sort: orderBy's range-boundary sampling
-    # re-executes its input lineage, which here is BOTH cores-wide
-    # Python stages (encode, demux+window) — the duplicated Python work
-    # was this query's entire sweep-CPU variance (15 cpu-s warm vs
-    # 30-269 across sweeps when the re-run landed on a cold worker
-    # pool). The checkpointed relation is the window STATS, thousands
-    # of rows, never the audio bytes.
-    wins = A.extract_wav_windows(media).localCheckpoint(eager=True)
-    return wins.orderBy("doc_id", "win")
+    # _pin_sorted: this query measured the family-wide problem (15 cpu-s
+    # warm vs 30-269 across sweeps — the orderBy re-ran BOTH Python
+    # stages on the collect path, and the re-run sometimes landed on a
+    # cold worker pool)
+    return _pin_sorted(A.extract_wav_windows(media), "doc_id", "win")
 
 
 @register(
@@ -2214,7 +2221,7 @@ def multimodal_audio_adpcm_cycle(spark, sf_dir):
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id"), spark
     )
-    return A.adpcm_cycle_check(docs).orderBy("doc_id")
+    return _pin_sorted(A.adpcm_cycle_check(docs), "doc_id")
 
 
 @register(
@@ -2790,7 +2797,7 @@ def multimodal_image_resize(spark, sf_dir):
         w, h = 4 + mid % 13, 3 + mid % 11
         return w, h, 3, synth_pixels(w, h, mid)
 
-    return M.resize_media_batch(media, 8, 6, reference).orderBy("media_id")
+    return _pin_sorted(M.resize_media_batch(media, 8, 6, reference), "media_id")
 
 
 def _pca_power_oracle(rounds: int) -> str:
