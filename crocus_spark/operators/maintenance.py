@@ -314,6 +314,79 @@ def _latest_committed_schema(state_root: str, below: int) -> dict | None:
     return None
 
 
+def _latest_committed_at(state_root: str, below: int) -> int | None:
+    """Newest ``committed_at_ms`` recorded at a version < ``below``
+    (manifests committed before the field existed contribute nothing)."""
+    for v in sorted(_manifest_versions(state_root), reverse=True):
+        if v >= below:
+            continue
+        ts = read_manifest(state_root, v).get("committed_at_ms")
+        if ts is not None:
+            return int(ts)
+    return None
+
+
+def _as_of_ms(ts) -> int:
+    """Normalize a caller's as-of instant to epoch milliseconds:
+    int/float epoch ms pass through, ``datetime``/``date`` convert,
+    ISO-8601 strings parse (naive strings are UTC)."""
+    import datetime
+
+    if isinstance(ts, bool):
+        raise TypeError("as-of timestamp must be a time, not a bool")
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    if isinstance(ts, datetime.date):
+        return _as_of_ms(
+            datetime.datetime(
+                ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc
+            )
+        )
+    raise TypeError(f"cannot interpret {type(ts).__name__} as a timestamp")
+
+
+def resolve_version_as_of(state_root: str, ts) -> int:
+    """``TIMESTAMP AS OF`` resolution over the manifest log: the newest
+    committed version whose recorded ``committed_at_ms`` is <= ``ts``
+    (epoch ms, datetime, date, or ISO string) — the Delta/Iceberg
+    timestamp-travel rule. Commit timestamps are strictly monotone by
+    construction (commit clamps past the predecessor), so the answer is
+    unique and stable. Versions with no recorded timestamp (legacy
+    ``v{n}`` dirs, pre-field manifests) cannot be located in time and
+    are skipped; asking for an instant before the first timestamped
+    commit raises — silently returning something older would time-travel
+    to an unlocatable state."""
+    want = _as_of_ms(ts)
+    best = None
+    for v in sorted(_manifest_versions(state_root)):
+        c = read_manifest(state_root, v).get("committed_at_ms")
+        if c is not None and int(c) <= want:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version committed at or before {ts!r} under {state_root} "
+            "(legacy versions without committed_at_ms are not resolvable "
+            "by timestamp)"
+        )
+    return best
+
+
+def read_snapshot_as_of(spark: SparkSession, state_root: str, ts) -> DataFrame:
+    """Timestamp time travel: :func:`read_snapshot` pinned to
+    :func:`resolve_version_as_of`'s answer — "the table as of last
+    Tuesday", the first question a user asks a store whose layout IS a
+    time series of snapshots (reference ``base_scraper.py:72-83``)."""
+    return read_snapshot(
+        spark, state_root, resolve_version_as_of(state_root, ts)
+    )
+
+
 def snapshot_schema(state_root: str, version: int):
     """The WRITER schema committed with ``version``, as a
     ``pyspark.sql.types.StructType`` — so a reader pinned to a manifest
@@ -421,6 +494,8 @@ def commit_manifest(
     The manifest is written to a unique temp name, fsync'd, then
     linked/renamed — readers can only ever open a complete manifest.
     """
+    import time as _time
+
     mdir = os.path.join(state_root, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     files = parquet_data_files(os.path.join(state_root, data_dir))
@@ -466,6 +541,20 @@ def commit_manifest(
                         os.unlink(tmp)
                     raise
         body["version"] = v
+        # Commit WALL TIME in the manifest — the one field that makes
+        # `TIMESTAMP AS OF` resolvable and retention mtime-independent
+        # (a restore/copy perturbs filesystem mtimes silently; the
+        # manifest field survives byte-for-byte). Clamped to strictly
+        # exceed the predecessor's timestamp so the (version, time)
+        # orders always agree even across clock skew — Iceberg keeps its
+        # snapshot log monotone the same way, and strict monotonicity is
+        # what makes as-of resolution deterministic for back-to-back
+        # commits inside one millisecond.
+        prev_ts = _latest_committed_at(state_root, below=v)
+        body["committed_at_ms"] = max(
+            int(_time.time() * 1000),
+            (prev_ts + 1) if prev_ts is not None else 0,
+        )
         with open(tmp, "w") as f:
             json.dump(body, f)
             f.flush()
@@ -697,13 +786,26 @@ def commit_positional_deletes(
                 "the table was rewritten since the positions were chosen; "
                 "re-select them from read_snapshot_with_positions"
             )
-        keys = new_keys
+        # cumulative set for readers + this commit's DELTA for the CDC
+        # tail (same two-shape recording as commit_equality_deletes)
         prev_pd = prev.get("pos_deletes")
+        delta_dir = f"pdel-{uuid.uuid4().hex[:12]}-delta"
         if prev_pd is not None:
             old = spark.read.parquet(
                 os.path.join(state_root, prev_pd["data_dir"])
             )
-            keys = keys.unionByName(old).distinct()
+            delta = new_keys.join(
+                old, on=["file_name", "row_index"], how="left_anti"
+            )
+        else:
+            old = None
+            delta = new_keys
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_root, delta_dir)
+        )
+        keys = spark.read.parquet(os.path.join(state_root, delta_dir))
+        if old is not None:
+            keys = keys.unionByName(old)
         del_dir = f"pdel-{uuid.uuid4().hex[:12]}"
         keys.write.mode("overwrite").parquet(
             os.path.join(state_root, del_dir)
@@ -712,6 +814,7 @@ def commit_positional_deletes(
         body_extra = {
             "pos_deletes": {
                 "data_dir": del_dir,
+                "delta_dir": delta_dir,
                 "files": [
                     [
                         os.path.relpath(
@@ -856,12 +959,32 @@ def commit_equality_deletes(
                 f"delete key columns {key_columns} != committed contract "
                 f"{prev_deletes['key_columns']}"
             )
-        new_keys = delete_df.select(*key_columns).distinct()
+        # The commit stores BOTH shapes of the delete set:
+        #   - the CUMULATIVE keys (readers apply exactly one anti-join,
+        #     no log replay — unchanged), and
+        #   - this commit's DELTA (requested keys not already deleted),
+        #     in its own dir, so an incremental consumer (the CDC tail)
+        #     reads O(this commit's churn) per commit instead of
+        #     diffing two cumulative sets — over a long delete history a
+        #     catch-up drain was O(commits × cumulative size) (r8
+        #     ADVICE). The delta is written first and read back for the
+        #     union, so cumulative == prev ∪ stored-delta exactly.
+        req = delete_df.select(*key_columns).distinct()
+        delta_dir = f"del-{uuid.uuid4().hex[:12]}-delta"
         if prev_deletes is not None:
             old = spark.read.parquet(
                 os.path.join(state_root, prev_deletes["data_dir"])
             )
-            new_keys = new_keys.unionByName(old).distinct()
+            delta = req.join(old, on=key_columns, how="left_anti")
+        else:
+            old = None
+            delta = req
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_root, delta_dir)
+        )
+        new_keys = spark.read.parquet(os.path.join(state_root, delta_dir))
+        if old is not None:
+            new_keys = new_keys.unionByName(old)
         del_dir = f"del-{uuid.uuid4().hex[:12]}"
         new_keys.write.mode("overwrite").parquet(
             os.path.join(state_root, del_dir)
@@ -870,6 +993,7 @@ def commit_equality_deletes(
         body_extra = {
             "deletes": {
                 "data_dir": del_dir,
+                "delta_dir": delta_dir,
                 "files": [
                     [
                         os.path.relpath(
@@ -1023,76 +1147,114 @@ def compact_snapshot(
     read-side anti-join cost drops to zero. This is exactly how delete
     files retire in Iceberg/Delta: accumulate as O(delta) metadata,
     fold at the next rewrite."""
-    versions = list_snapshot_versions(state_root)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions under {state_root}")
-    latest = versions[-1] if version is None else version
-    if latest not in versions:
-        raise FileNotFoundError(
-            f"version {latest} not in {versions} under {state_root}"
+    compact_head = version is None
+    while True:
+        versions = list_snapshot_versions(state_root)
+        if not versions:
+            raise FileNotFoundError(
+                f"no snapshot versions under {state_root}"
+            )
+        log_top = versions[-1]
+        latest = log_top if compact_head else version
+        if latest not in versions:
+            raise FileNotFoundError(
+                f"version {latest} not in {versions} under {state_root}"
+            )
+        mf = _manifest_file(state_root, latest)
+        m = read_manifest(state_root, latest) if os.path.exists(mf) else {}
+        src = snapshot_data_path(state_root, latest)
+        out_dir = f"d-{uuid.uuid4().hex[:12]}"
+        folds = (
+            m.get("deletes") is not None
+            or m.get("pos_deletes") is not None
+            or bool(m.get("append_dirs"))
         )
-    mf = _manifest_file(state_root, latest)
-    m = read_manifest(state_root, latest) if os.path.exists(mf) else {}
-    src = snapshot_data_path(state_root, latest)
-    out_dir = f"d-{uuid.uuid4().hex[:12]}"
-    folds = (
-        m.get("deletes") is not None
-        or m.get("pos_deletes") is not None
-        or bool(m.get("append_dirs"))
-    )
-    if folds:
-        # logical-content rewrite: read THROUGH the delete anti-joins
-        # (equality AND positional — raw dirs would resurrect erased
-        # rows) and across every appended dir, landing one compacted
-        # physical layout; the new manifest carries no delete sets and
-        # no append list. Sizing targets target_file_bytes via the same
-        # byte-measured repartition compact_small_files uses.
-        df = read_snapshot(spark, state_root, latest)
-        files_before = [
-            (os.path.join(d, rel), sz)
-            for d, rel, sz in manifest_data_files(state_root, m)
-        ]
-        total = sum(sz for _p, sz in files_before)
-        n_out = max(1, math.ceil(total / target_file_bytes))
-        if sort_col is not None:
-            df = df.repartitionByRange(
-                n_out, F.col(sort_col)
-            ).sortWithinPartitions(sort_col)
+        if folds:
+            # logical-content rewrite: read THROUGH the delete
+            # anti-joins (equality AND positional — raw dirs would
+            # resurrect erased rows) and across every appended dir,
+            # landing one compacted physical layout; the new manifest
+            # carries no delete sets and no append list. Sizing targets
+            # target_file_bytes via the same byte-measured repartition
+            # compact_small_files uses.
+            df = read_snapshot(spark, state_root, latest)
+            files_before = [
+                (os.path.join(d, rel), sz)
+                for d, rel, sz in manifest_data_files(state_root, m)
+            ]
+            total = sum(sz for _p, sz in files_before)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if sort_col is not None:
+                df = df.repartitionByRange(
+                    n_out, F.col(sort_col)
+                ).sortWithinPartitions(sort_col)
+            else:
+                df = df.repartition(n_out)
+            out_path = os.path.join(state_root, out_dir)
+            df.write.mode("overwrite").parquet(out_path)
+            files_after = parquet_data_files(out_path)
+            stats = {
+                "files_before": len(files_before),
+                "files_after": len(files_after),
+                "bytes_before": total,
+                "bytes_after": sum(sz for _p, sz in files_after),
+                "target_files": n_out,
+                "deletes_folded": True,
+            }
         else:
-            df = df.repartition(n_out)
-        out_path = os.path.join(state_root, out_dir)
-        df.write.mode("overwrite").parquet(out_path)
-        files_after = parquet_data_files(out_path)
-        stats = {
-            "files_before": len(files_before),
-            "files_after": len(files_after),
-            "bytes_before": total,
-            "bytes_after": sum(sz for _p, sz in files_after),
-            "target_files": n_out,
-            "deletes_folded": True,
-        }
-    else:
-        _df, stats = compact_small_files(
-            spark,
-            src,
-            os.path.join(state_root, out_dir),
-            target_file_bytes,
-            sort_col=sort_col,
-            schema=schema,
-        )
-    # Logical contents are unchanged, so the compacted version carries
-    # the source version's committed schema VERBATIM — identity is the
-    # strongest compatibility, so the evolution gate is vacuous here and
-    # is skipped: checking instead against whatever the NEWEST commit's
-    # schema happens to be would apply the wrong lineage when an older
-    # branch head is compacted past unrelated staging commits (a
-    # compaction must never be a schema change, and with a carried
-    # schema it cannot be).
-    v = commit_manifest(
-        state_root, out_dir, schema_json=m.get("schema"),
-        allow_incompatible=True,
-    )
-    return v, stats
+            _df, stats = compact_small_files(
+                spark,
+                src,
+                os.path.join(state_root, out_dir),
+                target_file_bytes,
+                sort_col=sort_col,
+                schema=schema,
+            )
+        # Logical contents are unchanged, so the compacted version
+        # carries the source version's committed schema VERBATIM —
+        # identity is the strongest compatibility, so the evolution gate
+        # is vacuous here and is skipped: checking instead against
+        # whatever the NEWEST commit's schema happens to be would apply
+        # the wrong lineage when an older branch head is compacted past
+        # unrelated staging commits (a compaction must never be a schema
+        # change, and with a carried schema it cannot be). The source
+        # version's stats_columns carry too: footer stats are RECOMPUTED
+        # for the rewritten files at commit, so a store committed with
+        # pruning stats keeps manifest pruning through every OPTIMIZE
+        # (r8 ADVICE — the old commit dropped them).
+        #
+        # The commit is pinned to EXACTLY log-top+1 (put-if-absent CAS),
+        # never a blind optimistic retry: a delete or append landing
+        # between reading `latest` and this commit would otherwise be
+        # silently REVERTED by the stale rewrite winning the next
+        # version (deleted rows resurrect, appended rows vanish — r8
+        # ADVICE). On a lost race a head compaction re-runs the whole
+        # rewrite against the new head (the abandoned out dir is VACUUM
+        # orphan debris); an explicit-version compaction's content is
+        # pinned to that version by request, so only its metadata
+        # commit retries at the new top.
+        try:
+            v = commit_manifest(
+                state_root, out_dir, version=log_top + 1,
+                schema_json=m.get("schema"), allow_incompatible=True,
+                stats_columns=m.get("stats_columns"),
+            )
+            return v, stats
+        except FileExistsError:
+            if compact_head:
+                continue  # stale rewrite: redo against the new head
+            while True:  # pure-metadata retry, content pinned to `version`
+                top = list_snapshot_versions(state_root)[-1]
+                try:
+                    v = commit_manifest(
+                        state_root, out_dir, version=top + 1,
+                        schema_json=m.get("schema"),
+                        allow_incompatible=True,
+                        stats_columns=m.get("stats_columns"),
+                    )
+                    return v, stats
+                except FileExistsError:
+                    continue
 
 
 REFS_DIR = "_refs"
@@ -1175,9 +1337,20 @@ def read_branch(spark: SparkSession, state_root: str, name: str) -> DataFrame:
     return read_snapshot(spark, state_root, get_branch(state_root, name))
 
 
-def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
+def expire_snapshots(
+    state_root: str, keep_last: int = 2, older_than=None
+) -> list[int]:
     """Retention expiry (VACUUM): delete all but the newest ``keep_last``
     committed versions. Returns the versions removed.
+
+    ``older_than`` (epoch ms / datetime / ISO string) further restricts
+    expiry to versions whose MANIFEST-RECORDED ``committed_at_ms`` is
+    strictly before the cutoff — retention keyed off the commit
+    protocol's own clock, not filesystem mtimes (which a restore/copy
+    perturbs silently). A version with no recorded timestamp (legacy
+    ``v{n}`` dirs, pre-field manifests) can never prove it is old
+    enough, so under ``older_than`` it is conservatively KEPT — the
+    same fail-safe direction as Delta's retention check.
 
     Manifests drop first (the version disappears atomically), then data
     directories that no SURVIVING manifest references are removed —
@@ -1191,6 +1364,17 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
 
     versions = list_snapshot_versions(state_root)
     drop = versions[:-keep_last] if keep_last > 0 else versions
+    if older_than is not None:
+        cutoff = _as_of_ms(older_than)
+        manifested_now = _manifest_versions(state_root)
+
+        def _old_enough(v: int) -> bool:
+            if v not in manifested_now:
+                return False  # legacy dir: no commit time, keep
+            ts = read_manifest(state_root, v).get("committed_at_ms")
+            return ts is not None and int(ts) < cutoff
+
+        drop = [v for v in drop if _old_enough(v)]
     # a version any branch ref points at is NEVER expired — a ref is a
     # running reader that hasn't started yet (Iceberg's retention rule)
     pinned = set(list_branches(state_root).values())
@@ -1207,6 +1391,8 @@ def expire_snapshots(state_root: str, keep_last: int = 2) -> list[int]:
         for k in ("deletes", "pos_deletes"):
             if m.get(k) is not None:
                 dirs.add(m[k]["data_dir"])
+                if m[k].get("delta_dir"):
+                    dirs.add(m[k]["delta_dir"])
         for a in m.get("append_dirs", []):
             dirs.add(a["data_dir"])
         return dirs
@@ -1257,6 +1443,8 @@ def vacuum_orphans(state_root: str, grace_seconds: float = 86400.0):
         for k in ("deletes", "pos_deletes"):
             if m.get(k) is not None:
                 referenced.add(m[k]["data_dir"])
+                if m[k].get("delta_dir"):
+                    referenced.add(m[k]["delta_dir"])
         for a in m.get("append_dirs", []):
             referenced.add(a["data_dir"])
     removed: list[str] = []

@@ -21,8 +21,15 @@ Per commit kind the feed emits:
 - equality-delete commit → key-only tombstones, ``_op = 'delete_key'``
   (key columns set, all others NULL). Pre-images for an equality
   delete would require scanning the whole table per commit; a key
-  tombstone keeps the feed O(delta), and a consumer that needs
-  pre-images should delete positionally.
+  tombstone keeps the feed O(delta) by default. A consumer maintaining
+  a NON-additive aggregate can opt into full pre-images with
+  ``option("eq_pre_images", "true")``: the reader then joins the
+  deleted keys against only the data files whose manifest-recorded
+  [min, max] stats overlap them (manifest-stats-pruned — bounded well
+  under a table scan when the store committed ``stats_columns`` on the
+  key), emitting the dying rows as ``_op = 'delete'`` pre-images.
+  Rows already positionally deleted at an earlier version are excluded
+  (they died then, not now).
 - rewrite commit (compaction / full-state re-commit, i.e. the primary
   ``data_dir`` changed) → the tail REFUSES by default, exactly like
   Delta's streaming source on a data-changing commit: silently
@@ -31,10 +38,28 @@ Per commit kind the feed emits:
   (Delta's skipChangeCommits), which is correct when rewrites are
   known to be layout-only (compaction preserves logical content).
 
-Scale contract: planning reads manifests (tiny JSON) plus delete sets
-(delta-sized parquet, read driver-side to diff consecutive cumulative
-sets — the same class of driver work as Delta reading its log);
-row data always moves through executor partitions.
+A resumed stream whose checkpointed offset points past EXPIRED history
+(expire_snapshots removed the predecessor manifests the delta diff
+needs) fails loudly — the r8 silent alternative re-emitted the entire
+surviving snapshot as inserts, double-counting every row downstream;
+Delta raises in the same situation. A FRESH checkpoint (offset 0) on
+an expired store is fine: the first surviving snapshot genuinely is
+the consumer's initial load.
+
+Rows move as ARROW RECORD BATCHES, not Python tuples: each partition's
+parquet file is already columnar in hand (``pyarrow.parquet``), the
+reader appends constant ``_op``/``_version`` columns and yields
+``pyarrow.RecordBatch`` slices that the Spark 4 Python Data Source API
+passes through zero-conversion — per-row Python iteration would make
+an insert-heavy feed replay pay Python cost per row at 100 TB (the one
+data-sized per-row loop the r8 audit found; measured ~2× CPU on the
+CDC queries).
+
+Scale contract: planning reads manifests (tiny JSON) plus this
+commit's DELETE DELTA (recorded per commit by the store since r9 —
+O(churn) per commit; legacy manifests without a delta fall back to
+diffing consecutive cumulative sets driver-side); row data always
+moves through executor partitions.
 
 Reference lineage: the reference re-scrapes and re-reads whole
 snapshot files per run (``base_scraper.py:72-83``); this source is the
@@ -45,7 +70,7 @@ from __future__ import annotations
 
 import json as _json
 import os as _os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -86,6 +111,19 @@ def _committed_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _jsonable(v):
+    """Manifest (JSON) representation of a stats boundary value — must
+    mirror operators/maintenance._stats_jsonable so key values read from
+    delete-set parquet compare apples-to-apples with recorded stats."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 @dataclass
 class _FilePartition(InputPartition):
     """All rows of one immutable data file, as inserts."""
@@ -107,11 +145,26 @@ class _PosDeletePartition(InputPartition):
 @dataclass
 class _EqDeletePartition(InputPartition):
     """Key-only tombstones for one equality-delete commit (the new keys
-    only — the diff of the consecutive cumulative sets)."""
+    only — this commit's delta)."""
 
     keys: list[tuple]
     key_columns: list[str]
     version: int
+
+
+@dataclass
+class _EqPreImagePartition(InputPartition):
+    """Full pre-images for an equality-delete commit, one data file:
+    the file's rows matching any newly-deleted key, minus positions
+    already dead via earlier positional deletes (those rows died at
+    their own commit, not this one). Planned only for files whose
+    manifest stats overlap the keys (``eq_pre_images`` option)."""
+
+    path: str
+    keys: list[tuple]
+    key_columns: list[str]
+    version: int
+    dead_positions: list[int] = field(default_factory=list)
 
 
 class _SnapshotTailReader(DataSourceStreamReader):
@@ -121,6 +174,9 @@ class _SnapshotTailReader(DataSourceStreamReader):
             raise ValueError("crocus_snapshot_tail requires option 'path'")
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
+        )
+        self.eq_pre_images = (
+            str(options.get("eq_pre_images", "false")).lower() == "true"
         )
         # Rate limit: at most N commits per micro-batch (Delta's
         # maxFilesPerTrigger, by version) — bounds a steady-state
@@ -135,6 +191,8 @@ class _SnapshotTailReader(DataSourceStreamReader):
         self.versions_per_batch = int(options.get("versions_per_batch", 0))
         # data fields = committed schema; the feed appends _op/_version
         self.data_fields = [f.name for f in schema.fields[:-2]]
+        self._schema_json = schema.json()
+        self._pa_schema = None
         self._anchor = None  # highest end offset this instance has seen
 
     def initialOffset(self) -> dict:
@@ -160,39 +218,53 @@ class _SnapshotTailReader(DataSourceStreamReader):
     def _delete_key_diff(
         self, prev: dict | None, cur: dict
     ) -> tuple[list[tuple], list[str]]:
-        """New equality-delete keys of this commit: cumulative(cur)
-        minus cumulative(prev). Delete sets are delta-sized by the
-        store's contract, so reading both driver-side is bounded."""
+        """New equality-delete keys of this commit. Fast path: the
+        commit's recorded DELTA dir (O(churn) — the store writes it
+        since r9). Legacy manifests without one fall back to
+        cumulative(cur) minus cumulative(prev), both read driver-side
+        (delete sets are delta-sized by the store's contract)."""
         import pyarrow.parquet as pq
+
+        cur_d = cur["deletes"]
+
+        def keys_of_dir(d_rel, key_cols):
+            tbl = pq.read_table(_os.path.join(self.root, d_rel))
+            cols = [tbl[c].to_pylist() for c in key_cols]
+            return set(zip(*cols)) if cols else set()
+
+        if cur_d.get("delta_dir"):
+            new = keys_of_dir(cur_d["delta_dir"], cur_d["key_columns"])
+            return sorted(new), list(cur_d["key_columns"])
 
         def keys_of(d):
             if d is None:
                 return set()
-            tbl = pq.read_table(_os.path.join(self.root, d["data_dir"]))
-            cols = [tbl[c].to_pylist() for c in d["key_columns"]]
-            return set(zip(*cols)) if cols else set()
+            return keys_of_dir(d["data_dir"], d["key_columns"])
 
-        cur_d = cur["deletes"]
         new = keys_of(cur_d) - keys_of(prev.get("deletes") if prev else None)
         return sorted(new), list(cur_d["key_columns"])
 
     def _pos_delete_diff(
         self, prev: dict | None, cur: dict
     ) -> dict[str, list[int]]:
-        """Newly-deleted (file → positions) of this commit."""
+        """Newly-deleted (file → positions) of this commit — the
+        recorded delta dir when present, else the cumulative diff."""
         import pyarrow.parquet as pq
 
-        def pos_of(d):
-            if d is None:
-                return set()
-            tbl = pq.read_table(_os.path.join(self.root, d["data_dir"]))
+        def pairs_of_dir(d_rel):
+            tbl = pq.read_table(_os.path.join(self.root, d_rel))
             return set(
                 zip(tbl["file_name"].to_pylist(), tbl["row_index"].to_pylist())
             )
 
-        new = pos_of(cur["pos_deletes"]) - pos_of(
-            prev.get("pos_deletes") if prev else None
-        )
+        cur_pd = cur["pos_deletes"]
+        if cur_pd.get("delta_dir"):
+            new = pairs_of_dir(cur_pd["delta_dir"])
+        else:
+            old = (prev or {}).get("pos_deletes")
+            new = pairs_of_dir(cur_pd["data_dir"]) - (
+                pairs_of_dir(old["data_dir"]) if old else set()
+            )
         by_file: dict[str, list[int]] = {}
         for fname, pos in new:
             by_file.setdefault(fname, []).append(pos)
@@ -211,6 +283,76 @@ class _SnapshotTailReader(DataSourceStreamReader):
             f"data file {fname!r} not in any dir of the pinned manifest"
         )
 
+    def _eq_preimage_parts(
+        self, prev: dict, cur: dict, keys: list[tuple],
+        key_cols: list[str], version: int,
+    ) -> list[_EqPreImagePartition]:
+        """Plan full pre-images for an equality delete: one partition
+        per data file that could hold a dying row. Files are pruned by
+        the manifest's recorded [min, max] stats when they cover the key
+        columns (a file survives only if SOME key fits every column's
+        range); files lacking stats are conservatively kept. Positions
+        already dead via the PREVIOUS version's cumulative positional
+        deletes ride along so those rows are not re-emitted."""
+        import pyarrow.parquet as pq
+
+        entries = [
+            (_os.path.join(self.root, cur["data_dir"], rel),
+             _os.path.basename(rel))
+            for rel, _sz in cur["files"]
+        ]
+        for a in cur.get("append_dirs", []):
+            entries.extend(
+                (_os.path.join(self.root, a["data_dir"], rel),
+                 _os.path.basename(rel))
+                for rel, _sz in a["files"]
+            )
+        stats = cur.get("file_stats")
+        stat_cols = cur.get("stats_columns", [])
+        use_stats = stats is not None and all(
+            c in stat_cols for c in key_cols
+        )
+        jkeys = [tuple(_jsonable(v) for v in k) for k in keys]
+
+        def overlaps(fstats) -> bool:
+            if not use_stats or fstats is None:
+                return True
+            for jk in jkeys:
+                ok = True
+                for i, c in enumerate(key_cols):
+                    mm = fstats.get(c)
+                    if mm is not None and not (mm[0] <= jk[i] <= mm[1]):
+                        ok = False
+                        break
+                if ok:
+                    return True
+            return False
+
+        # rows already positionally deleted as of prev died at THEIR
+        # commit — exclude their positions from these pre-images
+        dead_by_file: dict[str, set[int]] = {}
+        prev_pd = prev.get("pos_deletes")
+        if prev_pd is not None:
+            tbl = pq.read_table(
+                _os.path.join(self.root, prev_pd["data_dir"])
+            )
+            for fname, pos in zip(
+                tbl["file_name"].to_pylist(), tbl["row_index"].to_pylist()
+            ):
+                dead_by_file.setdefault(fname, set()).add(pos)
+        parts = []
+        for i, (path, fname) in enumerate(entries):
+            fstats = stats[i] if use_stats and i < len(stats) else None
+            if not overlaps(fstats):
+                continue
+            parts.append(
+                _EqPreImagePartition(
+                    path, keys, key_cols, version,
+                    sorted(dead_by_file.get(fname, ())),
+                )
+            )
+        return parts
+
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
         committed = _committed_versions(self.root)  # one listing per batch
@@ -224,7 +366,24 @@ class _SnapshotTailReader(DataSourceStreamReader):
                 else None
             )
             if prev is None:
-                # initial snapshot: everything is an insert
+                if start["v"] > 0:
+                    # The checkpoint consumed through start.v - 1, but
+                    # the predecessor manifests the delta diff needs
+                    # were EXPIRED — silently treating the survivor as
+                    # an initial snapshot would re-emit the whole table
+                    # as inserts and double-count every row downstream
+                    # (Delta fails loudly here too).
+                    raise RuntimeError(
+                        "snapshot history expired past the checkpointed "
+                        f"offset: version {v} has no predecessor "
+                        "manifest but the stream had already consumed "
+                        f"through version {start['v'] - 1} — the deltas "
+                        "in between are unrecoverable; rebuild the "
+                        "consumer from a fresh checkpoint (initial "
+                        "snapshot + new tail)"
+                    )
+                # fresh checkpoint: the first surviving snapshot is the
+                # consumer's initial load — everything is an insert
                 groups = [(cur["data_dir"], cur["files"])] + [
                     (a["data_dir"], a["files"])
                     for a in cur.get("append_dirs", [])
@@ -258,7 +417,11 @@ class _SnapshotTailReader(DataSourceStreamReader):
                     )
             if (cur.get("deletes") or {}) != (prev.get("deletes") or {}):
                 keys, key_cols = self._delete_key_diff(prev, cur)
-                if keys:
+                if keys and self.eq_pre_images:
+                    parts.extend(
+                        self._eq_preimage_parts(prev, cur, keys, key_cols, v)
+                    )
+                elif keys:
                     parts.append(_EqDeletePartition(keys, key_cols, v))
             if (cur.get("pos_deletes") or {}) != (
                 prev.get("pos_deletes") or {}
@@ -274,35 +437,103 @@ class _SnapshotTailReader(DataSourceStreamReader):
         return parts
 
     # -- execution --------------------------------------------------------
-    def _rows_of(self, path: str, positions: list[int] | None = None):
-        import pyarrow.parquet as pq
+    def _arrow_schema(self):
+        """Target arrow schema (data fields + _op/_version) — derived
+        once per worker from the committed Spark schema with the SAME
+        mapping the engine's arrow exchange uses, so yielded batches
+        pass straight through."""
+        if self._pa_schema is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-        tbl = pq.read_table(path)
-        if positions is not None:
-            tbl = tbl.take(positions)
-        cols = set(tbl.column_names)
-        pylists = {
-            f: (tbl[f].to_pylist() if f in cols else [None] * len(tbl))
-            for f in self.data_fields
-        }
-        for i in range(len(tbl)):
-            yield tuple(pylists[f][i] for f in self.data_fields)
+            self._pa_schema = to_arrow_schema(
+                T.StructType.fromJson(_json.loads(self._schema_json))
+            )
+        return self._pa_schema
+
+    def _emit(self, tbl, op: str, version: int):
+        """Append constant _op/_version columns, align to the feed
+        schema (missing data columns → typed nulls, mismatched physical
+        parquet types → cast), and yield RecordBatches — the data never
+        becomes Python objects."""
+        import pyarrow as pa
+
+        n = len(tbl)
+        if n == 0:
+            return
+        pa_schema = self._arrow_schema()
+        have = set(tbl.column_names)
+        arrays = []
+        for f in pa_schema:
+            if f.name == "_op":
+                arrays.append(pa.repeat(pa.scalar(op, pa.string()), n))
+            elif f.name == "_version":
+                arrays.append(
+                    pa.repeat(pa.scalar(version, pa.int64()), n)
+                )
+            elif f.name in have:
+                col = tbl[f.name]
+                if col.type != f.type:
+                    col = col.cast(f.type)
+                arrays.append(col.combine_chunks())
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        out = pa.table(arrays, schema=pa_schema)
+        yield from out.to_batches()
 
     def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         if isinstance(partition, _FilePartition):
-            for row in self._rows_of(partition.path):
-                yield row + ("insert", partition.version)
+            yield from self._emit(
+                pq.read_table(partition.path), "insert", partition.version
+            )
         elif isinstance(partition, _PosDeletePartition):
-            for row in self._rows_of(partition.path, partition.positions):
-                yield row + ("delete", partition.version)
+            tbl = pq.read_table(partition.path).take(partition.positions)
+            yield from self._emit(tbl, "delete", partition.version)
+        elif isinstance(partition, _EqPreImagePartition):
+            tbl = pq.read_table(partition.path)
+            if partition.dead_positions:
+                dead = set(partition.dead_positions)
+                tbl = tbl.take(
+                    [i for i in range(len(tbl)) if i not in dead]
+                )
+            key_tbl = pa.table(
+                {
+                    c: pa.array(
+                        [k[i] for k in partition.keys]
+                    ).cast(tbl.schema.field(c).type)
+                    for i, c in enumerate(partition.key_columns)
+                }
+            )
+            tbl = tbl.join(
+                key_tbl, keys=partition.key_columns, join_type="left semi"
+            )
+            yield from self._emit(tbl, "delete", partition.version)
         elif isinstance(partition, _EqDeletePartition):
+            pa_schema = self._arrow_schema()
             idx = {c: i for i, c in enumerate(partition.key_columns)}
-            for key in partition.keys:
-                yield tuple(
-                    key[idx[f]] if f in idx else None
-                    for f in self.data_fields
-                ) + ("delete_key", partition.version)
-        else:  # pragma: no cover - planning only emits the three above
+            n = len(partition.keys)
+            arrays = []
+            for f in pa_schema:
+                if f.name == "_op":
+                    arrays.append(
+                        pa.repeat(pa.scalar("delete_key", pa.string()), n)
+                    )
+                elif f.name == "_version":
+                    arrays.append(
+                        pa.repeat(pa.scalar(partition.version, pa.int64()), n)
+                    )
+                elif f.name in idx:
+                    arrays.append(
+                        pa.array(
+                            [k[idx[f.name]] for k in partition.keys]
+                        ).cast(f.type)
+                    )
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            yield from pa.table(arrays, schema=pa_schema).to_batches()
+        else:  # pragma: no cover - planning only emits the four above
             raise TypeError(f"unknown partition {type(partition)}")
 
 
