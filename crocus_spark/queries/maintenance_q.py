@@ -862,3 +862,75 @@ def snapshot_zorder_pruned_scan(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "snapshot_time_travel_ts",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "value_sum")}
+    FROM events
+    WHERE event_id % 3 <= 1
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "timetravel"),
+)
+def snapshot_time_travel_ts(spark, sf_dir):
+    """``TIMESTAMP AS OF`` time travel: every manifest commit records a
+    strictly-monotone ``committed_at_ms`` wall time, and
+    ``read_snapshot_as_of`` resolves an instant to the newest version
+    committed at or before it — Delta/Iceberg's timestamp travel, and
+    the first question a user asks a store whose layout IS a time
+    series of daily snapshots (reference base_scraper.py:72-83: "the
+    catalog as of last Tuesday"). Three commits land event_id%3 = 0,1,2
+    as merged running aggregates; the query asks for the instant ONE
+    MILLISECOND BEFORE version 2's recorded commit time, which must
+    resolve to version 1 — the oracle aggregates batches 0-1 only, so a
+    hash match proves timestamp resolution picks exactly the right
+    manifest (strict monotonicity makes the boundary unambiguous even
+    for commits inside one millisecond). Resolution reads only the
+    manifest log (tiny JSON) — never data files or filesystem mtimes,
+    which a restore/copy perturbs silently."""
+    from crocus_spark.operators.maintenance import (
+        read_manifest,
+        read_snapshot_as_of,
+        resolve_version_as_of,
+    )
+
+    root = _scratch("snapshots_ts")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    state = None
+    for v in range(3):
+        batch = events.filter(F.pmod("event_id", F.lit(3)) == v).groupBy(
+            "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+        )
+        merged = (
+            batch
+            if state is None
+            else state.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_dec").alias("value_dec"),
+            )
+        )
+        commit_snapshot(merged, root)
+        state = read_snapshot(spark, root, v)
+    t2 = read_manifest(root, 2)["committed_at_ms"]
+    assert resolve_version_as_of(root, t2 - 1) == 1
+    assert resolve_version_as_of(root, t2) == 2
+    return (
+        read_snapshot_as_of(spark, root, t2 - 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("value_dec").cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )

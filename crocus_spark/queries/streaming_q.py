@@ -868,3 +868,111 @@ def stream_cdc_apply_merge(spark, sf_dir):
             F.col("value_dec").cast("double").alias("value_sum"),
         ).orderBy("user_id")
     )
+
+
+@register(
+    "stream_cdc_eq_preimages",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'insert' AS op, 0 AS version, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT 'delete', 1, COUNT(*), COUNT(DISTINCT user_id),
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+      FROM events WHERE event_id % 3 = 0 AND event_id % 40 = 2
+      UNION ALL
+      SELECT 'delete', 2, COUNT(*), COUNT(DISTINCT user_id),
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+      FROM events
+      WHERE event_id % 3 = 0 AND user_id % 9 = 4
+        AND event_id % 40 <> 2
+    ) WHERE n > 0
+    ORDER BY version
+    """,
+    tags=("streaming", "cdc", "snapshot", "lakehouse"),
+)
+def stream_cdc_eq_preimages(spark, sf_dir):
+    """Equality-delete PRE-IMAGES on the CDC tail
+    (``option("eq_pre_images", "true")``): a consumer maintaining a
+    NON-additive aggregate needs the dying rows' full values, which the
+    default key-only tombstone cannot give it. The reader joins the
+    commit's deleted keys against only the data files whose
+    manifest-recorded [min, max] stats overlap them — the store commits
+    with ``stats_columns`` on the delete key and range-clusters by it,
+    so the join touches a bounded slice of the table, never a full
+    scan. Rows that already died via an EARLIER positional delete are
+    excluded (they belong to their own commit's delta, not this one's).
+    The oracle recomputes every op's rows straight from the fixture —
+    insert (day-0 snapshot), positional pre-images (v1), then the
+    equality cohort's surviving pre-images (v2) with full value sums,
+    which only full rows can produce: a hash match proves the pre-image
+    join is exact. Planning stays O(manifests + delete delta); the
+    pre-image reads are file-parallel over the stats-selected files."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_equality_deletes,
+        commit_positional_deletes,
+        commit_snapshot,
+        read_snapshot_with_positions,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    register_snapshot_tail_source(spark)
+    root = _scratch("cdc_preimage_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    day0 = (
+        events.filter(F.pmod("event_id", F.lit(3)) == 0)
+        .repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+    )
+    commit_snapshot(day0, root, stats_columns=["user_id"])       # v0
+    live = read_snapshot_with_positions(spark, root)
+    commit_positional_deletes(
+        live.filter(F.pmod("event_id", F.lit(40)) == 2).select(
+            "_file", "_pos"
+        ),
+        root,
+    )                                                            # v1
+    cohort = (
+        events.filter(F.pmod("user_id", F.lit(9)) == 4)
+        .select("user_id")
+        .distinct()
+    )
+    commit_equality_deletes(cohort, root, ["user_id"])           # v2
+    name = f"cdc_preimg_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .option("eq_pre_images", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.table(name)
+    return (
+        feed.groupBy(
+            F.col("_op").alias("op"),
+            F.col("_version").cast("int").alias("version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("version")
+    )

@@ -300,9 +300,32 @@ def foreach_batch_apply_cdc(
     spark = feed.sparkSession
 
     def apply_batch(batch_df, batch_id):
+        # Per-key OP ORDER inside the batch is resolved by _version
+        # FIRST: availableNow can collapse the whole log into one batch
+        # (custom Python stream sources fall back to single-batch
+        # execution), so a key tombstoned at version t and re-inserted
+        # at t' > t arrives together — the tombstone clears everything
+        # through t (prior state AND this batch's older rows), while
+        # rows newer than t survive it. Applying the anti-join to the
+        # final merge without this would wrongly erase the re-insert
+        # (r8 ADVICE: the "order/batching-insensitive" claim failed
+        # delete-then-reinsert).
+        tomb = (
+            batch_df.filter(F.col("_op") == "delete_key")
+            .groupBy("user_id")
+            .agg(F.max("_version").alias("_tomb_v"))
+        )
+        rows = (
+            batch_df.filter(F.col("_op") != "delete_key")
+            .join(tomb, "user_id", "left")
+            .filter(
+                F.col("_tomb_v").isNull()
+                | (F.col("_version") > F.col("_tomb_v"))
+            )
+        )
         dec = F.sum(F.col("value").cast("decimal(25,6)"))
         ins = (
-            batch_df.filter(F.col("_op") == "insert")
+            rows.filter(F.col("_op") == "insert")
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
@@ -310,7 +333,7 @@ def foreach_batch_apply_cdc(
             )
         )
         rm = (
-            batch_df.filter(F.col("_op") == "delete")
+            rows.filter(F.col("_op") == "delete")
             .groupBy("user_id")
             .agg(
                 (-F.count(F.lit(1))).alias("n_events"),
@@ -322,21 +345,17 @@ def foreach_batch_apply_cdc(
             v for v in list_snapshot_versions(derived_root) if v < batch_id
         ]
         if prior:
-            partial = read_snapshot(
-                spark, derived_root, prior[-1]
-            ).unionByName(partial)
+            # prior state predates every tombstone in this batch, so a
+            # tombstoned user's accumulated totals clear entirely; the
+            # surviving post-tombstone partials then re-add on top
+            state = read_snapshot(spark, derived_root, prior[-1]).join(
+                tomb, "user_id", "left_anti"
+            )
+            partial = state.unionByName(partial)
         merged = partial.groupBy("user_id").agg(
             F.sum("n_events").alias("n_events"),
             F.sum("value_dec").alias("value_dec"),
-        )
-        gone = (
-            batch_df.filter(F.col("_op") == "delete_key")
-            .select("user_id")
-            .distinct()
-        )
-        merged = merged.join(gone, "user_id", "left_anti").filter(
-            F.col("n_events") > 0
-        )
+        ).filter(F.col("n_events") > 0)
         commit_snapshot(
             merged, derived_root, version=batch_id, replace=True
         )

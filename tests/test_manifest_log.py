@@ -968,3 +968,156 @@ def test_positional_delete_refuses_stale_addresses(spark, tmp_path):
     v = commit_positional_deletes(fresh, root)
     got = sorted(r.k for r in read_snapshot(spark, root, v).collect())
     assert got == list(range(10, 300))
+
+
+def _tiny_commit(root, lo=0, hi=10):
+    import uuid as _uuid
+
+    d = "d-" + _uuid.uuid4().hex[:12]
+    os.makedirs(os.path.join(root, d))
+    pq.write_table(
+        pa.table({"k": list(range(lo, hi))}),
+        os.path.join(root, d, "part-0.parquet"),
+    )
+    return commit_manifest(root, d)
+
+
+def test_commit_timestamps_monotone_and_as_of_resolution(tmp_path):
+    """Every manifest records committed_at_ms, strictly monotone even
+    for commits inside one millisecond — which makes TIMESTAMP AS OF
+    resolution unique: the newest version at or before the instant."""
+    from crocus_spark.operators.maintenance import resolve_version_as_of
+
+    root = str(tmp_path / "store")
+    for i in range(4):
+        _tiny_commit(root, i * 10, i * 10 + 10)
+    ts = [read_manifest(root, v)["committed_at_ms"] for v in range(4)]
+    assert ts == sorted(ts) and len(set(ts)) == 4  # strictly monotone
+    for v in range(4):
+        assert resolve_version_as_of(root, ts[v]) == v
+        if v:
+            assert resolve_version_as_of(root, ts[v] - 1) == v - 1
+    assert resolve_version_as_of(root, ts[-1] + 10_000) == 3
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        resolve_version_as_of(root, ts[0] - 1)
+    # datetime / ISO-string instants resolve identically
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(
+        ts[2] / 1000, tz=datetime.timezone.utc
+    )
+    assert resolve_version_as_of(root, dt) == 2
+    assert resolve_version_as_of(root, dt.isoformat()) == 2
+
+
+def test_read_snapshot_as_of_reads_that_versions_state(spark, tmp_path):
+    from crocus_spark.operators.maintenance import (
+        commit_snapshot,
+        read_snapshot_as_of,
+    )
+
+    root = str(tmp_path / "store")
+    commit_snapshot(spark.range(0, 100).selectExpr("id AS k"), root)
+    commit_snapshot(spark.range(0, 250).selectExpr("id AS k"), root)
+    ts0 = read_manifest(root, 0)["committed_at_ms"]
+    ts1 = read_manifest(root, 1)["committed_at_ms"]
+    assert read_snapshot_as_of(spark, root, ts0).count() == 100
+    assert read_snapshot_as_of(spark, root, ts1 - 1).count() == 100
+    assert read_snapshot_as_of(spark, root, ts1).count() == 250
+
+
+def test_expiry_older_than_is_manifest_time_based(tmp_path):
+    """older_than retention keys off manifest committed_at_ms, never
+    filesystem mtimes (a restore/copy perturbs those silently): touched
+    mtimes don't resurrect expirable versions, and versions without a
+    recorded commit time are conservatively kept."""
+    from crocus_spark.operators.maintenance import (
+        _manifest_file,
+        expire_snapshots,
+    )
+
+    root = str(tmp_path / "store")
+    for i in range(5):
+        _tiny_commit(root, i * 10, i * 10 + 10)
+    # simulate a restore: every mtime moves to "now"
+    now = time.time()
+    for v in range(5):
+        os.utime(_manifest_file(root, v), (now, now))
+    ts = {v: read_manifest(root, v)["committed_at_ms"] for v in range(5)}
+    # cutoff between v2 and v3: v0-v2 expirable, keep_last floor holds
+    gone = expire_snapshots(root, keep_last=1, older_than=ts[3])
+    assert gone == [0, 1, 2]
+    assert list_snapshot_versions(root) == [3, 4]
+    # a manifest WITHOUT the field (legacy) is never expired by time
+    m = read_manifest(root, 3)
+    del m["committed_at_ms"]
+    with open(_manifest_file(root, 3), "w") as f:
+        json.dump(m, f)
+    assert expire_snapshots(root, keep_last=1, older_than=ts[4] + 10_000) == [] or (
+        3 in list_snapshot_versions(root)
+    )
+    assert 3 in list_snapshot_versions(root)
+
+
+def test_compaction_carries_stats_columns(spark, tmp_path):
+    """OPTIMIZE must not disable manifest pruning on its own output:
+    the compacted manifest carries stats_columns with footer stats
+    RECOMPUTED for the rewritten files (r8 ADVICE — they were dropped),
+    and pruned reads keep working."""
+    from crocus_spark.operators.maintenance import (
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot_pruned,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 40 AS long) AS g"
+    ).repartitionByRange(8, "k").sortWithinPartitions("k")
+    commit_snapshot(df, root, stats_columns=["k"])
+    v, _stats = compact_snapshot(
+        spark, root, target_file_bytes=4096, sort_col="k"
+    )
+    m = read_manifest(root, v)
+    assert m["stats_columns"] == ["k"]
+    assert len(m["file_stats"]) == m["n_files"]
+    pruned, info = read_snapshot_pruned(spark, root, "k", 0, 99, version=v)
+    assert info["files_selected"] < info["files_total"]
+    assert pruned.filter("k BETWEEN 0 AND 99").count() == 100
+
+
+def test_compaction_lost_race_never_reverts_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The r8 ADVICE race: an equality delete lands between the
+    compactor reading `latest` and its commit. The compaction commit is
+    pinned to log-top+1 (CAS), so the stale rewrite LOSES and re-runs
+    against the new head — the concurrently deleted rows must stay
+    deleted in the compacted result, never resurrect."""
+    from crocus_spark.operators import maintenance as M
+
+    root = str(tmp_path / "store")
+    M.commit_snapshot(
+        spark.range(0, 500).selectExpr("id AS k", "id % 5 AS g"), root
+    )
+    real_commit = M.commit_manifest
+    fired = {"done": False}
+
+    def racing_commit(state_root, data_dir, **kw):
+        # first compaction commit attempt: a concurrent eraser lands
+        # its delete at the version the compactor wants
+        if not fired["done"] and kw.get("version") is not None:
+            fired["done"] = True
+            M.commit_equality_deletes(
+                spark.createDataFrame([(2,)], "g long"), root, ["g"]
+            )
+        return real_commit(state_root, data_dir, **kw)
+
+    monkeypatch.setattr(M, "commit_manifest", racing_commit)
+    v, _stats = M.compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert fired["done"]
+    final = M.read_snapshot(spark, root, v)
+    assert final.filter("g = 2").count() == 0  # delete survived the race
+    assert final.count() == 400
+    # and the compacted manifest carries no delete set (it folded them)
+    assert read_manifest(root, v).get("deletes") is None

@@ -219,3 +219,218 @@ def test_versions_per_batch_rate_limits_steady_state(spark, tmp_path):
         {"path": root, "versions_per_batch": "2"}, schema
     )
     assert r2.latestOffset() == {"v": 6}
+
+
+def test_resume_past_expired_history_fails_loudly(spark, tmp_path):
+    """A checkpointed stream whose offset points past EXPIRED history
+    must raise, not silently re-emit the surviving snapshot as inserts
+    (which would double-count every row downstream — Delta fails loudly
+    in the same situation). A FRESH checkpoint on an expired store is
+    fine: the surviving snapshot genuinely is its initial load."""
+    from crocus_spark.operators.maintenance import expire_snapshots
+
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0, v1
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "feed_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # consumed through v1
+    for lo in (400, 500, 600):
+        commit_append(
+            spark.range(lo, lo + 10).selectExpr(
+                "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+            ).coalesce(1),
+            root,
+        )  # v2..v4
+    expire_snapshots(root, keep_last=1)  # only v4 survives
+    with pytest.raises(Exception, match="history expired"):
+        drain()
+    # a FRESH consumer takes the survivor as its initial snapshot
+    name = _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    feed = spark.table(name)
+    assert feed.count() == 430  # v4's full logical state as inserts
+    assert feed.select("_op").distinct().collect()[0][0] == "insert"
+
+
+def test_delete_commits_record_and_feed_reads_deltas(spark, tmp_path):
+    """Delete commits record this commit's DELTA dir alongside the
+    cumulative set; the tail plans from the delta (O(churn) per commit)
+    and a re-delete of already-dead keys emits nothing."""
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)
+    commit_equality_deletes(
+        spark.createDataFrame([(3,), (5,)], "g long"), root, ["g"]
+    )  # v2: two new keys
+    commit_equality_deletes(
+        spark.createDataFrame([(5,), (6,)], "g long"), root, ["g"]
+    )  # v3: one genuinely new key (5 already dead)
+    m2, m3 = read_manifest(root, 2), read_manifest(root, 3)
+    assert m2["deletes"]["delta_dir"] and m3["deletes"]["delta_dir"]
+    assert m2["deletes"]["delta_dir"] != m3["deletes"]["delta_dir"]
+    import pyarrow.parquet as pq
+    import os as _os
+
+    assert sorted(
+        pq.read_table(
+            _os.path.join(root, m3["deletes"]["delta_dir"])
+        )["g"].to_pylist()
+    ) == [6]
+    name = _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    feed = spark.table(name)
+    got = {
+        (r["_version"], r["g"])
+        for r in feed.filter("_op = 'delete_key'").collect()
+    }
+    assert got == {(2, 3), (2, 5), (3, 6)}
+    # positional deltas too
+    live = read_snapshot_with_positions(spark, root)
+    commit_positional_deletes(
+        live.filter(F.col("k") % 100 == 1).select("_file", "_pos"), root
+    )  # v4
+    commit_positional_deletes(
+        live.filter(F.col("k") % 100 <= 1).select("_file", "_pos"), root
+    )  # v5: re-deletes the %100==1 rows plus the new %100==0 rows
+    m5 = read_manifest(root, 5)
+    assert m5["pos_deletes"]["delta_dir"]
+    name2 = _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    pre = spark.table(name2).filter("_op = 'delete'")
+    by_v = {
+        r["_version"]: r["n"]
+        for r in pre.groupBy("_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    live_ks = {
+        r.k for r in spark.table(name2).filter("_op='delete'").collect()
+    }
+    # v4: k%100==1 minus eq-deleted cohorts; v5: only the k%100==0 rows
+    exp4 = [k for k in range(400) if k % 100 == 1 and k % 7 not in (3, 5, 6)]
+    exp5 = [k for k in range(400) if k % 100 == 0 and k % 7 not in (3, 5, 6)]
+    assert by_v == {4: len(exp4), 5: len(exp5)}
+    assert live_ks == set(exp4) | set(exp5)
+
+
+def test_eq_pre_images_emits_dying_rows_stats_pruned(spark, tmp_path):
+    """option(eq_pre_images=true): equality-delete commits emit full
+    pre-images of the dying rows (manifest-stats-pruned file joins)
+    instead of key-only tombstones; rows already positionally deleted
+    at an earlier version died THEN and are excluded."""
+    from crocus_spark.operators.maintenance import commit_snapshot
+
+    register_snapshot_tail_source(spark)
+    root = str(tmp_path / "pstore")
+    base = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 10 AS g", "CAST(id * 0.5 AS double) AS v"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    commit_snapshot(base, root, stats_columns=["k", "g"])  # v0
+    live = read_snapshot_with_positions(spark, root)
+    commit_positional_deletes(
+        live.filter(F.col("k").isin(17, 27)).select("_file", "_pos"), root
+    )  # v1: k=17, 27 die positionally (both g==7)
+    commit_equality_deletes(
+        spark.createDataFrame([(7,)], "g long"), root, ["g"]
+    )  # v2: the rest of cohort g==7 dies
+    name = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        eq_pre_images="true",
+    )
+    feed = spark.table(name)
+    # full pre-images at v2: every g==7 row except the two that died at v1
+    v2 = feed.filter("_op = 'delete' AND _version = 2")
+    exp = sorted(k for k in range(1000) if k % 10 == 7 and k not in (17, 27))
+    assert sorted(r.k for r in v2.collect()) == exp
+    # every pre-image carries its full row, not a sparse tombstone
+    assert v2.filter("v IS NULL OR g IS NULL").count() == 0
+    assert feed.filter("_op = 'delete_key'").count() == 0
+
+
+def test_eq_pre_image_planning_prunes_files_by_stats(spark, tmp_path):
+    """Structural: with k-stats committed and a delete keyed on a narrow
+    k range, pre-image planning touches only the overlapping files."""
+    from pyspark.sql import types as T
+
+    from crocus_spark.operators.maintenance import commit_snapshot
+    from crocus_spark.sources.snapshot_stream import (
+        _EqPreImagePartition,
+        _SnapshotTailReader,
+    )
+
+    root = str(tmp_path / "prune_store")
+    base = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 10 AS g", "CAST(id * 0.5 AS double) AS v"
+    ).repartitionByRange(8, "k").sortWithinPartitions("k")
+    commit_snapshot(base, root, stats_columns=["k"])  # v0: 8 k-ranged files
+    commit_equality_deletes(
+        spark.createDataFrame([(3,), (4,)], "k long"), root, ["k"]
+    )  # v1: two adjacent keys — both land in the first k-range file
+    schema = T.StructType.fromJson(read_manifest(root, 1)["schema"])
+    schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_version", T.LongType(), False),
+        ]
+    )
+    r = _SnapshotTailReader(
+        {"path": root, "eq_pre_images": "true"}, schema
+    )
+    parts = [
+        p
+        for p in r.partitions({"v": 1}, {"v": 2})
+        if isinstance(p, _EqPreImagePartition)
+    ]
+    n_files = read_manifest(root, 1)["n_files"]
+    assert n_files >= 8
+    assert 1 <= len(parts) <= 2  # not the whole table
+
+
+def test_apply_cdc_delete_then_reinsert_survives_one_batch(spark, tmp_path):
+    """availableNow can collapse the whole log into ONE batch (custom
+    Python stream sources fall back to single-batch execution), so a
+    user erased at version t and re-inserted at t' > t arrives
+    together. The tombstone must clear only state THROUGH t — the
+    re-insert survives (r8 ADVICE: the batch-insensitivity claim failed
+    delete-then-reinsert)."""
+    from crocus_spark.operators.maintenance import commit_snapshot
+    from crocus_spark.streaming.ops import foreach_batch_apply_cdc
+
+    register_snapshot_tail_source(spark)
+    src = str(tmp_path / "src")
+    derived = str(tmp_path / "derived")
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+    )
+    commit_snapshot(base.coalesce(1), src)  # v0
+    commit_equality_deletes(
+        spark.createDataFrame([(1,)], "user_id long"), src, ["user_id"]
+    )  # v1: user 1 erased
+    commit_append(
+        spark.createDataFrame(
+            [(1, 100.0)], "user_id long, value double"
+        ).coalesce(1),
+        src,
+    )  # v2: user 1 re-inserted AFTER the tombstone
+    feed = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", src)
+        .load()
+    )
+    state = foreach_batch_apply_cdc(feed, derived)
+    got = {
+        r.user_id: (r.n_events, float(r.value_dec))
+        for r in state.collect()
+    }
+    assert got == {1: (1, 100.0), 2: (1, 5.0)}
