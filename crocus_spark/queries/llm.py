@@ -5296,3 +5296,100 @@ def dedup_lsh_candidate_quality(spark, sf_dir):
                 / F.nullif(F.col("n_truth_pairs"), F.lit(0)).cast("double")).cast("float").alias("recall"),
         )
     )
+
+
+@register(
+    "ann_hnsw_incremental",
+    oracle=None,  # approximate top-k (same rows-only policy + written
+    # justification as ann_hnsw_topk / ann_hnsw_at_rest). The strong
+    # check rides INSIDE the query: the incrementally maintained store's
+    # probe results are asserted EQUAL to a from-scratch full rebuild's
+    # (exact-twin equality — both are deterministic functions of shard
+    # content), and untouched shards' graph files are asserted
+    # byte-identical (never rebuilt).
+    tags=("llm", "similarity", "storage", "cdc"),
+)
+def ann_hnsw_incremental(spark, sf_dir):
+    """Incremental ANN index maintenance off the CDC tail (r8 verdict
+    "What's missing" #2): the embeddings table lives in the manifest-
+    logged snapshot store; `hnsw_sync_from_tail` consumes its change
+    feed (`crocus_snapshot_tail`) and upserts the sharded HNSW at-rest
+    store, rebuilding ONLY shards whose membership changed — an append
+    or equality delete no longer strands the committed graphs, and
+    upkeep is O(churn × shard), never O(corpus). Shard identity is a
+    pure hash of vec_id, so the affected-shard set is the hash image of
+    the changed ids; the 6-id delta here touches at most 6 of 8 shards,
+    and the query ASSERTS (a) ≥ 2 untouched shards keep byte-identical
+    graph files across the sync, and (b) probes against the maintained
+    store equal probes against a from-scratch rebuild of the table's
+    final state exactly — the at-rest == in-memory twin pattern. The
+    checkpointed tail makes the sync resumable and exactly-once per
+    table version."""
+    import os
+    import shutil
+
+    from crocus_spark.operators.hnsw import (
+        hnsw_build_store,
+        hnsw_sync_from_tail,
+        hnsw_topk_at_rest,
+    )
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("hnsw_inc_table")
+    index = _scratch("hnsw_inc_index")
+    rebuilt = _scratch("hnsw_inc_rebuild")
+    for p in (table, index, index + "_ckpt", rebuilt):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)                       # v0
+    # sync 1: bootstraps the index from the initial snapshot
+    hnsw_sync_from_tail(spark, table, index, n_shards=8)
+    # churn: 3 new vectors (fresh ids, reused embeddings) + 3 erasures
+    low3 = [r["vec_id"] for r in
+            corpus.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    appended = (
+        corpus.orderBy(F.desc("vec_id")).limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    commit_append(appended.coalesce(1), table)                       # v1
+    commit_equality_deletes(
+        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        table, ["vec_id"],
+    )                                                                # v2
+    gdir = os.path.join(index, "_graphs")
+    before = {
+        f: open(os.path.join(gdir, f), "rb").read()
+        for f in sorted(os.listdir(gdir)) if f.startswith("shard-")
+    }
+    # sync 2: applies v1+v2 incrementally — only affected shards rebuild
+    hnsw_sync_from_tail(spark, table, index, n_shards=8)
+    after = {
+        f: open(os.path.join(gdir, f), "rb").read()
+        for f in sorted(os.listdir(gdir)) if f.startswith("shard-")
+    }
+    untouched = [f for f in before if after.get(f) == before[f]]
+    changed = [f for f in after if after[f] != before.get(f)]
+    assert len(untouched) >= 2, (len(untouched), len(before))
+    assert changed, "the churn must have rebuilt at least one shard"
+    # exact twin: a from-scratch rebuild of the table's FINAL state
+    hnsw_build_store(
+        read_snapshot(spark, table).select("vec_id", "embedding"),
+        rebuilt, n_shards=8,
+    )
+    serve = lambda path: hnsw_topk_at_rest(  # noqa: E731
+        spark, probes, None, path, k=5, n_shards=8, reuse_store=True
+    ).select("query_id", "neighbor_id", "cos", "rank")
+    inc = serve(index).orderBy("query_id", "rank")
+    ref = serve(rebuilt).orderBy("query_id", "rank")
+    assert [tuple(r) for r in inc.collect()] == [
+        tuple(r) for r in ref.collect()
+    ], "incrementally maintained index diverged from a full rebuild"
+    return inc

@@ -535,3 +535,114 @@ def test_hnsw_at_rest_serves_committed_graphs(emb, tmp_path):
             spark, queries, corpus, path, k=5, n_shards=4,
             reuse_store=True,
         ).collect()
+
+
+def test_hnsw_upsert_rebuilds_only_affected_shards(emb, tmp_path):
+    """Incremental maintenance: an upsert (3 inserts + 2 deletes + 1
+    in-place replace) rebuilds only the shards those ids hash into —
+    untouched shards' graph files stay byte-identical — and the
+    maintained store is BYTE-EQUAL to a from-scratch rebuild of the
+    final corpus (shard content determines the graph deterministically),
+    so serving results match exactly."""
+    import os
+
+    from crocus_spark.operators.hnsw import (
+        hnsw_build_store,
+        hnsw_topk_at_rest,
+        hnsw_upsert_store,
+    )
+
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    path = str(tmp_path / "store")
+    hnsw_build_store(corpus, path, n_shards=8)
+    gdir = os.path.join(path, "_graphs")
+
+    def graph_bytes():
+        return {
+            f: open(os.path.join(gdir, f), "rb").read()
+            for f in sorted(os.listdir(gdir))
+            if f.startswith("shard-")
+        }
+
+    before = graph_bytes()
+    ids = sorted(r.vec_id for r in corpus.select("vec_id").collect())
+    dead = ids[:2]
+    replaced = ids[2]
+    new_rows = (
+        corpus.orderBy(F.desc("vec_id"))
+        .limit(3)
+        .select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+    )
+    # in-place replace: give an EXISTING id a different vector
+    swap = corpus.filter(F.col("vec_id") == ids[-1]).select(
+        F.lit(replaced).cast("long").alias("vec_id"), "embedding"
+    )
+    upserts = new_rows.unionByName(swap)
+    deletes = spark.createDataFrame([(int(i),) for i in dead], "vec_id long")
+    touched = hnsw_upsert_store(
+        spark, upserts, deletes, path, n_shards=8
+    )
+    after = graph_bytes()
+    untouched = [f for f in before if after.get(f) == before[f]]
+    assert 0 < len(touched) <= 6
+    assert len(untouched) >= 8 - len(touched)
+    # final corpus == (corpus - dead - replaced) + upserts
+    final = (
+        corpus.filter(~F.col("vec_id").isin([int(x) for x in dead]))
+        .filter(F.col("vec_id") != replaced)
+        .unionByName(upserts)
+    )
+    ref_path = str(tmp_path / "ref")
+    hnsw_build_store(final, ref_path, n_shards=8)
+    ref_bytes = {
+        f: open(os.path.join(ref_path, "_graphs", f), "rb").read()
+        for f in sorted(os.listdir(os.path.join(ref_path, "_graphs")))
+        if f.startswith("shard-")
+    }
+    assert after == ref_bytes  # store-level exact twin
+    got = hnsw_topk_at_rest(
+        spark, queries, None, path, k=5, n_shards=8, reuse_store=True
+    ).collect()
+    want = hnsw_topk_at_rest(
+        spark, queries, None, ref_path, k=5, n_shards=8, reuse_store=True
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_hnsw_upsert_empties_a_shard_cleanly(emb, tmp_path):
+    """Deleting every row of a shard removes its parquet partition and
+    graph file — a read of the store never sees stale rows."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from crocus_spark.operators.hnsw import (
+        hnsw_build_store,
+        hnsw_upsert_store,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    path = str(tmp_path / "store")
+    hnsw_build_store(corpus, path, n_shards=4)
+    # every id of shard 1 dies
+    shard1 = corpus.select(
+        "vec_id",
+        FF.pmod(FF.xxhash64("vec_id"), FF.lit(4)).cast("int").alias("s"),
+    ).filter("s = 1").select("vec_id")
+    n1 = shard1.count()
+    assert n1 > 0
+    hnsw_upsert_store(
+        spark, corpus.limit(0), shard1, path, n_shards=4
+    )
+    assert not os.path.exists(os.path.join(path, "shard=1"))
+    assert not os.path.exists(
+        os.path.join(path, "_graphs", "shard-00001.json")
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == corpus.count() - n1
+    assert back.filter(
+        FF.pmod(FF.xxhash64("vec_id"), FF.lit(4)) == 1
+    ).count() == 0
