@@ -141,3 +141,102 @@ def test_synth_pattern_matches_closed_form():
                 )
                 base = (vid * 3 + f * 7 + off) % 150
                 assert got == base * s1 + 3 * sx + 5 * sy, (vid, f, c)
+
+
+# ---------------------------------------------------------------------------
+# BI_RLE8 compressed path (r9): runs, escapes, palette, round trip
+# ---------------------------------------------------------------------------
+
+
+def test_rle8_roundtrip_and_compression():
+    from crocus_spark.operators.videocodec import (
+        decode_avi_frames as dec,
+        encode_avi_rle8,
+        rle_palette,
+        synth_rle_indices,
+    )
+
+    pal = rle_palette()
+    for vid in (0, 7, 123, 149):
+        n_frames, fps = synth_video_params(vid)
+        frames = [synth_rle_indices(vid, f) for f in range(n_frames)]
+        avi = encode_avi_rle8(frames, VIDEO_W, VIDEO_H, fps, pal)
+        meta = parse_avi(avi)
+        assert meta["handler"] == "mrle"
+        assert meta["compression"] == 1 and meta["bit_count"] == 8
+        assert meta["n_frames"] == n_frames and meta["fps"] == fps
+        got = list(dec(avi))
+        assert [g[0] for g in got] == list(range(n_frames))
+        for f, (_i, w, h, rgb) in enumerate(got):
+            exp = bytearray()
+            for v in frames[f]:
+                exp += bytes((v, min(v + 6, 255), 255 - v))
+            assert rgb == bytes(exp)
+        # genuinely compressed: every chunk beats the raw 8bpp size
+        assert all(s < VIDEO_W * VIDEO_H for _o, s in meta["frames"])
+
+
+@given(
+    st.integers(2, 12),
+    st.integers(2, 10),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_rle8_roundtrip_property(w, h, seed):
+    """encode->decode is the identity for arbitrary index buffers
+    (including run-free high-entropy rows and constant rows)."""
+    from crocus_spark.operators.videocodec import decode_rle8, encode_rle8
+
+    buf = bytes((seed + 17 * i + (i * i) // 3) % 251 for i in range(w * h))
+    assert decode_rle8(encode_rle8(buf, w, h), w, h) == buf
+    flat = bytes([seed % 256]) * (w * h)
+    enc = encode_rle8(flat, w, h)
+    assert decode_rle8(enc, w, h) == flat
+    assert len(enc) <= h * (2 * -(-w // 255) + 2) + 2  # maximal runs
+
+
+def test_rle8_decoder_full_escape_set():
+    """Absolute mode (word-aligned), delta skips (index 0), EOL, EOB —
+    the escapes the compact encoder never emits still decode, because
+    real mrle writers use them."""
+    from crocus_spark.operators.videocodec import decode_rle8
+
+    w, h = 8, 2
+    stream = bytes(
+        [0, 5, 1, 2, 3, 4, 5, 0,    # abs mode: 5 literals + pad byte
+         3, 9,                      # run of 3 nines
+         0, 0,                      # end of line
+         0, 2, 2, 0,                # delta: skip dx=2 (zeros)
+         2, 7,                      # run of 2 sevens
+         0, 1]                      # end of bitmap
+    )
+    out = decode_rle8(stream, w, h)
+    assert out[w:] == bytes([1, 2, 3, 4, 5, 9, 9, 9])   # bottom row
+    assert out[:w] == bytes([0, 0, 7, 7, 0, 0, 0, 0])   # top row
+
+
+def test_rle8_fail_loud_on_torn_streams():
+    from crocus_spark.operators.videocodec import decode_rle8
+
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_rle8(bytes([2, 5, 0, 0]), 4, 2)  # no EOB
+    with pytest.raises(ValueError, match="overruns"):
+        decode_rle8(bytes([6, 1, 0, 1]), 4, 2)  # run wider than row
+    with pytest.raises(ValueError, match="truncated"):
+        decode_rle8(bytes([0, 4, 1, 2]), 4, 2)  # absolute run cut off
+    with pytest.raises(ValueError, match="without a palette"):
+        # an RLE stream whose strf palette was stripped
+        from crocus_spark.operators.videocodec import (
+            decode_avi_frames as dec,
+            encode_avi_rle8,
+            rle_palette,
+        )
+
+        avi = bytearray(
+            encode_avi_rle8([bytes(16)], 4, 4, 10, rle_palette())
+        )
+        pos = bytes(avi).find(struct.pack("<H", 8), 0)  # biBitCount=8
+        # zero biClrUsed AND truncate: simplest legal strip is flipping
+        # bit count to 24 so the parser records no palette
+        avi[pos : pos + 2] = struct.pack("<H", 24)
+        list(dec(bytes(avi)))
