@@ -1257,6 +1257,55 @@ def compact_snapshot(
                     continue
 
 
+def restore_snapshot(state_root: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` — commit a NEW
+    version whose logical content is an older version's, as PURE
+    METADATA: the restore manifest references the old version's data
+    dirs, delete sets, schema, and stats verbatim (zero bytes copied;
+    the dirs are immutable and refcounted at expiry). History is
+    preserved — the bad intermediate versions stay readable and
+    expirable, exactly like Delta's restore-is-a-new-commit semantics,
+    and a reader pinned to any version is untouched.
+
+    The manifest records ``restored_from`` so the CDC tail can refuse
+    it like a rewrite (a restore can UN-delete rows — shrink the
+    cumulative delete set — which a delta feed cannot represent;
+    ``skip_rewrites`` consumers skip it explicitly). The commit is
+    CAS-pinned to log-top+1 with metadata-only retries: the restored
+    content is pinned to ``version`` by request, so a concurrent
+    commit losing to it is the caller's stated intent."""
+    versions = list_snapshot_versions(state_root)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} under {state_root}"
+        )
+    mf = _manifest_file(state_root, version)
+    if not os.path.exists(mf):
+        raise ValueError(
+            f"v{version} is a legacy directory version; restore needs a "
+            "manifest-committed source"
+        )
+    src = read_manifest(state_root, version)
+    body_extra = {"restored_from": version}
+    for k in ("deletes", "pos_deletes", "append_dirs",
+              "stats_columns", "file_stats"):
+        if k in src:
+            body_extra[k] = src[k]
+    while True:
+        top = list_snapshot_versions(state_root)[-1]
+        try:
+            return commit_manifest(
+                state_root,
+                src["data_dir"],
+                version=top + 1,
+                schema_json=src.get("schema"),
+                allow_incompatible=True,  # content == v's, by identity
+                extra=body_extra,
+            )
+        except FileExistsError:
+            continue  # metadata-only retry at the new top
+
+
 REFS_DIR = "_refs"
 _REF_NAME_RE = re.compile(r"[A-Za-z0-9_.-]{1,64}\Z")
 

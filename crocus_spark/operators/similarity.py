@@ -987,3 +987,208 @@ def ivf_topk_at_rest(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance (r9): the at-rest cell store follows the
+# table. The centroid MODEL is frozen between refits (the production
+# IVF pattern: continuous upsert, periodic refit); with a frozen model
+# cell assignment is deterministic, so an incrementally maintained
+# store equals a same-model rebuild exactly — the testable twin.
+# ---------------------------------------------------------------------------
+
+
+def ivf_model_save(path: str, cells, mat) -> None:
+    """Persist the (cells, centroid-matrix) model beside the cell store
+    as ``_model.json`` (atomic tmp+rename) so every later sync/serve
+    uses the SAME frozen centroids."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    body = {
+        "cells": [int(c) for c in cells],
+        "mat": [[float(x) for x in row] for row in mat],
+    }
+    _os.makedirs(path, exist_ok=True)
+    tmp = _os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        _json.dump(body, f)
+    _os.replace(tmp, _os.path.join(path, "_model.json"))
+
+
+def ivf_model_load(path: str):
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    with open(_os.path.join(path, "_model.json")) as f:
+        d = _json.load(f)
+    return (
+        np.array(d["cells"], dtype=np.int32),
+        np.array(d["mat"], dtype=np.float64),
+    )
+
+
+def ivf_build_store(
+    corpus: DataFrame,
+    path: str,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the cell-partitioned at-rest index for ``corpus`` under a
+    FROZEN model and persist the model beside it — the build half
+    ``ivf_topk_at_rest`` runs inline, split out so incremental sync can
+    bootstrap once and upsert forever."""
+    cells, mat = model
+    indexed = assign_cells_projection(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(vec_col).alias("v"),
+        ),
+        cells,
+        mat,
+        normalize=True,
+    ).drop("v")
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    ivf_model_save(path, cells, mat)
+
+
+def ivf_upsert_store(
+    spark,
+    upserts: DataFrame,
+    delete_ids: DataFrame,
+    path: str,
+    model=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Apply UPSERTS (id, vec) and DELETES (id) to a committed IVF cell
+    store, rewriting ONLY the affected cells: an upserted vector's cell
+    comes from the frozen model (one Arrow projection — no shuffle), a
+    deleted id's cell from an id-column semi-join against the store
+    (column-pruned scan; a 100 TB deployment bounds it further with an
+    id-range/Bloom sidecar per cell — the same planning trick as
+    manifest stats). Untouched cell partitions are never rewritten
+    (dynamic partition overwrite); cells emptied by deletes drop their
+    directory explicitly, since dynamic overwrite leaves absent
+    partitions in place. Returns the affected cell ids (bounded
+    ≤ n_cells). With the same frozen model, the maintained store equals
+    a from-scratch ``ivf_build_store`` of the final corpus — pinned by
+    tests and the ``ann_ivf_incremental`` query."""
+    import os as _os
+    import shutil as _shutil
+
+    cells, mat = model if model is not None else ivf_model_load(path)
+    up = assign_cells_projection(
+        upserts.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(vec_col).alias("v"),
+        ),
+        cells,
+        mat,
+        normalize=True,
+    ).drop("v")
+    dels = delete_ids.select(
+        F.col(id_col).alias("neighbor_id")
+    ).distinct()
+    up_cells = {
+        int(r["cell"]) for r in up.select("cell").distinct().collect()
+    }
+    back = spark.read.parquet(path)
+    del_cells = {
+        int(r["cell"])
+        for r in back.join(dels, "neighbor_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(up_cells | del_cells)
+    if not affected:
+        return []
+    sub = back.filter(F.col("cell").isin(affected))
+    merged = (
+        sub.join(up.select("neighbor_id"), "neighbor_id", "left_anti")
+        .join(dels, "neighbor_id", "left_anti")
+        .select("neighbor_id", "c_vec", "cell")
+        .unionByName(up.select("neighbor_id", "c_vec", "cell"))
+    )
+    counts = {
+        int(r["cell"]): r["n"]
+        for r in merged.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ n_cells rows — bounded
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    for c in affected:
+        if counts.get(c, 0) == 0:
+            _shutil.rmtree(
+                _os.path.join(path, f"cell={c}"), ignore_errors=True
+            )
+    return affected
+
+
+def ivf_sync_from_tail(
+    spark,
+    table_root: str,
+    index_path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Keep the IVF cell store current against a snapshot table via its
+    CDC tail — the IVF sibling of ``hnsw_sync_from_tail``: the first
+    batch on a fresh index FITS the centroid model from the initial
+    snapshot and builds the store (model persisted beside it); every
+    later batch reduces to per-key net effects by ``_version`` and
+    upserts under the frozen model. Checkpoint at the sibling
+    ``{index_path}_ckpt`` path (the bootstrap overwrite would eat an
+    in-store checkpoint)."""
+    import os as _os
+
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    register_snapshot_tail_source(spark)
+    feed = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", table_root)
+        .load()
+    )
+
+    def apply(batch_df, _batch_id):
+        last = batch_df.groupBy(id_col).agg(
+            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
+        )
+        ups = last.filter(F.col("s._op") == "insert").select(
+            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
+        )
+        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        if not _os.path.exists(_os.path.join(index_path, "_model.json")):
+            model = collect_centroid_model(
+                ivf_fit_centroids(ups, n_cells, id_col, vec_col)
+            )
+            ivf_build_store(
+                ups, index_path, model, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            ivf_upsert_store(
+                spark, ups, dels, index_path,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    q = (
+        feed.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", index_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -5468,3 +5468,108 @@ def multimodal_video_rle_frames(spark, sf_dir):
     return _pin_sorted(
         V.extract_video_frames_rle(media), "doc_id", "frame"
     )
+
+
+@register(
+    "ann_ivf_incremental",
+    oracle=None,  # approximate top-k (rows-only policy of the ANN
+    # family). The strong check rides INSIDE the query: with the
+    # centroid model FROZEN (persisted at bootstrap), the incrementally
+    # maintained cell store's probe results are asserted EQUAL to a
+    # from-scratch same-model rebuild's, and untouched cell partitions
+    # are asserted byte-identical (never rewritten).
+    tags=("llm", "similarity", "storage", "cdc"),
+)
+def ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index upkeep off the CDC tail — the cell-store
+    sibling of `ann_hnsw_incremental`, closing the r8 verdict's
+    "rebuild only touched shards/CELLS off the change feed" in both
+    index families: `ivf_sync_from_tail` bootstraps by fitting the
+    centroid model from the initial snapshot (persisted as
+    `_model.json` beside the store — the production freeze-and-refit
+    cadence), then applies each batch's per-key net effect under the
+    FROZEN model, rewriting only the cells the churn touches. An
+    upserted vector's cell comes from the model (one Arrow projection);
+    a deleted id's cell from a column-pruned id semi-join. The query
+    asserts ≥ 2 untouched cell partitions keep byte-identical parquet
+    files across the sync and that probes against the maintained store
+    equal a same-model rebuild of the table's final state exactly —
+    frozen-model assignment is deterministic, so incremental == rebuild
+    is an equality, not an approximation."""
+    import os
+    import shutil
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import (
+        ivf_build_store,
+        ivf_model_load,
+        ivf_sync_from_tail,
+        ivf_topk_at_rest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("ivf_inc_table")
+    index = _scratch("ivf_inc_index")
+    rebuilt = _scratch("ivf_inc_rebuild")
+    for p in (table, index, index + "_ckpt", rebuilt):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)                   # v0
+    ivf_sync_from_tail(spark, table, index, n_cells=8)           # bootstrap
+    low3 = [r["vec_id"] for r in
+            corpus.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    appended = (
+        corpus.orderBy(F.desc("vec_id")).limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    commit_append(appended.coalesce(1), table)                   # v1
+    commit_equality_deletes(
+        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        table, ["vec_id"],
+    )                                                            # v2
+
+    def cell_bytes(path):
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("cell="):
+                continue
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                with open(os.path.join(path, d, f), "rb") as fh:
+                    out[f"{d}/{f}"] = fh.read()
+        return out
+
+    before = cell_bytes(index)
+    ivf_sync_from_tail(spark, table, index, n_cells=8)           # upsert
+    after = cell_bytes(index)
+    untouched_cells = {
+        k.split("/")[0]
+        for k in before
+        if after.get(k) == before[k]
+    }
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert len(untouched_cells) >= 2, (len(untouched_cells), len(before))
+    assert changed, "the churn must have rewritten at least one cell"
+    # exact twin: same frozen model over the table's final state
+    model = ivf_model_load(index)
+    ivf_build_store(
+        read_snapshot(spark, table).select("vec_id", "embedding"),
+        rebuilt, model,
+    )
+    def serve(path):
+        return ivf_topk_at_rest(
+            spark, probes, None, path, k=5, n_cells=8, nprobe=4,
+            model=model, reuse_store=True,
+        ).select("query_id", "neighbor_id", "cos", "rank")
+    inc = serve(index).orderBy("query_id", "rank")
+    ref = serve(rebuilt).orderBy("query_id", "rank")
+    assert [tuple(r) for r in inc.collect()] == [
+        tuple(r) for r in ref.collect()
+    ], "incrementally maintained IVF store diverged from a rebuild"
+    return inc

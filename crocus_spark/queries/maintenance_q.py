@@ -934,3 +934,67 @@ def snapshot_time_travel_ts(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "snapshot_restore_rollback",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "value_sum")}
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("maintenance", "snapshot", "restore", "lakehouse"),
+)
+def snapshot_restore_rollback(spark, sf_dir):
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` as pure metadata:
+    after a bad delete (v1) and a bad append (v2), ``restore_snapshot``
+    commits v3 whose manifest references v0's data verbatim — zero
+    bytes copied, history preserved (v1/v2 stay readable), readers
+    pinned mid-restore untouched. The query asserts the restore shares
+    v0's data_dir (the zero-copy proof) and records its provenance
+    (``restored_from``), then reads the LATEST version; the oracle
+    recomputes v0's content from the fixture, so a hash match proves
+    the rollback reconstructed the pre-damage state exactly — the
+    un-delete included, which is why the CDC tail refuses restores as
+    deltas (tests pin that refusal)."""
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        read_manifest,
+        restore_snapshot,
+    )
+
+    root = _scratch("restore_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    day0 = events.filter(F.pmod("event_id", F.lit(3)) == 0)
+    commit_snapshot(day0.coalesce(2), root)                     # v0
+    bad_cohort = (
+        events.filter(F.pmod("user_id", F.lit(5)) == 2)
+        .select("user_id")
+        .distinct()
+    )
+    commit_equality_deletes(bad_cohort, root, ["user_id"])      # v1: bad
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1),
+        root,
+    )                                                           # v2: bad
+    v = restore_snapshot(root, 0)                               # v3
+    m0, m3 = read_manifest(root, 0), read_manifest(root, v)
+    assert m3["data_dir"] == m0["data_dir"], "restore must be zero-copy"
+    assert m3["restored_from"] == 0 and m3.get("deletes") is None
+    return (
+        read_snapshot(spark, root)  # latest == the restore
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -976,3 +976,93 @@ def stream_cdc_eq_preimages(spark, sf_dir):
         )
         .orderBy("version")
     )
+
+
+@register(
+    "stream_cdc_starting_timestamp",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'delete_key' AS op, 2 AS version, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 3)
+      UNION ALL
+      SELECT 'insert', 3, COUNT(*), COUNT(DISTINCT user_id)
+      FROM events WHERE event_id % 3 = 2
+    ) WHERE n > 0
+    ORDER BY version
+    """,
+    tags=("streaming", "cdc", "snapshot", "timetravel"),
+)
+def stream_cdc_starting_timestamp(spark, sf_dir):
+    """Delta's ``startingTimestamp`` on the CDC tail, driven by the r9
+    manifest commit clocks: the consumer opts OUT of the initial
+    snapshot load and takes only the changes committed at or after an
+    instant — ``option("starting_timestamp", t)`` resolves against the
+    strictly-monotone ``committed_at_ms`` fields (first version with
+    commit time >= t), so "give me everything since last night's run"
+    needs no version bookkeeping on the consumer side. The store
+    accrues v0 (day-0 snapshot), v1 (day-1 append), v2 (cohort
+    equality delete), v3 (day-2 append); the tail starts at v2's exact
+    commit instant and the oracle recomputes ONLY v2+v3's deltas from
+    the fixture — a hash match proves the cut is boundary-exact: v0/v1
+    history is never re-read, nothing after the instant is missed."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_manifest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    register_snapshot_tail_source(spark)
+    root = _scratch("cdc_start_ts_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    commit_snapshot(
+        events.filter(F.pmod("event_id", F.lit(3)) == 0).coalesce(2), root
+    )                                                            # v0
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1), root
+    )                                                            # v1
+    cohort = (
+        events.filter(F.pmod("user_id", F.lit(7)) == 3)
+        .select("user_id")
+        .distinct()
+    )
+    commit_equality_deletes(cohort, root, ["user_id"])           # v2
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 2).coalesce(1), root
+    )                                                            # v3
+    t2 = read_manifest(root, 2)["committed_at_ms"]
+    name = f"cdc_start_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .option("starting_timestamp", str(t2))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.table(name)
+    return (
+        feed.groupBy(
+            F.col("_op").alias("op"),
+            F.col("_version").cast("int").alias("version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("version")
+    )

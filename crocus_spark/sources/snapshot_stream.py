@@ -189,14 +189,51 @@ class _SnapshotTailReader(DataSourceStreamReader):
         # is strictly worse than one big catch-up batch. From the
         # second batch on, every batch advances ≤ N versions.
         self.versions_per_batch = int(options.get("versions_per_batch", 0))
+        # Feed start point (Delta's startingVersion/startingTimestamp):
+        # versions BEFORE it are never emitted — the consumer opts out
+        # of the initial-snapshot load and takes changes from there on.
+        # starting_timestamp resolves against the manifests' recorded
+        # committed_at_ms: the first version committed AT or AFTER the
+        # instant (strictly-monotone commit clocks make this unique).
+        sv = options.get("starting_version")
+        st = options.get("starting_timestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "use starting_version OR starting_timestamp, not both"
+            )
+        self.starting_version = None if sv is None else int(sv)
+        self._starting_timestamp = st
         # data fields = committed schema; the feed appends _op/_version
         self.data_fields = [f.name for f in schema.fields[:-2]]
         self._schema_json = schema.json()
         self._pa_schema = None
         self._anchor = None  # highest end offset this instance has seen
 
+    def _resolve_start(self) -> int:
+        if self.starting_version is not None:
+            return self.starting_version
+        if self._starting_timestamp is None:
+            return 0
+        import datetime
+
+        ts = self._starting_timestamp
+        if isinstance(ts, str) and not ts.lstrip("-").isdigit():
+            dt = datetime.datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            want = int(dt.timestamp() * 1000)
+        else:
+            want = int(ts)
+        for v in _committed_versions(self.root):
+            c = _read_manifest(self.root, v).get("committed_at_ms")
+            if c is not None and int(c) >= want:
+                return v
+        # nothing committed at/after the instant yet: start at the tail
+        versions = _committed_versions(self.root)
+        return (versions[-1] + 1) if versions else 0
+
     def initialOffset(self) -> dict:
-        return {"v": 0}
+        return {"v": self._resolve_start()}
 
     def latestOffset(self) -> dict:
         versions = _committed_versions(self.root)
@@ -395,6 +432,18 @@ class _SnapshotTailReader(DataSourceStreamReader):
                             _FilePartition(_os.path.join(base, rel), v)
                         )
                 continue
+            if cur.get("restored_from") is not None:
+                # a RESTORE can un-delete rows (shrink the cumulative
+                # delete sets) — not representable as a delta; refuse
+                # like a rewrite, skippable under the same option
+                if self.skip_rewrites:
+                    continue
+                raise RuntimeError(
+                    f"version {v} is a restore of version "
+                    f"{cur['restored_from']}: a CDC tail cannot represent "
+                    "a restore as a delta (it may un-delete rows) — set "
+                    "option skip_rewrites=true to skip it explicitly"
+                )
             if cur["data_dir"] != prev["data_dir"]:
                 if self.skip_rewrites:
                     continue
@@ -404,6 +453,15 @@ class _SnapshotTailReader(DataSourceStreamReader):
                     "set option skip_rewrites=true to skip layout-only "
                     "rewrites (compaction), as with Delta skipChangeCommits"
                 )
+            for kind in ("deletes", "pos_deletes"):
+                if prev.get(kind) is not None and cur.get(kind) is None:
+                    # only a restore (marked above) or a hand-edited
+                    # manifest can shrink a cumulative set — never the
+                    # commit protocol, whose delete commits always union
+                    raise RuntimeError(
+                        f"version {v} dropped its cumulative {kind} set: "
+                        "un-deletes cannot be represented as a delta"
+                    )
             prev_appends = {
                 a["data_dir"] for a in prev.get("append_dirs", [])
             }

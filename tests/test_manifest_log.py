@@ -1121,3 +1121,42 @@ def test_compaction_lost_race_never_reverts_concurrent_commit(
     assert final.count() == 400
     # and the compacted manifest carries no delete set (it folded them)
     assert read_manifest(root, v).get("deletes") is None
+
+
+def test_restore_is_zero_copy_and_preserves_history(spark, tmp_path):
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        restore_snapshot,
+    )
+
+    root = str(tmp_path / "store")
+    base = spark.range(0, 200).selectExpr("id AS k", "id % 5 AS g")
+    commit_snapshot(base.coalesce(1), root)                       # v0
+    commit_equality_deletes(
+        spark.createDataFrame([(2,)], "g long"), root, ["g"]
+    )                                                             # v1
+    commit_append(
+        spark.range(200, 230).selectExpr("id AS k", "id % 5 AS g")
+        .coalesce(1),
+        root,
+    )                                                             # v2
+    v = restore_snapshot(root, 0)
+    assert v == 3
+    m0, m3 = read_manifest(root, 0), read_manifest(root, 3)
+    assert m3["data_dir"] == m0["data_dir"]  # zero bytes copied
+    assert m3["restored_from"] == 0
+    assert read_snapshot(spark, root).count() == 200  # v0 content back
+    # history intact: v2 = (200 - 40 deleted g=2) + (30 appended - 6
+    # appended rows the cumulative delete also erases) = 184
+    assert read_snapshot(spark, root, 2).count() == 184
+    # expiry refcounting: dropping v0-v2 keeps the dir the restore shares
+    gone = expire_snapshots(root, keep_last=1)
+    assert gone == [0, 1, 2]
+    assert read_snapshot(spark, root, 3).count() == 200
+    # restoring a nonexistent / legacy version fails loud
+    with pytest.raises(FileNotFoundError):
+        restore_snapshot(root, 99)

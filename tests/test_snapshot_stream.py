@@ -434,3 +434,75 @@ def test_apply_cdc_delete_then_reinsert_survives_one_batch(spark, tmp_path):
         for r in state.collect()
     }
     assert got == {1: (1, 100.0), 2: (1, 5.0)}
+
+
+def test_starting_version_and_timestamp_cut_the_feed(spark, tmp_path):
+    """Delta's startingVersion/startingTimestamp: the consumer skips
+    the initial load and takes changes from the cut on; the timestamp
+    form resolves against the manifests' monotone committed_at_ms."""
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0 (300), v1 (+100)
+    commit_append(
+        spark.range(400, 430).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+        ).coalesce(1),
+        root,
+    )  # v2
+    name = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        starting_version="1",
+    )
+    feed = spark.table(name)
+    assert feed.filter("_version = 0").count() == 0
+    assert feed.filter("_version = 1").count() == 100
+    assert feed.filter("_version = 2").count() == 30
+    t2 = read_manifest(root, 2)["committed_at_ms"]
+    name2 = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        starting_timestamp=str(t2),
+    )
+    feed2 = spark.table(name2)
+    assert feed2.count() == 30 and feed2.filter("_version = 2").count() == 30
+    # both at once is a config error, raised at stream start
+    with pytest.raises(Exception, match="not both"):
+        _drain(
+            spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+            starting_version="1", starting_timestamp=str(t2),
+        )
+
+
+def test_restore_refused_as_delta_and_shrink_guard(spark, tmp_path):
+    """A RESTORE can un-delete rows — the tail refuses it by default
+    (skippable like a rewrite); a manifest whose cumulative delete set
+    vanished WITHOUT the restore marker also fails loudly."""
+    import json as _json
+    import os as _os
+
+    from crocus_spark.operators.maintenance import (
+        _manifest_file,
+        restore_snapshot,
+    )
+
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0, v1
+    commit_equality_deletes(
+        spark.createDataFrame([(3,)], "g long"), root, ["g"]
+    )  # v2
+    restore_snapshot(root, 1)  # v3: un-deletes cohort g=3
+    with pytest.raises(Exception, match="restore"):
+        _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    name = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        skip_rewrites="true",
+    )
+    assert spark.table(name).filter("_version = 3").count() == 0
+    # strip the restore marker but keep the shrunken delete set: the
+    # un-delete is now unmarked — the shrink guard must fire
+    mf = _manifest_file(root, 3)
+    m = _json.load(open(mf))
+    del m["restored_from"]
+    with open(mf, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(Exception, match="shrank|dropped"):
+        _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    _os.unlink(mf)  # leave the store consistent for teardown
