@@ -1066,3 +1066,86 @@ def stream_cdc_starting_timestamp(spark, sf_dir):
         )
         .orderBy("version")
     )
+
+
+@register(
+    "stream_cdc_apply_minmax",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value
+    FROM events
+    WHERE event_id % 3 <= 1
+      AND event_id % 50 <> 1
+      AND event_type <> 'error'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "snapshot", "merge"),
+)
+def stream_cdc_apply_minmax(spark, sf_dir):
+    """NON-distributive aggregate maintenance off the CDC feed — the
+    case additive algebra cannot cover (you cannot subtract a deleted
+    row from a MAX) and the reason the tail's ``eq_pre_images`` option
+    exists: the equality delete here is keyed on ``event_type`` — NOT
+    the group key — so a key-only tombstone would carry ``user_id``
+    NULL and the consumer could not know which groups went dirty (the
+    consumer fails loudly in that configuration). With pre-images,
+    every deleted row carries its group: each batch derives the exact
+    DIRTY-GROUP set from the feed, recomputes ONLY those groups against
+    the source pinned at the batch's newest version, and carries every
+    other group's state over untouched — per-batch cost is churn +
+    dirty-group sized, never a full recompute. Producer commits: day-0
+    snapshot, day-1 append, a positional row deletion, then the
+    event_type='error' equality erasure. The oracle computes the final
+    per-user count/max/min straight from the fixture: hash-green
+    proves feed pre-images, dirty-set derivation, and group-pruned
+    recompute compose to the truth."""
+    import shutil
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_positional_deletes,
+        commit_snapshot,
+        read_snapshot_with_positions,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+    from crocus_spark.streaming.ops import foreach_batch_apply_cdc_groups
+
+    register_snapshot_tail_source(spark)
+    src = _scratch("cdc_minmax_src")
+    derived = _scratch("cdc_minmax_derived")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(derived, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    commit_snapshot(
+        events.filter(F.pmod("event_id", F.lit(3)) == 0).coalesce(2), src
+    )                                                            # v0
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1), src
+    )                                                            # v1
+    live = read_snapshot_with_positions(spark, src)
+    commit_positional_deletes(
+        live.filter(F.pmod("event_id", F.lit(50)) == 1).select(
+            "_file", "_pos"
+        ),
+        src,
+    )                                                            # v2
+    commit_equality_deletes(
+        spark.createDataFrame([("error",)], "event_type string"),
+        src,
+        ["event_type"],
+    )                                                            # v3
+    feed = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", src)
+        .option("eq_pre_images", "true")
+        .load()
+    )
+    state = foreach_batch_apply_cdc_groups(feed, src, derived)
+    return state.select(
+        "user_id", "n_events", "max_value", "min_value"
+    ).orderBy("user_id")

@@ -548,3 +548,86 @@ def stage_stream_with_flush_sentinel(
     shutil.rmtree(tmp)
     open(done, "w").close()
     return stage
+
+
+def foreach_batch_apply_cdc_groups(
+    feed: DataFrame,
+    src_root: str,
+    derived_root: str,
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Maintain a NON-distributive per-group aggregate (min/max) from a
+    CDC feed by GROUP-PRUNED RECOMPUTE — the materialized-view
+    maintenance shape additive algebra can't cover: you cannot subtract
+    a deleted row from a MAX. Instead, each batch derives its DIRTY
+    GROUP set from the feed rows' group column and recomputes ONLY
+    those groups against the source table pinned at the batch's newest
+    version; every other group's state carries over untouched. Cost per
+    batch: churn-sized feed scan + a source scan semi-joined down to
+    dirty groups (partition/stats-pruned on a group-clustered store) —
+    never a full recompute.
+
+    This is exactly what the tail's ``eq_pre_images`` option exists
+    for: an equality delete keyed on a NON-group column (here:
+    event_type) arrives as key-only tombstones with the group column
+    NULL — the dirty set would be unknowable and this function raises;
+    with pre-images every deleted row carries its group, so the dirty
+    set is exact. Exactly-once via version=batch_id replace commits, as
+    the other foreachBatch consumers."""
+    from crocus_spark.operators.maintenance import (
+        commit_snapshot,
+        list_snapshot_versions,
+        read_snapshot,
+    )
+
+    spark = feed.sparkSession
+
+    def apply_batch(batch_df, batch_id):
+        blind = batch_df.filter(
+            (F.col("_op") == "delete_key") & F.col(group_col).isNull()
+        )
+        if blind.limit(1).count() > 0:
+            raise ValueError(
+                "key-only tombstone without the group column: this "
+                "consumer needs option(eq_pre_images=true) on the tail "
+                f"(group_col={group_col!r} was NULL on a delete_key row)"
+            )
+        max_v = batch_df.agg(F.max("_version")).collect()[0][0]
+        dirty = (
+            batch_df.select(group_col)
+            .where(F.col(group_col).isNotNull())
+            .distinct()
+        )
+        fresh = (
+            read_snapshot(spark, src_root, int(max_v))
+            .join(dirty, group_col, "left_semi")
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("value").alias("max_value"),
+                F.min("value").alias("min_value"),
+            )
+        )
+        prior = [
+            v for v in list_snapshot_versions(derived_root) if v < batch_id
+        ]
+        if prior:
+            carried = read_snapshot(spark, derived_root, prior[-1]).join(
+                dirty, group_col, "left_anti"
+            )
+            fresh = carried.unionByName(fresh)
+        commit_snapshot(
+            fresh, derived_root, version=batch_id, replace=True
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(derived_root, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, derived_root)

@@ -506,3 +506,46 @@ def test_restore_refused_as_delta_and_shrink_guard(spark, tmp_path):
     with pytest.raises(Exception, match="shrank|dropped"):
         _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
     _os.unlink(mf)  # leave the store consistent for teardown
+
+
+def test_group_recompute_consumer_requires_preimages(spark, tmp_path):
+    """foreach_batch_apply_cdc_groups maintains a per-group MAX by
+    group-pruned recompute; fed key-only tombstones whose delete key is
+    NOT the group column it must fail loudly — the dirty-group set
+    would be unknowable — and with eq_pre_images it must converge to
+    the truth."""
+    from crocus_spark.operators.maintenance import commit_snapshot
+    from crocus_spark.streaming.ops import foreach_batch_apply_cdc_groups
+
+    register_snapshot_tail_source(spark)
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 99.0, "b"), (2, 5.0, "a"), (2, 7.0, "b")],
+        "user_id long, value double, tag string",
+    )
+    commit_snapshot(base.coalesce(1), src)  # v0
+    commit_equality_deletes(
+        spark.createDataFrame([("b",)], "tag string"), src, ["tag"]
+    )  # v1: keyed on tag, NOT user_id
+    feed_blind = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", src)
+        .load()
+    )
+    with pytest.raises(Exception, match="eq_pre_images"):
+        foreach_batch_apply_cdc_groups(
+            feed_blind, src, str(tmp_path / "d1")
+        )
+    feed = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", src)
+        .option("eq_pre_images", "true")
+        .load()
+    )
+    state = foreach_batch_apply_cdc_groups(feed, src, str(tmp_path / "d2"))
+    got = {
+        r.user_id: (r.n_events, r.max_value, r.min_value)
+        for r in state.collect()
+    }
+    # tag='b' rows died: user 1 max falls from 99 to 10
+    assert got == {1: (1, 10.0, 10.0), 2: (1, 5.0, 5.0)}
