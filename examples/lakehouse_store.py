@@ -11,7 +11,12 @@ lakehouse lifecycle the engine grew across rounds 6-7, in one script:
 5. PUBLISH through a branch with write-audit-publish (bad batches
    never reach ``main``);
 6. COMPACT — folding the delete set physically;
-7. EXPIRE history (branch-pinned versions survive).
+7. EXPIRE history (branch-pinned versions survive);
+8-11. GROW O(delta): append commits, positional dedup of a re-delivered
+   batch, the CDC tail replay, VACUUM of crashed-writer debris;
+12-14. ROUND 9: ``TIMESTAMP AS OF`` reads off the manifest commit
+   clocks, zero-copy RESTORE rollback, and a late consumer cutting
+   into the change feed by timestamp (restores refused as deltas).
 
 Everything here is the public ``crocus_spark.operators.maintenance``
 API over plain parquet + JSON manifests — no table-format library; the
@@ -214,6 +219,61 @@ def run(spark, root: str | None = None) -> dict:
     _os.makedirs(_os.path.join(feed_root, "d-crashed-writer"))
     out["vacuumed"] = vacuum_orphans(feed_root, grace_seconds=0)
     out["feed_rows_after_vacuum"] = read_snapshot(spark, feed_root).count()
+
+    # ---- round-9 lifecycle: time, rollback, and feed cuts ----
+    from crocus_spark.operators.maintenance import (
+        read_snapshot_as_of,
+        restore_snapshot,
+    )
+
+    # 12. TIMESTAMP AS OF: every commit recorded a strictly-monotone
+    #     wall time in its manifest — "the table as of just before the
+    #     duplicate delivery" needs no version bookkeeping, and a
+    #     restore/copy can't perturb it (it is not an mtime)
+    t_dup = read_manifest(feed_root, 2)["committed_at_ms"]
+    out["rows_as_of_pre_dup"] = read_snapshot_as_of(
+        spark, feed_root, t_dup - 1
+    ).count()
+
+    # 13. ROLLBACK: an operator decides the dedup cleanup (v3) was
+    #     wrong and restores v1 — pure metadata, zero bytes copied,
+    #     v2/v3 stay readable as history
+    v_restore = restore_snapshot(feed_root, 1)
+    out["restore_version"] = v_restore
+    out["rows_after_restore"] = read_snapshot(spark, feed_root).count()
+    out["restore_zero_copy"] = (
+        read_manifest(feed_root, v_restore)["data_dir"]
+        == read_manifest(feed_root, 1)["data_dir"]
+    )
+
+    # 14. a LATE consumer cuts into the feed by TIME, not version —
+    #     Delta's startingTimestamp; the restore itself is refused as a
+    #     delta (it can un-delete rows), so the consumer skips it
+    #     explicitly, exactly like compaction rewrites
+    sink2 = tempfile.mkdtemp(prefix="crocus_lakehouse_feed2_")
+    q2 = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", feed_root)
+        .option("starting_timestamp", str(t_dup))
+        .option("skip_rewrites", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink2)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="crocus_lakehouse_ckpt2_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    out["cdc_since_dup_ops"] = {
+        r["_op"]: r["n"]
+        for r in spark.read.parquet(sink2)
+        .groupBy("_op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     return out
 
 
