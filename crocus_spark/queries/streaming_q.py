@@ -1149,3 +1149,96 @@ def stream_cdc_apply_minmax(spark, sf_dir):
     return state.select(
         "user_id", "n_events", "max_value", "min_value"
     ).orderBy("user_id")
+
+
+@register(
+    "stream_cdc_windowed_totals",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS win_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE event_id % 3 <= 1
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("streaming", "cdc", "snapshot", "window"),
+)
+def stream_cdc_windowed_totals(spark, sf_dir):
+    """The CDC tail composed with Spark's BUILT-IN streaming operators —
+    not a foreachBatch escape hatch: the change feed's insert rows flow
+    straight into a tumbling event-time window aggregation
+    (`F.window(ts, '6 hours')`), proving the custom Python stream
+    source is a first-class citizen of Structured Streaming's operator
+    graph (watermarks, windows, output modes all apply to it like any
+    Kafka/file source). The store accrues two commits (day-0 snapshot +
+    day-1 append); the oracle recomputes the window totals from the
+    fixture with DuckDB's time_bucket — hash-green proves the feed's
+    Arrow batches carry timestamps with exact instant semantics through
+    the source → window → sink chain. At scale this is the shape of a
+    streaming rollup maintained directly off the table's change feed,
+    state bounded by open windows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_snapshot,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_tail_source
+
+    register_snapshot_tail_source(spark)
+    root = _scratch("cdc_window_store")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    commit_snapshot(
+        events.filter(F.pmod("event_id", F.lit(3)) == 0).coalesce(2), root
+    )
+    commit_append(
+        events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1), root
+    )
+    name = f"cdc_win_{uuid.uuid4().hex[:8]}"
+    # scope state-store width for the query's lifetime (the stateful
+    # operator pins its store count to this conf at first start; the
+    # session's batch-tuned 32 would cost 32 stores of per-batch commit
+    # fsyncs for a fixture-sized stream — same rationale as
+    # streaming.ops.run_available_now)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "8")
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .load()
+            .filter(F.col("_op") == "insert")
+            .groupBy(F.window("ts", "6 hours"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, prev)
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n",
+            "value_sum",
+        )
+        .orderBy("win_start")
+    )

@@ -549,3 +549,27 @@ def test_group_recompute_consumer_requires_preimages(spark, tmp_path):
     }
     # tag='b' rows died: user 1 max falls from 99 to 10
     assert got == {1: (1, 10.0, 10.0), 2: (1, 5.0, 5.0)}
+
+
+def test_tail_reads_mixed_schema_history_with_typed_nulls(spark, tmp_path):
+    """Additive schema evolution across the feed's history: files
+    committed BEFORE a nullable column existed emit typed NULLs for it
+    (the stream schema is the latest committed writer schema, pinned at
+    stream start — Delta pins its stream schema the same way)."""
+    from crocus_spark.operators.maintenance import commit_snapshot
+
+    register_snapshot_tail_source(spark)
+    root = str(tmp_path / "store")
+    old = spark.range(0, 50).selectExpr("id AS k", "id % 7 AS g")
+    commit_snapshot(old.coalesce(1), root)  # v0: no 'note' column
+    widened = spark.range(50, 80).selectExpr(
+        "id AS k", "id % 7 AS g", "nullif(concat('n', id), '') AS note"
+    )
+    commit_append(widened.coalesce(1), root)  # v1: adds nullable note
+    name = _drain(spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"))
+    feed = spark.table(name)
+    assert feed.count() == 80
+    assert "note" in feed.columns
+    assert feed.filter("_version = 0 AND note IS NOT NULL").count() == 0
+    assert feed.filter("_version = 1 AND note IS NULL").count() == 0
+    assert feed.filter("note = 'n51'").count() == 1
