@@ -1,0 +1,176 @@
+"""Model-based randomized check of the snapshot-store commit protocol
+AND the CDC tail, end to end: a seeded random sequence of lifecycle
+operations (full commit, append, equality delete, positional delete,
+compaction, restore) is applied BOTH to a real store through the public
+API and to a trivial in-memory model (a dict of rows keyed by a unique
+k). Invariants checked per sequence:
+
+- ``read_snapshot(latest)`` equals the model's final state;
+- a RANDOM HISTORICAL version equals the model's state as of that
+  version (time travel over arbitrary op interleavings);
+- ``resolve_version_as_of`` at each version's recorded commit instant
+  returns that version;
+- a full CDC drain with ``skip_rewrites=true`` REPLAYS to the final
+  state: inserts add rows, positional pre-images remove exactly their
+  rows, key tombstones remove their cohort — for any interleaving that
+  contains no RESTORE (a restore changes content while being skipped,
+  so replay-equality is not expected — that asymmetry is the reason
+  the tail refuses restores by default).
+
+Single-op behaviors all have directed tests elsewhere; this file exists
+for the INTERLEAVINGS nobody writes directed tests for (delete after
+compaction after append, restore then append then delete, ...).
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from crocus_spark.operators.maintenance import (
+    commit_append,
+    commit_equality_deletes,
+    commit_positional_deletes,
+    commit_snapshot,
+    compact_snapshot,
+    list_snapshot_versions,
+    read_manifest,
+    read_snapshot,
+    read_snapshot_with_positions,
+    resolve_version_as_of,
+    restore_snapshot,
+)
+from crocus_spark.sources import register_snapshot_tail_source
+
+COLS = "k long, g long, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, k % 5, k * 0.5) for k in rows], COLS
+    ).coalesce(1)
+
+
+def _run_sequence(spark, root: str, rng: random.Random):
+    """Apply 5-7 random ops; returns (history, had_restore) where
+    history[i] = (version, frozenset of live ks after that commit)."""
+    next_k = 0
+
+    def fresh(n):
+        nonlocal next_k
+        ks = list(range(next_k, next_k + n))
+        next_k += n
+        return ks
+
+    live: set[int] = set(fresh(rng.randint(5, 30)))
+    commit_snapshot(_df(spark, sorted(live)), root)  # v0
+    history = [(0, frozenset(live))]
+    had_restore = False
+    for _ in range(rng.randint(4, 6)):
+        versions = list_snapshot_versions(root)
+        op = rng.choice(
+            ["append", "eq_delete", "pos_delete", "compact", "restore"]
+        )
+        if op == "append":
+            ks = fresh(rng.randint(1, 15))
+            v = commit_append(_df(spark, ks), root)
+            live |= set(ks)
+        elif op == "eq_delete" and live:
+            doomed = rng.sample(sorted(live), rng.randint(1, len(live)))
+            # occasionally re-delete an already-dead key: the delta
+            # recording must not re-emit it
+            dead = history[0][1] - live
+            if dead and rng.random() < 0.5:
+                doomed.append(rng.choice(sorted(dead)))
+            v = commit_equality_deletes(
+                spark.createDataFrame([(int(k),) for k in doomed], "k long"),
+                root,
+                ["k"],
+            )
+            live -= set(doomed)
+        elif op == "pos_delete" and live:
+            doomed = set(
+                rng.sample(sorted(live), rng.randint(1, len(live)))
+            )
+            wp = read_snapshot_with_positions(spark, root)
+            v = commit_positional_deletes(
+                wp.filter(
+                    F.col("k").isin([int(k) for k in doomed])
+                ).select("_file", "_pos"),
+                root,
+            )
+            live -= doomed
+        elif op == "compact":
+            v, _stats = compact_snapshot(
+                spark, root, target_file_bytes=1 << 20
+            )
+        elif op == "restore" and len(versions) > 1:
+            target = rng.choice(versions[:-1])
+            v = restore_snapshot(root, target)
+            live = set(dict(history)[target])
+            had_restore = True
+        else:
+            continue
+        history.append((v, frozenset(live)))
+    return history, had_restore
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_lifecycle_matches_model(spark, seed):
+    rng = random.Random(seed)
+    root = tempfile.mkdtemp(prefix=f"model_store_{seed}_")
+    history, had_restore = _run_sequence(spark, root, rng)
+
+    def store_ks(version=None):
+        return frozenset(
+            r.k for r in read_snapshot(spark, root, version).collect()
+        )
+
+    # final state
+    final_v, final_live = history[-1]
+    assert store_ks() == final_live, f"seed {seed}: final state diverged"
+    # a random historical version time-travels to the model's state then
+    v, expected = rng.choice(history)
+    assert store_ks(v) == expected, f"seed {seed}: v{v} diverged"
+    # timestamp resolution is exact at every commit instant
+    for v, _ks in history:
+        ts = read_manifest(root, v)["committed_at_ms"]
+        assert resolve_version_as_of(root, ts) == v
+    # CDC replay (no restore in the interleaving): the feed's ops
+    # reconstruct the final state exactly
+    if had_restore:
+        return
+    register_snapshot_tail_source(spark)
+    name = f"model_feed_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .option("skip_rewrites", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="model_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    replay: set[int] = set()
+    for r in (
+        spark.table(name)
+        .select("k", "_op", "_version")
+        .orderBy("_version")
+        .collect()
+    ):
+        if r["_op"] == "insert":
+            replay.add(r.k)
+        else:  # delete pre-image or key tombstone: both carry k here
+            replay.discard(r.k)
+    assert frozenset(replay) == final_live, (
+        f"seed {seed}: CDC replay diverged from the table"
+    )
