@@ -593,6 +593,8 @@ def foreach_batch_apply_cdc_groups(
                 f"(group_col={group_col!r} was NULL on a delete_key row)"
             )
         max_v = batch_df.agg(F.max("_version")).collect()[0][0]
+        if max_v is None:
+            return  # empty micro-batch (a no-change drain): nothing dirty
         dirty = (
             batch_df.select(group_col)
             .where(F.col(group_col).isNotNull())
