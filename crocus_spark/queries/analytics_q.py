@@ -3781,3 +3781,110 @@ def stats_fdr_benjamini_hochberg(spark, sf_dir):
         )
         .orderBy("bh_rank")
     )
+
+
+@register(
+    "series_holt_linear_smooth",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), rec AS (
+      -- rec(i=1) is the PRE-fold seed (s, b) = (x0, x1 - x0); the step
+      -- i -> i+1 consumes x_i's successor, so the recursion replays the
+      -- engine fold's IEEE steps row by row from the same seed
+      SELECT a.event_type, CAST(1 AS BIGINT) AS i, a.x AS s, b.x - a.x AS b
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.i = 2
+      WHERE a.i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             0.5 * n.x + 0.5 * (r.s + r.b),
+             0.25 * ((0.5 * n.x + 0.5 * (r.s + r.b)) - r.s) + 0.75 * r.b
+      FROM rec r JOIN idx n
+        ON n.event_type = r.event_type AND n.i = r.i + 1
+    )
+    SELECT r.event_type, i.n_days AS n_days,
+           CAST(r.s AS FLOAT) AS level,
+           CAST(r.b AS FLOAT) AS trend,
+           CAST(r.s + r.b AS FLOAT) AS forecast_1
+    FROM rec r
+    JOIN (SELECT event_type, MAX(n_days) AS n_days FROM idx GROUP BY event_type) i
+      ON i.event_type = r.event_type AND r.i = i.n_days
+    ORDER BY r.event_type
+    """,
+    tags=("analytics", "series", "forecast"),
+)
+def series_holt_linear_smooth(spark, sf_dir):
+    """Holt's LINEAR-TREND double exponential smoothing (the classic
+    short-horizon forecaster; Holt 1957 / Hyndman-Athanasopoulos FPP
+    §8.2) over each event type's daily total series — the recurrence
+      s_t = α·x_t + (1−α)(s_{t−1} + b_{t−1})
+      b_t = γ(s_t − s_{t−1}) + (1−γ)·b_{t−1}
+    seeded (s₀ = x₀, b₀ = x₁ − x₀), with one-step forecast s + b.
+    Unlike the window-expressible single EWMA (`series_ewma_smooth`),
+    the coupled level/trend state cannot unroll into lag taps — it is a
+    genuine ORDERED FOLD, run as `F.aggregate` (JVM higher-order
+    function, struct accumulator) over each series' day-sorted value
+    array: per-series state is 2 doubles, the fold is codegen'd, and
+    the only shuffle is the daily pre-aggregate — at 100 TB the fold
+    input is the calendar-sized daily relation, never raw events.
+
+    Determinism: α = 0.5 and γ = 0.25 are exact binary fractions, the
+    daily inputs are decimal-quantized sums cast to double, and DuckDB
+    replays the identical IEEE fold via `list_reduce` over the same
+    ordered list — bit-identical, with the float32 boundary cast
+    absorbing nothing (the doubles already agree; the cast is the
+    repo's output-boundary convention for derived IEEE expressions)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda e: e["x"],
+        ).alias("xs")
+    )
+    init = F.struct(
+        F.col("xs")[0].alias("s"),
+        (F.col("xs")[1] - F.col("xs")[0]).alias("b"),
+    )
+    lvl = lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * (  # noqa: E731
+        acc["s"] + acc["b"]
+    )
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            init,
+            lambda acc, x: F.struct(
+                lvl(acc, x).alias("s"),
+                (
+                    F.lit(0.25) * (lvl(acc, x) - acc["s"])
+                    + F.lit(0.75) * acc["b"]
+                ).alias("b"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.s").cast("float").alias("level"),
+        F.col("st.b").cast("float").alias("trend"),
+        (F.col("st.s") + F.col("st.b")).cast("float").alias("forecast_1"),
+    ).orderBy("event_type")
