@@ -557,6 +557,7 @@ def hnsw_sync_from_tail(
     ef_construction: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_rewrite: str = "fail",
 ) -> None:
     """Keep a sharded HNSW at-rest store CURRENT against a snapshot
     table by consuming its CDC tail (``crocus_snapshot_tail``) — the
@@ -567,20 +568,21 @@ def hnsw_sync_from_tail(
     one is absorbed), then either bootstraps the store (first batch on
     a fresh index) or applies :func:`hnsw_upsert_store`, which rebuilds
     only the shards whose membership changed. The stream checkpoint
-    under ``{index_path}/_checkpoint`` makes re-drains resume at the
-    committed table version — a no-change drain rewrites nothing."""
+    under the sibling ``{index_path}_ckpt`` path (an in-store checkpoint
+    would be destroyed by the bootstrap overwrite) makes re-drains
+    resume at the committed table version — a no-change drain rewrites
+    nothing. ``on_rewrite`` decides what a source-table compaction or
+    restore does to the sync: ``'fail'`` (default) surfaces the CDC
+    source's error, ``'skip'`` skips layout-only rewrites (compaction
+    never changes logical rows, so the index needs nothing — but it
+    skips restores too), ``'rebuild'`` wipes the store + checkpoint and
+    re-bootstraps from the current snapshot (always correct, full-cost);
+    see :mod:`crocus_spark.operators._tail_sync`."""
     import os
 
     from pyspark.sql import functions as F
 
-    from crocus_spark.sources import register_snapshot_tail_source
-
-    register_snapshot_tail_source(spark)
-    feed = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", table_root)
-        .load()
-    )
+    from crocus_spark.operators._tail_sync import run_tail_sync
 
     def apply(batch_df, _batch_id):
         last = batch_df.groupBy(id_col).agg(
@@ -606,10 +608,4 @@ def hnsw_sync_from_tail(
                 id_col=id_col, vec_col=vec_col,
             )
 
-    q = (
-        feed.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", index_path + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_tail_sync(spark, table_root, index_path, apply, on_rewrite)

@@ -1144,6 +1144,7 @@ def ivf_sync_from_tail(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_rewrite: str = "fail",
 ) -> None:
     """Keep the IVF cell store current against a snapshot table via its
     CDC tail — the IVF sibling of ``hnsw_sync_from_tail``: the first
@@ -1152,17 +1153,14 @@ def ivf_sync_from_tail(
     later batch reduces to per-key net effects by ``_version`` and
     upserts under the frozen model. Checkpoint at the sibling
     ``{index_path}_ckpt`` path (the bootstrap overwrite would eat an
-    in-store checkpoint)."""
+    in-store checkpoint). ``on_rewrite``: what a source-table
+    compaction/restore does to the sync — ``'fail'`` (default) raises,
+    ``'skip'`` skips layout-only rewrites (and restores — compaction-
+    only tables), ``'rebuild'`` wipes store+checkpoint and re-fits from
+    the current snapshot; see :mod:`crocus_spark.operators._tail_sync`."""
     import os as _os
 
-    from crocus_spark.sources import register_snapshot_tail_source
-
-    register_snapshot_tail_source(spark)
-    feed = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", table_root)
-        .load()
-    )
+    from crocus_spark.operators._tail_sync import run_tail_sync
 
     def apply(batch_df, _batch_id):
         last = batch_df.groupBy(id_col).agg(
@@ -1185,10 +1183,4 @@ def ivf_sync_from_tail(
                 id_col=id_col, vec_col=vec_col,
             )
 
-    q = (
-        feed.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", index_path + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_tail_sync(spark, table_root, index_path, apply, on_rewrite)

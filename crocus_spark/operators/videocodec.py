@@ -256,7 +256,7 @@ def decode_avi_frames(data: bytes, every: int = 1):
     memcpy."""
     meta = parse_avi(data)
     w, h = meta["width"], meta["height"]
-    if meta["compression"] == 1 or meta["handler"].lower() == "mrle":
+    if meta["compression"] == 1 or (meta["handler"] or "").lower() == "mrle":
         import numpy as np
 
         pal = meta["palette"]

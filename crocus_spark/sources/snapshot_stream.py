@@ -158,13 +158,19 @@ class _EqPreImagePartition(InputPartition):
     the file's rows matching any newly-deleted key, minus positions
     already dead via earlier positional deletes (those rows died at
     their own commit, not this one). Planned only for files whose
-    manifest stats overlap the keys (``eq_pre_images`` option)."""
+    manifest stats overlap the keys (``eq_pre_images`` option). For a
+    LARGE delta the keys are NOT inlined — every overlapping file gets
+    its own pickled copy of this partition, so an inlined key list
+    multiplies planning/serialization cost by (files × keys); instead
+    ``keys_dir`` points at the commit's recorded delta parquet (store-
+    relative) and the executor reads the keys itself (r9 advice)."""
 
     path: str
     keys: list[tuple]
     key_columns: list[str]
     version: int
     dead_positions: list[int] = field(default_factory=list)
+    keys_dir: str | None = None
 
 
 class _SnapshotTailReader(DataSourceStreamReader):
@@ -203,6 +209,22 @@ class _SnapshotTailReader(DataSourceStreamReader):
             )
         self.starting_version = None if sv is None else int(sv)
         self._starting_timestamp = st
+        # What a CONFIGURED start (starting_version/starting_timestamp)
+        # does when it lands exactly on the expiry boundary — the oldest
+        # surviving version, whose predecessor manifests are gone so a
+        # changes-only cut is unrecoverable. 'fail' (default) raises;
+        # 'snapshot' emits that version as the initial snapshot (full
+        # table as inserts) and takes deltas from there. Never applies
+        # to a checkpointed RESUME past expiry — that is real data loss
+        # (consumed deltas are missing) and always fails.
+        self.expired_start = str(
+            options.get("expired_start", "fail")
+        ).lower()
+        if self.expired_start not in ("fail", "snapshot"):
+            raise ValueError(
+                "expired_start must be 'fail' or 'snapshot', got "
+                f"{self.expired_start!r}"
+            )
         # data fields = committed schema; the feed appends _op/_version
         self.data_fields = [f.name for f in schema.fields[:-2]]
         self._schema_json = schema.json()
@@ -320,9 +342,16 @@ class _SnapshotTailReader(DataSourceStreamReader):
             f"data file {fname!r} not in any dir of the pinned manifest"
         )
 
+    # above this many delta keys, pre-image partitions reference the
+    # commit's delta parquet instead of inlining the key list into every
+    # overlapping file's partition (planning cost O(files + keys), not
+    # O(files × keys))
+    _INLINE_KEYS_MAX = 256
+
     def _eq_preimage_parts(
         self, prev: dict, cur: dict, keys: list[tuple],
         key_cols: list[str], version: int,
+        delta_dir: str | None = None,
     ) -> list[_EqPreImagePartition]:
         """Plan full pre-images for an equality delete: one partition
         per data file that could hold a dying row. Files are pruned by
@@ -377,6 +406,12 @@ class _SnapshotTailReader(DataSourceStreamReader):
                 tbl["file_name"].to_pylist(), tbl["row_index"].to_pylist()
             ):
                 dead_by_file.setdefault(fname, set()).add(pos)
+        # large delta + recorded delta dir: ship a POINTER, not the list
+        by_ref = (
+            delta_dir is not None and len(keys) > self._INLINE_KEYS_MAX
+        )
+        inline_keys = [] if by_ref else keys
+        keys_dir = delta_dir if by_ref else None
         parts = []
         for i, (path, fname) in enumerate(entries):
             fstats = stats[i] if use_stats and i < len(stats) else None
@@ -384,8 +419,9 @@ class _SnapshotTailReader(DataSourceStreamReader):
                 continue
             parts.append(
                 _EqPreImagePartition(
-                    path, keys, key_cols, version,
+                    path, inline_keys, key_cols, version,
                     sorted(dead_by_file.get(fname, ())),
+                    keys_dir,
                 )
             )
         return parts
@@ -404,21 +440,51 @@ class _SnapshotTailReader(DataSourceStreamReader):
             )
             if prev is None:
                 if start["v"] > 0:
-                    # The checkpoint consumed through start.v - 1, but
-                    # the predecessor manifests the delta diff needs
-                    # were EXPIRED — silently treating the survivor as
-                    # an initial snapshot would re-emit the whole table
-                    # as inserts and double-count every row downstream
-                    # (Delta fails loudly here too).
-                    raise RuntimeError(
-                        "snapshot history expired past the checkpointed "
-                        f"offset: version {v} has no predecessor "
-                        "manifest but the stream had already consumed "
-                        f"through version {start['v'] - 1} — the deltas "
-                        "in between are unrecoverable; rebuild the "
-                        "consumer from a fresh checkpoint (initial "
-                        "snapshot + new tail)"
+                    # v has no predecessor manifest: history was expired
+                    # up to here. Two very different callers land on
+                    # this branch (r9 advice) — distinguish them:
+                    # a CONFIGURED start at the expiry boundary never
+                    # consumed anything (and may opt into taking v as
+                    # the initial snapshot); a checkpointed RESUME did
+                    # consume through start.v - 1, so the missing deltas
+                    # are real data loss — silently treating the
+                    # survivor as an initial snapshot would re-emit the
+                    # whole table as inserts and double-count every row
+                    # downstream (Delta fails loudly here too).
+                    explicit = (
+                        self.starting_version is not None
+                        and start["v"] == self.starting_version
+                    ) or (
+                        self.starting_version is None
+                        and self._starting_timestamp is not None
+                        and start["v"] == self._resolve_start()
                     )
+                    if explicit and self.expired_start == "snapshot":
+                        pass  # fall through: emit v as the initial load
+                    elif explicit:
+                        raise RuntimeError(
+                            f"configured start resolves to version {v}, "
+                            "whose predecessor manifests were expired — "
+                            "a changes-only cut at the expiry boundary "
+                            "is unrecoverable (nothing was consumed; "
+                            "this is the feed's start point, not a "
+                            "resume). Either start at a later version "
+                            "whose predecessor survives, or set option "
+                            "expired_start=snapshot to emit version "
+                            f"{v} as the initial snapshot (full table "
+                            "as inserts) and take deltas from there"
+                        )
+                    else:
+                        raise RuntimeError(
+                            "snapshot history expired past the "
+                            f"checkpointed offset: version {v} has no "
+                            "predecessor manifest but the stream had "
+                            "already consumed through version "
+                            f"{start['v'] - 1} — the deltas in between "
+                            "are unrecoverable; rebuild the consumer "
+                            "from a fresh checkpoint (initial snapshot "
+                            "+ new tail)"
+                        )
                 # fresh checkpoint: the first surviving snapshot is the
                 # consumer's initial load — everything is an insert
                 groups = [(cur["data_dir"], cur["files"])] + [
@@ -477,7 +543,10 @@ class _SnapshotTailReader(DataSourceStreamReader):
                 keys, key_cols = self._delete_key_diff(prev, cur)
                 if keys and self.eq_pre_images:
                     parts.extend(
-                        self._eq_preimage_parts(prev, cur, keys, key_cols, v)
+                        self._eq_preimage_parts(
+                            prev, cur, keys, key_cols, v,
+                            cur["deletes"].get("delta_dir"),
+                        )
                     )
                 elif keys:
                     parts.append(_EqDeletePartition(keys, key_cols, v))
@@ -556,14 +625,34 @@ class _SnapshotTailReader(DataSourceStreamReader):
                 tbl = tbl.take(
                     [i for i in range(len(tbl)) if i not in dead]
                 )
-            key_tbl = pa.table(
-                {
-                    c: pa.array(
-                        [k[i] for k in partition.keys]
-                    ).cast(tbl.schema.field(c).type)
-                    for i, c in enumerate(partition.key_columns)
-                }
-            )
+            if partition.keys_dir is not None:
+                # large delta: keys were NOT inlined — read them
+                # executor-side from the commit's recorded delta parquet
+                # (duplicate key rows are harmless in a left-semi join)
+                key_tbl = (
+                    pq.read_table(
+                        _os.path.join(self.root, partition.keys_dir),
+                        columns=list(partition.key_columns),
+                    )
+                    .cast(
+                        pa.schema(
+                            [
+                                (c, tbl.schema.field(c).type)
+                                for c in partition.key_columns
+                            ]
+                        )
+                    )
+                    .combine_chunks()
+                )
+            else:
+                key_tbl = pa.table(
+                    {
+                        c: pa.array(
+                            [k[i] for k in partition.keys]
+                        ).cast(tbl.schema.field(c).type)
+                        for i, c in enumerate(partition.key_columns)
+                    }
+                )
             tbl = tbl.join(
                 key_tbl, keys=partition.key_columns, join_type="left semi"
             )

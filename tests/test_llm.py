@@ -646,3 +646,73 @@ def test_hnsw_upsert_empties_a_shard_cleanly(emb, tmp_path):
     assert back.filter(
         FF.pmod(FF.xxhash64("vec_id"), FF.lit(4)) == 1
     ).count() == 0
+
+
+def test_tail_sync_on_rewrite_policies(emb, tmp_path):
+    """A compaction on the source table breaks an index-sync stream
+    PERMANENTLY under the default policy (the checkpointed offset sits
+    below the rewrite forever — r9 advice). on_rewrite='skip' ignores
+    layout-only rewrites (logical rows unchanged, so the index needs
+    nothing) and keeps the stream alive for later deltas;
+    on_rewrite='rebuild' wipes store+checkpoint, bootstraps from a
+    batch read of the CURRENT snapshot, and tails changes after it."""
+    import os
+
+    from crocus_spark.operators.hnsw import hnsw_sync_from_tail
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_snapshot,
+        compact_snapshot,
+    )
+
+    spark = emb.sparkSession
+    vecs = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 60)
+    table = str(tmp_path / "table")
+    commit_snapshot(vecs.coalesce(4), table)  # v0
+
+    def store_ids(path):
+        return {
+            r.vec_id
+            for r in spark.read.parquet(path).select("vec_id").collect()
+        }
+
+    def graph_bytes(path):
+        gdir = os.path.join(path, "_graphs")
+        return {
+            f: open(os.path.join(gdir, f), "rb").read()
+            for f in sorted(os.listdir(gdir))
+            if f.startswith("shard-")
+        }
+
+    idx = str(tmp_path / "idx")
+    hnsw_sync_from_tail(spark, table, idx, n_shards=4)  # bootstrap at v0
+    assert len(store_ids(idx)) == 60
+    compact_snapshot(spark, table, target_file_bytes=1 << 20)  # v1 rewrite
+    with pytest.raises(Exception, match="rewrite"):
+        hnsw_sync_from_tail(spark, table, idx, n_shards=4)
+    # 'skip': the rewrite contributes nothing — graphs byte-identical
+    before = graph_bytes(idx)
+    hnsw_sync_from_tail(spark, table, idx, n_shards=4, on_rewrite="skip")
+    assert graph_bytes(idx) == before
+    # ...and the stream stays alive: a later append flows through
+    more = emb.select("vec_id", "embedding").filter(
+        (F.col("vec_id") >= 60) & (F.col("vec_id") < 80)
+    )
+    commit_append(more.coalesce(1), table)  # v2
+    hnsw_sync_from_tail(spark, table, idx, n_shards=4, on_rewrite="skip")
+    assert len(store_ids(idx)) == 80
+    # 'rebuild': a FRESH consumer whose first drain crosses the rewrite
+    # recovers by bootstrapping from the current snapshot (all 80 rows)
+    idx2 = str(tmp_path / "idx2")
+    hnsw_sync_from_tail(spark, table, idx2, n_shards=4, on_rewrite="rebuild")
+    assert store_ids(idx2) == store_ids(idx)
+    # ...and its checkpoint is live afterwards: the next delta applies
+    last = emb.select("vec_id", "embedding").filter(
+        (F.col("vec_id") >= 80) & (F.col("vec_id") < 90)
+    )
+    commit_append(last.coalesce(1), table)  # v3
+    hnsw_sync_from_tail(spark, table, idx2, n_shards=4, on_rewrite="rebuild")
+    assert len(store_ids(idx2)) == 90
+    # invalid policy value fails fast
+    with pytest.raises(ValueError, match="on_rewrite"):
+        hnsw_sync_from_tail(spark, table, idx2, n_shards=4, on_rewrite="nope")

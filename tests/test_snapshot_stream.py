@@ -573,3 +573,108 @@ def test_tail_reads_mixed_schema_history_with_typed_nulls(spark, tmp_path):
     assert feed.filter("_version = 0 AND note IS NOT NULL").count() == 0
     assert feed.filter("_version = 1 AND note IS NULL").count() == 0
     assert feed.filter("note = 'n51'").count() == 1
+
+
+def test_explicit_start_at_expiry_boundary(spark, tmp_path):
+    """A CONFIGURED start (starting_version) that lands exactly on the
+    oldest surviving version is NOT a resume — nothing was consumed —
+    so the default failure must say so (r9 advice: the old message
+    claimed the stream 'had already consumed' versions it never saw),
+    and option expired_start=snapshot lets the consumer take that
+    version as its initial snapshot (full table as inserts) and read
+    deltas from there."""
+    from crocus_spark.operators.maintenance import expire_snapshots
+
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0: 300, v1: +100
+    for lo in (400, 410, 420):
+        commit_append(
+            spark.range(lo, lo + 10).selectExpr(
+                "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+            ).coalesce(1),
+            root,
+        )  # v2..v4
+    expire_snapshots(root, keep_last=2)  # v3, v4 survive
+    oldest = list_snapshot_versions(root)[0]
+    assert oldest == 3
+    # default: fail — and with the configured-start wording, not the
+    # checkpointed-resume one
+    with pytest.raises(Exception, match="configured start"):
+        _drain(
+            spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+            starting_version=str(oldest),
+        )
+    # opt-in: the boundary version becomes the initial snapshot
+    name = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        starting_version=str(oldest), expired_start="snapshot",
+    )
+    feed = spark.table(name)
+    by = {
+        (r["_op"], r["_version"]): r["n"]
+        for r in feed.groupBy("_op", "_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # v3 = full logical state (300+100+10+10 rows), v4 = its delta only
+    assert by == {("insert", 3): 420, ("insert", 4): 10}
+    # starting ABOVE the boundary still works as a plain changes-only cut
+    name2 = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        starting_version=str(oldest + 1),
+    )
+    assert spark.table(name2).count() == 10
+
+
+def test_eq_preimage_large_delta_ships_pointer_not_keys(spark, tmp_path):
+    """Above _INLINE_KEYS_MAX delta keys, pre-image partitions carry a
+    store-relative pointer to the commit's delta parquet instead of
+    inlining the key list into every overlapping file's partition
+    (planning/pickling O(files + keys), not O(files x keys) — r9
+    advice); the emitted pre-images are identical either way."""
+    from pyspark.sql import types as T
+
+    from crocus_spark.operators.maintenance import commit_snapshot
+    from crocus_spark.sources.snapshot_stream import (
+        _EqPreImagePartition,
+        _SnapshotTailReader,
+    )
+
+    register_snapshot_tail_source(spark)
+    root = str(tmp_path / "bigdelta")
+    base = spark.range(0, 2000).selectExpr(
+        "id AS k", "id % 10 AS g", "CAST(id * 0.5 AS double) AS v"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    commit_snapshot(base, root, stats_columns=["k"])  # v0: 4 k-ranged files
+    dying = spark.range(0, 600).selectExpr("id AS k")  # 600 keys > 256
+    commit_equality_deletes(dying, root, ["k"])  # v1
+    m1 = read_manifest(root, 1)
+    schema = T.StructType.fromJson(m1["schema"])
+    schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_version", T.LongType(), False),
+        ]
+    )
+    r = _SnapshotTailReader({"path": root, "eq_pre_images": "true"}, schema)
+    parts = [
+        p
+        for p in r.partitions({"v": 1}, {"v": 2})
+        if isinstance(p, _EqPreImagePartition)
+    ]
+    assert parts, "expected pre-image partitions"
+    for p in parts:
+        assert p.keys == []  # nothing inlined
+        assert p.keys_dir == m1["deletes"]["delta_dir"]
+    # stats pruning still happened driver-side (k<600 misses the top files)
+    assert len(parts) < m1["n_files"]
+    # end-to-end: pre-images are exactly the 600 dying rows, full-width
+    name = _drain(
+        spark, root, tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        eq_pre_images="true",
+    )
+    pre = spark.table(name).filter("_op = 'delete'")
+    assert pre.count() == 600
+    assert pre.filter("v IS NULL OR g IS NULL").count() == 0
+    assert sorted(x.k for x in pre.select("k").collect()) == list(range(600))
