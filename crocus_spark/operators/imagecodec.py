@@ -258,6 +258,11 @@ def decode_image_bytes(data: bytes) -> tuple[int, int, int]:
         return decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm(data)
+    if data[:2] == b"\xff\xd8":
+        from crocus_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        w, h, c, _px = decode_jpeg_baseline(data)
+        return w, h, c
     raise ValueError(f"unrecognized image format: magic={data[:8]!r}")
 
 
@@ -363,6 +368,10 @@ def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp_pixels(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from crocus_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(data)
     raise ValueError(f"unrecognized image format: magic={data[:8]!r}")
 
 

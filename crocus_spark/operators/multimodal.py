@@ -328,3 +328,75 @@ def perceptual_hash_batch(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
     return media.mapInPandas(fn, schema)
+
+
+JPEG_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_roundtrip_verify(
+    df: DataFrame, id_col: str, quality: int = 90
+) -> DataFrame:
+    """Baseline-JPEG encode → engine decode → EXACT per-pixel verify, in
+    one Arrow batch pass (the §2B#60 JPEG row, r9 verdict task #5).
+
+    Fixture per key k: a (8·(1+k%3) − k%5) × (8·(1+k%2) − k%3) RGB image
+    whose 8×8 blocks are each a constant LCG color — the family whose
+    baseline round-trip is EXACTLY computable (constant blocks carry no
+    AC energy, so the only lossy step is DC quantization, replayed
+    closed-form by jpegcodec.jpeg_roundtrip_constant). ``decode_ok``
+    compares every decoded byte against that replay: a Huffman slip, a
+    zigzag/quant mixup, a DCT normalization error, or a color-transform
+    bug flips it to False and the arithmetic oracle hash fails. The
+    non-multiple-of-8 dims prove pad-at-encode / crop-at-decode too.
+    Images never leave the executors; only (id, geometry, flag) rows
+    come out."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators import jpegcodec as J
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w = 8 * (1 + k % 3) - k % 5
+                h = 8 * (1 + k % 2) - k % 3
+                px = J.synth_block_constant_pixels(w, h, k)
+                data = J.encode_jpeg_baseline(w, h, px, quality=quality)
+                dw, dh, dc, out = J.decode_jpeg_baseline(data)
+                ok = (dw, dh, dc) == (w, h, 3)
+                if ok:
+                    arr_in = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+                    exp = np.empty_like(arr_in)
+                    for by in range((h + 7) // 8):
+                        for bx in range((w + 7) // 8):
+                            c_in = tuple(
+                                int(v) for v in arr_in[by * 8, bx * 8]
+                            )
+                            exp[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = J.jpeg_roundtrip_constant(c_in, quality)
+                    ok = out == exp.tobytes()
+                nb = ((w + 7) // 8) * ((h + 7) // 8)
+                rows.append((k, dw, dh, dc, nb, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_channels",
+                    "n_blocks", "decode_ok",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        fn, JPEG_VERIFY_SCHEMA
+    )

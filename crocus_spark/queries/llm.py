@@ -5573,3 +5573,49 @@ def ann_ivf_incremental(spark, sf_dir):
         tuple(r) for r in ref.collect()
     ], "incrementally maintained IVF store diverged from a rebuild"
     return inc
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 3) - doc_id % 5 AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) - doc_id % 3 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST((1 + doc_id % 3) * (1 + doc_id % 2) AS INT) AS n_blocks,
+           TRUE AS decode_ok
+    FROM documents
+    WHERE doc_id % 2 = 1
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "jpeg"),
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """BASELINE JPEG decode, value-exact end-to-end (the fourth real
+    format of §2B#60, r9 verdict task #5: crawl/factsheet corpora are
+    JPEG-dominant; PNG/BMP/PPM covered by ``multimodal_real_decode``).
+    The engine carries a dependency-free ITU-T T.81 sequential-DCT
+    codec (operators/jpegcodec: quality-scaled quantization, canonical
+    Huffman entropy coding with byte stuffing, full entropy DECODE from
+    the stream's own DHT tables, dequant + IDCT + YCbCr→RGB + crop).
+
+    Proof structure mirrors ``multimodal_image_resize``: fixture images
+    are block-constant (zero AC energy), so the lossy round-trip is
+    EXACTLY computable — ``decode_ok`` compares every decoded byte
+    against the closed-form DC-only replay
+    (jpegcodec.jpeg_roundtrip_constant, the repo's IEEE-replay oracle
+    policy), and the arithmetic oracle pins geometry + the flag. A
+    Huffman slip, zigzag/quant mixup, DCT normalization error, BGR
+    swap, or pad/crop off-by-one fails the hash, not a unit test.
+    Random-pixel round-trip error bounds, grayscale, restart markers
+    and foreign-DHT decode live in tests/test_jpegcodec.py.
+
+    Scale: encode+decode+verify is one Arrow pass over spread
+    partitions (~1.4 ms/image measured); images never leave the
+    executors, only (id, geometry, flag) rows come out."""
+    docs = spread(load(spark, sf_dir, "documents"), spark).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return M.jpeg_roundtrip_verify(docs, "doc_id", quality=90).orderBy(
+        "media_id"
+    )

@@ -42,6 +42,7 @@ for _mod in (
     "pyspark.sql.conversion",
     "crocus_spark.operators.pdfcodec",
     "crocus_spark.operators.imagecodec",
+    "crocus_spark.operators.jpegcodec",
     "crocus_spark.operators.multimodal",
     "crocus_spark.normalize",
 ):
