@@ -694,3 +694,89 @@ def test_eq_preimage_large_delta_ships_pointer_not_keys(spark, tmp_path):
     assert pre.count() == 600
     assert pre.filter("v IS NULL OR g IS NULL").count() == 0
     assert sorted(x.k for x in pre.select("k").collect()) == list(range(600))
+
+
+def test_feed_schema_evolution_fails_then_restart_resumes(spark, tmp_path):
+    """Mid-stream ADDITIVE schema evolution (r9 verdict "What's
+    missing" #2): the running tail pinned its schema at start, so a
+    version committed with a NEW column fails the stream loudly with
+    the restart instruction (Delta-parity: silent null-dropping is the
+    one forbidden outcome); a RESTARTED consumer on the SAME checkpoint
+    pins the evolved schema and resumes from the committed offset,
+    emitting the new column (typed NULLs for pre-evolution versions it
+    still has to read)."""
+    from crocus_spark.sources.snapshot_stream import (
+        _SnapshotTailReader,
+    )
+    from pyspark.sql import types as T
+
+    import time as _time
+
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0, v1 (k, g, v)
+    ckpt = str(tmp_path / "ckpt")
+    rows: list[dict] = []
+
+    def collect(batch_df, _bid):
+        rows.extend(r.asDict() for r in batch_df.collect())
+
+    # a RUNNING stream (processingTime trigger), pinned at the v1 schema
+    q = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 120
+    while len(rows) < 400 and _time.monotonic() < deadline:
+        _time.sleep(0.2)
+    assert len(rows) == 400  # v0 + v1 consumed by the live stream
+    # v2 adds a nullable column while the stream is up — the pin
+    # cannot carry it; the stream must die with the restart instruction
+    widened = spark.range(400, 420).selectExpr(
+        "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v",
+        "nullif(concat('n', id), '') AS note",
+    )
+    commit_append(widened.coalesce(1), root)  # v2
+    with pytest.raises(Exception, match="schema evolved"):
+        q.awaitTermination(120)
+    assert len(rows) == 400  # nothing from v2 leaked through the pin
+    # restart: a fresh load() pins the evolved schema; same checkpoint
+    q2 = (
+        spark.readStream.format("crocus_snapshot_tail")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    new = rows[400:]
+    assert len(new) == 20  # only v2's delta — the offset survived
+    assert all(r["note"] == f"n{r['k']}" for r in new)
+    # structural: on_schema_change=ignore plans without raising and the
+    # pinned (pre-evolution) reader sees only its own columns
+    old_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_version", T.LongType(), False),
+        ]
+    )
+    strict = _SnapshotTailReader({"path": root}, old_schema)
+    with pytest.raises(RuntimeError, match="schema evolved"):
+        strict.partitions({"v": 2}, {"v": 3})
+    loose = _SnapshotTailReader(
+        {"path": root, "on_schema_change": "ignore"}, old_schema
+    )
+    assert loose.partitions({"v": 2}, {"v": 3})
+    with pytest.raises(ValueError, match="on_schema_change"):
+        _SnapshotTailReader(
+            {"path": root, "on_schema_change": "explode"}, old_schema
+        )
