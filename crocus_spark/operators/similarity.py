@@ -393,12 +393,20 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
     dim: int | None = None,
+    seed_hash=None,
 ) -> DataFrame:
     """Deterministic IVF centroid fit (spherical k-means).
 
     Seeds = the ``n_cells`` corpus vectors with the smallest xxhash64(id)
     — a seedless deterministic pseudo-random sample, stable across
-    partitionings. Each Lloyd iteration collects the MODEL (k×dim
+    partitionings. ``seed_hash`` overrides the sampling hash (a Column
+    function over the id column): pass ``dedup.portable_hash60`` over a
+    string cast when the whole fit must be replayable in an external
+    SQL oracle (xxhash64 has no DuckDB twin; the md5-based hash does —
+    the ``dq_ann_recall_probe`` monitor uses this). Either way the
+    sample is uniform-ish and content-keyed; the hash choice never
+    changes the algorithm, only cross-engine replayability.
+    Each Lloyd iteration collects the MODEL (k×dim
     doubles — the MLlib-KMeans layout; never data-sized), assigns cells
     as a shuffle-free map-side projection, then recomputes per-cell means
     with the decimal accumulation contract (queries/_det.py) so centroid
@@ -413,7 +421,8 @@ def ivf_fit_centroids(
     # would funnel the whole corpus through one task. Normalization
     # happens AFTER the limit (n_cells rows) — the corpus-wide
     # interpreted _norm_vec lambda was most of the cold fit's wall.
-    seeds = raw.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n_cells)
+    hash_fn = seed_hash if seed_hash is not None else F.xxhash64
+    seeds = raw.orderBy(hash_fn(F.col("id")), F.col("id")).limit(n_cells)
     centroids = (
         # re-key seeds by id order so cell numbering is hash-independent;
         # the window spans only the n_cells seed rows
@@ -1145,6 +1154,7 @@ def ivf_sync_from_tail(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     on_rewrite: str = "fail",
+    seed_hash=None,
 ) -> None:
     """Keep the IVF cell store current against a snapshot table via its
     CDC tail — the IVF sibling of ``hnsw_sync_from_tail``: the first
@@ -1172,7 +1182,9 @@ def ivf_sync_from_tail(
         dels = last.filter(F.col("s._op") != "insert").select(id_col)
         if not _os.path.exists(_os.path.join(index_path, "_model.json")):
             model = collect_centroid_model(
-                ivf_fit_centroids(ups, n_cells, id_col, vec_col)
+                ivf_fit_centroids(
+                    ups, n_cells, id_col, vec_col, seed_hash=seed_hash
+                )
             )
             ivf_build_store(
                 ups, index_path, model, id_col=id_col, vec_col=vec_col

@@ -5619,3 +5619,332 @@ def multimodal_jpeg_decode(spark, sf_dir):
     return M.jpeg_roundtrip_verify(docs, "doc_id", quality=90).orderBy(
         "media_id"
     )
+
+
+def _sql_normed(v: str) -> str:
+    """DuckDB replay of similarity._norm_vec: left-to-right fold of
+    squares (list_reduce with a prepended 0.0 replays Spark's
+    F.aggregate IEEE add order bit-for-bit — the _kmeans_oracle
+    contract), one sqrt, per-component divide."""
+    return (
+        f"list_transform({v}, x -> x / sqrt(list_reduce("
+        f"list_prepend(0.0::DOUBLE, list_transform({v}, y -> y * y)), "
+        "(acc, z) -> acc + z)))"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB replay of the engine's dim-ordered dot accumulation
+    (similarity._dot / dot_batch / the assign loops: acc starts at 0.0,
+    adds x_i*y_i in dimension order)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _ivf_recall_oracle(
+    n_cells: int = 8, nprobe: int = 4, k: int = 5
+) -> str:
+    """Full SQL replay of the FROZEN-MODEL IVF serve path feeding
+    ``dq_ann_recall_probe`` — fit (portable-hash seeds + one Lloyd
+    pass), churn, assignment, probe selection, exact re-scoring, truth,
+    and the per-query hit count. Every float stage mirrors the engine
+    expression-for-expression under the repo's cross-engine contracts:
+    list_reduce folds for norms/dots (bit-identical IEEE order),
+    DECIMAL(25,12)-quantized component sums + round(...,9) for the
+    Lloyd means (the engine's own ivf_fit_centroids arithmetic), and
+    round(cosine, 6) + (cos DESC, id) ties for scoring (the proven
+    ann_ivf_fullprobe contract). Seeds order by the md5-based
+    portable hash (xxhash64 has no DuckDB twin), which is why the
+    monitor passes seed_hash=portable_hash60 to the fit."""
+    seed_h = _hash60_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), corpus0 AS (
+      SELECT * FROM emb WHERE vec_id >= 10
+    ), finalc AS (
+      SELECT * FROM corpus0 WHERE vec_id % 17 <> 5
+      UNION ALL
+      SELECT vec_id + 500000 AS vec_id, v FROM corpus0 WHERE vec_id % 23 = 7
+    ), pr AS (
+      SELECT vec_id AS query_id, v AS qv, {_sql_normed("v")} AS qn
+      FROM emb WHERE vec_id < 10
+    ), seeds AS (
+      SELECT vec_id, v FROM corpus0
+      ORDER BY {seed_h}, vec_id LIMIT {n_cells}
+    ), c0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             {_sql_normed("v")} AS centroid
+      FROM seeds
+    ), n0 AS (
+      SELECT vec_id, {_sql_normed("v")} AS nv FROM corpus0
+    ), a0 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n0.vec_id, n0.nv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n0.vec_id
+                 ORDER BY {_sql_dot("n0.nv", "c.centroid")} DESC, c.cell
+               ) AS rn
+        FROM n0 CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ), comp0 AS (
+      SELECT cell, generate_subscripts(nv, 1) - 1 AS dim, unnest(nv) AS x
+      FROM a0
+    ), mean0 AS (
+      SELECT cell, dim,
+             round(CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM comp0 GROUP BY cell, dim
+    ), mv0 AS (
+      SELECT cell, list(m ORDER BY dim) AS mv FROM mean0 GROUP BY cell
+    ), model AS MATERIALIZED (
+      SELECT cell, {_sql_normed("mv")} AS centroid FROM mv0
+    ), fassign AS MATERIALIZED (
+      -- final-corpus assignment under the FROZEN model
+      SELECT vec_id, v, cell FROM (
+        SELECT f.vec_id, f.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY {_sql_dot(_sql_normed("f.v"), "c.centroid")} DESC,
+                          c.cell
+               ) AS rn
+        FROM finalc f CROSS JOIN model c
+      ) WHERE rn = 1
+    ), pcells AS (
+      SELECT query_id, cell FROM (
+        SELECT p.query_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_sql_dot("p.qn", "c.centroid")} DESC, c.cell
+               ) AS rn
+        FROM pr p CROSS JOIN model c
+      ) WHERE rn <= {nprobe}
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pc.query_id, fa.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pc.query_id
+                 ORDER BY round(list_cosine_similarity(p.qv, fa.v), 6) DESC,
+                          fa.vec_id
+               ) AS rank
+        FROM pcells pc
+        JOIN fassign fa ON fa.cell = pc.cell
+        JOIN pr p ON p.query_id = pc.query_id
+      ) WHERE rank <= {k}
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, f.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(p.qv, f.v), 6) DESC,
+                          f.vec_id
+               ) AS rank
+        FROM pr p CROSS JOIN finalc f
+      ) WHERE rank <= {k}
+    )
+    SELECT t.query_id AS query_id,
+           CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE) AS FLOAT)
+             AS recall_at_k
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """
+
+
+@register(
+    "dq_ann_recall_probe",
+    oracle=_ivf_recall_oracle(),
+    tags=("llm", "similarity", "quality", "dq"),
+)
+def dq_ann_recall_probe(spark, sf_dir):
+    """MAINTAINED-INDEX recall monitor (r9 verdict task #4): the
+    operational answer to "when do we refit the frozen centroids". A
+    snapshot table of embeddings is bootstrapped into a maintained IVF
+    store (`ivf_sync_from_tail`, frozen model fitted on v0), a churn
+    cycle lands (cohort delete + append) and syncs incrementally, then
+    a hash-sampled probe set is served from the MAINTAINED store and
+    scored against exact brute-force ground truth over the table's
+    final state: recall@5 per probe, integer hits.
+
+    The whole serve path — portable-hash seed sample, one-Lloyd-pass
+    spherical fit, frozen-model assignment of the churned corpus,
+    nprobe cell selection, exact re-scoring — is replayed by the DuckDB
+    oracle expression-for-expression (_ivf_recall_oracle), so the
+    scorecard is HASH-GREEN, not rows-only: the first approximate-ANN
+    recall number in the registry with a full value oracle. The floor
+    assert below is the production alert: churn shifts the vector
+    distribution and frozen-model recall decays invisibly — a
+    deployment schedules this probe and refits when it breaches
+    (FAISS's recommended train/serve drift guard). The HNSW twin
+    (graph traversal — not SQL-expressible) is
+    ``dq_ann_recall_probe_hnsw``."""
+    import shutil
+
+    from crocus_spark.operators.dedup import portable_hash60
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_model_load,
+        ivf_sync_from_tail,
+        ivf_topk_at_rest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("dq_recall_table")
+    index = _scratch("dq_recall_index")
+    for p in (table, index, index + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)  # v0
+    ivf_sync_from_tail(  # bootstrap: frozen model fitted on v0
+        spark, table, index, n_cells=8,
+        seed_hash=lambda c: portable_hash60(c.cast("string")),
+    )
+    # churn cycle: cohort erasure + append, then incremental upkeep
+    commit_equality_deletes(
+        corpus.filter(F.col("vec_id") % 17 == 5).select("vec_id"),
+        table, ["vec_id"],
+    )  # v1
+    commit_append(
+        corpus.filter(F.col("vec_id") % 23 == 7)
+        .select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+        .coalesce(1),
+        table,
+    )  # v2
+    ivf_sync_from_tail(spark, table, index, n_cells=8)  # upsert, frozen
+    model = ivf_model_load(index)
+    final_corpus = read_snapshot(spark, table).select("vec_id", "embedding")
+    approx = ivf_topk_at_rest(
+        spark, probes, None, index, k=5, n_cells=8, nprobe=4,
+        model=model, reuse_store=True,
+    ).select("query_id", "neighbor_id")
+    truth = brute_force_topk(probes, final_corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    scorecard = (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("long").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0)
+            ).cast("float").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+    rows = scorecard.collect()  # bounded: one row per probe (10)
+    mean_recall = sum(r["n_hits"] for r in rows) / (5.0 * len(rows))
+    assert mean_recall >= 0.4, (
+        f"maintained-IVF recall@5 fell to {mean_recall:.2f} — refit the "
+        "frozen centroid model (the monitor's alert condition)"
+    )
+    return scorecard
+
+
+@register(
+    "dq_ann_recall_probe_hnsw",
+    oracle=None,  # HNSW serve is greedy GRAPH TRAVERSAL (entry point,
+    # layered beam search) — not expressible in SQL; the recall
+    # scorecard's arithmetic is identical to dq_ann_recall_probe's
+    # (hash-green there) and the floor assert below is the monitor's
+    # alert. Structure + floors are additionally property-tested in
+    # tests/test_llm.py.
+    tags=("llm", "similarity", "quality", "dq"),
+)
+def dq_ann_recall_probe_hnsw(spark, sf_dir):
+    """HNSW twin of ``dq_ann_recall_probe``: the maintained sharded-HNSW
+    store (bootstrapped off the CDC tail, churned, incrementally
+    synced) serves a probe set that is scored against exact brute-force
+    truth over the table's final state — recall@5 per probe with
+    integer hits, the refit-alert signal for the graph index family."""
+    import shutil
+
+    from crocus_spark.operators.hnsw import (
+        hnsw_sync_from_tail,
+        hnsw_topk_at_rest,
+    )
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import brute_force_topk
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("dq_recall_h_table")
+    index = _scratch("dq_recall_h_index")
+    for p in (table, index, index + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)  # v0
+    hnsw_sync_from_tail(spark, table, index, n_shards=4)  # bootstrap
+    commit_equality_deletes(
+        corpus.filter(F.col("vec_id") % 17 == 5).select("vec_id"),
+        table, ["vec_id"],
+    )  # v1
+    commit_append(
+        corpus.filter(F.col("vec_id") % 23 == 7)
+        .select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+        .coalesce(1),
+        table,
+    )  # v2
+    hnsw_sync_from_tail(spark, table, index, n_shards=4)  # upsert
+    final_corpus = read_snapshot(spark, table).select("vec_id", "embedding")
+    approx = hnsw_topk_at_rest(
+        spark, probes, None, index, k=5, n_shards=4, reuse_store=True
+    ).select("query_id", "neighbor_id")
+    truth = brute_force_topk(probes, final_corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    scorecard = (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("long").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0)
+            ).cast("float").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+    rows = scorecard.collect()  # bounded: one row per probe (10)
+    mean_recall = sum(r["n_hits"] for r in rows) / (5.0 * len(rows))
+    assert mean_recall >= 0.4, (
+        f"maintained-HNSW recall@5 fell to {mean_recall:.2f} — rebuild "
+        "or re-parameterize the graph (the monitor's alert condition)"
+    )
+    return scorecard
