@@ -1196,3 +1196,325 @@ def ivf_sync_from_tail(
             )
 
     run_tail_sync(spark, table_root, index_path, apply, on_rewrite)
+
+
+# ---------------------------------------------------------------------------
+# PQ at-rest store with incremental upkeep (r9 verdict task #6)
+# ---------------------------------------------------------------------------
+
+
+def pq_model_save(path: str, codebook) -> None:
+    """Persist the PQ codebook beside the store as ``_model.json``
+    (floats repr-round-trip exactly, same contract as ivf_model_save)."""
+    import json as _json
+    import os as _os
+
+    m, ksub, ds = codebook.shape
+    tmp = _os.path.join(path, "_model.json.tmp.%d" % _os.getpid())
+    _os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "m": int(m),
+                "ksub": int(ksub),
+                "ds": int(ds),
+                "codebook": [
+                    [[float(x) for x in c] for c in s] for s in codebook
+                ],
+            },
+            f,
+        )
+    _os.replace(tmp, _os.path.join(path, "_model.json"))
+
+
+def pq_model_load(path: str):
+    """Load the frozen codebook written by :func:`pq_model_save`."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    with open(_os.path.join(path, "_model.json")) as f:
+        d = _json.load(f)
+    cb = _np.array(d["codebook"], dtype=_np.float64)
+    assert cb.shape == (d["m"], d["ksub"], d["ds"])
+    return cb
+
+
+def pq_encode_batch(V, codebook):
+    """(B, d) float64 → (B, m) uint8 nearest-subspace-centroid codes —
+    the ONE encode path shared by the in-memory scan, the store build
+    and the incremental upsert, so same codebook + same vector always
+    yields the same code (argmin ties break to the lowest index)."""
+    import numpy as _np
+
+    m, ksub, ds = codebook.shape
+    sub = V.reshape(V.shape[0], m, ds)
+    d2 = ((sub[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(-1)
+    return d2.argmin(-1).astype(_np.uint8)
+
+
+def _pq_encoded(corpus: DataFrame, codebook, n_cells: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, c_vec raw, code binary, cell) — cell is the
+    deterministic hash shard (pmod(xxhash64(id), n_cells), the HNSW
+    shard rule): PQ has no centroid geometry to partition by, the cells
+    exist so UPKEEP rewrites only churn-affected directories."""
+    import pandas as pd  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebook)
+
+    def fn(batches):
+        import numpy as np
+
+        cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["_nv"]), dtype=np.float64)
+            codes = pq_encode_batch(V, cb)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "c_vec": pdf["c_vec"],
+                    "code": [c.tobytes() for c in codes],
+                    "cell": pdf["cell"],
+                }
+            )
+
+    prepared = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm_vec(F.col(vec_col)).alias("_nv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells))
+        .cast("int")
+        .alias("cell"),
+    )
+    return prepared.mapInPandas(
+        fn,
+        "neighbor_id long, c_vec array<float>, code binary, cell int",
+    )
+
+
+def pq_build_store(
+    corpus: DataFrame,
+    path: str,
+    codebook,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the cell-partitioned PQ code store (codes + raw vectors for
+    the exact re-rank) under a FROZEN codebook, model persisted beside
+    it — the build half of the maintained index."""
+    _pq_encoded(corpus, codebook, n_cells, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    pq_model_save(path, codebook)
+
+
+def pq_upsert_store(
+    spark,
+    upserts: DataFrame,
+    delete_ids: DataFrame,
+    path: str,
+    codebook=None,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Apply upserts/deletes to a committed PQ store rewriting ONLY the
+    churn-affected cells — the ``ivf_upsert_store`` dynamic-partition-
+    overwrite pattern over hash cells: an upserted vector's cell is the
+    deterministic id hash (no store read), a deleted id's cell comes
+    from a column-pruned semi-join; untouched cell directories keep
+    byte-identical files, emptied cells drop explicitly. With the same
+    frozen codebook the maintained store EQUALS a from-scratch
+    ``pq_build_store`` of the final corpus (same encode path ⇒ same
+    codes), pinned by the ``ann_pq_incremental`` query."""
+    import os as _os
+    import shutil as _shutil
+
+    cb = codebook if codebook is not None else pq_model_load(path)
+    up = _pq_encoded(upserts, cb, n_cells, id_col, vec_col)
+    dels = delete_ids.select(
+        F.col(id_col).alias("neighbor_id")
+    ).distinct()
+    up_cells = {
+        int(r["cell"]) for r in up.select("cell").distinct().collect()
+    }
+    back = spark.read.parquet(path)
+    del_cells = {
+        int(r["cell"])
+        for r in back.join(dels, "neighbor_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(up_cells | del_cells)
+    if not affected:
+        return []
+    sub = back.filter(F.col("cell").isin(affected))
+    merged = (
+        sub.join(up.select("neighbor_id"), "neighbor_id", "left_anti")
+        .join(dels, "neighbor_id", "left_anti")
+        .select("neighbor_id", "c_vec", "code", "cell")
+        .unionByName(up.select("neighbor_id", "c_vec", "code", "cell"))
+    )
+    counts = {
+        int(r["cell"]): r["n"]
+        for r in merged.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ n_cells rows — bounded
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    for c in affected:
+        if counts.get(c, 0) == 0:
+            _shutil.rmtree(
+                _os.path.join(path, f"cell={c}"), ignore_errors=True
+            )
+    return affected
+
+
+def pq_topk_at_rest(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    refine: int = 50,
+    codebook=None,
+) -> DataFrame:
+    """Serve approximate top-k from a committed PQ store: the ADC scan
+    reads the STORED codes (no re-encode — the 32× memory cut is now
+    also a compute cut), top ``refine`` candidates re-rank exactly
+    against the stored raw vectors under the brute-force cosine/rounding
+    contract. Same LUT/score arithmetic as ``pq_topk``, so two stores
+    with identical codes serve identical rows."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    cb = codebook if codebook is not None else pq_model_load(path)
+    m, ksub, ds = cb.shape
+    q_rows = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            _norm_vec(F.col("embedding")).alias("qn"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    q_ids = [r.query_id for r in q_rows]
+    Q = np.array([r.qn for r in q_rows], dtype=np.float64)
+    lut = np.einsum("qsd,skd->qsk", Q.reshape(len(q_ids), m, ds), cb)
+    bc_lut = spark.sparkContext.broadcast((q_ids, lut))
+
+    def adc_scan(batches):
+        ids, lut_v = bc_lut.value
+        rng = np.arange(m)
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(B, m)
+            out_id, out_q, out_adc = [], [], []
+            for qi in range(len(ids)):
+                out_id.append(pdf["neighbor_id"].to_numpy())
+                out_q.append(np.full(B, ids[qi], dtype=np.int64))
+                out_adc.append(lut_v[qi][rng, codes].sum(1))
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.concatenate(out_id),
+                    "query_id": np.concatenate(out_q),
+                    "adc": np.concatenate(out_adc),
+                }
+            )
+
+    store = spark.read.parquet(path)
+    scanned = store.select("neighbor_id", "code").mapInPandas(
+        adc_scan, schema="neighbor_id long, query_id long, adc double"
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        scanned.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = store.select("neighbor_id", F.col("c_vec"))
+    q_vecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    rescored = (
+        candidates.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def pq_sync_from_tail(
+    spark,
+    table_root: str,
+    index_path: str,
+    m: int = 16,
+    ksub: int = 32,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_rewrite: str = "fail",
+) -> None:
+    """Keep the PQ code store current against a snapshot table via its
+    CDC tail — the PQ sibling of ``ivf_sync_from_tail``: the first
+    batch on a fresh index FITS the codebook from the initial snapshot
+    (persisted beside the store — frozen thereafter, the FAISS
+    train-once cadence); every later batch reduces to per-key net
+    effects and re-encodes/rewrites only churn-affected hash cells.
+    Checkpoint at the sibling ``{index_path}_ckpt`` path; ``on_rewrite``
+    as in :mod:`crocus_spark.operators._tail_sync`."""
+    import os as _os
+
+    from crocus_spark.operators._tail_sync import run_tail_sync
+
+    def apply(batch_df, _batch_id):
+        last = batch_df.groupBy(id_col).agg(
+            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
+        )
+        ups = last.filter(F.col("s._op") == "insert").select(
+            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
+        )
+        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        if not _os.path.exists(_os.path.join(index_path, "_model.json")):
+            cb = pq_fit_codebook(
+                ups, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+            )
+            pq_build_store(
+                ups, index_path, cb, n_cells=n_cells,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            pq_upsert_store(
+                spark, ups, dels, index_path, n_cells=n_cells,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    run_tail_sync(spark, table_root, index_path, apply, on_rewrite)

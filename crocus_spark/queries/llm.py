@@ -5948,3 +5948,105 @@ def dq_ann_recall_probe_hnsw(spark, sf_dir):
         "or re-parameterize the graph (the monitor's alert condition)"
     )
     return scorecard
+
+
+@register(
+    "ann_pq_incremental",
+    oracle=None,  # PQ candidate generation is approximate (ADC over a
+    # trained codebook — the codebook itself is driver-fitted k-means,
+    # not SQL-expressible); what IS exact — maintained store ==
+    # same-codebook rebuild, untouched cells byte-identical — is
+    # asserted in-query, and recall properties live in tests/test_llm.py.
+    tags=("llm", "similarity", "incremental"),
+)
+def ann_pq_incremental(spark, sf_dir):
+    """Incremental PQ code-store upkeep off the CDC tail (r9 verdict
+    task #6) — the third maintained index family joins HNSW and IVF:
+    `pq_sync_from_tail` bootstraps by fitting the codebook from the
+    initial snapshot (persisted as `_model.json`, frozen thereafter —
+    the FAISS train-once cadence), then each batch's per-key net effect
+    re-encodes and rewrites ONLY the hash cells the churn touches
+    (dynamic partition overwrite — the `ivf_upsert_store` pattern the
+    r9 verdict said transfers directly; it did). The query asserts ≥ 2
+    untouched cell partitions keep byte-identical parquet files across
+    the sync and that serving from the maintained store equals a
+    same-codebook rebuild of the table's final state EXACTLY — frozen-
+    codebook encoding is deterministic, so incremental == rebuild is an
+    equality, not an approximation. Serving reads STORED codes (no
+    re-encode): the 32x memory cut is also a serve-time compute cut."""
+    import os
+    import shutil
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import (
+        pq_build_store,
+        pq_model_load,
+        pq_sync_from_tail,
+        pq_topk_at_rest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("pq_inc_table")
+    index = _scratch("pq_inc_index")
+    rebuilt = _scratch("pq_inc_rebuild")
+    for p in (table, index, index + "_ckpt", rebuilt):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)                    # v0
+    pq_sync_from_tail(spark, table, index, n_cells=8)             # bootstrap
+    low3 = [r["vec_id"] for r in
+            corpus.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    appended = (
+        corpus.orderBy(F.desc("vec_id")).limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    commit_append(appended.coalesce(1), table)                    # v1
+    commit_equality_deletes(
+        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        table, ["vec_id"],
+    )                                                             # v2
+
+    def cell_bytes(path):
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("cell="):
+                continue
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                with open(os.path.join(path, d, f), "rb") as fh:
+                    out[f"{d}/{f}"] = fh.read()
+        return out
+
+    before = cell_bytes(index)
+    pq_sync_from_tail(spark, table, index, n_cells=8)             # upsert
+    after = cell_bytes(index)
+    untouched_cells = {
+        k.split("/")[0] for k in before if after.get(k) == before[k]
+    }
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert len(untouched_cells) >= 2, (len(untouched_cells), len(before))
+    assert changed, "the churn must have rewritten at least one cell"
+    # exact twin: same frozen codebook over the table's final state
+    cb = pq_model_load(index)
+    pq_build_store(
+        read_snapshot(spark, table).select("vec_id", "embedding"),
+        rebuilt, cb, n_cells=8,
+    )
+
+    def serve(path):
+        return pq_topk_at_rest(
+            spark, probes, path, k=5, refine=50, codebook=cb
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    inc = serve(index).orderBy("query_id", "rank")
+    ref = serve(rebuilt).orderBy("query_id", "rank")
+    assert [tuple(r) for r in inc.collect()] == [
+        tuple(r) for r in ref.collect()
+    ], "incrementally maintained PQ store diverged from a rebuild"
+    return inc
