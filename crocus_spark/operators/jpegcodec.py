@@ -317,21 +317,68 @@ def _encode_component(
     return dc
 
 
+def _downsample2x2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean chroma downsample (edge-padded to even dims, rint) —
+    the 4:2:0 encoder's one extra lossy step, deterministic IEEE."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return np.rint(
+        (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+        / 4.0
+    )
+
+
+def _blocks_grid(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """(gh*gw, 8, 8) blocks of ``plane`` edge-padded to exactly a
+    (gh, gw) block grid, row-major."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane, ((0, gh * 8 - h), (0, gw * 8 - w)), mode="edge"
+    )
+    return (
+        padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
 def encode_jpeg_baseline(
-    width: int, height: int, pixels: bytes, quality: int = 90
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """RGB row-major ``pixels`` (3·w·h bytes) → baseline JFIF bytes.
-    Grayscale (w·h bytes) encodes as a single-component stream."""
+    Grayscale (w·h bytes) encodes as a single-component stream.
+    ``subsampling``: '444' (every component full-resolution, 1x1
+    sampling — the exact-replay fixture shape) or '420' (luma 2x2,
+    chroma 2x2-mean-downsampled — the dominant real-world crawl shape;
+    MCUs carry 4 Y blocks + 1 Cb + 1 Cr)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     n = width * height
     if len(pixels) == 3 * n:
         arr = np.frombuffer(pixels, np.uint8).reshape(height, width, 3)
-        planes = [rgb_to_ycbcr(arr)[..., i] for i in range(3)]
+        ycc = rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
         ncomp = 3
     elif len(pixels) == n:
-        planes = [np.frombuffer(pixels, np.uint8).reshape(height, width).astype(np.float64)]
+        planes = [
+            np.frombuffer(pixels, np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
         ncomp = 1
     else:
         raise ValueError("pixel buffer size mismatch")
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _downsample2x2(planes[1]), _downsample2x2(planes[2])]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     ql, qc = quant_tables(quality)
     qtabs = [ql, qc]
     out = bytearray()
@@ -346,8 +393,9 @@ def encode_jpeg_baseline(
     # SOF0
     comps = b""
     for cid in range(1, ncomp + 1):
+        h_i, v_i = samp[cid - 1]
         tq = 0 if cid == 1 else 1
-        comps += bytes([cid, 0x11, tq])  # sampling 1x1
+        comps += bytes([cid, (h_i << 4) | v_i, tq])
     out += b"\xff\xc0" + struct.pack(
         ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
     ) + comps
@@ -364,20 +412,32 @@ def encode_jpeg_baseline(
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    # entropy-coded data: interleaved MCUs (1x1 sampling → one block
-    # per component per MCU, row-major over the padded block grid)
-    blocks = [_blocks_of(p) for p in planes]
+    # entropy-coded data: interleaved MCUs, each carrying h×v blocks
+    # per component (T.81 A.2.3 order: left-to-right, top-to-bottom
+    # within the component, components in SOF order)
     quant = [qtabs[0]] + [qtabs[1]] * (ncomp - 1)
     coeff = []
-    for bi, q in zip(blocks, quant):
+    grids = []
+    for p, q, (h_i, v_i) in zip(planes, quant, samp):
+        gh, gw = mcuy * v_i, mcux * h_i
+        bi = _blocks_grid(p, gh, gw)
         f = np.einsum("ij,njk,lk->nil", _D, bi - 128.0, _D)
         qz = np.rint(f.reshape(-1, 64) / q.reshape(1, 64))
         coeff.append(qz[:, ZIGZAG].astype(np.int64))
+        grids.append((gh, gw))
     writer = _BitWriter()
     pred = [0] * ncomp
-    for m in range(blocks[0].shape[0]):
-        for c in range(ncomp):
-            pred[c] = _encode_component(writer, coeff[c][m], pred[c])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                h_i, v_i = samp[c]
+                _gh, gw = grids[c]
+                for byy in range(v_i):
+                    for bxx in range(h_i):
+                        idx = (my * v_i + byy) * gw + (mx * h_i + bxx)
+                        pred[c] = _encode_component(
+                            writer, coeff[c][idx], pred[c]
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -464,11 +524,13 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
                     raise ValueError(
-                        "subsampled chroma unsupported (4:4:4 only)"
+                        f"sampling factors {h_i}x{v_i} unsupported "
+                        "(1 or 2 per axis: 4:4:4, 4:2:2, 4:4:0, 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, h_i, v_i))
             sof = (w, h, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -487,52 +549,70 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
         cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
         tables[cs] = (tdta >> 4, tdta & 0x0F)
     br = _BitReader(data, pos)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # one plane per component at ITS sampled resolution; upsampled by
+    # replication after the scan (the deterministic JFIF-legal choice)
     planes = [
-        np.zeros((bh * 8, bw * 8), np.float64) for _ in comps
+        np.zeros((mcuy * 8 * v_i, mcux * 8 * h_i), np.float64)
+        for (_cid, _tq, h_i, v_i) in comps
     ]
     pred = [0] * len(comps)
     mcu = 0
-    expected_rst = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_restart()
                 pred = [0] * len(comps)
-                expected_rst = (expected_rst + 1) & 7
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, tq, h_i, v_i) in enumerate(comps):
                 td, ta = tables[cid]
                 dct = huff[(0, td)]
                 act = huff[(1, ta)]
-                zz = np.zeros(64, np.float64)
-                size = dct.read(br)
-                diff = _extend(br.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = act.read(br)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, s = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                nat = np.empty(64, np.float64)
-                nat[ZIGZAG] = zz * qtabs[tq][ZIGZAG]
-                blk = nat.reshape(8, 8)
-                pix = _D.T @ blk @ _D + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+                for byy in range(v_i):
+                    for bxx in range(h_i):
+                        zz = np.zeros(64, np.float64)
+                        size = dct.read(br)
+                        diff = (
+                            _extend(br.bits(size), size) if size else 0
+                        )
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = act.read(br)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, s = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        nat = np.empty(64, np.float64)
+                        nat[ZIGZAG] = zz * qtabs[tq][ZIGZAG]
+                        blk = nat.reshape(8, 8)
+                        pix = _D.T @ blk @ _D + 128.0
+                        y0 = (my * v_i + byy) * 8
+                        x0 = (mx * h_i + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu += 1
+    # upsample sub-resolution components by pixel replication, crop
+    full = []
+    for p, (_cid, _tq, h_i, v_i) in zip(planes, comps):
+        if h_i < hmax:
+            p = np.repeat(p, hmax // h_i, axis=1)
+        if v_i < vmax:
+            p = np.repeat(p, vmax // v_i, axis=0)
+        full.append(p[:h, :w])
     if len(comps) == 1:
-        out = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
-    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    ycc = np.stack(full, axis=-1)
     # clamp the IDCT output to sample range BEFORE color conversion
     # (T.81 level-shift clamp), then convert
     ycc = np.clip(np.rint(ycc), 0, 255)

@@ -131,11 +131,11 @@ def test_unsupported_processes_fail_loudly():
         J.decode_jpeg_baseline(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg_baseline(b"not a jpeg")
-    # subsampled chroma: patch the SOF sampling byte
+    # sampling factors beyond 2 per axis: patch the SOF sampling byte
     data = bytearray(J.encode_jpeg_baseline(8, 8, px, 90))
     sof = data.index(b"\xff\xc0")
-    data[sof + 11] = 0x22  # component 1: 2x2 sampling
-    with pytest.raises(ValueError, match="subsampled"):
+    data[sof + 11] = 0x33  # component 1: 3x3 sampling
+    with pytest.raises(ValueError, match="sampling factors"):
         J.decode_jpeg_baseline(bytes(data))
 
 
@@ -224,3 +224,65 @@ def test_restart_markers_decode():
             entropy += bytes([0xFF, 0xD0 + (m % 8)])
     data = bytes(head) + bytes(entropy) + b"\xff\xd9"
     assert J.decode_jpeg_baseline(data) == want
+
+
+def test_chroma_420_roundtrip():
+    """4:2:0 (the dominant real-world crawl shape): MCUs carry 4 Y
+    blocks + downsampled Cb/Cr. Smooth gradients round-trip tightly;
+    constant images are near-exact (a 2x2 mean of a constant is the
+    constant); on noise, LUMA stays tight while chroma detail is
+    discarded BY DESIGN — the test bounds Y, not RGB."""
+    for w, h in [(16, 16), (17, 13), (33, 31), (8, 8)]:
+        y, x = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [
+                x * 255 // max(w - 1, 1),
+                y * 255 // max(h - 1, 1),
+                (x + y) * 255 // max(w + h - 2, 1),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        px = rgb.tobytes()
+        data = J.encode_jpeg_baseline(w, h, px, 95, subsampling="420")
+        dw, dh, dc, out = J.decode_jpeg_baseline(data)
+        assert (dw, dh, dc) == (w, h, 3)
+        assert _err(px, out).max() <= 32, (w, h)
+    # constant color survives the chroma downsample near-exactly
+    px = bytes([90, 170, 40]) * (24 * 16)
+    data = J.encode_jpeg_baseline(24, 16, px, 90, subsampling="420")
+    assert _err(px, J.decode_jpeg_baseline(data)[3]).max() <= 1
+    # noise: luma plane must stay as tight as 4:4:4 even though chroma
+    # detail is (correctly) gone
+    px = synth_pixels(32, 24, 5)
+    data = J.encode_jpeg_baseline(32, 24, px, 95, subsampling="420")
+    out = J.decode_jpeg_baseline(data)[3]
+
+    def luma(buf):
+        a = np.frombuffer(buf, np.uint8).reshape(-1, 3).astype(np.float64)
+        return 0.299 * a[:, 0] + 0.587 * a[:, 1] + 0.114 * a[:, 2]
+
+    assert np.abs(luma(px) - luma(out)).max() <= 40
+    # 4:2:0 streams are smaller than 4:4:4 on real-sized images
+    y, x = np.mgrid[0:64, 0:64]
+    big = np.stack([x * 4, y * 4, (x + y) * 2], axis=-1).astype(np.uint8)
+    d420 = J.encode_jpeg_baseline(64, 64, big.tobytes(), 90, subsampling="420")
+    d444 = J.encode_jpeg_baseline(64, 64, big.tobytes(), 90)
+    assert len(d420) < len(d444)
+    with pytest.raises(ValueError, match="subsampling"):
+        J.encode_jpeg_baseline(8, 8, synth_pixels(8, 8, 1), 90, subsampling="422")
+
+
+def test_420_multi_mcu_dc_prediction_chains():
+    """Multi-MCU 4:2:0: the DC predictor chains across MCUs per
+    component and the 4-Y-block interleave order is right — a swap
+    anywhere shows up as gross block-level error on a smooth ramp."""
+    w, h = 48, 32  # 3x2 MCUs of 16x16
+    yx, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([xx * 5, yx * 7, (xx + yx) * 3], axis=-1).astype(
+        np.uint8
+    )
+    px = rgb.tobytes()
+    data = J.encode_jpeg_baseline(w, h, px, 95, subsampling="420")
+    dw, dh, dc, out = J.decode_jpeg_baseline(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert _err(px, out).max() <= 24  # smooth ramp: tight everywhere
