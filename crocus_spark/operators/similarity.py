@@ -1518,3 +1518,227 @@ def pq_sync_from_tail(
             )
 
     run_tail_sync(spark, table_root, index_path, apply, on_rewrite)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: coarse quantizer + PQ codes in one store (Jégou et al. TPAMI'11
+# §IV — the FAISS IVFPQ layout). The serve cost model at 100 TB is the
+# PRODUCT of the two cuts: a probe opens nprobe/n_cells of the cell
+# directories (partition-pruned scan) and reads 8-byte codes instead of
+# 256-byte vectors inside them (ADC), with the exact re-rank touching
+# only refine·|queries| raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_encoded(
+    corpus: DataFrame, cells, mat, codebook,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, c_vec raw, code binary, cell) in ONE Arrow pass:
+    normalize (the shared dim-ordered fold), coarse-assign to the
+    frozen IVF centroid (argmax dot, first-max ties), PQ-encode the
+    normalized vector under the frozen codebook."""
+    import pandas as pd  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cells, mat, codebook))
+
+    def fn(batches):
+        import numpy as np
+
+        cl, m_, cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            acc = np.zeros(V.shape[0])
+            for i in range(V.shape[1]):
+                x = V[:, i]
+                acc = acc + x * x
+            Vn = V / np.sqrt(acc)[:, None]
+            D = np.zeros((Vn.shape[0], m_.shape[0]))
+            for i in range(Vn.shape[1]):
+                D = D + Vn[:, i : i + 1] * m_[None, :, i]
+            codes = pq_encode_batch(Vn, cb)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "c_vec": pdf["c_vec"],
+                    "code": [c.tobytes() for c in codes],
+                    "cell": cl[np.argmax(D, axis=1)].astype("int32"),
+                }
+            )
+
+    prepared = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(vec_col).alias("_v"),
+    )
+    return prepared.mapInPandas(
+        fn,
+        "neighbor_id long, c_vec array<float>, code binary, cell int",
+    )
+
+
+def ivfpq_build_store(
+    corpus: DataFrame,
+    path: str,
+    model,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the IVFPQ store: PQ codes + raw vectors partitioned by the
+    frozen coarse cell; both frozen models persisted beside it
+    (``_model.json`` = IVF centroids, ``_pq_model.json`` = codebook)."""
+    import json as _json
+    import os as _os
+
+    cells, mat = model
+    _ivfpq_encoded(
+        corpus, cells, mat, codebook, id_col, vec_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ivf_model_save(path, cells, mat)
+    m, ksub, ds = codebook.shape
+    tmp = _os.path.join(path, "_pq_model.json.tmp.%d" % _os.getpid())
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "m": int(m), "ksub": int(ksub), "ds": int(ds),
+                "codebook": [
+                    [[float(x) for x in c] for c in s] for s in codebook
+                ],
+            },
+            f,
+        )
+    _os.replace(tmp, _os.path.join(path, "_pq_model.json"))
+
+
+def ivfpq_model_load(path: str):
+    """(ivf (cells, mat), pq codebook) frozen beside an IVFPQ store."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    with open(_os.path.join(path, "_pq_model.json")) as f:
+        d = _json.load(f)
+    cb = _np.array(d["codebook"], dtype=_np.float64)
+    return ivf_model_load(path), cb
+
+
+def ivfpq_topk_at_rest(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a committed IVFPQ store: per-query
+    nprobe coarse cells (same ranking/ties as ``ivf_topk``), an ADC
+    scan over ONLY the probed cells' stored codes (the partition filter
+    makes nprobe/n_cells a bytes-read fraction AND each read byte is a
+    code, not a float), exact cosine re-rank of the top ``refine``
+    candidates against the stored raw vectors."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    (cells, mat), cb = ivfpq_model_load(path)
+    m, ksub, ds = cb.shape
+    centroids = _centroid_df(spark, cells, mat)
+    q_normed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm_vec(F.col(vec_col)).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("q_dot"), F.col("cell")
+    )
+    probes = (
+        q_normed.crossJoin(F.broadcast(centroids))
+        .withColumn("q_dot", dot_batch(F.col("qn"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qn", "cell")
+    )
+    plist = probes.select("query_id", "qn", "cell").collect()
+    probe_cells = sorted({r.cell for r in plist})  # pruning literal
+    q_rows = sorted({(r.query_id, tuple(r.qn)) for r in plist})
+    q_ids = [q for q, _ in q_rows]
+    Q = np.array([list(v) for _, v in q_rows], dtype=np.float64)
+    lut = np.einsum("qsd,skd->qsk", Q.reshape(len(q_ids), m, ds), cb)
+    cell_of = {}
+    for r in plist:
+        cell_of.setdefault(int(r.cell), set()).add(r.query_id)
+    bc = spark.sparkContext.broadcast((q_ids, lut, cell_of))
+
+    def adc_scan(batches):
+        ids, lut_v, cells_map = bc.value
+        pos = {q: i for i, q in enumerate(ids)}
+        rng = np.arange(m)
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(B, m)
+            cellcol = pdf["cell"].to_numpy()
+            out_id, out_q, out_adc = [], [], []
+            # score each query only against ITS probed cells
+            for qid in ids:
+                mask = np.array(
+                    [qid in cells_map.get(int(c), ()) for c in cellcol]
+                )
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                out_id.append(pdf["neighbor_id"].to_numpy()[mask])
+                out_q.append(np.full(sub.shape[0], qid, dtype=np.int64))
+                out_adc.append(lut_v[pos[qid]][rng, sub].sum(1))
+            if not out_id:
+                continue
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.concatenate(out_id),
+                    "query_id": np.concatenate(out_q),
+                    "adc": np.concatenate(out_adc),
+                }
+            )
+
+    store = spark.read.parquet(path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    scanned = store.select("neighbor_id", "code", "cell").mapInPandas(
+        adc_scan, schema="neighbor_id long, query_id long, adc double"
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        scanned.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = store.select("neighbor_id", "c_vec")
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    rescored = (
+        candidates.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cos", F.round(cosine_batch(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -6050,3 +6050,145 @@ def ann_pq_incremental(spark, sf_dir):
         tuple(r) for r in ref.collect()
     ], "incrementally maintained PQ store diverged from a rebuild"
     return inc
+
+
+@register(
+    "dq_ann_recall_probe_pq",
+    oracle=None,  # the PQ codebook is driver-fitted k-means (not
+    # SQL-expressible), so like the HNSW twin this scorecard is
+    # rows-only; the IVF member of the monitor family
+    # (dq_ann_recall_probe) carries the full SQL replay oracle, and the
+    # scorecard arithmetic is identical across the three.
+    tags=("llm", "similarity", "quality", "dq"),
+)
+def dq_ann_recall_probe_pq(spark, sf_dir):
+    """PQ member of the maintained-index recall monitor family: the
+    incrementally maintained PQ code store (frozen codebook, churned,
+    synced off the CDC tail) serves a probe set scored against exact
+    brute-force truth over the table's final state — recall@5 per probe
+    with integer hits, the codebook-refit alert. All three maintained
+    families (IVF/HNSW/PQ) now carry the same operational probe."""
+    import shutil
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import (
+        brute_force_topk,
+        pq_sync_from_tail,
+        pq_topk_at_rest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("dq_recall_pq_table")
+    index = _scratch("dq_recall_pq_index")
+    for p in (table, index, index + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)  # v0
+    pq_sync_from_tail(spark, table, index, n_cells=8)  # bootstrap
+    commit_equality_deletes(
+        corpus.filter(F.col("vec_id") % 17 == 5).select("vec_id"),
+        table, ["vec_id"],
+    )  # v1
+    commit_append(
+        corpus.filter(F.col("vec_id") % 23 == 7)
+        .select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+        .coalesce(1),
+        table,
+    )  # v2
+    pq_sync_from_tail(spark, table, index, n_cells=8)  # upsert, frozen
+    final_corpus = read_snapshot(spark, table).select("vec_id", "embedding")
+    approx = pq_topk_at_rest(spark, probes, index, k=5, refine=50).select(
+        "query_id", "neighbor_id"
+    )
+    truth = brute_force_topk(probes, final_corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    scorecard = (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("long").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0)
+            ).cast("float").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+    rows = scorecard.collect()  # bounded: one row per probe (10)
+    mean_recall = sum(r["n_hits"] for r in rows) / (5.0 * len(rows))
+    assert mean_recall >= 0.4, (
+        f"maintained-PQ recall@5 fell to {mean_recall:.2f} — refit the "
+        "codebook (the monitor's alert condition)"
+    )
+    return scorecard
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,  # doubly approximate (coarse-cell pruning x PQ
+    # candidate ranking, both over driver-fitted k-means models — not
+    # SQL-expressible); recall vs brute force is floor-asserted
+    # in-query at every fixture scale, and the exact-rerank contract
+    # means returned scores are always true cosines.
+    tags=("llm", "similarity"),
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ — the composed FAISS-style 100 TB serve shape (Jégou et
+    al. TPAMI'11): corpus partitioned by frozen coarse IVF cell with
+    8-byte PQ codes + raw vectors inside, one store. A probe opens only
+    nprobe/n_cells of the cell directories (partition-pruned scan) AND
+    reads codes instead of vectors inside them (ADC over a per-query
+    LUT), so the serve cost is the PRODUCT of the two cuts — 2/8 of the
+    directories x 1/32 of the bytes here; the exact re-rank touches
+    refine x |queries| raw vectors and returns true cosine scores
+    under the brute-force rounding contract. Recall floor asserted
+    against exact truth in-query."""
+    import shutil
+
+    from crocus_spark.operators.similarity import (
+        collect_centroid_model,
+        ivf_fit_centroids,
+        ivfpq_build_store,
+        ivfpq_topk_at_rest,
+        brute_force_topk,
+        pq_fit_codebook,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    store = _scratch("ivfpq_store")
+    shutil.rmtree(store, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    model = collect_centroid_model(
+        ivf_fit_centroids(corpus, 8, "vec_id", "embedding", 1, dim=64)
+    )
+    cb = pq_fit_codebook(corpus, m=16, ksub=32)
+    ivfpq_build_store(corpus, store, model, cb)
+    got = ivfpq_topk_at_rest(
+        spark, queries, store, k=5, nprobe=4, refine=50
+    ).orderBy("query_id", "rank")
+    rows = got.collect()  # bounded: 5 x |queries|
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    hits = sum((r.query_id, r.neighbor_id) in truth for r in rows)
+    recall = hits / len(truth)
+    assert recall >= 0.5, f"IVFPQ recall@5 {recall:.2f} below floor"
+    return got
