@@ -274,6 +274,31 @@ def run(spark, root: str | None = None) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+
+    # 15. ROUND 10 — manifest-log CHECKPOINTS: at production commit
+    #     cadence the log grows unbounded, so every 10 commits the
+    #     store folds version -> (commit time, dirs, schema) into a
+    #     c{v}.json (Delta's _last_checkpoint cadence) and TIMESTAMP AS
+    #     OF / retention / schema lookups read checkpoint + suffix —
+    #     O(suffix), not one JSON per version. Same answers either way;
+    #     losing every checkpoint only costs speed.
+    from crocus_spark.operators.maintenance import (
+        _checkpoint_versions,
+        latest_log_checkpoint,
+        resolve_version_as_of,
+    )
+
+    for i in range(12):  # push the feed table's log past a fold point
+        commit_append(day(2000 + i * 5, 2005 + i * 5), feed_root)
+    ck = latest_log_checkpoint(feed_root)
+    out["log_checkpoints_on_disk"] = _checkpoint_versions(feed_root)
+    out["checkpoint_folds_versions"] = len(ck["entries"])
+    t_mid = read_manifest(feed_root, ck["checkpoint_version"])[
+        "committed_at_ms"
+    ]
+    out["as_of_resolves_via_checkpoint"] = (
+        resolve_version_as_of(feed_root, t_mid) == ck["checkpoint_version"]
+    )
     return out
 
 

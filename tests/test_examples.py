@@ -77,3 +77,15 @@ def test_lakehouse_example_round8_steps(spark, tmp_path):
     assert out["cdc_ops"] == {"insert": 800, "delete": 100}
     assert out["vacuumed"] == ["d-crashed-writer"]
     assert out["feed_rows_after_vacuum"] == 700
+
+
+def test_lakehouse_example_round10_checkpoints(spark, tmp_path):
+    """The appended round-10 step: pushing the feed log past a fold
+    point writes a manifest-log checkpoint, and TIMESTAMP AS OF
+    resolves through it identically to the walk."""
+    import lakehouse_store as ex
+
+    out = ex.run(spark, root=str(tmp_path / "store"))
+    assert out["log_checkpoints_on_disk"], "no checkpoint folded"
+    assert out["checkpoint_folds_versions"] >= 10
+    assert out["as_of_resolves_via_checkpoint"] is True
