@@ -1742,3 +1742,116 @@ def ivfpq_topk_at_rest(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivfpq_upsert_store(
+    spark,
+    upserts: DataFrame,
+    delete_ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Apply upserts/deletes to a committed IVFPQ store under BOTH
+    frozen models (coarse centroids + codebook), rewriting only the
+    churn-affected coarse cells — the same dynamic-partition-overwrite
+    merge as ``pq_upsert_store`` with the cell coming from the frozen
+    centroid assignment instead of the id hash."""
+    import os as _os
+    import shutil as _shutil
+
+    (cells, mat), cb = ivfpq_model_load(path)
+    up = _ivfpq_encoded(upserts, cells, mat, cb, id_col, vec_col)
+    dels = delete_ids.select(
+        F.col(id_col).alias("neighbor_id")
+    ).distinct()
+    up_cells = {
+        int(r["cell"]) for r in up.select("cell").distinct().collect()
+    }
+    back = spark.read.parquet(path)
+    del_cells = {
+        int(r["cell"])
+        for r in back.join(dels, "neighbor_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(up_cells | del_cells)
+    if not affected:
+        return []
+    sub = back.filter(F.col("cell").isin(affected))
+    merged = (
+        sub.join(up.select("neighbor_id"), "neighbor_id", "left_anti")
+        .join(dels, "neighbor_id", "left_anti")
+        .select("neighbor_id", "c_vec", "code", "cell")
+        .unionByName(up.select("neighbor_id", "c_vec", "code", "cell"))
+    )
+    counts = {
+        int(r["cell"]): r["n"]
+        for r in merged.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ n_cells rows — bounded
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    for c in affected:
+        if counts.get(c, 0) == 0:
+            _shutil.rmtree(
+                _os.path.join(path, f"cell={c}"), ignore_errors=True
+            )
+    return affected
+
+
+def ivfpq_sync_from_tail(
+    spark,
+    table_root: str,
+    index_path: str,
+    n_cells: int = 8,
+    m: int = 16,
+    ksub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_rewrite: str = "fail",
+    seed_hash=None,
+) -> None:
+    """Keep the composed IVFPQ store current against a snapshot table
+    via its CDC tail: the first batch on a fresh index fits BOTH frozen
+    models from the initial snapshot (coarse centroids + PQ codebook,
+    persisted beside the store); later batches re-encode per-key net
+    effects and rewrite only churn-affected coarse cells. Checkpoint at
+    ``{index_path}_ckpt``; ``on_rewrite`` as in operators/_tail_sync."""
+    import os as _os
+
+    from crocus_spark.operators._tail_sync import run_tail_sync
+
+    def apply(batch_df, _batch_id):
+        last = batch_df.groupBy(id_col).agg(
+            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
+        )
+        ups = last.filter(F.col("s._op") == "insert").select(
+            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
+        )
+        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        if not _os.path.exists(_os.path.join(index_path, "_pq_model.json")):
+            model = collect_centroid_model(
+                ivf_fit_centroids(
+                    ups, n_cells, id_col, vec_col, seed_hash=seed_hash
+                )
+            )
+            cb = pq_fit_codebook(
+                ups, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+            )
+            ivfpq_build_store(
+                ups, index_path, model, cb, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            ivfpq_upsert_store(
+                spark, ups, dels, index_path,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    run_tail_sync(spark, table_root, index_path, apply, on_rewrite)

@@ -6192,3 +6192,98 @@ def ann_ivfpq_topk(spark, sf_dir):
     recall = hits / len(truth)
     assert recall >= 0.5, f"IVFPQ recall@5 {recall:.2f} below floor"
     return got
+
+
+@register(
+    "ann_ivfpq_incremental",
+    oracle=None,  # both frozen models are driver-fitted k-means (not
+    # SQL-expressible); what IS exact — maintained == same-models
+    # rebuild, untouched coarse cells byte-identical — is asserted
+    # in-query, completing the maintained-structure symmetry across
+    # HNSW / IVF / PQ / IVFPQ.
+    tags=("llm", "similarity", "incremental"),
+)
+def ann_ivfpq_incremental(spark, sf_dir):
+    """Incremental upkeep of the COMPOSED IVFPQ store off the CDC tail:
+    bootstrap fits both frozen models (coarse centroids + PQ codebook)
+    from the initial snapshot; churn batches re-encode per-key net
+    effects under the frozen pair and rewrite only the coarse cells
+    they touch. Asserts ≥ 2 untouched cell partitions byte-identical
+    across the sync and maintained == same-models rebuild EXACT
+    equality on the served rows — the production shape where the
+    biggest index (cells x codes) follows the table between refits."""
+    import os
+    import shutil
+
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_snapshot,
+        read_snapshot,
+    )
+    from crocus_spark.operators.similarity import (
+        ivfpq_build_store,
+        ivfpq_model_load,
+        ivfpq_sync_from_tail,
+        ivfpq_topk_at_rest,
+    )
+    from crocus_spark.queries.sources_q import _scratch
+
+    table = _scratch("ivfpq_inc_table")
+    index = _scratch("ivfpq_inc_index")
+    rebuilt = _scratch("ivfpq_inc_rebuild")
+    for p in (table, index, index + "_ckpt", rebuilt):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    commit_snapshot(corpus.coalesce(2), table)                     # v0
+    ivfpq_sync_from_tail(spark, table, index, n_cells=8)           # bootstrap
+    low3 = [r["vec_id"] for r in
+            corpus.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    appended = (
+        corpus.orderBy(F.desc("vec_id")).limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    commit_append(appended.coalesce(1), table)                     # v1
+    commit_equality_deletes(
+        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        table, ["vec_id"],
+    )                                                              # v2
+
+    def cell_bytes(path):
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("cell="):
+                continue
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                with open(os.path.join(path, d, f), "rb") as fh:
+                    out[f"{d}/{f}"] = fh.read()
+        return out
+
+    before = cell_bytes(index)
+    ivfpq_sync_from_tail(spark, table, index, n_cells=8)           # upsert
+    after = cell_bytes(index)
+    untouched = {
+        k.split("/")[0] for k in before if after.get(k) == before[k]
+    }
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert len(untouched) >= 2, (len(untouched), len(before))
+    assert changed, "the churn must have rewritten at least one cell"
+    model, cb = ivfpq_model_load(index)
+    ivfpq_build_store(
+        read_snapshot(spark, table).select("vec_id", "embedding"),
+        rebuilt, model, cb,
+    )
+
+    def serve(path):
+        return ivfpq_topk_at_rest(
+            spark, probes, path, k=5, nprobe=4, refine=50
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    inc = serve(index).orderBy("query_id", "rank")
+    ref = serve(rebuilt).orderBy("query_id", "rank")
+    assert [tuple(r) for r in inc.collect()] == [
+        tuple(r) for r in ref.collect()
+    ], "incrementally maintained IVFPQ store diverged from a rebuild"
+    return inc
