@@ -286,3 +286,24 @@ def test_420_multi_mcu_dc_prediction_chains():
     dw, dh, dc, out = J.decode_jpeg_baseline(data)
     assert (dw, dh, dc) == (w, h, 3)
     assert _err(px, out).max() <= 24  # smooth ramp: tight everywhere
+
+
+def test_truncated_streams_fail_loudly_never_hang():
+    """Every strict prefix of a valid stream must raise (ValueError /
+    IndexError / struct.error) — a decoder that silently returns
+    dimensions for half a scan is the failure mode that poisons a
+    100 TB ingest. Sampled cuts keep the loop fast; marker boundaries
+    and the entropy tail are the interesting offsets."""
+    px = J.synth_block_constant_pixels(16, 16, 3)
+    data = J.encode_jpeg_baseline(16, 16, px, quality=90)
+    ok = J.decode_jpeg_baseline(data)
+    assert ok[:3] == (16, 16, 3)
+    # cuts into the headers or the entropy body must raise; only the
+    # final EOI marker itself is decode-optional (all MCUs already
+    # consumed), so stop 2 bytes short of the end
+    cuts = set(range(0, 32)) | {
+        len(data) - k for k in range(3, 26)
+    } | set(range(32, len(data) - 2, 37))
+    for cut in sorted(c for c in cuts if 0 <= c < len(data) - 2):
+        with pytest.raises((ValueError, IndexError, struct.error)):
+            J.decode_jpeg_baseline(data[:cut])

@@ -716,3 +716,84 @@ def test_tail_sync_on_rewrite_policies(emb, tmp_path):
     # invalid policy value fails fast
     with pytest.raises(ValueError, match="on_rewrite"):
         hnsw_sync_from_tail(spark, table, idx2, n_shards=4, on_rewrite="nope")
+
+
+def test_pq_upsert_edge_cases(emb, tmp_path):
+    """PQ store upkeep edges: deleting EVERY member of a cell drops its
+    directory (dynamic overwrite alone would leave it), an in-place
+    replace changes the id's code without duplicating the row, and the
+    maintained store stays an exact twin of a same-codebook rebuild."""
+    import os
+
+    from crocus_spark.operators.similarity import (
+        pq_build_store,
+        pq_fit_codebook,
+        pq_model_load,
+        pq_upsert_store,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "embedding"
+    ).limit(80)
+    path = str(tmp_path / "pqstore")
+    cb = pq_fit_codebook(corpus, m=16, ksub=32)
+    pq_build_store(corpus, path, cb, n_cells=4)
+    store = spark.read.parquet(path)
+    # pick one whole cell to erase
+    cell0 = store.filter(F.col("cell") == 0)
+    dead = [int(r.neighbor_id) for r in cell0.select("neighbor_id").collect()]
+    assert dead, "fixture produced an empty cell 0"
+    # in-place replace: give one surviving id a different vector
+    survivor = store.filter(F.col("cell") != 0).select(
+        "neighbor_id"
+    ).orderBy("neighbor_id").limit(1).collect()[0][0]
+    donor_vec = store.filter(
+        (F.col("cell") != 0) & (F.col("neighbor_id") != survivor)
+    ).orderBy(F.desc("neighbor_id")).limit(1).collect()[0]["c_vec"]
+    # materialized: an upsert input whose lineage reads the store's own
+    # files would race the dynamic overwrite (real callers feed upserts
+    # from the TABLE, never from the store being rewritten)
+    swap = spark.createDataFrame(
+        [(int(survivor), [float(x) for x in donor_vec])],
+        "vec_id long, embedding array<float>",
+    )
+    old_code = store.filter(
+        F.col("neighbor_id") == survivor
+    ).collect()[0]["code"]
+    affected = pq_upsert_store(
+        spark,
+        swap,
+        spark.createDataFrame([(int(i),) for i in dead], "vec_id long"),
+        path,
+        n_cells=4,
+    )
+    assert 0 in affected
+    assert not os.path.isdir(os.path.join(path, "cell=0")), (
+        "emptied cell directory survived"
+    )
+    after = spark.read.parquet(path)
+    rows = after.filter(F.col("neighbor_id") == survivor).collect()
+    assert len(rows) == 1, "replace duplicated the id"
+    assert rows[0]["code"] != old_code, "replace did not re-encode"
+    assert after.filter(F.col("neighbor_id").isin(dead)).count() == 0
+    # exact twin vs same-codebook rebuild of the final corpus
+    final = (
+        corpus.filter(~F.col("vec_id").isin(dead))
+        .filter(F.col("vec_id") != survivor)
+        .unionByName(swap)
+    )
+    ref = str(tmp_path / "pqref")
+    pq_build_store(final, ref, cb, n_cells=4)
+    got = {
+        (r.neighbor_id, bytes(r.code))
+        for r in after.select("neighbor_id", "code").collect()
+    }
+    want = {
+        (r.neighbor_id, bytes(r.code))
+        for r in spark.read.parquet(ref)
+        .select("neighbor_id", "code")
+        .collect()
+    }
+    assert got == want
+    assert (pq_model_load(path) == cb).all()

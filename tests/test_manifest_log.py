@@ -151,6 +151,20 @@ def test_concurrent_writer_and_compactor_never_tear_readers(tmp_path):
     assert versions == list(range(n_writer + n_compactor))
     for v in versions:
         _check_pinned_read(root, v)
+    # round-10: the race crossed several checkpoint fold points, with
+    # BOTH processes folding concurrently (last-writer-wins over
+    # identical immutable manifests) — resolution through the folded
+    # checkpoint must equal the raw walk at every commit boundary
+    import crocus_spark.operators.maintenance as M
+
+    assert M._checkpoint_versions(root), "no checkpoint folded in the race"
+    walk = [
+        (v, int(read_manifest(root, v)["committed_at_ms"]))
+        for v in versions
+    ]
+    assert M._log_times(root) == walk
+    for v, c in walk:
+        assert M.resolve_version_as_of(root, c) == v
 
 
 def test_explicit_version_put_if_absent_single_winner(tmp_path):

@@ -73,8 +73,24 @@ def _run_sequence(spark, root: str, rng: random.Random):
     for _ in range(rng.randint(4, 6)):
         versions = list_snapshot_versions(root)
         op = rng.choice(
-            ["append", "eq_delete", "pos_delete", "compact", "restore"]
+            [
+                "append", "eq_delete", "pos_delete", "compact", "restore",
+                "checkpoint",
+            ]
         )
+        if op == "checkpoint":
+            # r10: fold a manifest-log checkpoint mid-lifecycle — pure
+            # derived metadata, so the model doesn't change and no
+            # history entry lands; every later read/resolution in the
+            # assertion phase now exercises the checkpoint+suffix path
+            # against the model (organic folds need 10+ commits, more
+            # than these interleavings produce)
+            from crocus_spark.operators.maintenance import (
+                write_log_checkpoint,
+            )
+
+            write_log_checkpoint(root)
+            continue
         if op == "append":
             ks = fresh(rng.randint(1, 15))
             v = commit_append(_df(spark, ks), root)

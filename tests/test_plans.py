@@ -984,3 +984,27 @@ def test_reciprocal_best_broadcasts_and_argmins(spark, registry, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivfpq_at_rest_prunes_partitions(spark, registry):
+    """The composed IVFPQ probe must reach the store as a
+    PartitionFilter on cell too — the 100 TB bytes-read claim is the
+    PRODUCT of directory pruning and code compression, and losing the
+    filter silently forfeits the first factor."""
+    import re
+
+    plan = _plan(registry["ann_ivfpq_topk"].fn(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan, re.I)
+    assert m, plan[plan.index("PartitionFilters"):][:300]
+    # the ADC scan must read codes, never the raw vectors (those are
+    # only touched by the refine re-rank join)
+    adc_reads = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "code" in l
+    ]
+    assert adc_reads, "no scan reads the code column"
+    assert any("c_vec" not in l for l in adc_reads), (
+        "every code scan also reads raw vectors — ADC lost its "
+        "column pruning"
+    )
