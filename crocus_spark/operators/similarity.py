@@ -1675,8 +1675,17 @@ def ivfpq_topk_at_rest(
         cell_of.setdefault(int(r.cell), set()).add(r.query_id)
     bc = spark.sparkContext.broadcast((q_ids, lut, cell_of))
 
+    # invert cell→queries to query→cells once (bounded: ≤ nprobe ints
+    # per query), so the scan masks with a vectorized np.isin instead
+    # of a per-row Python membership test
+    cells_of_q: dict = {}
+    for c, qs in cell_of.items():
+        for q in qs:
+            cells_of_q.setdefault(q, []).append(c)
+    bc_cells = spark.sparkContext.broadcast(cells_of_q)
+
     def adc_scan(batches):
-        ids, lut_v, cells_map = bc.value
+        ids, lut_v, _cells_map = bc.value
         pos = {q: i for i, q in enumerate(ids)}
         rng = np.arange(m)
         for pdf in batches:
@@ -1690,8 +1699,8 @@ def ivfpq_topk_at_rest(
             out_id, out_q, out_adc = [], [], []
             # score each query only against ITS probed cells
             for qid in ids:
-                mask = np.array(
-                    [qid in cells_map.get(int(c), ()) for c in cellcol]
+                mask = np.isin(
+                    cellcol, bc_cells.value.get(qid, [])
                 )
                 if not mask.any():
                     continue
