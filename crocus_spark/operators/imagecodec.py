@@ -263,6 +263,11 @@ def decode_image_bytes(data: bytes) -> tuple[int, int, int]:
 
         w, h, c, _px = decode_jpeg_baseline(data)
         return w, h, c
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from crocus_spark.operators.gifcodec import decode_gif_first_frame
+
+        w, h, c, _px = decode_gif_first_frame(data)
+        return w, h, c
     raise ValueError(f"unrecognized image format: magic={data[:8]!r}")
 
 
@@ -372,6 +377,10 @@ def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         from crocus_spark.operators.jpegcodec import decode_jpeg_baseline
 
         return decode_jpeg_baseline(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from crocus_spark.operators.gifcodec import decode_gif_first_frame
+
+        return decode_gif_first_frame(data)
     raise ValueError(f"unrecognized image format: magic={data[:8]!r}")
 
 

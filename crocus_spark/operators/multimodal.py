@@ -400,3 +400,65 @@ def jpeg_roundtrip_verify(
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         fn, JPEG_VERIFY_SCHEMA
     )
+
+
+GIF_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("interlaced", T.BooleanType()),
+        T.StructField("frames_ok", T.BooleanType()),
+    ]
+)
+
+
+def gif_frames_verify(df: DataFrame, id_col: str) -> DataFrame:
+    """Animated-GIF encode → demux → LZW decode → EXACT per-frame
+    verify in one Arrow pass (the second animated format of §2B#60,
+    next to the RIFF/AVI path — and unlike JPEG the round-trip is
+    LOSSLESS, so every frame byte is oracle-pinnable).
+
+    Fixture per key k: a (5+k%13) x (4+k%9) canvas, 1+k%4 frames from
+    a 16-color LCG palette, interlaced when k is even — so the verify
+    also proves the 4-pass deinterlace row order and the 255-byte
+    sub-block reassembly. ``frames_ok`` compares EVERY decoded frame
+    byte against the regenerated reference; the arithmetic oracle pins
+    geometry + flag."""
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators import gifcodec as G
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w, h = 5 + k % 13, 4 + k % 9
+                nf = 1 + k % 4
+                inter = k % 2 == 0
+                pal, frames = G.synth_palette_frames(w, h, nf, k)
+                data = G.encode_gif(w, h, pal, frames, interlace=inter)
+                got = list(G.decode_gif_frames(data))
+                ok = len(got) == nf
+                if ok:
+                    for fi, (idx, dw, dh, rgb) in enumerate(got):
+                        exp = bytearray()
+                        for ci in frames[fi]:
+                            exp += pal[3 * ci : 3 * ci + 3]
+                        if (idx, dw, dh) != (fi, w, h) or rgb != bytes(exp):
+                            ok = False
+                            break
+                rows.append((k, w, h, nf, inter, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "interlaced", "frames_ok",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        fn, GIF_VERIFY_SCHEMA
+    )

@@ -6287,3 +6287,36 @@ def ann_ivfpq_incremental(spark, sf_dir):
         tuple(r) for r in ref.collect()
     ], "incrementally maintained IVFPQ store diverged from a rebuild"
     return inc
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(5 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 9 AS INT) AS height,
+           CAST(1 + doc_id % 4 AS INT) AS n_frames,
+           (doc_id % 2 = 0) AS interlaced,
+           TRUE AS frames_ok
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "gif"),
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """Animated GIF decode, value-exact end-to-end (the fifth real image
+    format of §2B#60 and the second ANIMATED one next to RIFF/AVI): the
+    engine carries a dependency-free GIF87a/89a codec
+    (operators/gifcodec) with real variable-width LSB-first GIF-LZW
+    (Clear/EOI, 4096-entry dictionary growth + reset), 255-byte
+    sub-block reassembly, 4-pass interlace, and frame composition.
+    GIF palette images round-trip LOSSLESSLY, so unlike the JPEG row
+    every decoded frame byte is pinned against the regenerated
+    reference — ``frames_ok`` collapses the per-frame byte equality
+    into a column the arithmetic oracle pins to TRUE. One Arrow pass
+    over spread partitions; frames never leave the executors."""
+    docs = spread(load(spark, sf_dir, "documents"), spark).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return M.gif_frames_verify(docs, "doc_id").orderBy("media_id")

@@ -43,6 +43,7 @@ for _mod in (
     "crocus_spark.operators.pdfcodec",
     "crocus_spark.operators.imagecodec",
     "crocus_spark.operators.jpegcodec",
+    "crocus_spark.operators.gifcodec",
     "crocus_spark.operators.multimodal",
     "crocus_spark.normalize",
 ):
