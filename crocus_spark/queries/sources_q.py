@@ -1073,3 +1073,108 @@ def io_compression_codecs(spark, sf_dir):
     # codec corruption would make this non-empty; assert in-plan by
     # unioning zero rows of it (schema-compatible) into the output
     return zd.unionByName(mismatches.limit(0)).orderBy("lang")
+
+
+@register(
+    "io_snapshot_batch_source",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <= 5
+    ), alive AS (
+      SELECT * FROM base
+      WHERE o_custkey % 11 <> 3          -- cohort erasure (equality)
+        AND o_orderkey % 101 <> 7        -- copy erasure (positional)
+    )
+    SELECT CAST(o_custkey % 5 AS BIGINT) AS cust_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM alive
+    GROUP BY 1
+    ORDER BY cust_bucket
+    """,
+    tags=("io", "source", "snapshot", "lakehouse"),
+)
+def io_snapshot_batch_source(spark, sf_dir):
+    """The snapshot store as a FIRST-CLASS BATCH Spark data source
+    (r10, sources/snapshot_batch.py): ``spark.read.format(
+    "crocus_snapshot").option("path", root)`` with ``version_as_of`` /
+    ``timestamp_as_of`` time travel — the SQL-facing read path (temp
+    view + plain SQL, no Python API). The reader pins one manifest at
+    plan time, plans one partition per data file, and applies the
+    pinned delete sets AT SCAN TIME inside each partition (positional
+    = row-index drop, equality = pyarrow anti-join against the
+    cumulative delete parquet read executor-side) — the Iceberg v2
+    reader shape, so at 100 TB no joined view materializes before the
+    first filter and parallelism is the store's file count.
+
+    The store: commit + append + cohort equality-delete + positional
+    dup erasure over ``orders`` slices; the oracle recomputes the final
+    state from ``orders`` directly, and in-query asserts pin (a) the
+    data-source read row-for-row equal to the Python
+    ``read_snapshot`` path, (b) ``version_as_of=0`` returning the
+    pre-churn count, and (c) ``timestamp_as_of`` resolving through the
+    checkpoint-backed commit clocks."""
+    from crocus_spark.operators.maintenance import (
+        commit_append,
+        commit_equality_deletes,
+        commit_positional_deletes,
+        commit_snapshot,
+        read_manifest,
+        read_snapshot,
+        read_snapshot_with_positions,
+    )
+    from crocus_spark.sources import register_snapshot_source
+
+    register_snapshot_source(spark)
+    root = _scratch("snap_batch_src")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = orders.filter(F.pmod("o_orderkey", F.lit(7)) < 5)
+    commit_snapshot(base.coalesce(4), root)                        # v0
+    commit_append(
+        orders.filter(F.pmod("o_orderkey", F.lit(7)) == 5).coalesce(2),
+        root,
+    )                                                              # v1
+    cohort = (
+        orders.filter(F.pmod("o_custkey", F.lit(11)) == 3)
+        .select("o_custkey").distinct()
+    )
+    commit_equality_deletes(cohort, root, ["o_custkey"])           # v2
+    live = read_snapshot_with_positions(spark, root)
+    commit_positional_deletes(
+        live.filter(F.pmod("o_orderkey", F.lit(101)) == 7)
+        .select("_file", "_pos"),
+        root,
+    )                                                              # v3
+
+    def ds(**opts):
+        r = spark.read.format("crocus_snapshot").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    latest = ds()
+    # (a) parity with the Python read path, row for row (exceptAll is
+    # positional — align the Python path's columns to the source's)
+    py = read_snapshot(spark, root).select(*latest.columns)
+    sym = latest.exceptAll(py).count() + py.exceptAll(latest).count()
+    assert sym == 0, "data-source read diverged from read_snapshot"
+    # (b) version time travel serves the pre-churn state
+    assert ds(version_as_of=0).count() == base.count()
+    # (c) timestamp travel through the checkpoint-backed commit clocks
+    t1 = read_manifest(root, 1)["committed_at_ms"]
+    assert ds(timestamp_as_of=t1).count() == orders.filter(
+        F.pmod("o_orderkey", F.lit(7)) <= 5
+    ).count()
+    # the SQL surface: a temp view over the data source
+    latest.createOrReplaceTempView("snap_orders")
+    return spark.sql(
+        """
+        SELECT CAST(o_custkey % 5 AS BIGINT) AS cust_bucket,
+               COUNT(*) AS n_orders,
+               SUM(o_orderkey) AS key_sum
+        FROM snap_orders
+        GROUP BY 1
+        ORDER BY cust_bucket
+        """
+    )

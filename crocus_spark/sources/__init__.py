@@ -24,6 +24,10 @@ from crocus_spark.sources.catalog_source import (
     register_catalog_source,
     register_catalog_stream_source,
 )
+from crocus_spark.sources.snapshot_batch import (
+    SnapshotBatchSource,
+    register_snapshot_source,
+)
 from crocus_spark.sources.snapshot_stream import (
     SnapshotTailSource,
     register_snapshot_tail_source,
@@ -31,7 +35,9 @@ from crocus_spark.sources.snapshot_stream import (
 
 __all__ = [
     "SnapshotTailSource",
+    "SnapshotBatchSource",
     "register_snapshot_tail_source",
+    "register_snapshot_source",
     "AvroDataSource",
     "AvroLandingStreamSource",
     "AvroSink",

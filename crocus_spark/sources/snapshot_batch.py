@@ -1,0 +1,239 @@
+"""Batch Spark Data Source over the snapshot store — the SQL-facing
+read path that makes the manifest-logged table a first-class Spark
+citizen (r10): ``spark.read.format("crocus_snapshot").option("path",
+root)`` (options ``version_as_of`` / ``timestamp_as_of``), usable from
+plain SQL via a temp view, no Python API required.
+
+The reader pins ONE manifest at plan time (the store's reader
+contract), plans one partition per data file, and applies the pinned
+delete sets AT SCAN TIME inside each partition — positional deletes as
+a row-index drop, equality deletes as a pyarrow anti-join against the
+commit's cumulative delete parquet read executor-side — exactly the
+Iceberg v2 reader shape (delete files merged into the scan, never a
+driver-side row rewrite). Partition parallelism is the store's file
+count; each task reads one immutable parquet plus the (churn-sized)
+delete sets it needs.
+
+The logical result is identical to ``operators.maintenance
+.read_snapshot`` (pinned by the registry query + tests); the point of
+the second path is the SURFACE — SQL and non-Python consumers — and
+the scan-time delete application, which at 100 TB avoids materializing
+a joined view before the first filter."""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from crocus_spark.sources.snapshot_stream import (
+    _committed_versions,
+    _log_times,
+    _read_manifest,
+)
+
+
+@dataclass
+class _SnapFilePartition(InputPartition):
+    """One immutable data file of the pinned manifest, plus everything
+    the scan needs to apply the pinned delete sets to it."""
+
+    path: str
+    dead_positions: list[int] = field(default_factory=list)
+    eq_delete_dir: str | None = None  # store-relative cumulative set
+    key_columns: list[str] = field(default_factory=list)
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crocus_snapshot requires option 'path'")
+        self.version = _resolve_pin(self.root, options)
+        self._schema_json = schema.json()
+        self._pa_schema = None
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        m = _read_manifest(self.root, self.version)
+        entries = [
+            (_os.path.join(self.root, m["data_dir"], rel),
+             _os.path.basename(rel))
+            for rel, _sz in m["files"]
+        ]
+        for a in m.get("append_dirs", []):
+            entries.extend(
+                (_os.path.join(self.root, a["data_dir"], rel),
+                 _os.path.basename(rel))
+                for rel, _sz in a["files"]
+            )
+        # cumulative positional deletes: (file -> positions), read once
+        # at plan time (churn-sized by the store's contract — the same
+        # driver-side read the CDC planner does)
+        dead_by_file: dict[str, list[int]] = {}
+        pd_set = m.get("pos_deletes")
+        if pd_set is not None:
+            tbl = pq.read_table(
+                _os.path.join(self.root, pd_set["data_dir"])
+            )
+            for fname, pos in zip(
+                tbl["file_name"].to_pylist(), tbl["row_index"].to_pylist()
+            ):
+                dead_by_file.setdefault(fname, []).append(int(pos))
+        eq = m.get("deletes")
+        eq_dir = eq["data_dir"] if eq is not None else None
+        key_cols = list(eq["key_columns"]) if eq is not None else []
+        return [
+            _SnapFilePartition(
+                path,
+                sorted(dead_by_file.get(fname, ())),
+                eq_dir,
+                key_cols,
+            )
+            for path, fname in entries
+        ]
+
+    def _arrow_schema(self):
+        if self._pa_schema is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self._pa_schema = to_arrow_schema(
+                T.StructType.fromJson(_json.loads(self._schema_json))
+            )
+        return self._pa_schema
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        if partition.dead_positions:
+            dead = set(partition.dead_positions)
+            tbl = tbl.take(
+                [i for i in range(len(tbl)) if i not in dead]
+            )
+        if partition.eq_delete_dir is not None and len(tbl):
+            keys = pq.read_table(
+                _os.path.join(self.root, partition.eq_delete_dir),
+                columns=list(partition.key_columns),
+            ).cast(
+                pa.schema(
+                    [
+                        (c, tbl.schema.field(c).type)
+                        for c in partition.key_columns
+                    ]
+                )
+            )
+            tbl = tbl.join(
+                keys.combine_chunks(),
+                keys=list(partition.key_columns),
+                join_type="left anti",
+            )
+        # align to the pinned schema: files committed before a column
+        # existed emit typed nulls; physical type drift casts
+        pa_schema = self._arrow_schema()
+        n = len(tbl)
+        have = set(tbl.column_names)
+        arrays = []
+        for f in pa_schema:
+            if f.name in have:
+                col = tbl[f.name]
+                if col.type != f.type:
+                    col = col.cast(f.type)
+                arrays.append(col.combine_chunks())
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        yield from pa.table(arrays, schema=pa_schema).to_batches()
+
+
+def _resolve_pin(root: str, options) -> int:
+    """The ONE manifest this reader serves: explicit version_as_of,
+    else timestamp_as_of over the checkpoint-backed commit clocks,
+    else the latest committed version."""
+    versions = _committed_versions(root)
+    if not versions:
+        raise ValueError(f"no committed snapshot versions under {root}")
+    v = options.get("version_as_of")
+    if v is not None:
+        v = int(v)
+        if v not in versions:
+            raise ValueError(
+                f"version {v} not committed under {root} "
+                f"(have {versions[0]}..{versions[-1]})"
+            )
+        return v
+    ts = options.get("timestamp_as_of")
+    if ts is not None:
+        import datetime
+
+        s = str(ts)
+        if not s.lstrip("-").isdigit():
+            dt = datetime.datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            want = int(dt.timestamp() * 1000)
+        else:
+            want = int(s)
+        best = None
+        for vv, c in _log_times(root):
+            if c is not None and c <= want:
+                best = vv
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before {ts!r} under {root}"
+            )
+        return best
+    return versions[-1]
+
+
+class SnapshotBatchSource(DataSource):
+    """``spark.read.format("crocus_snapshot").option("path", root)`` —
+    batch reads of the manifest-logged store with scan-time delete
+    application; ``version_as_of`` / ``timestamp_as_of`` time travel."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crocus_snapshot"
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("crocus_snapshot requires option 'path'")
+        pin = _resolve_pin(root, self.options)
+        m = _read_manifest(root, pin)
+        s = m.get("schema")
+        if s is None:
+            # walk back to the newest committed schema at or below the
+            # pin (legacy commits recorded none)
+            for v in reversed(_committed_versions(root)):
+                if v > pin:
+                    continue
+                s = _read_manifest(root, v).get("schema")
+                if s is not None:
+                    break
+        if s is None:
+            raise ValueError(
+                "crocus_snapshot needs manifests with committed writer "
+                "schemas (commit via commit_snapshot/commit_append)"
+            )
+        return T.StructType.fromJson(s)
+
+    def reader(self, schema: T.StructType):
+        return _SnapshotBatchReader(self.options, schema)
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotent registration of the ``crocus_snapshot`` format."""
+    try:
+        spark.dataSource.register(SnapshotBatchSource)
+    except Exception as e:  # pragma: no cover - double registration
+        if "already" not in str(e).lower():
+            raise
