@@ -1130,7 +1130,15 @@ def io_snapshot_batch_source(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     base = orders.filter(F.pmod("o_orderkey", F.lit(7)) < 5)
-    commit_snapshot(base.coalesce(4), root)                        # v0
+    # key-ranged files + committed stats: the source's pushFilters can
+    # prune whole files from the plan (asserted structurally in tests)
+    commit_snapshot(
+        base.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_columns=["o_orderkey"],
+    )                                                              # v0
     commit_append(
         orders.filter(F.pmod("o_orderkey", F.lit(7)) == 5).coalesce(2),
         root,
@@ -1166,6 +1174,15 @@ def io_snapshot_batch_source(spark, sf_dir):
     assert ds(timestamp_as_of=t1).count() == orders.filter(
         F.pmod("o_orderkey", F.lit(7)) <= 5
     ).count()
+    # (d) manifest-stats file pruning via the explicit `prune` option:
+    # a pruned read + the row filter equals the unpruned filtered read
+    # (pruning is conservative and stateless per load; the structural
+    # fewer-partitions claim is pinned in tests/test_snapshot_batch.py)
+    k = int(base.agg(F.expr("percentile(o_orderkey, 0.2)")).collect()[0][0])
+    pruned = ds(prune=f'{{"o_orderkey": [null, {k}]}}').filter(
+        F.col("o_orderkey") < k
+    )
+    assert pruned.count() == latest.filter(F.col("o_orderkey") < k).count()
     # the SQL surface: a temp view over the data source
     latest.createOrReplaceTempView("snap_orders")
     return spark.sql(

@@ -59,9 +59,33 @@ class _SnapshotBatchReader(DataSourceReader):
         self.version = _resolve_pin(self.root, options)
         self._schema_json = schema.json()
         self._pa_schema = None
+        # Manifest-stats file pruning via the EXPLICIT `prune` option —
+        # a JSON object {col: [lo, hi]} applied against the pinned
+        # manifest's recorded per-file [min, max] (null bound = open
+        # side; files lacking stats are conservatively kept, so pruning
+        # can never change results — the caller still filters rows).
+        # DELIBERATELY an option, not pushFilters: the Spark 4.1 Python
+        # data-source pushdown lifecycle reuses one reader instance
+        # across every plan of a shared DataFrame, and a range pushed
+        # by a filtered action was measured contaminating a LATER
+        # filterless action on the same frame (11561 rows silently
+        # became 4391) — an option is stateless per load() and cannot
+        # leak. The Python-API twin is read_snapshot_pruned_where.
+        self._ranges: dict[str, list] = {}
+        prune = options.get("prune")
+        if prune:
+            parsed = _json.loads(prune)
+            if not isinstance(parsed, dict):
+                raise ValueError("prune must be a JSON object {col: [lo, hi]}")
+            for c, b in parsed.items():
+                if not isinstance(b, (list, tuple)) or len(b) != 2:
+                    raise ValueError(f"prune[{c!r}] must be [lo, hi]")
+                self._ranges[c] = [b[0], b[1]]
 
     def partitions(self):
         import pyarrow.parquet as pq
+
+        from crocus_spark.sources.snapshot_stream import _jsonable
 
         m = _read_manifest(self.root, self.version)
         entries = [
@@ -75,6 +99,42 @@ class _SnapshotBatchReader(DataSourceReader):
                  _os.path.basename(rel))
                 for rel, _sz in a["files"]
             )
+        # stats pruning: file_stats aligns with the (primary + appends)
+        # entry order — the manifest_data_files contract
+        ranges = self._ranges
+        stats = m.get("file_stats")
+        stat_cols = set(m.get("stats_columns", []))
+        missing = [c for c in ranges if stats is None or c not in stat_cols]
+        if missing:
+            raise ValueError(
+                f"manifest v{self.version} records no stats for "
+                f"{missing}; commit with stats_columns to enable "
+                f"pruning (has: {sorted(stat_cols)})"
+            )
+        bounds = {
+            c: (
+                None if r[0] is None else _jsonable(r[0]),
+                None if r[1] is None else _jsonable(r[1]),
+            )
+            for c, r in ranges.items()
+            if r[0] is not None or r[1] is not None
+        }
+        keep_mask = [True] * len(entries)
+        if stats is not None and bounds:
+            for i in range(min(len(entries), len(stats))):
+                fstats = stats[i]
+                if fstats is None:
+                    continue
+                for c, (lo, hi) in bounds.items():
+                    mm = fstats.get(c)
+                    if mm is None:
+                        continue
+                    if (hi is not None and mm[0] > hi) or (
+                        lo is not None and mm[1] < lo
+                    ):
+                        keep_mask[i] = False
+                        break
+        entries = [e for e, k in zip(entries, keep_mask) if k]
         # cumulative positional deletes: (file -> positions), read once
         # at plan time (churn-sized by the store's contract — the same
         # driver-side read the CDC planner does)

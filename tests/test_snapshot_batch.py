@@ -1,0 +1,134 @@
+"""Batch crocus_snapshot data source (sources/snapshot_batch.py):
+manifest pin resolution, scan-time delete application, schema walk-back
+over mixed histories, and manifest-stats filter pushdown pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crocus_spark.operators.maintenance import (
+    commit_append,
+    commit_equality_deletes,
+    commit_snapshot,
+    read_manifest,
+    read_snapshot,
+)
+from crocus_spark.sources import register_snapshot_source
+from crocus_spark.sources.snapshot_batch import (
+    _SnapFilePartition,
+    _SnapshotBatchReader,
+)
+
+
+def _store(spark, tmp_path):
+    root = str(tmp_path / "store")
+    base = spark.range(0, 400).selectExpr(
+        "id AS k", "id % 7 AS g"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    commit_snapshot(base, root, stats_columns=["k"])  # v0: 4 k-ranged files
+    commit_append(
+        spark.range(400, 500).selectExpr("id AS k", "id % 7 AS g").coalesce(1),
+        root,
+    )  # v1
+    commit_equality_deletes(
+        spark.createDataFrame([(3,)], "g long"), root, ["g"]
+    )  # v2
+    return root
+
+
+def test_reads_match_python_path_and_time_travel(spark, tmp_path):
+    register_snapshot_source(spark)
+    root = _store(spark, tmp_path)
+
+    def ds(**opts):
+        r = spark.read.format("crocus_snapshot").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    latest = ds()
+    py = read_snapshot(spark, root).select(*latest.columns)
+    assert latest.exceptAll(py).count() == 0
+    assert py.exceptAll(latest).count() == 0
+    assert ds(version_as_of=0).count() == 400
+    assert ds(version_as_of=1).count() == 500
+    t0 = read_manifest(root, 0)["committed_at_ms"]
+    assert ds(timestamp_as_of=t0).count() == 400
+    with pytest.raises(Exception, match="not committed"):
+        ds(version_as_of=99).count()
+
+
+def test_prune_option_skips_files_by_manifest_stats(spark, tmp_path):
+    """The explicit `prune` option plans strictly fewer partitions for
+    a narrow range on the stats column, never changes results, and
+    fails loudly on a column without committed stats. (Deliberately an
+    option, not pushFilters — the Spark 4.1 Python-DS pushdown
+    lifecycle reuses one reader across every plan of a shared
+    DataFrame, and a pushed range was measured leaking into a later
+    filterless action; the option is stateless per load().)"""
+    register_snapshot_source(spark)
+    root = _store(spark, tmp_path)
+    schema = T.StructType.fromJson(read_manifest(root, 2)["schema"])
+    r_all = _SnapshotBatchReader({"path": root}, schema)
+    total = len(r_all.partitions())
+    assert total >= 5  # 4 ranged files + 1 append
+    r_pruned = _SnapshotBatchReader(
+        {"path": root, "prune": '{"k": [null, 90]}'}, schema
+    )
+    pruned = r_pruned.partitions()
+    # k<=90 hits only the first k-range file; the APPEND file carries
+    # stats too (commit_append extends file_stats), so it prunes as well
+    assert 1 <= len(pruned) < total
+    for p in pruned:
+        assert isinstance(p, _SnapFilePartition)
+    # end-to-end: pruned read + row filter == unpruned filtered read
+    full = (
+        spark.read.format("crocus_snapshot").option("path", root).load()
+    )
+    pr = (
+        spark.read.format("crocus_snapshot")
+        .option("path", root)
+        .option("prune", '{"k": [null, 90]}')
+        .load()
+        .filter(F.col("k") <= 90)
+    )
+    assert pr.count() == full.filter(F.col("k") <= 90).count()
+    # a prune on a column without committed stats fails loudly
+    r_bad = _SnapshotBatchReader(
+        {"path": root, "prune": '{"g": [0, 1]}'}, schema
+    )
+    with pytest.raises(ValueError, match="no stats"):
+        r_bad.partitions()
+
+
+def test_mixed_schema_history_reads_with_pinned_schema(spark, tmp_path):
+    """A version pinned BEFORE an additive evolution reads with ITS
+    schema; the latest pin null-fills the old files' missing column."""
+    register_snapshot_source(spark)
+    root = str(tmp_path / "evo")
+    commit_snapshot(
+        spark.range(0, 50).selectExpr("id AS k", "id % 7 AS g").coalesce(1),
+        root,
+    )  # v0
+    commit_append(
+        spark.range(50, 80).selectExpr(
+            "id AS k", "id % 7 AS g", "nullif(concat('n', id), '') AS note"
+        ).coalesce(1),
+        root,
+    )  # v1: adds nullable note
+
+    def ds(**opts):
+        r = spark.read.format("crocus_snapshot").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    old = ds(version_as_of=0)
+    assert old.columns == ["k", "g"]
+    assert old.count() == 50
+    new = ds()
+    assert "note" in new.columns
+    assert new.filter("k < 50 AND note IS NOT NULL").count() == 0
+    assert new.filter("k >= 50 AND note IS NULL").count() == 0
