@@ -1070,6 +1070,24 @@ def commit_append(
     the SAME already-written data dir (pure-metadata retry)."""
     add_dir = f"a-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(state_root, add_dir))
+    return commit_append_dir(
+        state_root, add_dir, df.schema.json(), allow_incompatible
+    )
+
+
+def commit_append_dir(
+    state_root: str,
+    add_dir: str,
+    schema_json: str | dict | None,
+    allow_incompatible: bool = False,
+) -> int:
+    """Manifest half of :func:`commit_append` for a data directory that
+    is ALREADY fully written under ``state_root`` (the two-phase shape
+    external writers need — e.g. the ``crocus_snapshot`` Spark sink's
+    tasks write parts, then its driver-side commit calls this): extend
+    the latest manifest's ``append_dirs`` (and footer stats, when the
+    store records them) and CAS-commit at latest+1, retrying lost races
+    with the same immutable directory (pure-metadata retry)."""
     add_files = parquet_data_files(os.path.join(state_root, add_dir))
     rel_files = [
         [os.path.relpath(p, os.path.join(state_root, add_dir)), sz]
@@ -1102,7 +1120,7 @@ def commit_append(
                 state_root,
                 prev["data_dir"],
                 version=latest + 1,
-                schema_json=df.schema.json(),
+                schema_json=schema_json,
                 allow_incompatible=allow_incompatible,
                 extra=body_extra,
             )

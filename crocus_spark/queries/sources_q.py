@@ -1195,3 +1195,90 @@ def io_snapshot_batch_source(spark, sf_dir):
         ORDER BY cust_bucket
         """
     )
+
+
+@register(
+    "io_snapshot_batch_sink",
+    oracle="""
+    SELECT CAST(o_custkey % 7 AS BIGINT) AS cust_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_custkey % 13 <> 4
+    GROUP BY 1
+    ORDER BY cust_bucket
+    """,
+    tags=("io", "sink", "snapshot", "lakehouse"),
+)
+def io_snapshot_batch_sink(spark, sf_dir):
+    """The snapshot store as a Spark WRITE target (r10):
+    ``df.write.format("crocus_snapshot").mode(...)`` — the
+    DataSourceWriter contract IS the store's two-phase protocol: tasks
+    write immutable parquet parts into a fresh staging directory no
+    manifest references, and only the driver-side commit() links a
+    manifest (overwrite → full-state commit with optional
+    ``stats_columns``; append → CAS append-commit at latest+1 through
+    ``commit_append_dir``, schema validated by the same
+    additive-nullable gate; append onto a nonexistent table CREATES
+    it). A failed job aborts by deleting the staging dir; a crashed
+    driver leaves an orphan vacuum_orphans reclaims — the same crash
+    story as every committer in operators/maintenance.
+
+    The query writes ``orders`` in three thirds (overwrite + two
+    appends, all through the Spark sink), erases a cohort through the
+    Python delete API (sink and operators compose on one log), asserts
+    the version history/schema/stats landed, and returns an aggregate
+    over the SOURCE-read store the oracle recomputes from ``orders``."""
+    from crocus_spark.operators.maintenance import (
+        commit_equality_deletes,
+        list_snapshot_versions,
+        read_manifest,
+    )
+    from crocus_spark.sources import register_snapshot_source
+
+    register_snapshot_source(spark)
+    root = _scratch("snap_batch_sink")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def third(i):
+        return orders.filter(
+            F.pmod("o_orderkey", F.lit(3)) == i
+        ).repartition(4)
+
+    (
+        third(0).write.format("crocus_snapshot")
+        .option("path", root).option("stats_columns", "o_orderkey")
+        .mode("overwrite").save()
+    )                                                              # v0
+    for i in (1, 2):
+        (
+            third(i).write.format("crocus_snapshot")
+            .option("path", root).mode("append").save()
+        )                                                          # v1, v2
+    cohort = (
+        orders.filter(F.pmod("o_custkey", F.lit(13)) == 4)
+        .select("o_custkey").distinct()
+    )
+    commit_equality_deletes(cohort, root, ["o_custkey"])           # v3
+    assert list_snapshot_versions(root) == [0, 1, 2, 3]
+    m2 = read_manifest(root, 2)
+    assert m2.get("schema") is not None  # sink recorded the writer schema
+    assert len(m2.get("append_dirs", [])) == 2
+    assert m2.get("stats_columns") == ["o_orderkey"]  # appends extend stats
+    assert len(m2["file_stats"]) == m2["n_files"] + sum(
+        len(a["files"]) for a in m2["append_dirs"]
+    )
+    store = (
+        spark.read.format("crocus_snapshot").option("path", root).load()
+    )
+    return (
+        store.groupBy(
+            F.pmod("o_custkey", F.lit(7)).cast("long").alias("cust_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("cust_bucket")
+    )

@@ -289,6 +289,9 @@ class SnapshotBatchSource(DataSource):
     def reader(self, schema: T.StructType):
         return _SnapshotBatchReader(self.options, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return _SnapshotBatchWriter(self.options, schema, overwrite)
+
 
 def register_snapshot_source(spark) -> None:
     """Idempotent registration of the ``crocus_snapshot`` format."""
@@ -297,3 +300,130 @@ def register_snapshot_source(spark) -> None:
     except Exception as e:  # pragma: no cover - double registration
         if "already" not in str(e).lower():
             raise
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("crocus_snapshot") — Spark-native atomic
+# commits into the manifest log. The DataSourceWriter contract IS the
+# store's two-phase protocol: tasks write immutable parquet parts into
+# a fresh staging directory (invisible — no manifest references it),
+# and only the driver-side commit() links a manifest. A failed job
+# aborts by deleting the staging dir; a crashed driver leaves orphans
+# that vacuum_orphans reclaims — exactly the crash story every other
+# committer in operators/maintenance has.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@_dataclass
+class _SnapWriteCommit(WriterCommitMessage):
+    rel_file: str | None
+    n_rows: int
+
+
+class _SnapshotBatchWriter(DataSourceWriter):
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crocus_snapshot requires option 'path'")
+        self.overwrite = overwrite
+        self._schema_json = schema.json()
+        sc = options.get("stats_columns")
+        self.stats_columns = (
+            [c.strip() for c in sc.split(",") if c.strip()] if sc else None
+        )
+        self.allow_incompatible = (
+            str(options.get("allow_incompatible", "false")).lower() == "true"
+        )
+        # staging dir chosen ONCE driver-side; every task inherits it
+        # through the pickled writer (d- = full state, a- = increment —
+        # the prefixes vacuum_orphans knows)
+        import uuid as _uuid
+
+        prefix = "d-" if overwrite else "a-"
+        self.data_dir = f"{prefix}{_uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark_schema = T.StructType.fromJson(_json.loads(self._schema_json))
+        pa_schema = to_arrow_schema(spark_schema)
+        names = [f.name for f in spark_schema.fields]
+        d = _os.path.join(self.root, self.data_dir)
+        _os.makedirs(d, exist_ok=True)
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        tmp = _os.path.join(d, f".tmp-{fname}")
+        n = 0
+        writer = None
+        try:
+            batch: list = []
+            for row in iterator:
+                batch.append(row)
+                if len(batch) >= 65536:
+                    tbl = pa.Table.from_pylist(
+                        [dict(zip(names, r)) for r in batch], pa_schema
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, pa_schema)
+                    writer.write_table(tbl)
+                    n += len(batch)
+                    batch = []
+            if batch or n == 0:
+                tbl = pa.Table.from_pylist(
+                    [dict(zip(names, r)) for r in batch], pa_schema
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, pa_schema)
+                writer.write_table(tbl)
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if n == 0:
+            _os.unlink(tmp)  # empty partition: contribute no file
+            return _SnapWriteCommit(None, 0)
+        _os.replace(tmp, _os.path.join(d, fname))  # two-phase per part
+        return _SnapWriteCommit(fname, n)
+
+    def commit(self, messages):
+        from crocus_spark.operators.maintenance import (
+            commit_append_dir,
+            commit_manifest,
+        )
+
+        d = _os.path.join(self.root, self.data_dir)
+        _os.makedirs(d, exist_ok=True)  # all-empty write: empty table
+        if self.overwrite or not _committed_versions(self.root):
+            # full-state commit (mode('overwrite'), or the CREATE case:
+            # an append onto a table that does not exist yet)
+            commit_manifest(
+                self.root,
+                self.data_dir,
+                schema_json=self._schema_json,
+                allow_incompatible=self.allow_incompatible,
+                stats_columns=self.stats_columns,
+            )
+        else:
+            commit_append_dir(
+                self.root,
+                self.data_dir,
+                self._schema_json,
+                allow_incompatible=self.allow_incompatible,
+            )
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            _os.path.join(self.root, self.data_dir), ignore_errors=True
+        )

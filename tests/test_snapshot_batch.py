@@ -132,3 +132,54 @@ def test_mixed_schema_history_reads_with_pinned_schema(spark, tmp_path):
     assert "note" in new.columns
     assert new.filter("k < 50 AND note IS NOT NULL").count() == 0
     assert new.filter("k >= 50 AND note IS NULL").count() == 0
+
+
+def test_sink_two_phase_abort_and_schema_gate(spark, tmp_path):
+    """Write-path invariants: an abort leaves NO committed version and
+    no staging debris a reader could see; a committed write leaves no
+    temp files; an append whose schema changes a column's type is
+    refused by the same gate as the Python committers."""
+    import os
+
+    from crocus_spark.operators.maintenance import (
+        SchemaCompatibilityError,
+        list_snapshot_versions,
+    )
+    from crocus_spark.sources.snapshot_batch import _SnapshotBatchWriter
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS g")
+    df.write.format("crocus_snapshot").option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert list_snapshot_versions(root) == [0]
+    # no temp files survive a committed write
+    leftovers = [
+        f
+        for d, _sub, files in os.walk(root)
+        for f in files
+        if f.startswith(".tmp-")
+    ]
+    assert leftovers == []
+    # abort: simulate a failed job on a writer whose task already wrote
+    w = _SnapshotBatchWriter({"path": root}, df.schema, overwrite=False)
+    msg = w.write(iter([(999, 1)]))
+    staged = os.path.join(root, w.data_dir)
+    assert os.path.isdir(staged) and msg.n_rows == 1
+    w.abort([msg])
+    assert not os.path.exists(staged)
+    assert list_snapshot_versions(root) == [0]  # nothing committed
+    assert read_snapshot(spark, root).count() == 100
+    # schema gate: type change refused on append
+    bad = spark.range(0, 5).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS g"
+    )
+    with pytest.raises(Exception) as exc:
+        bad.write.format("crocus_snapshot").option("path", root).mode(
+            "append"
+        ).save()
+    assert "type changed" in str(exc.value) or isinstance(
+        exc.value, SchemaCompatibilityError
+    )
+    assert list_snapshot_versions(root) == [0]
