@@ -171,16 +171,51 @@ class _SnapshotBatchReader(DataSourceReader):
         return self._pa_schema
 
     def read(self, partition):
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
-        if partition.dead_positions:
-            dead = set(partition.dead_positions)
-            tbl = tbl.take(
-                [i for i in range(len(tbl)) if i not in dead]
+        # Column-pruned read: only the pinned (possibly `columns`-
+        # projected) schema plus the equality-delete key columns are
+        # read from the footer up — the parquet scan never touches
+        # other columns' pages. Files committed before a column existed
+        # lack it physically; intersect with the footer schema and emit
+        # typed nulls below (the metadata-only num_rows covers the
+        # nothing-present edge).
+        pa_schema = self._arrow_schema()
+        need = list(
+            dict.fromkeys(
+                [f.name for f in pa_schema]
+                + (
+                    list(partition.key_columns)
+                    if partition.eq_delete_dir is not None
+                    else []
+                )
             )
-        if partition.eq_delete_dir is not None and len(tbl):
+        )
+        pf = pq.ParquetFile(partition.path)
+        avail = set(pf.schema_arrow.names)
+        cols = [c for c in need if c in avail]
+        if cols:
+            tbl = pf.read(columns=cols)
+        else:
+            # no requested column exists in this file — carry only the
+            # row count (footer metadata) so the null-fill below still
+            # emits the right shape
+            tbl = pa.table(
+                {"__rows__": pa.nulls(pf.metadata.num_rows, pa.int8())}
+            )
+        if partition.dead_positions:
+            mask = np.ones(len(tbl), dtype=bool)
+            mask[np.asarray(partition.dead_positions, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
+        if (
+            partition.eq_delete_dir is not None
+            and len(tbl)
+            and all(c in avail for c in partition.key_columns)
+        ):
+            # (a file physically lacking a key column stores null keys;
+            # nulls never equal, so no eq-delete can match it — skip)
             keys = pq.read_table(
                 _os.path.join(self.root, partition.eq_delete_dir),
                 columns=list(partition.key_columns),
@@ -284,7 +319,26 @@ class SnapshotBatchSource(DataSource):
                 "crocus_snapshot needs manifests with committed writer "
                 "schemas (commit via commit_snapshot/commit_append)"
             )
-        return T.StructType.fromJson(s)
+        st = T.StructType.fromJson(s)
+        # Explicit projection: option("columns", "a,b") narrows the
+        # source schema itself, so every file scan reads ONLY those
+        # columns' pages (plus eq-delete keys) — the Spark 4.1 Python
+        # data-source API pushes filters but not projections, so
+        # without this the SQL-facing path reads full width no matter
+        # what the query selects. Symmetrical to the `prune` option
+        # (and stateless per load() for the same reader-reuse reason).
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            have = {f.name: f for f in st.fields}
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(
+                    f"columns {missing} not in snapshot schema "
+                    f"(has: {sorted(have)})"
+                )
+            st = T.StructType([have[c] for c in want])
+        return st
 
     def reader(self, schema: T.StructType):
         return _SnapshotBatchReader(self.options, schema)
@@ -316,7 +370,7 @@ def register_snapshot_source(spark) -> None:
 from dataclasses import dataclass as _dataclass  # noqa: E402
 
 from pyspark.sql.datasource import (  # noqa: E402
-    DataSourceWriter,
+    DataSourceArrowWriter,
     WriterCommitMessage,
 )
 
@@ -327,7 +381,7 @@ class _SnapWriteCommit(WriterCommitMessage):
     n_rows: int
 
 
-class _SnapshotBatchWriter(DataSourceWriter):
+class _SnapshotBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: T.StructType, overwrite: bool):
         self.root = options.get("path")
         if not self.root:
@@ -350,6 +404,16 @@ class _SnapshotBatchWriter(DataSourceWriter):
         self.data_dir = f"{prefix}{_uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
+        """Arrow-native task write: incoming ``pa.RecordBatch``es stream
+        straight into a ``ParquetWriter`` — no Spark Row ever surfaces
+        in Python (``DataSourceArrowWriter``, PySpark ≥4.0). Each batch
+        is cast to the pinned schema (Spark's Arrow batches carry the
+        logical schema; the cast normalizes physical details like
+        timestamp units / not-null flags). Temps carry NO ``.parquet``
+        suffix, so a task that dies after the ``finally`` close (which
+        leaves a valid footer over partial rows) can never be picked up
+        by a directory listing — and ``commit()`` additionally deletes
+        anything not referenced by a commit message."""
         import uuid as _uuid
 
         import pyarrow as pa
@@ -358,44 +422,41 @@ class _SnapshotBatchWriter(DataSourceWriter):
 
         spark_schema = T.StructType.fromJson(_json.loads(self._schema_json))
         pa_schema = to_arrow_schema(spark_schema)
-        names = [f.name for f in spark_schema.fields]
         d = _os.path.join(self.root, self.data_dir)
         _os.makedirs(d, exist_ok=True)
         fname = f"part-{_uuid.uuid4().hex}.parquet"
-        tmp = _os.path.join(d, f".tmp-{fname}")
+        tmp = _os.path.join(d, f".tmp-{fname}.inprogress")
         n = 0
         writer = None
         try:
-            batch: list = []
-            for row in iterator:
-                batch.append(row)
-                if len(batch) >= 65536:
-                    tbl = pa.Table.from_pylist(
-                        [dict(zip(names, r)) for r in batch], pa_schema
-                    )
-                    if writer is None:
-                        writer = pq.ParquetWriter(tmp, pa_schema)
-                    writer.write_table(tbl)
-                    n += len(batch)
-                    batch = []
-            if batch or n == 0:
-                tbl = pa.Table.from_pylist(
-                    [dict(zip(names, r)) for r in batch], pa_schema
-                )
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([batch])
+                if tbl.schema != pa_schema:
+                    tbl = tbl.cast(pa_schema)
                 if writer is None:
                     writer = pq.ParquetWriter(tmp, pa_schema)
                 writer.write_table(tbl)
-                n += len(batch)
+                n += len(tbl)
         finally:
             if writer is not None:
                 writer.close()
-        if n == 0:
-            _os.unlink(tmp)  # empty partition: contribute no file
+        if n == 0:  # empty partition: contribute no file
+            if _os.path.exists(tmp):
+                _os.unlink(tmp)
             return _SnapWriteCommit(None, 0)
         _os.replace(tmp, _os.path.join(d, fname))  # two-phase per part
         return _SnapWriteCommit(fname, n)
 
     def commit(self, messages):
+        """Driver-side commit. The manifest's file list is defined by
+        the ``rel_file``s in ``messages`` — the one successful attempt
+        per task — NOT by what the staging dir happens to contain:
+        a failed-then-retried or speculative task's leftovers (a
+        partial ``.tmp-*.inprogress``, or a duplicate renamed part from
+        a second successful attempt) are deleted here before the
+        manifest is linked, so they can never be committed."""
         from crocus_spark.operators.maintenance import (
             commit_append_dir,
             commit_manifest,
@@ -403,6 +464,23 @@ class _SnapshotBatchWriter(DataSourceWriter):
 
         d = _os.path.join(self.root, self.data_dir)
         _os.makedirs(d, exist_ok=True)  # all-empty write: empty table
+        committed = {
+            m.rel_file
+            for m in messages
+            if m is not None and m.rel_file is not None
+        }
+        lost = sorted(committed - set(_os.listdir(d)))
+        if lost:
+            raise IOError(
+                f"commit message references missing staged file(s) "
+                f"{lost} under {d}; refusing to commit a hole"
+            )
+        for f in _os.listdir(d):
+            if f not in committed:
+                try:
+                    _os.unlink(_os.path.join(d, f))
+                except OSError:
+                    pass
         if self.overwrite or not _committed_versions(self.root):
             # full-state commit (mode('overwrite'), or the CREATE case:
             # an append onto a table that does not exist yet)
