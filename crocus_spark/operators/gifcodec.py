@@ -257,10 +257,37 @@ def decode_gif_frames(data: bytes, every: int = 1):
     w, h = meta["width"], meta["height"]
     canvas = bytearray(w * h)  # palette indices, bg 0
     pal_g = meta["palette"]
+    composed_pal = None  # palette the on-canvas indices were drawn with
     for i, fr in enumerate(meta["frames"]):
         pal = fr["lct"] or pal_g
         if pal is None:
             raise ValueError("frame without a color table")
+        # The canvas stores palette INDICES, rendered below with the
+        # CURRENT frame's palette — valid only if that palette also
+        # matches the pixels already composed. A partial frame whose
+        # effective color table differs from the composed one would
+        # silently recolor the previously-composed region; fail loudly
+        # instead (module contract: unsupported shapes raise). A frame
+        # covering the whole canvas overwrites every pixel, so a
+        # palette switch there is safe and resets the composed palette.
+        full_cover = (
+            fr["left"] == 0
+            and fr["top"] == 0
+            and fr["width"] == w
+            and fr["height"] == h
+        )
+        if (
+            composed_pal is not None
+            and not full_cover
+            and bytes(pal) != bytes(composed_pal)
+        ):
+            raise ValueError(
+                f"frame {i} carries a color table differing from the "
+                "one the composed canvas was drawn with; partial-frame "
+                "palette switches are not supported (indices would "
+                "silently recolor prior frames)"
+            )
+        composed_pal = pal
         idx = _unpack_lzw(
             fr["lzw"], fr["depth"], fr["width"] * fr["height"]
         )

@@ -1109,14 +1109,20 @@ def ivf_upsert_store(
         int(r["cell"]) for r in up.select("cell").distinct().collect()
     }
     back = spark.read.parquet(path)
-    del_cells = {
+    # affected = NEW cells of upserts ∪ CURRENT cells of every touched
+    # id (deletes AND upserts): an UPDATE whose re-embedded vector
+    # lands in a different frozen-centroid cell must rewrite its OLD
+    # cell too, or the stale row survives there and the id serves from
+    # two cells (r10 ADVICE #2).
+    touched = dels.unionByName(up.select("neighbor_id")).distinct()
+    old_cells = {
         int(r["cell"])
-        for r in back.join(dels, "neighbor_id", "left_semi")
+        for r in back.join(touched, "neighbor_id", "left_semi")
         .select("cell")
         .distinct()
         .collect()
     }
-    affected = sorted(up_cells | del_cells)
+    affected = sorted(up_cells | old_cells)
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))
@@ -1778,14 +1784,18 @@ def ivfpq_upsert_store(
         int(r["cell"]) for r in up.select("cell").distinct().collect()
     }
     back = spark.read.parquet(path)
-    del_cells = {
+    # affected must include the CURRENT cells of upserted ids too — an
+    # UPDATE that moves an id to a different frozen-centroid cell has
+    # to rewrite (and anti-join out of) its old cell (r10 ADVICE #2).
+    touched = dels.unionByName(up.select("neighbor_id")).distinct()
+    old_cells = {
         int(r["cell"])
-        for r in back.join(dels, "neighbor_id", "left_semi")
+        for r in back.join(touched, "neighbor_id", "left_semi")
         .select("cell")
         .distinct()
         .collect()
     }
-    affected = sorted(up_cells | del_cells)
+    affected = sorted(up_cells | old_cells)
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))

@@ -317,7 +317,18 @@ class _SnapshotTailReader(DataSourceStreamReader):
         return (versions[-1] + 1) if versions else 0
 
     def initialOffset(self) -> dict:
-        return {"v": self._resolve_start()}
+        # "cfg" records the CONFIGURED start version in the offset
+        # itself (it round-trips through the stream checkpoint): only
+        # the very first batch's start offset carries cfg == v, so
+        # partitions() can classify "configured start at the expiry
+        # boundary" vs "checkpointed resume" WITHOUT re-resolving the
+        # timestamp against a log whose history may since have been
+        # expired (re-resolution returns a later survivor and
+        # misclassifies the configured start as a resume — r10 ADVICE
+        # #3). Later batches' starts come from latestOffset() and have
+        # no cfg.
+        v = self._resolve_start()
+        return {"v": v, "cfg": v}
 
     def latestOffset(self) -> dict:
         versions = _committed_versions(self.root)
@@ -547,13 +558,16 @@ class _SnapshotTailReader(DataSourceStreamReader):
                     # survivor as an initial snapshot would re-emit the
                     # whole table as inserts and double-count every row
                     # downstream (Delta fails loudly here too).
+                    # cfg travels in the initial offset (see
+                    # initialOffset); the starting_version equality is
+                    # kept as a fallback for checkpoints written before
+                    # cfg existed (a version-configured start needs no
+                    # re-resolution, so the old check stays sound).
                     explicit = (
+                        start.get("cfg") == start["v"]
+                    ) or (
                         self.starting_version is not None
                         and start["v"] == self.starting_version
-                    ) or (
-                        self.starting_version is None
-                        and self._starting_timestamp is not None
-                        and start["v"] == self._resolve_start()
                     )
                     if explicit and self.expired_start == "snapshot":
                         pass  # fall through: emit v as the initial load

@@ -126,3 +126,51 @@ def test_partial_canvas_frames_compose():
             p = ((1 + y) * 10 + (2 + x)) * 3
             exp[p : p + 3] = pal[15:18]  # index 5
     assert rgb1 == bytes(exp)
+
+
+def test_partial_frame_palette_switch_fails_loudly():
+    """r10 ADVICE #4: a PARTIAL frame whose local color table differs
+    from the palette the composed canvas was drawn with must raise —
+    the canvas stores indices, so rendering it with the new palette
+    would silently recolor previously-composed pixels. A FULL-canvas
+    frame may switch palettes (it overwrites every pixel)."""
+    import struct
+
+    pal, frames = G.synth_palette_frames(10, 8, 1, 7)
+    base = G.encode_gif(10, 8, pal, frames)
+
+    def with_subframe(lct: bytes | None, full: bool):
+        sub_w, sub_h = (10, 8) if full else (4, 3)
+        left, top = (0, 0) if full else (2, 1)
+        sub = bytes([1]) * (sub_w * sub_h)
+        body = bytearray(base[:-1])
+        body += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0x04, 4, 0, 0)
+        iflags = 0
+        if lct is not None:
+            n = len(lct) // 3
+            iflags = 0x80 | (n.bit_length() - 2)
+        body += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, sub_w, sub_h, iflags
+        )
+        if lct is not None:
+            body += lct
+        depth = 2 if lct is not None else 4
+        body.append(depth)
+        lzw = G._pack_lzw(sub, depth)
+        body.append(len(lzw))
+        body += lzw
+        body.append(0)
+        body += b"\x3b"
+        return bytes(body)
+
+    other = bytes(range(12))  # 4-entry local palette, differs from pal
+    with pytest.raises(ValueError, match="color table differing"):
+        list(G.decode_gif_frames(with_subframe(other, full=False)))
+    # identical LCT bytes on a partial frame stay fine
+    same = with_subframe(None, full=False)
+    assert len(list(G.decode_gif_frames(same))) == 2
+    # a FULL-canvas palette switch is allowed and renders with the
+    # new palette
+    pal2 = bytes([255 - b for b in other])
+    got = list(G.decode_gif_frames(with_subframe(pal2, full=True)))
+    assert got[-1][3][:3] == pal2[3:6]  # index 1 under the new palette

@@ -797,3 +797,83 @@ def test_pq_upsert_edge_cases(emb, tmp_path):
     }
     assert got == want
     assert (pq_model_load(path) == cb).all()
+
+
+def test_ivf_upsert_cell_moving_update_leaves_no_stale_row(emb, tmp_path):
+    """r10 ADVICE #2 regression: an UPSERT of an EXISTING id whose new
+    embedding lands in a DIFFERENT frozen-centroid cell must rewrite
+    the id's OLD cell too — before the fix, the old row survived there
+    (the id served from two cells with a stale vector). Pinned for both
+    ivf_upsert_store and ivfpq_upsert_store by maintained == rebuild
+    row-set equality plus a one-row-per-id check."""
+    from crocus_spark.operators.similarity import (
+        collect_centroid_model,
+        ivf_build_store,
+        ivf_fit_centroids,
+        ivf_upsert_store,
+        ivfpq_build_store,
+        ivfpq_upsert_store,
+        pq_fit_codebook,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    model = collect_centroid_model(ivf_fit_centroids(corpus, n_cells=8))
+
+    def store_rows(path):
+        return sorted(
+            (int(r.neighbor_id), int(r.cell))
+            for r in spark.read.parquet(path)
+            .select("neighbor_id", "cell")
+            .collect()
+        )
+
+    # pick a donor pair (a, b) that sit in different cells, then give
+    # a's id the vector of b — the frozen assignment moves a to b's cell
+    probe_path = str(tmp_path / "probe")
+    ivf_build_store(corpus, probe_path, model)
+    by_cell = {}
+    for nid, cell in store_rows(probe_path):
+        by_cell.setdefault(cell, []).append(nid)
+    cells_with_rows = [c for c, ids in by_cell.items() if ids]
+    assert len(cells_with_rows) >= 2, "fixture must span >= 2 cells"
+    a = by_cell[cells_with_rows[0]][0]
+    b = by_cell[cells_with_rows[1]][0]
+    moved = (
+        corpus.filter(F.col("vec_id") == b)
+        .select(F.lit(a).cast("long").alias("vec_id"), "embedding")
+    )
+    empty_dels = spark.createDataFrame([], "vec_id long")
+    final = corpus.filter(F.col("vec_id") != a).unionByName(moved)
+
+    # --- IVF ---
+    path = str(tmp_path / "ivf")
+    ivf_build_store(corpus, path, model)
+    ivf_upsert_store(spark, moved, empty_dels, path, model=model)
+    got = store_rows(path)
+    assert [n for n, _c in got].count(a) == 1, "stale duplicate of a"
+    ref = str(tmp_path / "ivf_ref")
+    ivf_build_store(final, ref, model)
+    assert got == store_rows(ref)
+
+    # --- IVFPQ ---
+    cb = pq_fit_codebook(corpus, m=4, ksub=8)
+    path2 = str(tmp_path / "ivfpq")
+    ivfpq_build_store(corpus, path2, model, cb)
+    ivfpq_upsert_store(spark, moved, empty_dels, path2)
+    got2 = sorted(
+        (int(r.neighbor_id), int(r.cell), tuple(r.code))
+        for r in spark.read.parquet(path2)
+        .select("neighbor_id", "cell", "code")
+        .collect()
+    )
+    assert [n for n, _c, _k in got2].count(a) == 1
+    ref2 = str(tmp_path / "ivfpq_ref")
+    ivfpq_build_store(final, ref2, model, cb)
+    want2 = sorted(
+        (int(r.neighbor_id), int(r.cell), tuple(r.code))
+        for r in spark.read.parquet(ref2)
+        .select("neighbor_id", "cell", "code")
+        .collect()
+    )
+    assert got2 == want2

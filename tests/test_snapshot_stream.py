@@ -780,3 +780,62 @@ def test_feed_schema_evolution_fails_then_restart_resumes(spark, tmp_path):
         _SnapshotTailReader(
             {"path": root, "on_schema_change": "explode"}, old_schema
         )
+
+
+def test_timestamp_start_at_expiry_boundary_uses_recorded_cfg(spark, tmp_path):
+    """r10 ADVICE #3 regression: a TIMESTAMP-configured start whose
+    originally-resolved version is itself expired before the first
+    batch plans must still classify as a CONFIGURED start — the
+    resolved version is recorded in the initial offset (``cfg``), not
+    re-resolved against the post-expiry log (where the timestamp now
+    lands on a later survivor and the start would be misclassified as
+    a checkpointed resume, raising the data-loss error in exactly the
+    boundary scenario expired_start=snapshot exists for). A start
+    offset WITHOUT cfg (a genuine resume) still fails as data loss."""
+    from pyspark.sql import types as T
+
+    from crocus_spark.operators.maintenance import expire_snapshots
+    from crocus_spark.sources.snapshot_stream import _SnapshotTailReader
+
+    register_snapshot_tail_source(spark)
+    root = _store(spark, tmp_path)  # v0: 300, v1: +100
+    for lo in (400, 410, 420):
+        commit_append(
+            spark.range(lo, lo + 10).selectExpr(
+                "id AS k", "id % 7 AS g", "CAST(id * 0.5 AS double) AS v"
+            ).coalesce(1),
+            root,
+        )  # v2..v4
+    t1 = read_manifest(root, 1)["committed_at_ms"]
+    m = read_manifest(root, 4)
+    schema = T.StructType.fromJson(m["schema"])
+    schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_version", T.LongType(), False),
+        ]
+    )
+    r = _SnapshotTailReader(
+        {"path": root, "starting_timestamp": str(t1),
+         "expired_start": "snapshot"},
+        schema,
+    )
+    start = r.initialOffset()
+    assert start == {"v": 1, "cfg": 1}
+    # history expires AFTER the stream resolved its start: v1 itself is
+    # gone, v3/v4 survive
+    expire_snapshots(root, keep_last=2)
+    # configured start honored: the oldest survivor becomes the initial
+    # snapshot instead of raising the checkpointed-resume error
+    parts = r.partitions(start, {"v": 5})
+    assert parts, "expected initial-snapshot partitions"
+    # same offsets WITHOUT cfg = a checkpointed resume past expiry:
+    # consumed deltas are missing -> always data loss
+    r2 = _SnapshotTailReader(
+        {"path": root, "starting_timestamp": str(t1),
+         "expired_start": "snapshot"},
+        schema,
+    )
+    with pytest.raises(RuntimeError, match="already consumed"):
+        r2.partitions({"v": 1}, {"v": 5})
