@@ -505,3 +505,186 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
         _shutil.rmtree(
             _os.path.join(self.root, self.data_dir), ignore_errors=True
         )
+
+
+# ---------------------------------------------------------------------------
+# SQL-facing stats-pruning bridge (r11): derive the `prune` option's
+# {col: [lo, hi]} ranges from a plain conjunctive WHERE string, per
+# load — giving SQL consumers manifest-stats file skipping WITHOUT the
+# pushFilters foot-gun (the Spark 4.1 Python-DS pushdown lifecycle
+# reuses one reader across every plan of a shared DataFrame; a pushed
+# range was measured contaminating a later filterless action — see the
+# `prune` option note above). The derived ranges are conservative
+# (file-granular, closed bounds, unsupported conjuncts ignored) and
+# the row predicate is ALWAYS applied to the returned frame, so
+# pruning can never change results.
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+_NUM_RE = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_LIT_RE = (
+    rf"(?:{_NUM_RE}"
+    r"|'(?:[^']|'')*'"
+    r"|(?:DATE|TIMESTAMP)\s*'[^']*')"
+)
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    m = _re.match(r"^(?:DATE|TIMESTAMP)\s*'(.*)'$", tok, _re.IGNORECASE)
+    if m:
+        return m.group(1)  # stats store dates/timestamps as ISO strings
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if ("." in tok or "e" in tok or "E" in tok) else int(tok)
+
+
+def ranges_from_where(where: str, stat_cols) -> dict:
+    """Conservative {col: [lo, hi]} from a conjunctive SQL predicate.
+
+    Handles ``col <op> literal`` / ``literal <op> col`` (=, <, <=, >,
+    >=), ``col BETWEEN a AND b`` and ``col IN (a, b, ...)`` joined by
+    AND. Any OR / NOT anywhere, or an unrecognized conjunct, derives
+    nothing for that conjunct (the expression still filters rows — the
+    bridge only ever SKIPS files it can prove dead, it never widens
+    results). Only columns in ``stat_cols`` contribute (the source
+    fails loudly on a prune column without committed stats)."""
+    stat_cols = set(stat_cols)
+    if not where or _re.search(r"\b(?:OR|NOT)\b", where, _re.IGNORECASE):
+        return {}
+    # normalize BETWEEN (its embedded AND would break the conjunct split)
+    where = _re.sub(
+        rf"({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})",
+        r"\1 >= \2 AND \1 <= \3",
+        where,
+        flags=_re.IGNORECASE,
+    )
+    # split on AND at paren depth 0
+    conjuncts, depth, cur = [], 0, []
+    for tok in _re.split(r"(\(|\)|\bAND\b)", where, flags=_re.IGNORECASE):
+        if tok == "(":
+            depth += 1
+            cur.append(tok)
+        elif tok == ")":
+            depth -= 1
+            cur.append(tok)
+        elif depth == 0 and tok.strip().upper() == "AND":
+            conjuncts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(tok)
+    conjuncts.append("".join(cur))
+    out: dict[str, list] = {}
+
+    def narrow(col, lo, hi):
+        if col not in stat_cols:
+            return
+        cur_lo, cur_hi = out.get(col, [None, None])
+        if lo is not None and (cur_lo is None or lo > cur_lo):
+            cur_lo = lo
+        if hi is not None and (cur_hi is None or hi < cur_hi):
+            cur_hi = hi
+        out[col] = [cur_lo, cur_hi]
+
+    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+    for c in conjuncts:
+        c = c.strip()
+        while c.startswith("(") and c.endswith(")"):
+            c = c[1:-1].strip()
+        m = _re.match(
+            rf"^({_IDENT_RE})\s*(<=|>=|<|>|=)\s*({_LIT_RE})$", c,
+            _re.IGNORECASE,
+        )
+        rev = _re.match(
+            rf"^({_LIT_RE})\s*(<=|>=|<|>|=)\s*({_IDENT_RE})$", c,
+            _re.IGNORECASE,
+        )
+        if m:
+            col, op, lit = m.group(1), m.group(2), _parse_literal(m.group(3))
+        elif rev:
+            col, op, lit = (
+                rev.group(3),
+                flip[rev.group(2)],
+                _parse_literal(rev.group(1)),
+            )
+        else:
+            mi = _re.match(
+                rf"^({_IDENT_RE})\s+IN\s*\(\s*({_LIT_RE}"
+                rf"(?:\s*,\s*{_LIT_RE})*)\s*\)$",
+                c,
+                _re.IGNORECASE,
+            )
+            if mi:
+                vals = [
+                    _parse_literal(v)
+                    for v in _re.findall(_LIT_RE, mi.group(2))
+                ]
+                if vals and len({type(v) for v in vals}) == 1:
+                    narrow(mi.group(1), min(vals), max(vals))
+            continue
+        if op == "=":
+            narrow(col, lit, lit)
+        elif op in ("<", "<="):
+            narrow(col, None, lit)  # closed bound: conservative for <
+        else:
+            narrow(col, lit, None)
+    return {c: b for c, b in out.items() if b != [None, None]}
+
+
+def read_snapshot_sql(
+    spark,
+    root: str,
+    where: str | None = None,
+    columns: str | None = None,
+    version_as_of=None,
+    timestamp_as_of=None,
+):
+    """SQL-consumer read of the snapshot store with AUTOMATIC
+    manifest-stats file pruning: derives the ``prune`` ranges from
+    ``where`` (see :func:`ranges_from_where`), projects ``columns``
+    ("a,b,c") into the source schema, loads via the ``crocus_snapshot``
+    format, and applies ``where`` as the row filter. Returns
+    ``(DataFrame, info)`` with ``info = {"files_total",
+    "files_selected", "prune"}`` — the instrumentation a caller (or
+    test) asserts skipping on. Results always equal the unpruned
+    filtered read: pruning only drops files whose committed [min, max]
+    cannot intersect the predicate."""
+    register_snapshot_source(spark)
+    opts = {"path": root}
+    if version_as_of is not None:
+        opts["version_as_of"] = str(version_as_of)
+    if timestamp_as_of is not None:
+        opts["timestamp_as_of"] = str(timestamp_as_of)
+    pin = _resolve_pin(root, opts)
+    m = _read_manifest(root, pin)
+    stat_cols = (
+        set(m.get("stats_columns") or [])
+        if m.get("file_stats") is not None
+        else set()
+    )
+    ranges = ranges_from_where(where, stat_cols) if where else {}
+    schema_opts = dict(opts)
+    if columns:
+        schema_opts["columns"] = columns
+
+    def n_parts(extra):
+        o = dict(schema_opts)
+        o.update(extra)
+        src = SnapshotBatchSource(options=o)
+        return len(src.reader(src.schema()).partitions())
+
+    info = {"files_total": n_parts({}), "prune": ranges}
+    reader = spark.read.format("crocus_snapshot")
+    for k, v in schema_opts.items():
+        reader = reader.option(k, v)
+    if ranges:
+        reader = reader.option("prune", _json.dumps(ranges))
+        info["files_selected"] = n_parts({"prune": _json.dumps(ranges)})
+    else:
+        info["files_selected"] = info["files_total"]
+    df = reader.load()
+    if where:
+        df = df.filter(where)
+    return df, info

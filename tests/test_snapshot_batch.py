@@ -352,3 +352,45 @@ def test_batch_source_vectorized_pos_deletes_and_missing_cols(spark, tmp_path):
     )
     assert got.filter("late IS NULL").count() == 150  # odd ks of v0
     assert got.filter("late IS NOT NULL").count() == 50
+
+
+def test_read_snapshot_sql_derives_prune_from_where(spark, tmp_path):
+    """r11 SQL-facing stats-pruning bridge: read_snapshot_sql derives
+    the `prune` ranges from a conjunctive WHERE per load (preserving
+    the documented pushFilters avoidance), asserts instrumented file
+    skipping, and always equals the unpruned filtered read."""
+    from crocus_spark.sources.snapshot_batch import (
+        ranges_from_where,
+        read_snapshot_sql,
+    )
+
+    root = _store(spark, tmp_path)  # 4 k-ranged files + append, stats on k
+    df, info = read_snapshot_sql(spark, root, where="k <= 90 AND g >= 0")
+    assert info["files_selected"] < info["files_total"]
+    assert info["prune"] == {"k": [None, 90]}  # g has no stats -> absent
+    full = (
+        spark.read.format("crocus_snapshot").option("path", root).load()
+        .filter("k <= 90 AND g >= 0")
+    )
+    assert df.count() == full.count()
+    assert df.exceptAll(full).count() == 0
+    # OR anywhere -> no pruning, same results
+    df2, info2 = read_snapshot_sql(spark, root, where="k <= 90 OR g = 1")
+    assert info2["prune"] == {} and (
+        info2["files_selected"] == info2["files_total"]
+    )
+    assert df2.count() == spark.read.format("crocus_snapshot").option(
+        "path", root
+    ).load().filter("k <= 90 OR g = 1").count()
+    # columns projection composes with pruning
+    df3, info3 = read_snapshot_sql(
+        spark, root, where="k BETWEEN 10 AND 40", columns="k"
+    )
+    assert df3.columns == ["k"]
+    assert info3["files_selected"] < info3["files_total"]
+    assert df3.count() == full.filter("k BETWEEN 10 AND 40").count()
+    # parser unit edges: flipped comparisons, IN, quoted strings
+    assert ranges_from_where("5 < k AND k IN (7, 3)", {"k"}) == {
+        "k": [5, 7]
+    }
+    assert ranges_from_where("NOT (k = 3)", {"k"}) == {}
