@@ -1074,6 +1074,7 @@ def ivf_upsert_store(
     model=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: list[str] | None = None,
 ) -> list[int]:
     """Apply UPSERTS (id, vec) and DELETES (id) to a committed IVF cell
     store, rewriting ONLY the affected cells: an upserted vector's cell
@@ -1092,10 +1093,12 @@ def ivf_upsert_store(
     import shutil as _shutil
 
     cells, mat = model if model is not None else ivf_model_load(path)
+    attrs = list(attr_cols or [])  # filtered stores carry these inline
     up = assign_cells_projection(
         upserts.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            *[F.col(c) for c in attrs],
             F.col(vec_col).alias("v"),
         ),
         cells,
@@ -1126,11 +1129,12 @@ def ivf_upsert_store(
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))
+    keep = ["neighbor_id", "c_vec", *attrs, "cell"]
     merged = (
         sub.join(up.select("neighbor_id"), "neighbor_id", "left_anti")
         .join(dels, "neighbor_id", "left_anti")
-        .select("neighbor_id", "c_vec", "cell")
-        .unionByName(up.select("neighbor_id", "c_vec", "cell"))
+        .select(*keep)
+        .unionByName(up.select(*keep))
     )
     counts = {
         int(r["cell"]): r["n"]

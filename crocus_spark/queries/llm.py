@@ -6320,3 +6320,305 @@ def multimodal_gif_frames(spark, sf_dir):
         F.col("doc_id") % 3 == 0
     )
     return M.gif_frames_verify(docs, "doc_id").orderBy("media_id")
+
+
+def _filtered_store_path(sf_dir, key, tag):
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(),
+        "crocus_spark_io",
+        "%s_%s_%s"
+        % (tag, os.path.basename(os.path.normpath(sf_dir)), fp),
+    )
+
+
+def _filtered_store(spark, sf_dir, corpus):
+    """Build (or reuse — fingerprint-keyed, same policy as
+    ann_ivf_at_rest) the attribute-carrying IVF store for the filtered
+    ANN family: (neighbor_id, c_vec, label) partitioned by cell."""
+    import os
+
+    from crocus_spark.operators.filtered_ann import ivf_filtered_build
+
+    key, model = _ivf_headline_model(sf_dir, corpus)
+    path = _filtered_store_path(sf_dir, key, "ivf_filtered_store")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ivf_filtered_build(corpus, path, model, attr_cols=["label"])
+    return path, model
+
+
+@register(
+    "ann_filtered_fullprobe",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10 AND label = 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "filtered"),
+)
+def ann_filtered_fullprobe(spark, sf_dir):
+    """FILTERED vector search, exact path (r11, the predicate+vector
+    serve the r10 verdict ranked gap #3): top-5 among corpus vectors
+    satisfying ``label = 3``, served from the attribute-carrying IVF
+    cell store (operators/filtered_ann.py) at nprobe = n_cells. Full
+    probe makes the serve EXACT — every matching vector is scored — so
+    the whole machinery (store build with inline attributes, partition-
+    pruned scan, predicate pushdown into the probed cells' parquet,
+    PRE-filter semantics, scoring and tie rules) replays in DuckDB as
+    filtered brute force: the hash-green twin that pins the serve path
+    the approximate ``ann_filtered_topk`` shares. Pre-filtering means
+    every returned row really matches the predicate and k results are
+    k matches — post-filtering a vector-only top-k under-fills exactly
+    when the filter is selective."""
+    from crocus_spark.operators.filtered_ann import ivf_filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path, model = _filtered_store(spark, sf_dir, corpus)
+    return ivf_filtered_topk(
+        spark, queries, path, k=5, predicate="label = 3",
+        nprobe=8, model=model,
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=None,  # nprobe < n_cells is approximate by nature (same
+    # rows-only policy as ann_ivf_topk); the exact twin on the same
+    # store/predicate is ann_filtered_fullprobe (hash-green), and this
+    # query asserts the widening contract in-plan: every query returns
+    # min(k, matches) rows, full-probe queries equal exact filtered
+    # brute force, and mean recall@5 vs the exact filtered result
+    # clears the floor at every fixture scale.
+    tags=("llm", "similarity", "filtered"),
+)
+def ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search with PROBE WIDENING (r11): predicate +
+    top-5 starting at nprobe=1; queries whose probed cells hold fewer
+    than k matches double their probe set — only they — until satisfied
+    or exact (all cells probed ⇒ filtered brute force). This is the
+    production answer to pre-filter starvation under selective
+    predicates: candidate lists stay match-only (no wasted distance
+    computations), and selectivity converts to probe depth instead of
+    under-filled results.
+
+    Widening runs under the cardinality-aware policy
+    (min_match_fraction=0.6): a query stops only once its probed cells
+    hold >= 60% of ALL matching rows (candidate counts alone cannot
+    bound recall when the filter is anti-correlated with the query's
+    nearest cells — measured 0.3-0.5 recall on this label-clustered
+    fixture), so selectivity converts to probe depth and, for filters
+    this selective, the serve approaches the exact-filtered scan that
+    IS the production fast path at low cardinality.
+
+    In-query asserts: (a) every query returns exactly
+    min(k, |matches|) rows — the widening guarantee; (b) widening
+    actually engages (the serve records each query's satisfied probe
+    level, > 1 at every fixture scale); (c) mean recall@5 vs the exact
+    filtered serve >= 0.65, per-query recall >= 0.4, and full-probe
+    queries' recall == 1.0 (floors hold at sf0.001/0.01/0.1;
+    approximate-path recall is the documented rows-only
+    justification)."""
+    from crocus_spark.operators.filtered_ann import ivf_filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path, model = _filtered_store(spark, sf_dir, corpus)
+    pred = "label = 3"
+    res = ivf_filtered_topk(
+        spark, queries, path, k=5, predicate=pred,
+        nprobe=1, model=model, with_level=True,
+        min_match_fraction=0.6,
+    )
+    res = res.localCheckpoint()
+    exact = ivf_filtered_topk(
+        spark, queries, path, k=5, predicate=pred, nprobe=8, model=model
+    ).localCheckpoint()
+    n_matches = corpus.filter(pred).count()
+    n_cells = 8
+    got = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("probe_level").alias("lvl")
+    )
+    want_n = min(5, n_matches)
+    bad = got.filter(F.col("n") != want_n).count()
+    assert bad == 0, f"{bad} queries returned != min(k, matches) rows"
+    # (b) the serve recorded real widening state: levels are powers of
+    # two within [1, n_cells], and under a ~10% selective filter at
+    # least one query needed more than one probe at every fixture scale
+    lvls = {r.lvl for r in got.collect()}
+    assert all(1 <= l <= n_cells for l in lvls), lvls
+    assert max(lvls) > 1, "widening never engaged"
+    # (c) recall floors vs the exact filtered serve
+    hits = (
+        res.select("query_id", "neighbor_id", "probe_level")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    per_q = (
+        got.join(hits, "query_id", "left")
+        .select(
+            "query_id", "lvl",
+            (F.coalesce(F.col("hit"), F.lit(0)) / F.col("n")).alias("rec"),
+        )
+    )
+    rows = per_q.collect()
+    mean_rec = sum(r.rec for r in rows) / len(rows)
+    assert mean_rec >= 0.65, f"mean recall {mean_rec:.3f} < 0.65"
+    assert all(r.rec >= 0.4 for r in rows), "per-query recall < 0.4"
+    full = [r for r in rows if r.lvl >= n_cells]
+    assert all(r.rec == 1.0 for r in full), "full probe must be exact"
+    return res.orderBy("query_id", "rank")
+
+
+@register(
+    "dq_ann_filtered_recall_probe",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    base AS (SELECT vec_id, embedding, label FROM embeddings
+             WHERE vec_id >= 10),
+    kept AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id % 11 = 5 THEN 3 ELSE label END AS label
+      FROM base WHERE vec_id % 13 <> 2
+    ),
+    final AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding, 3 AS label
+      FROM base WHERE vec_id % 19 = 4
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+          FROM final WHERE label = 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "filtered", "dq", "monitor"),
+)
+def dq_ann_filtered_recall_probe(spark, sf_dir):
+    """MAINTAINED filtered-index recall monitor (r11 — the filtered
+    twin of ``dq_ann_recall_probe``): bootstrap the attribute-carrying
+    IVF store, churn it through the attr-preserving incremental upsert
+    (deletes + label FLIPS of existing ids + new inserts — attribute
+    churn is the case plain vector monitors miss: a row flipping INTO
+    the filter must become findable, one flipping out must vanish),
+    then serve predicate+top-k from the maintained store at full probe.
+    Full probe ⇒ exact ⇒ the ENTIRE maintained+filtered serve replays
+    in DuckDB as filtered brute force over the final logical state —
+    hash-green, no seed plumbing needed (cell choice cancels out).
+
+    In-query asserts: (a) the maintained store equals a from-scratch
+    rebuild of the final corpus row-for-row (frozen model ⇒ exact
+    equality — exercises the r11 moved-cell fix, since label flips
+    re-upsert existing ids); (b) the approximate serve
+    (min_match_fraction widening) clears mean recall >= 0.65 against
+    the exact serve — the drift alarm a production deployment pages
+    on."""
+    import shutil
+
+    from crocus_spark.operators.filtered_ann import (
+        ivf_filtered_build,
+        ivf_filtered_topk,
+    )
+    from crocus_spark.operators.similarity import ivf_upsert_store
+    from crocus_spark.queries.sources_q import _scratch
+
+    store = _scratch("ivf_filtered_maint")
+    rebuilt = _scratch("ivf_filtered_rebuild")
+    for p in (store, rebuilt):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    key, model = _ivf_headline_model(sf_dir, corpus)
+    ivf_filtered_build(corpus, store, model, attr_cols=["label"])
+    flips = corpus.filter(
+        (F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 13 != 2)
+    ).select("vec_id", "embedding", F.lit(3).cast("int").alias("label"))
+    adds = corpus.filter(F.col("vec_id") % 19 == 4).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(3).cast("int").alias("label"),
+    )
+    dels = corpus.filter(F.col("vec_id") % 13 == 2).select("vec_id")
+    ivf_upsert_store(
+        spark, flips.unionByName(adds), dels, store,
+        model=model, attr_cols=["label"],
+    )
+    # (a) maintained == rebuild of the final logical corpus
+    final = (
+        corpus.filter(F.col("vec_id") % 13 != 2)
+        .select(
+            "vec_id", "embedding",
+            F.when(F.col("vec_id") % 11 == 5, F.lit(3))
+            .otherwise(F.col("label")).cast("int").alias("label"),
+        )
+        .unionByName(adds)
+    )
+    ivf_filtered_build(final, rebuilt, model, attr_cols=["label"])
+
+    def rows(p):
+        return sorted(
+            (int(r.neighbor_id), int(r.cell), int(r.label))
+            for r in spark.read.parquet(p)
+            .select("neighbor_id", "cell", "label")
+            .collect()
+        )
+
+    assert rows(store) == rows(rebuilt), "maintained != rebuild"
+    # (b) monitor metric: approximate widening serve vs exact serve
+    exact = ivf_filtered_topk(
+        spark, queries, store, k=5, predicate="label = 3",
+        nprobe=8, model=model,
+    ).localCheckpoint()
+    approx = ivf_filtered_topk(
+        spark, queries, store, k=5, predicate="label = 3",
+        nprobe=1, model=model, min_match_fraction=0.6,
+    ).localCheckpoint()
+    n_ap = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    rec = (
+        n_ap.join(hits, "query_id", "left")
+        .select(
+            (F.coalesce(F.col("hit"), F.lit(0)) / F.col("n")).alias("r")
+        )
+        .collect()
+    )
+    mean_rec = sum(x.r for x in rec) / len(rec)
+    assert mean_rec >= 0.65, f"maintained-store recall {mean_rec:.3f}"
+    return exact.orderBy("query_id", "rank")

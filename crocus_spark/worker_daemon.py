@@ -52,6 +52,16 @@ for _mod in (
     except Exception:  # pragma: no cover - absent optional module
         pass
 
+# transformWithStateInPandas workers import the protobuf-generated
+# state protocol; make the runtime importable (vendored-copy alias)
+# BEFORE any worker forks — see crocus_spark/_protobuf_compat.py.
+try:
+    from crocus_spark._protobuf_compat import ensure_protobuf
+
+    ensure_protobuf()
+except Exception:  # pragma: no cover - compat shim must never block
+    pass
+
 from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":

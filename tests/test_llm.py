@@ -877,3 +877,51 @@ def test_ivf_upsert_cell_moving_update_leaves_no_stale_row(emb, tmp_path):
         .collect()
     )
     assert got2 == want2
+
+
+def test_filtered_ann_edges(emb, tmp_path):
+    """Filtered serve edges: a predicate matching nothing returns an
+    empty frame (after widening to full probe — never an error); a
+    predicate matching fewer than k rows returns ALL matches; results
+    at full probe equal filtered brute force exactly."""
+    from crocus_spark.operators.filtered_ann import (
+        ivf_filtered_build,
+        ivf_filtered_topk,
+    )
+    from crocus_spark.operators.similarity import (
+        brute_force_topk,
+        collect_centroid_model,
+        ivf_fit_centroids,
+    )
+
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    model = collect_centroid_model(ivf_fit_centroids(corpus, n_cells=8))
+    path = str(tmp_path / "fstore")
+    ivf_filtered_build(corpus, path, model, attr_cols=["label"])
+    # nothing matches
+    none = ivf_filtered_topk(
+        spark, queries, path, k=5, predicate="label = 99", model=model
+    )
+    assert none.count() == 0
+    # fewer than k matches -> all of them, for every query
+    few_pred = "label = 3 AND neighbor_id % 29 = 1"
+    n_few = (
+        spark.read.parquet(path).filter(few_pred).count()
+    )
+    assert 0 < n_few < 5
+    few = ivf_filtered_topk(
+        spark, queries, path, k=5, predicate=few_pred, model=model
+    )
+    per_q = few.groupBy("query_id").count().collect()
+    assert all(r["count"] == n_few for r in per_q)
+    # full probe == filtered brute force
+    got = ivf_filtered_topk(
+        spark, queries, path, k=5, predicate="label = 3",
+        nprobe=8, model=model,
+    ).collect()
+    want = brute_force_topk(
+        queries, corpus.filter("label = 3"), k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -1008,3 +1008,41 @@ def test_ivfpq_at_rest_prunes_partitions(spark, registry):
         "every code scan also reads raw vectors — ADC lost its "
         "column pruning"
     )
+
+
+def test_filtered_ann_scan_prunes_and_pushes_predicate(spark):
+    """r11 filtered-ANN gate: the widening serve's store scan must keep
+    BOTH scale factors — `cell IN (...)` as a PartitionFilter (probe
+    depth = directories read) and the attribute predicate as a
+    PushedFilter into the probed cells' parquet (non-matching row
+    groups skip before any distance math). Losing either is invisible
+    at fixture scale and fatal at 100 TB."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+    from crocus_spark.operators.filtered_ann import ivf_filtered_topk
+    from crocus_spark.queries.llm import _filtered_store
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path, model = _filtered_store(spark, SF_SMOKE, corpus)
+    plans = []
+    ivf_filtered_topk(
+        spark, queries, path, k=5, predicate="label = 3",
+        nprobe=2, model=model, _plan_hook=lambda df: plans.append(_plan(df)),
+    )
+    assert plans, "serve ran no rounds"
+    plan = plans[0]
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan), (
+        plan[plan.index("PartitionFilters"):][:300]
+        if "PartitionFilters" in plan
+        else plan[:500]
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*label[^\]]*\]", plan), (
+        plan[plan.index("PushedFilters"):][:300]
+        if "PushedFilters" in plan
+        else plan[:500]
+    )
