@@ -1242,3 +1242,112 @@ def stream_cdc_windowed_totals(spark, sf_dir):
         )
         .orderBy("win_start")
     )
+
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming."
+    "state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "tws"),
+)
+def stream_stateful_tws(spark, sf_dir):
+    """Per-key running totals on ``transformWithStateInPandas`` — the
+    Spark-4 arbitrary-state API (r10 verdict task #5), kept as an
+    oracle-identical twin of ``stream_stateful_totals`` so BOTH state
+    API generations stay covered: explicit typed ValueState on a
+    StatefulProcessor, Arrow-batched rows per key, state in the
+    executor RocksDB stores (the API requires multi-column-family
+    support, which only RocksDB provides). The protobuf runtime the
+    Python↔JVM state protocol needs resolves through
+    crocus_spark/_protobuf_compat.py when not installed. Same window
+    top-1 reduction and batch group-by oracle as the
+    applyInPandasWithState twin — the API swap must be invisible to
+    results."""
+    from pyspark.sql.window import Window
+
+    from crocus_spark.streaming.ops import stateful_user_totals_tws
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        stateful_user_totals_tws(ev), "update", state_provider=_ROCKSDB
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_cents").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_session_expiry_tws",
+    oracle="""
+    WITH with_gap AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM with_gap
+    ), agg AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_last, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           n_events
+    FROM agg
+    WHERE s_last + INTERVAL '30 minutes'
+          <= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "stateful", "tws", "session", "timers"),
+)
+def stream_session_expiry_tws(spark, sf_dir):
+    """TIMER-driven session expiry on ``transformWithStateInPandas``
+    (r10 verdict task #5's full shape: event-time timers + composite
+    typed state): each user's open session lives in a ValueState,
+    data-closed sessions in a ListState, and EVENT-TIME TIMERS emit a
+    session exactly when the watermark passes its last event + 30min
+    gap — the same append-mode emission rule the built-in
+    ``session_window`` applies (``stream_session_window`` is the
+    built-in twin; the custom processor exists for the semantics the
+    built-in can't express — per-session TTL actions, enrichment at
+    expiry, side outputs). Sessions still open at end-of-stream are
+    withheld, which is what the oracle's final-watermark WHERE
+    encodes. availableNow-replayed; hash-green against the batch
+    gaps-and-islands SQL."""
+    from crocus_spark.streaming.ops import session_expiry_tws
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        session_expiry_tws(ev), "append", state_provider=_ROCKSDB
+    )
+    return out.select(
+        "user_id",
+        F.date_format(
+            F.col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")

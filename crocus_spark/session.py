@@ -46,6 +46,23 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             _PKG_ROOT + (os.pathsep + existing if existing else "")
         )
+    # transformWithStateInPandas spawns BARE python runners that import
+    # the protobuf-generated state protocol. If the environment has no
+    # installed google.protobuf but a vendored pure-Python runtime
+    # exists on disk, put the alias shim on PYTHONPATH so those
+    # processes resolve it too (driver-side code goes through
+    # _protobuf_compat.ensure_protobuf directly). No-op when protobuf
+    # is properly installed — the shim never shadows a real package.
+    try:
+        import google.protobuf  # noqa: F401
+    except Exception:
+        from crocus_spark._protobuf_compat import ensure_protobuf
+
+        if ensure_protobuf():
+            shim = str(Path(__file__).resolve().parent / "_vendor_shim")
+            cur = os.environ.get("PYTHONPATH", "")
+            if shim not in cur.split(os.pathsep):
+                os.environ["PYTHONPATH"] = shim + os.pathsep + cur
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

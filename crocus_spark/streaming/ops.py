@@ -444,13 +444,13 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     in the executor state stores partitioned by key. Integer-cent
     accumulation keeps totals exact and order-free.
 
-    NOT registered as a driver query: transformWithState's Python driver
-    worker imports google.protobuf, which this container does not ship
-    (verified failure: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
-    ImportError google.protobuf.descriptor). The operator is correct
-    Spark-4 API usage and runs wherever protobuf is present;
-    ``stateful_user_totals`` (applyInPandasWithState) carries the
-    oracle-checked §2B#50 coverage in-container."""
+    Registered as the ``stream_stateful_tws`` driver query as of r11:
+    the protobuf runtime the state protocol needs resolves through
+    crocus_spark/_protobuf_compat.py (vendored-copy alias — this
+    container ships no google.protobuf), and the multi-column-family
+    state the API requires runs on the RocksDB provider. Requires both;
+    ``stateful_user_totals`` (applyInPandasWithState) remains the
+    runtime-independent twin."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
         StatefulProcessor,
@@ -497,6 +497,128 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_events long, total_cents long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def session_expiry_tws(
+    events: DataFrame,
+    gap_min: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Timer-driven per-key SESSIONIZATION on transformWithStateInPandas
+    (r11 — the r10 verdict's task #5 shape: timers + typed state on the
+    Spark-4 arbitrary-state API): each user's events maintain an open
+    session in a ValueState plus data-closed sessions in a ListState,
+    and EVENT-TIME TIMERS drive emission — a session row is produced
+    only when the watermark passes its last event + gap, which is
+    exactly the append-mode rule the built-in ``session_window`` (and
+    the batch gaps-and-islands oracle) encodes. Sessions still open at
+    end-of-stream are withheld.
+
+    Timer mechanics: every batch (re)registers an expiry timer at each
+    stored session's ``last + gap``; when one fires, ALL sessions whose
+    expiry the current watermark has passed emit and leave the state
+    (extra stale timers for since-extended sessions fire harmlessly —
+    eligibility is checked against the live watermark, so an extended
+    session simply isn't due yet). State per key is O(open + pending
+    sessions), never O(events). Requires the RocksDB state store
+    (multi-column-family) and a protobuf runtime for the state
+    protocol (see crocus_spark/_protobuf_compat.py)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gap_us = gap_min * 60_000_000  # state keeps MICROSECONDS (full
+    # fixture precision; timers register in ms — their native unit)
+    sess_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _emit_df(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us") for s in sessions
+                ],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open_session", sess_schema)
+            self._pending = handle.getListState("pending", sess_schema)
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts = []
+            for pdf in rows:
+                ts.extend(
+                    int(x) for x in
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                )
+            ts.sort()  # a drain batch can carry a key's whole history
+            cur = self._open.get() if self._open.exists() else None
+            pend = [tuple(s) for s in self._pending.get()]
+            for t in ts:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_us:
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+                else:
+                    pend.append(cur)  # closed by data; emits on timer
+                    cur = (t, t, 1)
+            self._open.update(cur)
+            self._pending.clear()
+            if pend:
+                self._pending.appendList(pend)
+            for s in pend + [cur]:
+                self._handle.registerTimer((s[1] + gap_us) // 1000)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            due, keep = [], []
+            for s in (tuple(x) for x in self._pending.get()):
+                (due if s[1] + gap_us <= wm_us else keep).append(s)
+            self._pending.clear()
+            if keep:
+                self._pending.appendList(keep)
+            if self._open.exists():
+                cur = tuple(self._open.get())
+                if cur[1] + gap_us <= wm_us:
+                    due.append(cur)
+                    self._open.clear()
+            if due:
+                due.sort()
+                yield _emit_df(key, due)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=(
+                "user_id long, session_start timestamp, n_events long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )
 
 

@@ -261,3 +261,68 @@ def test_foreachbatch_merge_across_batches(spark, tmp_path):
     from crocus_spark.operators.maintenance import list_snapshot_versions
 
     assert len(list_snapshot_versions(state_root)) >= 3, "one version per batch"
+
+
+def test_protobuf_compat_shim(spark):
+    """The vendored-runtime alias makes google.protobuf importable in
+    this container (transformWithState's state protocol needs it) and
+    is idempotent; the generated state-protocol module round-trips a
+    message under it."""
+    from crocus_spark._protobuf_compat import ensure_protobuf
+
+    assert ensure_protobuf() is True
+    assert ensure_protobuf() is True  # idempotent
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as M
+
+    m = M.StateRequest()
+    assert M.StateRequest.FromString(m.SerializeToString()) == m
+
+
+def test_tws_session_expiry_withholds_open_tail(spark, tmp_path):
+    """Timer-emission rule: a session whose (last event + gap) the
+    final watermark never passes stays IN STATE — withheld, exactly
+    like the built-in session_window in append mode. Crafted stream:
+    user 7's first session (2 events) closes 40min before max ts and
+    emits; its second session is the stream tail and must NOT emit."""
+    import datetime
+
+    from crocus_spark.streaming.ops import (
+        run_available_now,
+        session_expiry_tws,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 7, "click", 1.0, "{}"),
+        (2, at(10), 7, "click", 1.0, "{}"),
+        (3, at(80), 7, "purchase", 2.0, "{}"),  # new session; stream tail
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+    )
+    out = run_available_now(
+        session_expiry_tws(stream), "append",
+        state_provider=(
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+    )
+    got = [
+        (r.user_id, r.session_start, r.n_events) for r in out.collect()
+    ]
+    # final watermark = 80min - 10min = 70min; session1 last+30 = 40min
+    # emits, session2 last+30 = 110min is withheld
+    assert got == [(7, at(0), 2)]
