@@ -20,8 +20,16 @@ Scope (all public-spec, no third-party code):
   encoder, not just ours), entropy-decodes DC/AC with EOB/ZRL and
   restart markers, dequantizes, inverse-zigzags, IDCTs, undoes the
   level shift, converts YCbCr→RGB and crops the 8-pixel padding.
-  Unsupported shapes fail loudly: progressive (SOF2), arithmetic
-  coding, subsampled chroma (sampling factors != 1), 12-bit precision.
+- **Progressive (SOF2, r11)**: full T.81 Annex G.1.2 spectral
+  selection + successive approximation — multi-scan encoder on the
+  libjpeg default scan-script shape, decoder accumulating coefficients
+  across DC first/refine and AC first/refine scans (EOBn runs with
+  embedded correction bits, two's-complement DC point transform).
+  A completed progressive stream of the same quantized coefficients
+  decodes bit-identically to the baseline stream — the codec's
+  exactness oracle. ``decode_jpeg`` dispatches on the frame marker.
+  Still fails loudly: arithmetic coding, hierarchical/lossless
+  processes, 12-bit precision, sampling factors > 2.
 
 Determinism: every float stage is fixed-order float64 numpy (IEEE,
 bit-identical across hosts); rounding is np.rint everywhere. That makes
@@ -340,19 +348,18 @@ def _blocks_grid(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
     )
 
 
-def encode_jpeg_baseline(
+def _prep_coefficients(
     width: int,
     height: int,
     pixels: bytes,
-    quality: int = 90,
-    subsampling: str = "444",
-) -> bytes:
-    """RGB row-major ``pixels`` (3·w·h bytes) → baseline JFIF bytes.
-    Grayscale (w·h bytes) encodes as a single-component stream.
-    ``subsampling``: '444' (every component full-resolution, 1x1
-    sampling — the exact-replay fixture shape) or '420' (luma 2x2,
-    chroma 2x2-mean-downsampled — the dominant real-world crawl shape;
-    MCUs carry 4 Y blocks + 1 Cb + 1 Cr)."""
+    quality: int,
+    subsampling: str,
+):
+    """Shared encoder front half: color transform, optional chroma
+    downsample, FDCT + quantization. Returns
+    (ncomp, samp, mcux, mcuy, qtabs, coeff, grids) where ``coeff[c]``
+    is the (gh·gw, 64) zigzagged quantized int array for component c
+    on its padded MCU-aligned block grid ``grids[c] = (gh, gw)``."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     n = width * height
@@ -381,6 +388,35 @@ def encode_jpeg_baseline(
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     ql, qc = quant_tables(quality)
     qtabs = [ql, qc]
+    quant = [qtabs[0]] + [qtabs[1]] * (ncomp - 1)
+    coeff = []
+    grids = []
+    for p, q, (h_i, v_i) in zip(planes, quant, samp):
+        gh, gw = mcuy * v_i, mcux * h_i
+        bi = _blocks_grid(p, gh, gw)
+        f = np.einsum("ij,njk,lk->nil", _D, bi - 128.0, _D)
+        qz = np.rint(f.reshape(-1, 64) / q.reshape(1, 64))
+        coeff.append(qz[:, ZIGZAG].astype(np.int64))
+        grids.append((gh, gw))
+    return ncomp, samp, mcux, mcuy, qtabs, coeff, grids
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """RGB row-major ``pixels`` (3·w·h bytes) → baseline JFIF bytes.
+    Grayscale (w·h bytes) encodes as a single-component stream.
+    ``subsampling``: '444' (every component full-resolution, 1x1
+    sampling — the exact-replay fixture shape) or '420' (luma 2x2,
+    chroma 2x2-mean-downsampled — the dominant real-world crawl shape;
+    MCUs carry 4 Y blocks + 1 Cb + 1 Cr)."""
+    ncomp, samp, mcux, mcuy, qtabs, coeff, grids = _prep_coefficients(
+        width, height, pixels, quality, subsampling
+    )
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -415,16 +451,6 @@ def encode_jpeg_baseline(
     # entropy-coded data: interleaved MCUs, each carrying h×v blocks
     # per component (T.81 A.2.3 order: left-to-right, top-to-bottom
     # within the component, components in SOF order)
-    quant = [qtabs[0]] + [qtabs[1]] * (ncomp - 1)
-    coeff = []
-    grids = []
-    for p, q, (h_i, v_i) in zip(planes, quant, samp):
-        gh, gw = mcuy * v_i, mcux * h_i
-        bi = _blocks_grid(p, gh, gw)
-        f = np.einsum("ij,njk,lk->nil", _D, bi - 128.0, _D)
-        qz = np.rint(f.reshape(-1, 64) / q.reshape(1, 64))
-        coeff.append(qz[:, ZIGZAG].astype(np.int64))
-        grids.append((gh, gw))
     writer = _BitWriter()
     pred = [0] * ncomp
     for my in range(mcuy):
@@ -694,3 +720,635 @@ def jpeg_roundtrip_constant(
         int(v)
         for v in ycbcr_to_rgb(out.reshape(1, 1, 3)).reshape(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive DCT (SOF2) — T.81 Annex G.1.2 spectral selection +
+# successive approximation (r11, closing the r10 verdict gap #5: real
+# crawl corpora are heavily progressive). Same front half (color,
+# FDCT, quantization) as baseline — a progressive stream carries the
+# SAME quantized coefficients split across scans, so after the final
+# scan the decode is bit-identical to the baseline decode of the same
+# pixels (the round-trip tests pin exactly that equality).
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans additionally need the EOBn symbols (RRRRSSSS
+# with SSSS=0, RRRR=0..14: an end-of-band run of 2^RRRR-1+bits blocks).
+_PROG_AC_SYMBOLS = sorted(
+    set(
+        [0xF0]
+        + [r << 4 for r in range(15)]  # EOB0..EOB14 (0x00..0xE0)
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_SYMBOLS)  # 176 codes of length 8
+_PROG_AC_CODES = _canonical_codes(_PROG_AC_BITS, _PROG_AC_SYMBOLS)
+
+
+def _pt(v: int, al: int) -> int:
+    """Point transform (T.81 G.1.2.1): arithmetic shift toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _EobState:
+    """Pending end-of-band run + its buffered refinement bits."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, w: _BitWriter) -> None:
+        if self.run == 0 and not self.bits:
+            return
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            c, ln = _PROG_AC_CODES[r << 4]
+            w.put(c, ln)
+            w.put(self.run - (1 << r), r)
+        for b in self.bits:
+            w.put(b, 1)
+        self.run = 0
+        self.bits = []
+
+
+def _comp_block_dims(w: int, h: int, h_i: int, v_i: int, hmax: int, vmax: int):
+    """Non-interleaved block grid of a component (T.81 A.2.2): the
+    CEILED component dimensions, NOT the MCU-padded grid."""
+    cw = (w * h_i + hmax - 1) // hmax
+    ch = (h * v_i + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _enc_ac_first(
+    w: _BitWriter, blocks, ss: int, se: int, al: int, eob: _EobState
+) -> None:
+    """AC first scan (Ah=0) for one component's block sequence."""
+    for coeffs in blocks:
+        band = [_pt(int(coeffs[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v != 0]
+        if not nz:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(w)
+            continue
+        eob.flush(w)
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _PROG_AC_CODES[0xF0]
+                w.put(c, ln)
+                run -= 16
+            s, b = _magnitude(v)
+            c, ln = _PROG_AC_CODES[(run << 4) | s]
+            w.put(c, ln)
+            w.put(b, s)
+            run = 0
+        if last < len(band) - 1:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(w)
+
+
+def _enc_ac_refine(
+    w: _BitWriter, blocks, ss: int, se: int, al: int, eob: _EobState
+) -> None:
+    """AC refinement scan (Ah=Al+1 → Al), T.81 G.1.2.3: newly
+    significant coefficients code as run/1 over ZERO-HISTORY positions
+    only; already-significant ones contribute one buffered correction
+    bit each; EOBn carries the buffered bits of the blocks it covers."""
+    for coeffs in blocks:
+        band = [_pt(int(coeffs[k]), al) for k in range(ss, se + 1)]
+        absband = [abs(v) for v in band]
+        # last newly-significant position (|v|>>Al == 1); beyond it the
+        # block is EOB territory (corrections there ride the EOB run)
+        newly = [i for i, a in enumerate(absband) if a == 1]
+        if not newly:
+            eob.run += 1
+            eob.bits.extend(a & 1 for a in absband if a > 1)
+            if eob.run == 0x7FFF:
+                eob.flush(w)
+            continue
+        eob.flush(w)
+        last = newly[-1]
+        run = 0
+        pend: list[int] = []
+        for i in range(last + 1):
+            a = absband[i]
+            if a == 0:
+                run += 1
+                continue
+            # ZRL check at EVERY nonzero position (corrections too) so
+            # each ZRL's appended bits are exactly the corrections the
+            # decoder crosses inside THAT 16-zero span
+            while run > 15:
+                c, ln = _PROG_AC_CODES[0xF0]
+                w.put(c, ln)
+                for b in pend:
+                    w.put(b, 1)
+                pend = []
+                run -= 16
+            if a > 1:  # already significant: correction bit, no run
+                pend.append(a & 1)
+                continue
+            # newly significant
+            c, ln = _PROG_AC_CODES[(run << 4) | 1]
+            w.put(c, ln)
+            w.put(1 if band[i] > 0 else 0, 1)
+            for b in pend:
+                w.put(b, 1)
+            pend = []
+            run = 0
+        # any band positions after the last newly-significant
+        # coefficient terminate via an EOB unit — its appended bits are
+        # the corrections in that tail (possibly none; the decoder
+        # needs the EOB symbol either way to leave the block)
+        if last < len(band) - 1:
+            tail = [a & 1 for a in absband[last + 1 :] if a > 1]
+            eob.run += 1
+            eob.bits.extend(tail)
+            if eob.run == 0x7FFF:
+                eob.flush(w)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """RGB (or grayscale) pixels → PROGRESSIVE JFIF bytes (SOF2) using
+    the standard spectral-selection + successive-approximation scan
+    script (the libjpeg default shape: coarse DC first, low-frequency
+    luma next, then chroma, then refinements — the order that makes a
+    partially-fetched crawl image render as a recognizable preview).
+    The quantized coefficients are EXACTLY the baseline encoder's, so
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` pixel-for-
+    pixel at the same quality — the codec's exactness oracle."""
+    ncomp, samp, mcux, mcuy, qtabs, coeff, grids = _prep_coefficients(
+        width, height, pixels, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qtabs[: 2 if ncomp == 3 else 1]):
+        zz = q[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    comps = b""
+    for cid in range(1, ncomp + 1):
+        h_i, v_i = samp[cid - 1]
+        comps += bytes([cid, (h_i << 4) | v_i, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    ) + comps
+    for tc, (bits, syms) in (
+        (0, (_DC_BITS, _DC_SYMBOLS)),
+        (1, (_PROG_AC_BITS, _PROG_AC_SYMBOLS)),
+    ):
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    # the standard progressive scan script (libjpeg's default shape)
+    if ncomp == 3:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+
+    for kind, comp, ss, se, ah, al in script:
+        w = _BitWriter()
+        if kind == "dc":
+            # interleaved DC scan over MCUs (all components)
+            sos = bytes([ncomp])
+            for cid in range(1, ncomp + 1):
+                sos += bytes([cid, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            if ah == 0:
+                # DC uses the TWO'S-COMPLEMENT arithmetic-shift point
+                # transform (T.81 G.1.2.1, libjpeg's scheme): a -1
+                # shifted toward zero would become 0 and lose its sign
+                # forever; arithmetic shift keeps it -1 and refinement
+                # is a plain binary OR
+                pred = [0] * ncomp
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in range(ncomp):
+                            h_i, v_i = samp[c]
+                            _gh, gw = grids[c]
+                            for byy in range(v_i):
+                                for bxx in range(h_i):
+                                    idx = (my * v_i + byy) * gw + (
+                                        mx * h_i + bxx
+                                    )
+                                    dc = int(coeff[c][idx][0]) >> al
+                                    size, b = _magnitude(dc - pred[c])
+                                    cd, ln = _DC_CODES[size]
+                                    w.put(cd, ln)
+                                    w.put(b, size)
+                                    pred[c] = dc
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in range(ncomp):
+                            h_i, v_i = samp[c]
+                            _gh, gw = grids[c]
+                            for byy in range(v_i):
+                                for bxx in range(h_i):
+                                    idx = (my * v_i + byy) * gw + (
+                                        mx * h_i + bxx
+                                    )
+                                    dc = int(coeff[c][idx][0])
+                                    w.put((dc >> al) & 1, 1)
+        else:
+            # single-component AC scan over the component's own
+            # (non-MCU-padded) block grid
+            cid = comp + 1
+            sos = bytes([1, cid, 0x00, ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            h_i, v_i = samp[comp]
+            bh, bw = _comp_block_dims(width, height, h_i, v_i, hmax, vmax)
+            _gh, gw = grids[comp]
+            blocks = [
+                coeff[comp][by * gw + bx]
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+            eob = _EobState()
+            if ah == 0:
+                _enc_ac_first(w, blocks, ss, se, al, eob)
+            else:
+                _enc_ac_refine(w, blocks, ss, se, al, eob)
+            eob.flush(w)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _find_next_marker(data: bytes, pos: int) -> int:
+    """First byte index >= pos of a real (non-stuffed, non-fill) marker."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated: no terminating marker")
+
+
+def decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, bytes]:
+    """Progressive JFIF bytes (SOF2) → (width, height, n_channels,
+    pixels). Accumulates quantized coefficients across every scan
+    (spectral-selection bands, successive-approximation first +
+    refinement passes, EOBn runs with embedded correction bits), then
+    runs the SAME dequantize/IDCT/upsample back half as the baseline
+    decoder — a completed progressive stream of the same coefficients
+    decodes to identical pixels. Streams from any encoder: tables and
+    the scan script are read from the file."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    try:
+        return _decode_progressive_body(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG truncated or corrupt: {e}") from e
+
+
+def _decode_progressive_body(data: bytes) -> tuple[int, int, int, bytes]:
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    sof = None
+    coeff: list[np.ndarray] = []
+    dims: list[tuple[int, int]] = []
+    restart_interval = 0
+    while True:
+        if pos >= len(data) - 1:
+            raise ValueError("JPEG truncated before EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG process SOF{marker - 0xC0}"
+            )
+        if marker in (0xCA,):
+            raise ValueError("arithmetic coding unsupported")
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg, np.uint8, 64, p + 1).astype(
+                    np.float64
+                )
+                nat = np.empty(64, np.float64)
+                nat[ZIGZAG] = zz
+                qtabs[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nsym = sum(bits)
+                syms = list(seg[p + 17 : p + 17 + nsym])
+                huff[(tc, th)] = _HuffTable(bits, syms)
+                p += 17 + nsym
+        elif marker in (0xC0, 0xC2):  # SOF0 also fine: same back half
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("12-bit precision unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {h_i}x{v_i} unsupported"
+                    )
+                comps.append((cid, tq, h_i, v_i))
+            sof = (w, h, comps)
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _cid, _tq, h_i, v_i in comps:
+                gh, gw = mcuy * v_i, mcux * h_i
+                coeff.append(np.zeros((gh * gw, 64), np.int64))
+                dims.append((gh, gw))
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS: decode one scan's entropy data
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = sof
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(
+                    i2 for i2, c in enumerate(comps) if c[0] == cs
+                )
+                scomps.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            br = _BitReader(data, pos)
+            pos = _decode_scan(
+                br, data, coeff, dims, comps, scomps,
+                ss, se, ah, al, huff, w, h, restart_interval,
+            )
+        # APPn / COM: skipped
+    if sof is None:
+        raise ValueError("EOI without SOF")
+    w, h, comps = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    full = []
+    for ci, (_cid, tq, h_i, v_i) in enumerate(comps):
+        gh, gw = dims[ci]
+        nat = np.empty((gh * gw, 64), np.float64)
+        nat[:, ZIGZAG] = coeff[ci] * qtabs[tq][ZIGZAG].reshape(1, 64)
+        blocks = nat.reshape(-1, 8, 8)
+        pix = (
+            np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
+        )
+        plane = (
+            pix.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        if h_i < hmax:
+            plane = np.repeat(plane, hmax // h_i, axis=1)
+        if v_i < vmax:
+            plane = np.repeat(plane, vmax // v_i, axis=0)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    ycc = np.clip(np.rint(np.stack(full, axis=-1)), 0, 255)
+    rgb = ycbcr_to_rgb(ycc)
+    return w, h, 3, rgb.tobytes()
+
+
+def _decode_scan(
+    br, data, coeff, dims, comps, scomps,
+    ss, se, ah, al, huff, w, h, restart_interval,
+):
+    """Decode one progressive scan's entropy data; returns the byte
+    offset of the next marker."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if not is_dc and len(scomps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    state = {"eobrun": 0}
+
+    def dc_first_block(ci, idx, pred, dct):
+        size = dct.read(br)
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[ci] += diff
+        coeff[ci][idx][0] = pred[ci] << al
+        return pred
+
+    def dc_refine_block(ci, idx):
+        # plain binary OR on the two's-complement value (Python ints OR
+        # like infinite-width two's complement: -2 | 1 == -1) — the
+        # exact inverse of the encoder's arithmetic-shift transform
+        if br.bits(1):
+            c = coeff[ci][idx]
+            c[0] = int(c[0]) | (1 << al)
+
+    def ac_first_block(blk, act):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = act.read(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def _refine_nz(blk, k):
+        """Correction bit for an already-significant coefficient."""
+        if br.bits(1) and (abs(int(blk[k])) & (1 << al)) == 0:
+            blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+
+    def ac_refine_block(blk, act):
+        if state["eobrun"] > 0:
+            # a block fully inside an EOB run: corrections only
+            for k in range(ss, se + 1):
+                if blk[k] != 0:
+                    _refine_nz(blk, k)
+            state["eobrun"] -= 1
+            return
+        k = ss
+        entered_eob = False
+        while k <= se:
+            rs = act.read(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0 and r < 15:
+                # EOBn: the count covers SUBSEQUENT blocks; the CURRENT
+                # block's remainder still carries its correction bits
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                entered_eob = True
+                break
+            if s == 0:  # ZRL: skip 16 zero-history positions
+                newval = 0
+            elif s == 1:
+                newval = (1 << al) if br.bits(1) else -(1 << al)
+            else:
+                raise ValueError("refinement size > 1")
+            # advance over r zero-history positions, correcting the
+            # nonzero-history ones crossed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nz(blk, k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s == 1:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                blk[k] = newval
+            k += 1
+        if entered_eob:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nz(blk, k)
+                k += 1
+
+    try:
+        if is_dc:
+            pred = [0] * len(comps)
+            dct_tabs = {
+                ci: huff[(0, td)] for ci, td, _ta in scomps
+            } if ah == 0 else {}
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        br.align_restart()
+                        pred = [0] * len(comps)
+                    for ci, _td, _ta in scomps:
+                        _cid, _tq, h_i, v_i = comps[ci]
+                        _gh, gw = dims[ci]
+                        for byy in range(v_i):
+                            for bxx in range(h_i):
+                                idx = (my * v_i + byy) * gw + (
+                                    mx * h_i + bxx
+                                )
+                                if ah == 0:
+                                    dc_first_block(
+                                        ci, idx, pred, dct_tabs[ci]
+                                    )
+                                else:
+                                    dc_refine_block(ci, idx)
+                    mcu += 1
+        else:
+            ci, _td, ta = scomps[0]
+            act = huff[(1, ta)]
+            _cid, _tq, h_i, v_i = comps[ci]
+            bh, bw = _comp_block_dims(w, h, h_i, v_i, hmax, vmax)
+            _gh, gw = dims[ci]
+            blkno = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if (
+                        restart_interval
+                        and blkno
+                        and blkno % restart_interval == 0
+                    ):
+                        br.align_restart()
+                        state["eobrun"] = 0
+                    blk = coeff[ci][by * gw + bx]
+                    if ah == 0:
+                        ac_first_block(blk, act)
+                    else:
+                        ac_refine_block(blk, act)
+                    blkno += 1
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker in scan")
+    return _find_next_marker(data, br.pos)
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode baseline (SOF0) or progressive (SOF2) JFIF bytes —
+    dispatches on the frame marker found in the stream."""
+    pos = 2
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xC0:
+            return decode_jpeg_baseline(data)
+        if marker == 0xC2:
+            return decode_jpeg_progressive(data)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        pos += 2 + seg_len
+    raise ValueError("no SOF0/SOF2 frame found")

@@ -402,6 +402,80 @@ def jpeg_roundtrip_verify(
     )
 
 
+JPEG_PROG_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_scans", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_progressive_verify(
+    df: DataFrame, id_col: str, quality: int = 90
+) -> DataFrame:
+    """PROGRESSIVE-JPEG (SOF2) encode → engine decode → EXACT verify in
+    one Arrow pass (r11, closing the r10 verdict gap #5: crawl corpora
+    are heavily progressive). Same block-constant fixture family as
+    ``jpeg_roundtrip_verify`` — the progressive stream carries the SAME
+    quantized coefficients split across the multi-scan script, so
+    ``decode_ok`` requires BOTH (a) the decoded bytes equal the
+    closed-form DC replay and (b) the progressive decode equals the
+    baseline decode of the same pixels byte-for-byte (the property a
+    spectral-selection or successive-approximation slip breaks first).
+    ``n_scans`` counts the stream's SOS markers, pinning the scan
+    script shape in the oracle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from crocus_spark.operators import jpegcodec as J
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf[id_col]:
+                k = int(k)
+                w = 8 * (1 + k % 3) - k % 5
+                h = 8 * (1 + k % 2) - k % 3
+                px = J.synth_block_constant_pixels(w, h, k)
+                prog = J.encode_jpeg_progressive(w, h, px, quality=quality)
+                n_scans = prog.count(b"\xff\xda")
+                dw, dh, dc, out = J.decode_jpeg(prog)
+                ok = (dw, dh, dc) == (w, h, 3)
+                if ok:
+                    base_out = J.decode_jpeg(
+                        J.encode_jpeg_baseline(w, h, px, quality=quality)
+                    )[3]
+                    ok = out == base_out
+                if ok:
+                    arr_in = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+                    exp = np.empty_like(arr_in)
+                    for by in range((h + 7) // 8):
+                        for bx in range((w + 7) // 8):
+                            c_in = tuple(
+                                int(v) for v in arr_in[by * 8, bx * 8]
+                            )
+                            exp[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = J.jpeg_roundtrip_constant(c_in, quality)
+                    ok = out == exp.tobytes()
+                rows.append((k, dw, dh, dc, n_scans, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_channels",
+                    "n_scans", "decode_ok",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        fn, JPEG_PROG_VERIFY_SCHEMA
+    )
+
+
 GIF_VERIFY_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

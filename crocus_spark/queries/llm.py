@@ -6622,3 +6622,49 @@ def dq_ann_filtered_recall_probe(spark, sf_dir):
     mean_rec = sum(x.r for x in rec) / len(rec)
     assert mean_rec >= 0.65, f"maintained-store recall {mean_rec:.3f}"
     return exact.orderBy("query_id", "rank")
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 3) - doc_id % 5 AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) - doc_id % 3 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(10 AS INT) AS n_scans,
+           TRUE AS decode_ok
+    FROM documents
+    WHERE doc_id % 2 = 0
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "jpeg", "progressive"),
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2), value-exact end-to-end (r11, closing
+    the r10 verdict gap #5 — real crawl corpora are heavily
+    progressive): the codec now carries full T.81 Annex G.1.2 spectral
+    selection + successive approximation (operators/jpegcodec) — the
+    libjpeg default 10-scan script on encode (coarse DC → low-frequency
+    luma → chroma → bit-by-bit refinements, the order that renders a
+    preview from a partial fetch), and a decoder that accumulates
+    coefficients across DC/AC first+refinement scans with EOBn runs and
+    embedded correction bits, two's-complement DC point transform,
+    then runs the shared dequant/IDCT/upsample back half.
+
+    Proof structure: block-constant fixtures make the round-trip
+    exactly computable (closed-form DC replay), and ``decode_ok``
+    ADDITIONALLY requires the progressive decode to equal the baseline
+    decode byte-for-byte — a completed progressive stream carries the
+    same quantized coefficients, so ANY scan-script/EOBRUN/refinement
+    slip breaks that equality before it breaks anything else.
+    ``n_scans = 10`` pins the multi-scan structure (a silent fallback
+    to a single sequential scan would fail the hash). Truncation fuzz,
+    DC -1 sign preservation, 4:2:0 and grayscale scripts live in
+    tests/test_jpegcodec.py. One Arrow pass over spread partitions;
+    images never leave the executors."""
+    docs = spread(load(spark, sf_dir, "documents"), spark).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    return M.jpeg_progressive_verify(docs, "doc_id", quality=90).orderBy(
+        "media_id"
+    )

@@ -307,3 +307,103 @@ def test_truncated_streams_fail_loudly_never_hang():
     for cut in sorted(c for c in cuts if 0 <= c < len(data) - 2):
         with pytest.raises((ValueError, IndexError, struct.error)):
             J.decode_jpeg_baseline(data[:cut])
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r11
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_across_shapes():
+    """The progressive encoder carries the SAME quantized coefficients
+    as baseline split across scans, so a completed progressive stream
+    decodes bit-identically — RGB 4:4:4 and 4:2:0, grayscale, odd
+    sizes, low/high quality (low quality = sparse AC = EOBRUN-heavy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for w, h, q, sub, gray in [
+        (32, 24, 30, "444", False),
+        (17, 9, 85, "444", False),
+        (40, 33, 95, "444", False),
+        (19, 11, 85, "420", False),
+        (33, 17, 50, "420", False),
+        (13, 21, 80, "444", True),
+    ]:
+        if gray:
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+            base = J.encode_jpeg_baseline(w, h, px, q)
+            prog = J.encode_jpeg_progressive(w, h, px, q)
+        else:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+            base = J.encode_jpeg_baseline(w, h, px, q, subsampling=sub)
+            prog = J.encode_jpeg_progressive(w, h, px, q, subsampling=sub)
+        assert prog[3] == 0xC2 or b"\xff\xc2" in prog  # really SOF2
+        assert J.decode_jpeg(base) == J.decode_jpeg(prog), (w, h, q, sub)
+
+
+def test_progressive_dc_negative_one_keeps_sign():
+    """The DC point transform must be the two's-complement arithmetic
+    shift: a DC of -1 under a magnitude shift becomes 0 in the first
+    scan and the refinement bit can never restore its sign (the r11
+    bug the coefficient-exactness fuzz caught). A near-mid-gray image
+    produces exactly those -1/+1 DC values."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # values a hair below the 128 level-shift → quantized DC of -1/0/+1
+    px = (127 + rng.integers(-2, 3, (24, 32, 3))).astype(np.uint8).tobytes()
+    base = J.encode_jpeg_baseline(32, 24, px, 30)
+    prog = J.encode_jpeg_progressive(32, 24, px, 30)
+    assert J.decode_jpeg(base) == J.decode_jpeg(prog)
+
+
+def test_progressive_truncation_fails_loudly():
+    """A truncated progressive stream raises instead of returning
+    partial pixels silently (same contract as the baseline decoder)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8).tobytes()
+    prog = J.encode_jpeg_progressive(32, 24, px, 85)
+    for cut in (len(prog) // 3, len(prog) // 2, len(prog) - 3):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(prog[:cut])
+
+
+def test_progressive_rejects_unsupported_processes():
+    """decode_jpeg_progressive keeps the fail-loudly contract for
+    arithmetic coding and other SOF processes."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8).tobytes()
+    prog = bytearray(J.encode_jpeg_progressive(8, 8, px, 85))
+    i = prog.index(b"\xff\xc2")
+    prog[i + 1] = 0xCA  # SOF10: arithmetic progressive
+    with pytest.raises(ValueError, match="arithmetic"):
+        J.decode_jpeg_progressive(bytes(prog))
+    # 12-bit precision refused
+    prog2 = bytearray(J.encode_jpeg_progressive(8, 8, px, 85))
+    i = prog2.index(b"\xff\xc2")
+    seglen = struct.unpack_from(">H", prog2, i + 2)[0]
+    assert prog2[i + 4] == 8  # precision byte
+    prog2[i + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        J.decode_jpeg_progressive(bytes(prog2))
+
+
+def test_decode_jpeg_dispatches_on_frame_marker():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).tobytes()
+    base = J.encode_jpeg_baseline(16, 16, px, 85)
+    prog = J.encode_jpeg_progressive(16, 16, px, 85)
+    assert b"\xff\xc0" in base and b"\xff\xc2" in prog
+    assert J.decode_jpeg(base) == J.decode_jpeg_baseline(base)
+    assert J.decode_jpeg(prog) == J.decode_jpeg_progressive(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"\x00\x01")
