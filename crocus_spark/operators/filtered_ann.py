@@ -51,6 +51,7 @@ from crocus_spark.operators.similarity import (
 __all__ = [
     "ivf_filtered_build",
     "ivf_filtered_topk",
+    "ivfpq_filtered_topk",
 ]
 
 
@@ -238,6 +239,107 @@ def ivf_filtered_topk(
         level *= 2
     if not parts:
         return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ivfpq_filtered_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    predicate: str = "true",
+    nprobe: int = 2,
+    refine: int = 50,
+    oversample: int = 3,
+    min_match_fraction: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_level: bool = False,
+) -> DataFrame:
+    """Predicate + top-k over an attribute-carrying IVFPQ store (built
+    with ``ivfpq_build_store(..., attr_cols=[...])``) with ANALYTIC
+    probe widening: the per-cell match counts under the predicate are
+    one tiny aggregate (≤ n_cells rows collected), so each query's
+    required probe depth — the doubling of ``nprobe`` until its probed
+    cells hold ``k × oversample`` matches (and ``min_match_fraction``
+    of ALL matches, the cardinality-aware recall guard the IVF twin
+    measures) — resolves driver-side BEFORE any scan. Queries group by
+    resolved depth and each group serves in ONE pass through the
+    predicate-filtered ADC scan (``ivfpq_topk_at_rest`` with
+    ``predicate``), exact re-rank on the probed matches' raw vectors.
+    With full probe and ``refine`` ≥ the match count the serve equals
+    exact filtered brute force — the hash-green twin's shape."""
+    import math
+
+    from crocus_spark.operators.similarity import (
+        ivfpq_model_load,
+        ivfpq_topk_at_rest,
+    )
+
+    (cells, mat), _cb = ivfpq_model_load(path)
+    n_cells = len(cells)
+    counts = {
+        int(r["cell"]): r["n"]
+        for r in spark.read.parquet(path)
+        .filter(F.expr(predicate))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ n_cells rows — model-sized
+    }
+    total = sum(counts.values())
+    need = k * max(1, oversample)
+    if min_match_fraction > 0:
+        need = max(need, math.ceil(min_match_fraction * total))
+    need = min(need, total)  # can't require more matches than exist
+    centroids = _centroid_df(spark, cells, mat)
+    q_df = queries.select(
+        F.col(id_col).alias("query_id"),
+        _norm_vec(F.col(vec_col)).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("q_dot"), F.col("cell")
+    )
+    ranked = (
+        q_df.crossJoin(F.broadcast(centroids))
+        .withColumn("q_dot", dot_batch(F.col("qn"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .select("query_id", "cell", "probe_rank")
+    )
+    order: dict[int, list[int]] = {}
+    for r in ranked.collect():  # probe-batch × n_cells ints — bounded
+        order.setdefault(r.query_id, []).append((r.probe_rank, r.cell))
+    order = {q: [c for _rk, c in sorted(v)] for q, v in order.items()}
+
+    def depth_of(q):
+        lvl = max(1, nprobe)
+        while lvl < n_cells:
+            got = sum(counts.get(c, 0) for c in order[q][:lvl])
+            if got >= need:
+                return lvl
+            lvl = min(lvl * 2, n_cells)
+        return n_cells
+
+    by_depth: dict[int, list[int]] = {}
+    for q in order:
+        by_depth.setdefault(depth_of(q), []).append(int(q))
+    parts = []
+    for lvl, qids in sorted(by_depth.items()):
+        sub = queries.filter(F.col(id_col).isin(qids))
+        res = ivfpq_topk_at_rest(
+            spark, sub, path, k=k, nprobe=lvl, refine=refine,
+            id_col=id_col, vec_col=vec_col, predicate=predicate,
+        )
+        if with_level:
+            res = res.withColumn("probe_level", F.lit(lvl))
+        parts.append(res.localCheckpoint())
+    if not parts:
+        schema = "query_id long, neighbor_id long, cos double, rank int"
+        if with_level:
+            schema += ", probe_level int"
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1543,14 +1543,23 @@ def pq_sync_from_tail(
 def _ivfpq_encoded(
     corpus: DataFrame, cells, mat, codebook,
     id_col: str, vec_col: str,
+    attr_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(neighbor_id, c_vec raw, code binary, cell) in ONE Arrow pass:
-    normalize (the shared dim-ordered fold), coarse-assign to the
-    frozen IVF centroid (argmax dot, first-max ties), PQ-encode the
-    normalized vector under the frozen codebook."""
+    """(neighbor_id, c_vec raw, code binary, [attrs...,] cell) in ONE
+    Arrow pass: normalize (the shared dim-ordered fold), coarse-assign
+    to the frozen IVF centroid (argmax dot, first-max ties), PQ-encode
+    the normalized vector under the frozen codebook. ``attr_cols`` ride
+    through untouched — the filtered-serve store shape."""
     import pandas as pd  # noqa: PLC0415
 
     spark = corpus.sparkSession
+    attrs = list(attr_cols or [])
+    attr_schema = ""
+    if attrs:
+        sub = corpus.select(*attrs).schema
+        attr_schema = "".join(
+            f", {f.name} {f.dataType.simpleString()}" for f in sub.fields
+        )
     bc = spark.sparkContext.broadcast((cells, mat, codebook))
 
     def fn(batches):
@@ -1570,23 +1579,26 @@ def _ivfpq_encoded(
             for i in range(Vn.shape[1]):
                 D = D + Vn[:, i : i + 1] * m_[None, :, i]
             codes = pq_encode_batch(Vn, cb)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "c_vec": pdf["c_vec"],
-                    "code": [c.tobytes() for c in codes],
-                    "cell": cl[np.argmax(D, axis=1)].astype("int32"),
-                }
-            )
+            out = {
+                "neighbor_id": pdf["neighbor_id"],
+                "c_vec": pdf["c_vec"],
+                "code": [c.tobytes() for c in codes],
+            }
+            for a in attrs:
+                out[a] = pdf[a]
+            out["cell"] = cl[np.argmax(D, axis=1)].astype("int32")
+            yield pd.DataFrame(out)
 
     prepared = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        *[F.col(c) for c in attrs],
         F.col(vec_col).alias("_v"),
     )
     return prepared.mapInPandas(
         fn,
-        "neighbor_id long, c_vec array<float>, code binary, cell int",
+        "neighbor_id long, c_vec array<float>, code binary"
+        + attr_schema + ", cell int",
     )
 
 
@@ -1597,6 +1609,7 @@ def ivfpq_build_store(
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: list[str] | None = None,
 ) -> None:
     """Write the IVFPQ store: PQ codes + raw vectors partitioned by the
     frozen coarse cell; both frozen models persisted beside it
@@ -1606,7 +1619,7 @@ def ivfpq_build_store(
 
     cells, mat = model
     _ivfpq_encoded(
-        corpus, cells, mat, codebook, id_col, vec_col
+        corpus, cells, mat, codebook, id_col, vec_col, attr_cols
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     ivf_model_save(path, cells, mat)
     m, ksub, ds = codebook.shape
@@ -1646,6 +1659,7 @@ def ivfpq_topk_at_rest(
     refine: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | None = None,
 ) -> DataFrame:
     """Serve approximate top-k from a committed IVFPQ store: per-query
     nprobe coarse cells (same ranking/ties as ``ivf_topk``), an ADC
@@ -1731,6 +1745,11 @@ def ivfpq_topk_at_rest(
     store = spark.read.parquet(path).filter(
         F.col("cell").isin(probe_cells)
     )
+    if predicate is not None:
+        # filtered serve (r11): the attribute predicate prunes rows
+        # BEFORE any ADC work — pushed into the probed cells' parquet
+        # scan, so non-matching codes are never read or scored
+        store = store.filter(F.expr(predicate))
     scanned = store.select("neighbor_id", "code", "cell").mapInPandas(
         adc_scan, schema="neighbor_id long, query_id long, adc double"
     )

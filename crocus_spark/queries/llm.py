@@ -6668,3 +6668,134 @@ def multimodal_jpeg_progressive(spark, sf_dir):
     return M.jpeg_progressive_verify(docs, "doc_id", quality=90).orderBy(
         "media_id"
     )
+
+
+def _ivfpq_filtered_store(spark, sf_dir, corpus):
+    """Attribute-carrying IVFPQ store for the filtered compressed-code
+    serve (codes + raw vectors + label, partitioned by frozen cell);
+    fingerprint-keyed reuse like the other at-rest stores."""
+    import os
+
+    from crocus_spark.operators.similarity import (
+        ivfpq_build_store,
+        pq_fit_codebook,
+    )
+
+    key, model = _ivf_headline_model(sf_dir, corpus)
+    path = _filtered_store_path(sf_dir, key, "ivfpq_filtered_store")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cb = pq_fit_codebook(corpus, m=16, ksub=32)
+        ivfpq_build_store(
+            corpus, path, model, cb, attr_cols=["label"]
+        )
+    return path, model
+
+
+@register(
+    "ann_ivfpq_filtered_fullprobe",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 10 AND label = 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "filtered", "ivfpq"),
+)
+def ann_ivfpq_filtered_fullprobe(spark, sf_dir):
+    """FILTERED IVFPQ serve, exact path (r11 — the compressed-code twin
+    of ``ann_filtered_fullprobe``): the predicate prunes rows BEFORE
+    any ADC work (pushed into the probed cells' parquet scan, so
+    non-matching codes are never read or scored), the ADC pass ranks
+    only matches, and the exact re-rank touches only matching raw
+    vectors. At full probe with ``refine`` ≥ the match count every
+    match is exactly re-scored, so the serve EQUALS filtered brute
+    force and the whole pipeline (attr-carrying code store, predicate
+    pushdown, ADC, refine) replays in DuckDB — the hash-green pin for
+    the approximate ``ann_ivfpq_filtered_topk``."""
+    from crocus_spark.operators.filtered_ann import ivfpq_filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path, _model = _ivfpq_filtered_store(spark, sf_dir, corpus)
+    return ivfpq_filtered_topk(
+        spark, queries, path, k=5, predicate="label = 3",
+        nprobe=8, refine=1_000_000,
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivfpq_filtered_topk",
+    oracle=None,  # nprobe < n_cells + bounded refine is approximate by
+    # nature (same rows-only policy as ann_ivf_topk/ann_filtered_topk);
+    # the exact twin on the same store/predicate is
+    # ann_ivfpq_filtered_fullprobe (hash-green) and the floors below
+    # are asserted in-query at every fixture scale.
+    tags=("llm", "similarity", "filtered", "ivfpq"),
+)
+def ann_ivfpq_filtered_topk(spark, sf_dir):
+    """FILTERED IVFPQ serve with ANALYTIC probe widening (r11): the
+    per-cell match counts under the predicate are one ≤ n_cells-row
+    aggregate, so each query's probe depth (doubling until its cells
+    hold k×oversample matches AND 60% of all matches — the
+    cardinality-aware guard measured on the IVF twin) resolves
+    driver-side BEFORE any scan; queries group by depth and each group
+    serves in one predicate-filtered ADC pass. In-query asserts: every
+    query returns min(k, |matches|) rows; widening engages; mean
+    recall@5 vs the exact filtered serve >= 0.65 and per-query
+    >= 0.4."""
+    from crocus_spark.operators.filtered_ann import ivfpq_filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path, _model = _ivfpq_filtered_store(spark, sf_dir, corpus)
+    pred = "label = 3"
+    res = ivfpq_filtered_topk(
+        spark, queries, path, k=5, predicate=pred, nprobe=1,
+        refine=200, min_match_fraction=0.6, with_level=True,
+    ).localCheckpoint()
+    exact = ivfpq_filtered_topk(
+        spark, queries, path, k=5, predicate=pred, nprobe=8,
+        refine=1_000_000,
+    ).localCheckpoint()
+    n_matches = (
+        spark.read.parquet(path).filter(pred).count()
+    )
+    got = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("probe_level").alias("lvl")
+    )
+    want_n = min(5, n_matches)
+    assert got.filter(F.col("n") != want_n).count() == 0
+    lvls = {r.lvl for r in got.collect()}
+    assert all(1 <= l <= 8 for l in lvls) and max(lvls) > 1, lvls
+    hits = (
+        res.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    rows = (
+        got.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("hit"), F.lit(0)) / F.col("n")).alias("rec"),
+        )
+        .collect()
+    )
+    mean_rec = sum(r.rec for r in rows) / len(rows)
+    assert mean_rec >= 0.65, f"mean recall {mean_rec:.3f}"
+    assert all(r.rec >= 0.4 for r in rows), "per-query recall < 0.4"
+    return res.orderBy("query_id", "rank")
