@@ -1032,9 +1032,10 @@ def commit_positional_deletes(
                 ],
             }
         }
-        # data unchanged: equality deletes, appends, and footer stats
-        # all carry over verbatim
-        for k in ("deletes", "append_dirs", "stats_columns", "file_stats"):
+        # data unchanged: equality deletes, appends, footer stats and
+        # the streaming txn ledger all carry over verbatim
+        for k in ("deletes", "append_dirs", "stats_columns", "file_stats",
+                  "txns"):
             if k in prev:
                 body_extra[k] = prev[k]
         try:
@@ -1080,6 +1081,7 @@ def commit_append_dir(
     add_dir: str,
     schema_json: str | dict | None,
     allow_incompatible: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Manifest half of :func:`commit_append` for a data directory that
     is ALREADY fully written under ``state_root`` (the two-phase shape
@@ -1087,7 +1089,17 @@ def commit_append_dir(
     tasks write parts, then its driver-side commit calls this): extend
     the latest manifest's ``append_dirs`` (and footer stats, when the
     store records them) and CAS-commit at latest+1, retrying lost races
-    with the same immutable directory (pure-metadata retry)."""
+    with the same immutable directory (pure-metadata retry).
+
+    ``txn=(app_id, batch_id)`` gives streaming writers EXACTLY-ONCE
+    appends — Delta's idempotent-writes ``txn`` action: the manifest
+    records a folded ``{app_id: highest committed batch_id}`` map, and
+    a commit whose batch_id is ≤ the recorded one is a REPLAY (the
+    engine re-ran a micro-batch whose sink commit already landed, e.g.
+    a crash between the sink commit and the checkpoint commit): it
+    returns the current latest version WITHOUT appending, so replays
+    can never duplicate rows. The CAS loop re-reads the map on every
+    retry, so two racing writers of the same app serialize correctly."""
     add_files = parquet_data_files(os.path.join(state_root, add_dir))
     rel_files = [
         [os.path.relpath(p, os.path.join(state_root, add_dir)), sz]
@@ -1102,10 +1114,18 @@ def commit_append_dir(
             )
         latest = versions[-1]
         prev = read_manifest(state_root, latest)
+        txns = dict(prev.get("txns", {}))
+        if txn is not None:
+            app, batch = txn
+            if app in txns and int(batch) <= int(txns[app]):
+                return latest  # idempotent replay: already committed
+            txns[app] = int(batch)
         body_extra = {
             "append_dirs": list(prev.get("append_dirs", []))
             + [{"data_dir": add_dir, "files": rel_files}],
         }
+        if txns:
+            body_extra["txns"] = txns
         for k in ("deletes", "pos_deletes"):
             if k in prev:
                 body_extra[k] = prev[k]
@@ -1234,7 +1254,7 @@ def commit_equality_deletes(
         # stats, append list, and positional-delete set carry over
         # verbatim — no re-read of any footer
         for k in ("stats_columns", "file_stats", "append_dirs",
-                  "pos_deletes"):
+                  "pos_deletes", "txns"):
             if k in prev:
                 body_extra[k] = prev[k]
         # the new version SHARES the previous version's data dir
@@ -1457,11 +1477,17 @@ def compact_snapshot(
         # orphan debris); an explicit-version compaction's content is
         # pinned to that version by request, so only its metadata
         # commit retries at the new top.
+        # the streaming txn ledger survives compaction (else a replayed
+        # micro-batch after an OPTIMIZE would re-append its rows)
+        txn_extra = (
+            {"txns": m["txns"]} if m.get("txns") else None
+        )
         try:
             v = commit_manifest(
                 state_root, out_dir, version=log_top + 1,
                 schema_json=m.get("schema"), allow_incompatible=True,
                 stats_columns=m.get("stats_columns"),
+                extra=txn_extra,
             )
             return v, stats
         except FileExistsError:
@@ -1475,6 +1501,7 @@ def compact_snapshot(
                         schema_json=m.get("schema"),
                         allow_incompatible=True,
                         stats_columns=m.get("stats_columns"),
+                        extra=txn_extra,
                     )
                     return v, stats
                 except FileExistsError:
@@ -1512,7 +1539,7 @@ def restore_snapshot(state_root: str, version: int) -> int:
     src = read_manifest(state_root, version)
     body_extra = {"restored_from": version}
     for k in ("deletes", "pos_deletes", "append_dirs",
-              "stats_columns", "file_stats"):
+              "stats_columns", "file_stats", "txns"):
         if k in src:
             body_extra[k] = src[k]
     while True:

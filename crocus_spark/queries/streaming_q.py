@@ -1351,3 +1351,80 @@ def stream_session_expiry_tws(spark, sf_dir):
         ).alias("session_start"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_snapshot_sink",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "sink", "snapshot", "lakehouse"),
+)
+def stream_snapshot_sink(spark, sf_dir):
+    """STREAMING ingestion into the lakehouse store (r11):
+    ``df.writeStream.format("crocus_snapshot")`` — the
+    DataSourceStreamArrowWriter sink appends each micro-batch to the
+    manifest log EXACTLY-ONCE (per-epoch commit moves exactly the
+    files the WriterCommitMessages reference into an immutable a-dir
+    and append-commits it with a (txn_app, batchId) transaction; the
+    manifest's folded txn ledger turns a replayed batch into a no-op —
+    Delta's idempotent-writes action). Arrow-native end to end: no
+    Spark Row ever materializes in Python on the write path.
+
+    The query streams ``events`` through the sink (availableNow), then
+    RE-DRAINS with the same checkpoint and asserts nothing new
+    committed (the exactly-once story a restart depends on), reads the
+    store back through the batch source, and aggregates — the oracle
+    recomputes from ``events`` directly, so a dropped or
+    double-counted micro-batch fails the hash. Replay/compaction
+    ledger tests live in tests/test_snapshot_batch.py."""
+    import shutil
+
+    from crocus_spark.operators.maintenance import list_snapshot_versions
+    from crocus_spark.queries.sources_q import _scratch
+    from crocus_spark.sources import register_snapshot_source
+
+    register_snapshot_source(spark)
+    root = _scratch("stream_snap_sink")
+    ckpt = _scratch("stream_snap_sink_ckpt")
+    for p in (root, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+
+    def drain():
+        q = (
+            ev.writeStream.format("crocus_snapshot")
+            .option("path", root)
+            .option("txn_app", "stream_snapshot_sink_q")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    versions = list_snapshot_versions(root)
+    assert versions, "sink committed nothing"
+    drain()  # restart with the same checkpoint: must be a no-op
+    assert list_snapshot_versions(root) == versions, "re-drain re-committed"
+    store = (
+        spark.read.format("crocus_snapshot").option("path", root).load()
+    )
+    return (
+        store.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).cast("long").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -346,6 +346,9 @@ class SnapshotBatchSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool):
         return _SnapshotBatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return _SnapshotStreamSinkWriter(self.options, schema)
+
 
 def register_snapshot_source(spark) -> None:
     """Idempotent registration of the ``crocus_snapshot`` format."""
@@ -381,6 +384,49 @@ class _SnapWriteCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _write_arrow_part(
+    root: str, data_dir: str, schema_json: str, iterator
+) -> _SnapWriteCommit:
+    """Task-side Arrow part write shared by the batch and streaming
+    sinks: RecordBatches stream into one ParquetWriter (cast to the
+    pinned schema), two-phase temp → rename, temps named WITHOUT a
+    ``.parquet`` suffix so partial files can never be listed as data."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_schema = T.StructType.fromJson(_json.loads(schema_json))
+    pa_schema = to_arrow_schema(spark_schema)
+    d = _os.path.join(root, data_dir)
+    _os.makedirs(d, exist_ok=True)
+    fname = f"part-{_uuid.uuid4().hex}.parquet"
+    tmp = _os.path.join(d, f".tmp-{fname}.inprogress")
+    n = 0
+    writer = None
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            if tbl.schema != pa_schema:
+                tbl = tbl.cast(pa_schema)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, pa_schema)
+            writer.write_table(tbl)
+            n += len(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    if n == 0:  # empty partition: contribute no file
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+        return _SnapWriteCommit(None, 0)
+    _os.replace(tmp, _os.path.join(d, fname))  # two-phase per part
+    return _SnapWriteCommit(fname, n)
+
+
 class _SnapshotBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: T.StructType, overwrite: bool):
         self.root = options.get("path")
@@ -414,40 +460,8 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
         leaves a valid footer over partial rows) can never be picked up
         by a directory listing — and ``commit()`` additionally deletes
         anything not referenced by a commit message."""
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        spark_schema = T.StructType.fromJson(_json.loads(self._schema_json))
-        pa_schema = to_arrow_schema(spark_schema)
-        d = _os.path.join(self.root, self.data_dir)
-        _os.makedirs(d, exist_ok=True)
-        fname = f"part-{_uuid.uuid4().hex}.parquet"
-        tmp = _os.path.join(d, f".tmp-{fname}.inprogress")
-        n = 0
-        writer = None
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                tbl = pa.Table.from_batches([batch])
-                if tbl.schema != pa_schema:
-                    tbl = tbl.cast(pa_schema)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, pa_schema)
-                writer.write_table(tbl)
-                n += len(tbl)
-        finally:
-            if writer is not None:
-                writer.close()
-        if n == 0:  # empty partition: contribute no file
-            if _os.path.exists(tmp):
-                _os.unlink(tmp)
-            return _SnapWriteCommit(None, 0)
-        _os.replace(tmp, _os.path.join(d, fname))  # two-phase per part
-        return _SnapWriteCommit(fname, n)
+        return _write_arrow_part(self.root, self.data_dir,
+                                 self._schema_json, iterator)
 
     def commit(self, messages):
         """Driver-side commit. The manifest's file list is defined by
@@ -505,6 +519,133 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
         _shutil.rmtree(
             _os.path.join(self.root, self.data_dir), ignore_errors=True
         )
+
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter  # noqa: E402
+
+
+class _SnapshotStreamSinkWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("crocus_snapshot")`` — EXACTLY-ONCE
+    streaming appends into the manifest log.
+
+    Tasks of every micro-batch write Arrow parts into ONE staging dir
+    (``s-…``, per query run); the per-epoch ``commit(messages,
+    batchId)`` MOVES exactly the files the commit messages reference
+    into a fresh immutable ``a-…`` dir (leftovers from failed/
+    speculative attempts are deleted, same contract as the batch sink)
+    and append-commits it with ``txn=(app_id, batchId)`` — Delta's
+    idempotent-writes action: the manifest's folded ``txns`` ledger
+    makes a REPLAYED micro-batch (crash between the sink commit and
+    the engine's checkpoint commit) a no-op, so the store never
+    double-counts rows. Pass ``option("txn_app", <stable-id>)`` to key
+    the ledger across restarts; without it each query RUN gets a fresh
+    app id (exactly-once within the run, at-least-once across a
+    restart that replays an already-committed batch — documented)."""
+
+    def __init__(self, options, schema: T.StructType):
+        import hashlib as _hashlib
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("crocus_snapshot requires option 'path'")
+        self._schema_json = schema.json()
+        self.allow_incompatible = (
+            str(options.get("allow_incompatible", "false")).lower() == "true"
+        )
+        # The engine instantiates this writer in SEVERAL processes (the
+        # task writers and a separate commit-runner), so every derived
+        # name must be a pure function of the OPTIONS: the staging dir
+        # and the default txn app key off the checkpoint location —
+        # unique per query, stable across restarts (which is exactly
+        # what makes the txn ledger effective on a replay).
+        ckpt = options.get("checkpointLocation") or ""
+        key = _hashlib.md5(
+            f"{self.root}|{ckpt}|{options.get('txn_app') or ''}".encode()
+        ).hexdigest()[:12]
+        self.txn_app = options.get("txn_app") or f"crocus-stream-{key}"
+        self.data_dir = f"s-{key}"  # staging: vacuum_orphans debris
+        self.stats_columns = None
+
+    def write(self, iterator):
+        return _write_arrow_part(
+            self.root, self.data_dir, self._schema_json, iterator
+        )
+
+    def commit(self, messages, batchId):
+        import uuid as _uuid
+
+        from crocus_spark.operators.maintenance import (
+            commit_append_dir,
+            commit_manifest,
+        )
+
+        stage = _os.path.join(self.root, self.data_dir)
+        _os.makedirs(stage, exist_ok=True)
+        committed = {
+            m.rel_file
+            for m in messages
+            if m is not None and m.rel_file is not None
+        }
+        lost = sorted(committed - set(_os.listdir(stage)))
+        if lost:
+            raise IOError(
+                f"commit message references missing staged file(s) "
+                f"{lost} under {stage}; refusing to commit a hole"
+            )
+        batch_dir = f"a-{_uuid.uuid4().hex[:12]}"
+        dst = _os.path.join(self.root, batch_dir)
+        _os.makedirs(dst, exist_ok=True)
+        for f in list(_os.listdir(stage)):
+            if f in committed:
+                _os.replace(
+                    _os.path.join(stage, f), _os.path.join(dst, f)
+                )
+            else:  # failed-attempt temp / duplicate-attempt part
+                try:
+                    _os.unlink(_os.path.join(stage, f))
+                except OSError:
+                    pass
+        if not _committed_versions(self.root):
+            # first batch onto a table that does not exist yet CREATES
+            # it; the txn ledger rides in via extra
+            commit_manifest(
+                self.root,
+                batch_dir,
+                schema_json=self._schema_json,
+                allow_incompatible=self.allow_incompatible,
+                extra={"txns": {self.txn_app: int(batchId)}},
+            )
+            return
+        v_after = commit_append_dir(
+            self.root,
+            batch_dir,
+            self._schema_json,
+            allow_incompatible=self.allow_incompatible,
+            txn=(self.txn_app, int(batchId)),
+        )
+        linked = any(
+            a.get("data_dir") == batch_dir
+            for a in _read_manifest(self.root, v_after).get(
+                "append_dirs", []
+            )
+        )
+        if not linked:
+            # idempotent replay skipped the append: the re-written batch
+            # dir is orphan debris — reclaim it now instead of waiting
+            # for vacuum
+            import shutil as _shutil
+
+            _shutil.rmtree(dst, ignore_errors=True)
+
+    def abort(self, messages, batchId):
+        # drop only this epoch's staged leftovers; committed a-… dirs
+        # are immutable and already manifest-linked
+        stage = _os.path.join(self.root, self.data_dir)
+        for f in list(_os.listdir(stage)) if _os.path.isdir(stage) else []:
+            try:
+                _os.unlink(_os.path.join(stage, f))
+            except OSError:
+                pass
 
 
 # ---------------------------------------------------------------------------

@@ -394,3 +394,90 @@ def test_read_snapshot_sql_derives_prune_from_where(spark, tmp_path):
         "k": [5, 7]
     }
     assert ranges_from_where("NOT (k = 3)", {"k"}) == {}
+
+
+def test_stream_sink_exactly_once_and_replay(spark, tmp_path):
+    """r11 streaming sink: availableNow drains append exactly-once into
+    the manifest log (txn ledger keyed by (txn_app, batchId)); a resume
+    with the same checkpoint commits nothing new; a REPLAYED batch id
+    (crash between sink commit and engine checkpoint) is a no-op that
+    reclaims its rewritten dir; the ledger survives delete commits and
+    compaction."""
+    import os
+
+    import pyarrow as pa
+
+    from crocus_spark.operators.maintenance import (
+        commit_equality_deletes,
+        compact_snapshot,
+        list_snapshot_versions,
+    )
+    from crocus_spark.sources.snapshot_batch import _SnapshotStreamSinkWriter
+
+    register_snapshot_source(spark)
+    root = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "in")
+    spark.range(0, 300).selectExpr("id AS k", "id % 7 AS g").coalesce(
+        2
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+
+    def drain():
+        q = (
+            stream.writeStream.format("crocus_snapshot")
+            .option("path", root).option("txn_app", "t1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    drain()
+    assert list_snapshot_versions(root) == [0]
+    assert read_snapshot(spark, root).count() == 300
+    drain()  # resume, no new data: nothing commits
+    assert list_snapshot_versions(root) == [0]
+    spark.range(300, 400).selectExpr("id AS k", "id % 7 AS g").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    assert read_snapshot(spark, root).count() == 400
+    v_top = list_snapshot_versions(root)[-1]
+    assert read_manifest(root, v_top)["txns"] == {"t1": 1}
+    # REPLAY batch 1 through a fresh writer (same options): no-op,
+    # rewritten dir reclaimed
+    w = _SnapshotStreamSinkWriter(
+        {"path": root, "txn_app": "t1", "checkpointLocation": ckpt},
+        spark.read.parquet(src).schema,
+    )
+    batch = pa.record_batch(
+        {"k": pa.array([999], pa.int64()), "g": pa.array([0], pa.int64())}
+    )
+    msg = w.write(iter([batch]))
+    n_dirs_before = len(os.listdir(root))
+    w.commit([msg], 1)  # batchId 1 already in the ledger
+    assert list_snapshot_versions(root)[-1] == v_top
+    assert read_snapshot(spark, root).count() == 400
+    assert len(os.listdir(root)) == n_dirs_before  # a-dir reclaimed
+    # a NEW batch id from the same writer commits normally
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], 2)
+    assert read_snapshot(spark, root).count() == 401
+    # ledger survives a delete commit and a compaction
+    commit_equality_deletes(
+        spark.createDataFrame([(999,)], "k long"), root, ["k"]
+    )
+    assert read_manifest(
+        root, list_snapshot_versions(root)[-1]
+    )["txns"] == {"t1": 2}
+    v, _stats = compact_snapshot(spark, root, target_file_bytes=1 << 20)
+    assert read_manifest(root, v)["txns"] == {"t1": 2}
+    # post-compaction replay of batch 2 is still a no-op
+    msg3 = w.write(iter([batch]))
+    w.commit([msg3], 2)
+    assert read_snapshot(spark, root).count() == 400
