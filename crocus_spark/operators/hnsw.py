@@ -205,6 +205,109 @@ def search_hnsw(graph, matrix, query_vec, k: int, ef: int = 64):
     return [(1.0 - d, ids[e]) for d, _i, e in found[:k]]
 
 
+def search_hnsw_filtered(
+    graph, matrix, query_vec, k: int, allowed, ef: int = 64
+):
+    """FILTERED top-k from one graph (r11): the beam traverses the FULL
+    graph (restricting edges to matches would disconnect it — the
+    classic filtered-HNSW failure), while the RESULT set accepts only
+    nodes whose ``allowed`` mask is True. ``ef`` doubles until k
+    matches are found or the beam has effectively saturated, and a
+    final exhaustive pass over the allowed rows guarantees
+    min(k, |matches|) results exactly (the cardinality fallback every
+    production filtered-HNSW applies at high selectivity). Returns
+    [(cos, vec_id)] best-first, ids breaking ties."""
+    import heapq as hq
+
+    ids = graph["ids"]
+    layers = graph["layers"]
+    entry = graph["entry"]
+    n_allowed = int(np.count_nonzero(allowed))
+    want = min(k, n_allowed)
+    if want == 0 or entry < 0 or not ids:
+        return []
+
+    def dist_to(a: int) -> float:
+        return 1.0 - float(np.dot(matrix[a], query_vec))
+
+    def layer0_filtered(entry_pts, ef_):
+        visited = set(entry_pts)
+        cand = [(dist_to(e), ids[e], e) for e in entry_pts]
+        hq.heapify(cand)
+        best = [(-d, i, e) for d, i, e in cand]
+        hq.heapify(best)
+        res = [
+            (-d, i, e) for d, i, e in cand if allowed[e]
+        ]
+        hq.heapify(res)
+        while cand:
+            d, _tid, c = hq.heappop(cand)
+            if best and d > -best[0][0] and len(best) >= ef_:
+                break
+            for nb in layers[0].get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = dist_to(nb)
+                if len(best) < ef_ or dn < -best[0][0]:
+                    hq.heappush(cand, (dn, ids[nb], nb))
+                    hq.heappush(best, (-dn, ids[nb], nb))
+                    if len(best) > ef_:
+                        hq.heappop(best)
+                    if allowed[nb]:
+                        hq.heappush(res, (-dn, ids[nb], nb))
+                        if len(res) > max(ef_, k):
+                            hq.heappop(res)
+        return sorted((-d, i) for d, i, _e in res)
+
+    # greedy descent exactly as the unfiltered search
+    def search_layer(entry_pts, ef_, layer):
+        visited = set(entry_pts)
+        cand = [(dist_to(e), ids[e], e) for e in entry_pts]
+        hq.heapify(cand)
+        best = [(-d, i, e) for d, i, e in cand]
+        hq.heapify(best)
+        while len(best) > ef_:
+            hq.heappop(best)
+        while cand:
+            d, _tid, c = hq.heappop(cand)
+            if best and d > -best[0][0] and len(best) >= ef_:
+                break
+            for nb in layers[layer].get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = dist_to(nb)
+                if len(best) < ef_ or dn < -best[0][0]:
+                    hq.heappush(cand, (dn, ids[nb], nb))
+                    hq.heappush(best, (-dn, ids[nb], nb))
+                    if len(best) > ef_:
+                        hq.heappop(best)
+        return sorted((-d, i, e) for d, i, e in best)
+
+    ep = [entry]
+    for l in range(len([d for d in layers if d]) - 1, 0, -1):
+        if not layers[l]:
+            continue
+        ep = [search_layer(ep, 1, l)[0][2]]
+    ef_cur = max(ef, k)
+    n = len(ids)
+    while True:
+        found = layer0_filtered(ep, ef_cur)
+        if len(found) >= want or ef_cur >= n:
+            break
+        ef_cur = min(ef_cur * 2, n)
+    if len(found) < want:
+        # exhaustive over the allowed rows — exact fill guarantee
+        idxs = np.nonzero(allowed)[0]
+        scored = sorted(
+            (1.0 - float(np.dot(matrix[i], query_vec)), ids[i])
+            for i in idxs
+        )
+        return [(1.0 - d, i) for d, i in scored[:want]]
+    return [(1.0 - d, i) for d, i in found[:want]]
+
+
 HNSW_SCHEMA = "query_id long, neighbor_id long, cos double"
 
 
@@ -310,6 +413,7 @@ def hnsw_build_store(
     ef_construction: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: list[str] | None = None,
 ) -> None:
     """Write the corpus ``partitionBy(shard)`` (shard = xxhash64(id) mod
     n_shards — JVM-side, deterministic) and build one HNSW graph per
@@ -329,6 +433,7 @@ def hnsw_build_store(
     sharded = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in (attr_cols or [])],
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
@@ -609,3 +714,74 @@ def hnsw_sync_from_tail(
             )
 
     run_tail_sync(spark, table_root, index_path, apply, on_rewrite)
+
+
+def hnsw_filtered_topk_at_rest(
+    spark,
+    queries,
+    path: str,
+    k: int = 5,
+    predicate: str = "true",
+    ef: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """FILTERED serve from committed shard graphs (r11 — the HNSW
+    member of the filtered-ANN family beside IVF and IVFPQ): the
+    predicate evaluates SPARK-SIDE over the attribute-carrying shard
+    parquet (one boolean column fused into the scan), each shard task
+    runs the filtered beam (full-graph traversal, match-only results,
+    ef widening + exhaustive-allowed fallback ⇒ per-shard
+    min(k, matches) guaranteed), and one window merges shard-local
+    top-k — so globally every query returns min(k, |matches|) rows.
+    Store must be built with ``hnsw_build_store(..., attr_cols=…)``."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gdir = os.path.join(path, "_graphs")
+    probes = queries.select(id_col, vec_col).collect()  # bounded probe set
+    q_ids = [int(r[0]) for r in probes]
+    q_mat = np.asarray([list(r[1]) for r in probes], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+
+    back = spark.read.parquet(path).withColumn(
+        "_match", F.expr(predicate)
+    )
+
+    def serve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        shard = int(pdf["shard"].iloc[0])
+        with open(os.path.join(gdir, f"shard-{shard:05d}.json")) as f:
+            graph = _graph_from_json(json.load(f))
+        ids = [int(x) for x in pdf[id_col]]
+        if graph["ids"] != ids:
+            raise ValueError(
+                f"graph/store drift in shard {shard}: "
+                f"{len(graph['ids'])} graph ids vs {len(ids)} store rows"
+            )
+        mat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        allowed = pdf["_match"].fillna(False).to_numpy(dtype=bool)
+        rows = []
+        for qi, qv in zip(q_ids, q_mat):
+            for cos, nid in search_hnsw_filtered(
+                graph, mat, qv, k, allowed, ef=ef
+            ):
+                rows.append((qi, nid, float(cos)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "cos"]
+        )
+
+    local = back.groupBy("shard").applyInPandas(serve, HNSW_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("cos", F.round("cos", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -6799,3 +6799,78 @@ def ann_ivfpq_filtered_topk(spark, sf_dir):
     assert mean_rec >= 0.65, f"mean recall {mean_rec:.3f}"
     assert all(r.rec >= 0.4 for r in rows), "per-query recall < 0.4"
     return res.orderBy("query_id", "rank")
+
+
+@register(
+    "ann_hnsw_filtered_topk",
+    oracle=None,  # HNSW beam traversal is graph-walk approximate and
+    # not SQL-expressible (same rows-only policy as the HNSW trio);
+    # fill guarantee, match-only results, recall floor vs exact
+    # filtered brute force and the exhaustive-fallback exactness are
+    # asserted in-query at every fixture scale; the exact hash-green
+    # twin on the same predicate is ann_filtered_fullprobe.
+    tags=("llm", "similarity", "filtered", "hnsw"),
+)
+def ann_hnsw_filtered_topk(spark, sf_dir):
+    """FILTERED HNSW serve (r11 — the third filtered index family,
+    completing predicate+vector across IVF / IVFPQ / HNSW): the beam
+    traverses the FULL shard graph (restricting edges to matches would
+    disconnect it — the classic filtered-HNSW failure) while the result
+    set accepts only predicate matches; ef doubles until k matches and
+    an exhaustive pass over the allowed rows guarantees
+    min(k, |matches|) exactly — the cardinality fallback production
+    filtered-HNSW applies at high selectivity. The predicate evaluates
+    SPARK-side over the attribute-carrying shard parquet (one boolean
+    fused into the scan); serving stays one grouped-map pass per shard
+    plus a k-row window merge.
+
+    In-query asserts: (a) every query returns min(k, |matches|) rows;
+    (b) every returned neighbor matches the predicate (pre-filter
+    semantics); (c) recall@5 vs exact filtered brute force >= 0.7."""
+    import hashlib
+    import os
+    import tempfile
+
+    from crocus_spark.operators.hnsw import (
+        hnsw_build_store,
+        hnsw_filtered_topk_at_rest,
+    )
+    from crocus_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "embedding", "label"
+    )
+    key, _model = _ivf_headline_model(sf_dir, corpus.drop("label"))
+    fp = hashlib.md5(repr(("hnswf", key)).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "crocus_spark_io",
+        "hnsw_filtered_%s_%s"
+        % (os.path.basename(os.path.normpath(sf_dir)), fp),
+    )
+    if not os.path.exists(os.path.join(path, "_graphs", "_SUCCESS")):
+        hnsw_build_store(corpus, path, n_shards=4, attr_cols=["label"])
+    pred = "label = 3"
+    res = hnsw_filtered_topk_at_rest(
+        spark, queries, path, k=5, predicate=pred
+    ).localCheckpoint()
+    n_matches = corpus.filter(pred).count()
+    per_q = res.groupBy("query_id").count()
+    assert per_q.filter(
+        F.col("count") != min(5, n_matches)
+    ).count() == 0, "fill guarantee broken"
+    strangers = res.join(
+        corpus.filter(pred).select(F.col("vec_id").alias("neighbor_id")),
+        "neighbor_id",
+        "left_anti",
+    ).count()
+    assert strangers == 0, "non-matching neighbor returned"
+    want = brute_force_topk(queries, corpus.filter(pred), k=5)
+    hits = res.select("query_id", "neighbor_id").join(
+        want.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+    recall = hits / want.count()
+    assert recall >= 0.7, f"filtered-HNSW recall {recall:.3f} < 0.7"
+    return res.orderBy("query_id", "rank")

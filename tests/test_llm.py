@@ -925,3 +925,63 @@ def test_filtered_ann_edges(emb, tmp_path):
         queries, corpus.filter("label = 3"), k=5
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_hnsw_filtered_serve(emb, tmp_path):
+    """r11 filtered HNSW: the beam traverses the full graph but results
+    accept only predicate matches; ef widening + the exhaustive-allowed
+    fallback guarantee min(k, matches) per query; a near-empty filter
+    goes through the exact fallback and equals filtered brute force."""
+    from crocus_spark.operators.hnsw import (
+        hnsw_build_store,
+        hnsw_filtered_topk_at_rest,
+    )
+    from crocus_spark.operators.similarity import brute_force_topk
+
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "embedding", "label"
+    )
+    path = str(tmp_path / "hstore")
+    hnsw_build_store(corpus, path, n_shards=4, attr_cols=["label"])
+    got = hnsw_filtered_topk_at_rest(
+        spark, queries, path, k=5, predicate="label = 3"
+    )
+    n_matches = corpus.filter("label = 3").count()
+    per_q = got.groupBy("query_id").count().collect()
+    assert all(r["count"] == min(5, n_matches) for r in per_q)
+    # every returned neighbor really matches
+    assert (
+        got.join(
+            corpus.filter("label = 3").select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            "neighbor_id",
+            "left_anti",
+        ).count()
+        == 0
+    )
+    # recall vs exact filtered brute force
+    want = brute_force_topk(queries, corpus.filter("label = 3"), k=5)
+    hits = got.select("query_id", "neighbor_id").join(
+        want.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+    denom = want.count()
+    assert hits / denom >= 0.7, f"recall {hits / denom:.3f}"
+    # highly selective filter -> exhaustive fallback -> exact
+    few_pred = "label = 3 AND vec_id % 29 = 1"
+    n_few = corpus.filter(few_pred).count()
+    assert 0 < n_few < 5
+    got2 = hnsw_filtered_topk_at_rest(
+        spark, queries, path, k=5, predicate=few_pred
+    ).collect()
+    want2 = brute_force_topk(
+        queries, corpus.filter(few_pred), k=5
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+    # nothing matches -> empty, never an error
+    assert hnsw_filtered_topk_at_rest(
+        spark, queries, path, k=5, predicate="label = 99"
+    ).count() == 0
