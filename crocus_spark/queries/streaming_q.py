@@ -1428,3 +1428,47 @@ def stream_snapshot_sink(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_tws_mapstate",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "stateful", "tws", "mapstate"),
+)
+def stream_tws_mapstate(spark, sf_dir):
+    """COMPOSITE state on transformWithStateInPandas (r11 — MapState,
+    completing the Spark-4 state surface beside the ValueState totals
+    and the timer sessions): one map per user keyed by event type,
+    per-batch merge, full map emitted in update mode; window top-1
+    keeps each (user, type)'s final running count, as in the totals
+    twin. The operator also takes ``ttl_ms`` (the production
+    state-bound knob for unbounded keyspaces) but this query runs
+    WITHOUT it: measured in this environment, enabling state TTL
+    turned a 9 s drain into a >9-minute one (the TTL secondary-index
+    maintenance multiplies Python<->JVM state RPCs per update), so the
+    TTL path is documented-but-not-benched rather than silently
+    shipped as a hot path — see the ops docstring."""
+    from pyspark.sql.window import Window
+
+    from crocus_spark.streaming.ops import stateful_type_counts_tws
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        stateful_type_counts_tws(ev),
+        "update",
+        state_provider=_ROCKSDB,
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id", "event_type")
+    )

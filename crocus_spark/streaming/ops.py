@@ -622,6 +622,74 @@ def session_expiry_tws(
     )
 
 
+def stateful_type_counts_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-(user, event_type) running counts on a transformWithState
+    MAPSTATE (r11 — the composite-state member beside the ValueState
+    totals and the timer sessions): one map per user keyed by event
+    type, each input batch merging its per-type counts, the full map
+    emitted per batch in update mode.
+
+    ``ttl_ms`` sets the state TTL (processing-time expiry — Spark 4's
+    state-bound knob): entries untouched for longer than the TTL
+    vanish, which is what bounds state on an unbounded keyspace in
+    production; it requires (and this operator switches to) the
+    ProcessingTime time mode. MEASURED CAVEAT (r11): with the TTL
+    enabled, an availableNow drain of the sf0.001 events fixture went
+    from 9 s to >9 minutes in this environment — the per-update TTL
+    secondary-index maintenance multiplies Python<->JVM state RPCs
+    (each a pure-Python protobuf round-trip here). The parameter is
+    wired and correct but default-off; treat it as
+    cluster-environment-dependent and bench before enabling."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCountsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "by_type", "t string", "n long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            merged: dict[str, int] = {}
+            for pdf in rows:
+                for t, n in pdf["event_type"].value_counts().items():
+                    merged[str(t)] = merged.get(str(t), 0) + int(n)
+            for t, n in merged.items():
+                prev = (
+                    self._counts.getValue((t,))
+                    if self._counts.containsKey((t,))
+                    else None
+                )
+                base = int(prev[0]) if prev is not None else 0
+                self._counts.updateValue((t,), (base + n,))
+            out = sorted(
+                (str(k[0]), int(v[0])) for k, v in self._counts.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_type": [t for t, _n in out],
+                    "n": [n for _t, n in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # TTL state requires the ProcessingTime time mode
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCountsProcessor(),
+        outputStructType="user_id long, event_type string, n long",
+        outputMode="Update",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )
+
+
 def stage_stream_with_flush_sentinel(
     spark: SparkSession, sf_dir: str, table: str = "events"
 ) -> str:
