@@ -153,13 +153,23 @@ def _gram_stats_udf(texts):
     return pd.DataFrame({"n_grams": out_g, "n_distinct_grams": out_d})
 
 
+# asNondeterministic (guide §4.4 pattern): callers filter on dup_ratio
+# (curation_pipeline's repetition gate), and the optimizer pushes that
+# filter below the projection by evaluating the UDF a SECOND time under
+# it — the corpus_curation_pipeline plan carried two ArrowEvalPython
+# nodes for this one UDF, every surviving doc tokenized twice. The
+# function is pure; withholding the deterministic contract pins one
+# evaluation per row (plan-gated in tests/test_plans.py).
+_gram_stats_nd = _gram_stats_udf.asNondeterministic()
+
+
 def dup_gram_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach duplicate-3-gram columns (n_grams, n_distinct_grams,
     dup_ratio) — the Gopher §A1.1 repetition signal, chainable with the
     other withColumn-style scorers. Stateless per-row (Arrow-batched)
     work: no shuffle, streams unchanged."""
     return (
-        df.withColumn("_g3", _gram_stats_udf(F.col(text_col)))
+        df.withColumn("_g3", _gram_stats_nd(F.col(text_col)))
         .withColumn("n_grams", F.col("_g3.n_grams"))
         .withColumn("n_distinct_grams", F.col("_g3.n_distinct_grams"))
         .withColumn(

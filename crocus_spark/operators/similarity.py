@@ -300,11 +300,30 @@ def collect_centroid_model(centroids: DataFrame):
 
 def _centroid_df(spark, cells, mat) -> DataFrame:
     """(cell, centroid) DataFrame rebuilt from the collected model —
-    plan-time literal rows, so referencing it never re-runs the fit."""
-    return spark.createDataFrame(
-        [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat)],
-        "cell int, centroid array<double>",
-    )
+    plan-time literal rows, so referencing it never re-runs the fit.
+
+    Built through pandas+Arrow, NOT ``createDataFrame(list)``: the list
+    path parallelizes into ``defaultParallelism`` slices, so every
+    materialization of this 8-row relation launched 32 near-empty tasks
+    (measured 0.35 s vs 0.05 s for the Arrow local relation — the probe
+    path paid it once per broadcast build). Values are dense non-null
+    floats, so the pandas conversion cannot change NULL semantics; the
+    list path remains as fallback for sessions without Arrow."""
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "cell": [int(c) for c in cells],
+                "centroid": [[float(x) for x in row] for row in mat],
+            }
+        )
+        return spark.createDataFrame(pdf, "cell int, centroid array<double>")
+    except Exception:
+        return spark.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat)],
+            "cell int, centroid array<double>",
+        )
 
 
 def assign_cells_projection(
@@ -346,6 +365,17 @@ def assign_cells_projection(
         for i in range(V.shape[1]):
             D = D + V[:, i : i + 1] * mat[None, :, i]
         return pd.Series(cells[np.argmax(D, axis=1)], dtype="int32")
+
+    # asNondeterministic (guide §4.4 pattern): downstream equi-joins on
+    # "cell" push an IsNotNull(cell) filter below the projection, and the
+    # optimizer then evaluates this UDF TWICE per corpus row (one
+    # ArrowEvalPython under the pushed filter, one for the output column
+    # — observed in the ann_ivf_topk physical plan). The function is in
+    # fact pure, but the deterministic contract is what licenses the
+    # duplication; withholding it pins exactly one evaluation. The
+    # assignment can never be NULL, so the blocked IsNotNull prune was
+    # dead weight anyway.
+    best_cell = best_cell.asNondeterministic()
 
     return vectors.withColumn("cell", best_cell(F.col("v")))
 

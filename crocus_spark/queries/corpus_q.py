@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load
+from crocus_spark.io import load, spread
 from crocus_spark.operators import corpus as C
 from crocus_spark.operators import text as X
 from crocus_spark.queries import register
@@ -301,6 +301,13 @@ def corpus_curation_pipeline(spark, sf_dir):
     windows per shard — the full curation pass costs one digest shuffle
     plus one shard-local sort at any corpus size."""
     docs = load(spark, sf_dir, "documents")
+    # The scoring stage (quality regexes + the Arrow 3-gram UDF) is the
+    # pipeline's dominant per-row cost and the single-row-group fixture
+    # file pins it to ONE task (measured 1.56 s of 2.3 s). spread() buys
+    # a cores-wide scoring stage for one exchange of the raw rows; at
+    # production scale the scan splits past the core count and this is a
+    # no-op (io.spread contract).
+    docs = spread(docs, spark, cols=("doc_id",))
     return (
         C.curation_pipeline(
             docs, "text", "doc_id",

@@ -713,6 +713,10 @@ def text_quality_score(spark, sf_dir):
     filter — token count, punctuation density, alpha ratio, stopword
     ratio, bounded composite score."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the regex battery is the whole cost and the single-row-group scan
+    # pins it to one task — spread buys a cores-wide scoring stage
+    # (no-op at production scale, io.spread contract)
+    docs = spread(docs, spark, cols=("doc_id",))
     return (
         X.quality_score(docs)
         .select(

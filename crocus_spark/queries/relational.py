@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load
+from crocus_spark.io import load, spread
 from crocus_spark.queries import register
 from crocus_spark.queries._det import davg, davg_sql, dsum, dsum_sql
 
@@ -42,8 +42,19 @@ def q1_pricing_summary(spark, sf_dir):
     Scale notes: filter reaches the parquet scan (PushedFilters), the groupBy
     is a partial+final hash aggregate (map-side combine), 6 grouping cells →
     trivially small shuffle regardless of input size.
+
+    spread(): the partial aggregate's per-row cost is dominated by the
+    dsum contract's double→decimal conversions (4 per row), and the
+    single-row-group fixture file pins the whole scan+partial-agg stage
+    to ONE task (measured 1.05 s of 1.3 s total). The keyed spread moves
+    the decimal work to a cores-wide stage (q1 1.38 s → 0.69 s at
+    sf0.1); at production scale the scan splits past the core count and
+    spread is a no-op, so the extra exchange exists only where the input
+    could not parallelize at all. The shipdate filter still pushes below
+    the exchange to the scan (shuffle carries only surviving rows).
     """
     li = load(spark, sf_dir, "lineitem")
+    li = spread(li, spark, cols=("l_orderkey",))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
