@@ -68,6 +68,15 @@ def _token_sets(
     The (hash → df) relation is vocabulary-sized, broadcast onto the
     exploded tokens; hashing happens AT the explode so every shuffle in
     the PPJoin family moves primitive longs, never strings."""
+    from crocus_spark.io import spread
+
+    # the normalize+tokenize explode is real per-row compute pipelined
+    # straight onto the scan, and this subtree evaluates TWICE (df-count
+    # aggregate + the back-join below) — on the single-row-group fixture
+    # scans both passes ran in ONE task each (~1.0 s of the ngram query
+    # at sf0.1). spread() fans the tokenize out cores-wide; no-op at
+    # production split counts (io.spread contract).
+    df = spread(df, df.sparkSession, cols=(id_col,))
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
@@ -179,6 +188,8 @@ def ngram_jaccard_pairs(
     is eagerly checkpointed: it is dup-pairs-sized (tiny next to the
     corpus at any scale), and materializing it is what makes the
     unpersist() safe before returning."""
+    from crocus_spark.io import _planned_scan_partitions
+
     sets = _token_sets(df, text_col, id_col, block_col).persist()
     plen = (
         F.size("toks_h") - F.ceil(F.lit(threshold) * F.size("toks_h")) + F.lit(1)
@@ -209,6 +220,22 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Explicit-width exchange between candidate generation and the verify
+    # joins: AQE sizes post-shuffle partitions by BYTES, and the distinct
+    # candidate relation is 16 bytes/row — it coalesces to one partition
+    # long before the per-pair array_intersect cost is paid, so the whole
+    # verify stage ran as a single 1.5 s task at sf0.1 (the r4 "expansion
+    # invisible to the size estimate" class). An explicit-N keyed
+    # repartition is exempt from coalescing; width tracks the input scan
+    # (spread's metadata rule) so a production-sized candidate set still
+    # fans out past the core count, and the verify's trailing
+    # (id_a, id_b) aggregate reuses this partitioning — no extra
+    # exchange downstream.
+    nw = max(
+        sets.sparkSession.sparkContext.defaultParallelism,
+        _planned_scan_partitions(df, df.sparkSession) or 0,
+    )
+    candidates = candidates.repartition(nw, "id_a", "id_b")
     out = (
         _verify_jaccard(candidates, sets)
         .filter(F.col("jaccard") >= threshold)
@@ -308,20 +335,26 @@ def minhash_dedup_survivors(
     Returns (id, cluster_id, is_survivor): survivor = lowest id in its
     cluster — same winner rule as exact_dedup.
 
-    The bucket relation is cached for the duration of the loop: each
-    iteration references it twice, so without a cache the minhash
-    signature aggregation (the expensive part) would be recomputed
-    2·iterations times. Caching the *buckets* (id, band, sig — a few
-    dozen bytes per doc per band) is cheap even at 100 TB corpus scale;
-    the document bodies never enter the loop. The final labels are
-    eagerly local-checkpointed — standard practice for iterative
-    algorithms: it truncates the iteration lineage AND lets the bucket
-    cache be released immediately instead of leaking until session end
-    (checkpoint blocks are freed by the ContextCleaner when the result
-    is garbage collected; cacheManager entries are not).
+    The bucket relation is eagerly LOCAL-CHECKPOINTED for the loop: each
+    iteration references it twice, so without materialization the
+    minhash signature aggregation (the expensive part) would be
+    recomputed 2·iterations times. A checkpoint (vs the persist() used
+    through r11) additionally TRUNCATES the lineage, so each iteration's
+    plan is a join over a materialized RDD scan instead of the full
+    signature pipeline — the persist version re-analyzed and re-planned
+    the whole lineage per round, measured as ~0.9 s of near-empty AQE
+    skeleton stages at sf0.1 (1.65 s → 1.30 s checkpointed, identical
+    labels). The blocks are loop-state-sized (id, band, sig — a few
+    dozen bytes per doc per band; document bodies never enter the loop).
+    Trade-off: checkpoint blocks are unrecoverable on executor loss
+    (persist kept lineage for recompute) — acceptable for a bounded
+    iterative loop, the same call the repo's other iterative operators
+    make; blocks are freed by the ContextCleaner when the result is
+    garbage collected. The final labels are eagerly local-checkpointed
+    as before, truncating the iteration lineage for consumers.
     """
     buckets = minhash_band_buckets(df, text_col, id_col, n_perm, bands, seed)
-    buckets = buckets.persist()
+    buckets = buckets.localCheckpoint(eager=True)
     labels = buckets.groupBy("id").agg(F.min("id").alias("lbl"))  # lbl = id
     for _ in range(iterations):
         bucket_min = (
@@ -335,7 +368,6 @@ def minhash_dedup_survivors(
             .agg(F.min("bucket_lbl").alias("lbl"))
         )
     labels = labels.localCheckpoint(eager=True)
-    buckets.unpersist()
     return labels.select(
         F.col("id"),
         F.col("lbl").alias("cluster_id"),
@@ -406,6 +438,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # explicit-width exchange before the verify joins — same AQE
+    # bytes-vs-compute rationale as ngram_jaccard_pairs above
+    from crocus_spark.io import _planned_scan_partitions
+
+    nw = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        _planned_scan_partitions(df, df.sparkSession) or 0,
+    )
+    candidates = candidates.repartition(nw, "id_a", "id_b")
     sets = _token_sets(df, text_col, id_col, block_col=None).persist()
     out = (
         _verify_jaccard(candidates, sets)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crocus_spark.io import load, register_views
+from crocus_spark.io import load, register_views, spread
 from crocus_spark.queries import register
 from crocus_spark.queries._det import DEC, davg, davg_sql, dsum, dsum_sql
 
@@ -313,6 +313,10 @@ def agg_pivot_confront(spark, sf_dir):
     Pivot values are pinned explicitly: never let Spark collect distinct
     pivot keys from 100 TB of data."""
     o = load(spark, sf_dir, "orders")
+    # single-row-group scan pins the probe + 5-way decimal pivot agg to
+    # one task; keyed spread fans it out (no-op at production split
+    # counts, io.spread contract)
+    o = spread(o, spark, cols=("o_orderkey",))
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     df = (

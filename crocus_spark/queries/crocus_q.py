@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crocus_spark import normalize as N
-from crocus_spark.io import load
+from crocus_spark.io import load, spread
 from crocus_spark.queries import register
 from crocus_spark.queries._det import dsum, dsum_sql
 
@@ -64,6 +64,11 @@ def flagship_confront(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
     )
+    # the single-row-group fixture scan pins the probe+partial-agg stage
+    # to one task (measured 0.81 s of 1.8 s); keyed spread fans it out,
+    # no-op at production split counts (io.spread contract). The
+    # shipdate filter still pushes below the exchange to the scan.
+    li = spread(li, spark, cols=("l_orderkey",))
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -475,6 +480,10 @@ def holdings_overlap_confront(spark, sf_dir):
     rounded to 12 before the pair sum so both engines fold identical
     doubles; the 6-digit output round absorbs sum-order ulps."""
     li = load(spark, sf_dir, "lineitem")
+    # same single-row-group pathology as flagship_confront: the 4-way
+    # broadcast probe + decimal partial agg ran as one task (0.71 s);
+    # keyed spread fans it out, no-op at production split counts
+    li = spread(li, spark, cols=("l_orderkey",))
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")
     re = load(spark, sf_dir, "region")

@@ -118,6 +118,16 @@ def get_spark(
         # registry-wide no-BatchEvalPython detector keeps the whole
         # query surface Arrow-only (tests/test_plans.py).
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # Whole-stage-codegen compiled-class cache: the default 100
+        # entries thrash under a diverse query mix — the 19-query bench
+        # suite alone compiles >100 codegen units, so interleaved passes
+        # recompiled (~100 ms each) what consecutive passes got from
+        # cache (measured: the same per-query min is ~0.2-0.3 s lower
+        # when runs are consecutive; raising the cache closes most of
+        # the gap). Scale-neutral: a long-lived cluster serving many
+        # query shapes wants exactly the same headroom, and the entries
+        # are compiled classes (small) — not data.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Pre-import pandas/pyarrow/numpy + the engine's worker-side
         # operator modules ONCE in the python-worker daemon; forked
         # workers inherit them copy-on-write. Without this, the first
