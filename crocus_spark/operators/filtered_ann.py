@@ -55,6 +55,28 @@ __all__ = [
 ]
 
 
+def _pairs_df(spark, pairs) -> DataFrame:
+    """(query_id, cell) probe relation from a Python list — through
+    pandas+Arrow (LocalRelation, zero tasks), NOT ``createDataFrame(
+    list)``, whose parallelize path launches ``defaultParallelism``
+    near-empty tasks per widening round (~0.3 s each on 32 cores —
+    same pathology as similarity._centroid_df). Values are dense
+    non-null ints, so the pandas conversion cannot change NULL
+    semantics; the list path remains the no-pandas fallback."""
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "query_id": [int(q) for q, _c in pairs],
+                "cell": [int(c) for _q, c in pairs],
+            }
+        )
+        return spark.createDataFrame(pdf, "query_id long, cell int")
+    except Exception:
+        return spark.createDataFrame(pairs, "query_id long, cell int")
+
+
 def ivf_filtered_build(
     corpus: DataFrame,
     path: str,
@@ -177,7 +199,7 @@ def ivf_filtered_topk(
     while pending:
         lvl = min(level, n_cells)
         pairs = [(int(q), int(c)) for q in pending for c in order[q][:lvl]]
-        probes = spark.createDataFrame(pairs, "query_id long, cell int")
+        probes = _pairs_df(spark, pairs)
         probe_cells = sorted({c for _q, c in pairs})  # pruning literal
         back = (
             spark.read.parquet(path)
@@ -199,10 +221,19 @@ def ivf_filtered_topk(
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("neighbor_id")
         )
+        # the per-query CANDIDATE count (matches scored this round —
+        # the widening-satisfaction input) rides on the same
+        # query_id-partitioned window pass as the rank: one evaluation
+        # of the probed-cell scan + cosine per round. The previous
+        # shape aggregated ``scored`` separately, re-running the scan
+        # and the distance UDF a second time every widening round.
         topk = (
             scored.withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "_n_cand", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+            )
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos", "rank")
+            .select("query_id", "neighbor_id", "cos", "rank", "_n_cand")
         )
         if with_level:
             topk = topk.withColumn("probe_level", F.lit(lvl))
@@ -213,15 +244,15 @@ def ivf_filtered_topk(
             _plan_hook(topk)
         topk = topk.localCheckpoint()  # bounded: ≤ k rows per query
         if lvl >= n_cells:
-            parts.append(topk)
+            parts.append(topk.drop("_n_cand"))
             break
         # satisfaction counts CANDIDATES (matches scored), not emitted
-        # rows — per-query rows, distributed agg then bounded collect
+        # rows — read off the checkpointed top-k (≤ k rows per query;
+        # a query with ≥1 match has a rank-1 row, one with none is
+        # absent — same default-0 as the old separate aggregate)
         counts = {
-            r.query_id: r.n
-            for r in scored.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            r["query_id"]: r["_n_cand"]
+            for r in topk.select("query_id", "_n_cand").distinct().collect()
         }
         need = k * max(1, oversample)
         if total_matches is not None:
@@ -233,7 +264,9 @@ def ivf_filtered_topk(
         sat = {q for q in pending if counts.get(q, 0) >= need}
         if sat:
             parts.append(
-                topk.filter(F.col("query_id").isin([int(q) for q in sat]))
+                topk.filter(
+                    F.col("query_id").isin([int(q) for q in sat])
+                ).drop("_n_cand")
             )
         pending -= sat
         level *= 2

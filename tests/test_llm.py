@@ -879,6 +879,89 @@ def test_ivf_upsert_cell_moving_update_leaves_no_stale_row(emb, tmp_path):
     assert got2 == want2
 
 
+def test_filtered_widening_levels_match_cell_counts(emb, tmp_path):
+    """r11 optimization guard: the widening serve's satisfaction
+    counts ride on the rank window's partition (one scan+cosine pass
+    per round) instead of a second aggregation of the scored relation.
+    This pins their SEMANTICS: a query's recorded probe_level must
+    equal the first doubling level at which its probed cells hold
+    >= k*oversample matching rows — computed here independently from
+    the store's per-cell match counts and the query's centroid probe
+    order. A count read from rank-filtered rows (capped at k) or from
+    emitted rows would widen forever / stop early and fail this."""
+    from crocus_spark.operators.filtered_ann import (
+        ivf_filtered_build,
+        ivf_filtered_topk,
+    )
+    from crocus_spark.operators.similarity import (
+        collect_centroid_model,
+        ivf_fit_centroids,
+    )
+
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < 6)
+    corpus = emb.filter(F.col("vec_id") >= 6)
+    model = collect_centroid_model(ivf_fit_centroids(corpus, n_cells=8))
+    path = str(tmp_path / "wstore")
+    ivf_filtered_build(corpus, path, model, attr_cols=["label"])
+    pred = "label = 3"
+    k, oversample, n_cells = 5, 2, 8
+    got = ivf_filtered_topk(
+        spark, queries, path, k=k, predicate=pred, nprobe=1,
+        model=model, with_level=True, oversample=oversample,
+    )
+    lvl_by_q = {
+        r.query_id: r.probe_level
+        for r in got.select("query_id", "probe_level").distinct().collect()
+    }
+    # independent reference: per-cell match counts + probe order
+    cell_n = {
+        r.cell: r.n
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from crocus_spark.operators.filtered_ann import _pairs_df  # noqa: F401
+    from crocus_spark.operators.similarity import (
+        _centroid_df,
+        _norm_vec,
+        dot_batch,
+    )
+    from pyspark.sql import Window
+
+    centroids = _centroid_df(spark, *model)
+    w = Window.partitionBy("query_id").orderBy(F.desc("q_dot"), F.col("cell"))
+    order = {}
+    ranked = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            _norm_vec(F.col("embedding")).alias("qn"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("q_dot", dot_batch(F.col("qn"), F.col("centroid")))
+        .withColumn("rk", F.row_number().over(w))
+        .select("query_id", "cell", "rk")
+    )
+    for r in ranked.collect():
+        order.setdefault(r.query_id, []).append((r.rk, r.cell))
+    need = k * oversample
+    for q, pairs in order.items():
+        cells = [c for _rk, c in sorted(pairs)]
+        lvl, want = 1, None
+        while True:
+            lvl = min(lvl, n_cells)
+            if (
+                sum(cell_n.get(c, 0) for c in cells[:lvl]) >= need
+                or lvl >= n_cells
+            ):
+                want = lvl
+                break
+            lvl *= 2
+        assert lvl_by_q.get(q) == want, (q, lvl_by_q.get(q), want)
+
+
 def test_filtered_ann_edges(emb, tmp_path):
     """Filtered serve edges: a predicate matching nothing returns an
     empty frame (after widening to full probe — never an error); a
