@@ -123,6 +123,35 @@ FIXTURE_SCHEMAS: dict[str, T.StructType] = {
 
 TABLES = tuple(FIXTURE_SCHEMAS)
 
+# (path, mtime_ns, size) → inferred StructType. The FIRST load of a table
+# per process pays parquet schema inference (one driver-side footer job);
+# every later load passes the memoized schema explicitly, which skips the
+# job entirely. Memoizing the INFERRED schema (not FIXTURE_SCHEMAS) keeps
+# physical-type quirks working unchanged — e.g. TIMESTAMP(NANOS) events
+# fixtures infer ts as bigint under nanosAsLong and the conversion branch
+# below still sees it. Content-fingerprint keyed (r3 ADVICE precedent:
+# path-only memo keys silently serve stale state after a fixture rewrite).
+# Profiling motivation (guide §1/§6): each inference job is a ~25-35 ms
+# single-task job + a py4j round-trip, and the bench protocol pays it on
+# EVERY load of every pass — ~0.1 s per multi-table query pass at sf0.1.
+_SCHEMA_MEMO: dict = {}
+
+
+def _path_fingerprint(path: str):
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for root, _dirs, files in os.walk(path):
+                for fn in sorted(files):
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    parts.append((fp, st.st_mtime_ns, st.st_size))
+            return (path, tuple(parts))
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table as Parquet.
@@ -141,7 +170,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # TIMESTAMP, not TIMESTAMP_NTZ (see session.py); runtime-set for
     # caller-owned sessions.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    key = _path_fingerprint(path)
+    known = _SCHEMA_MEMO.get(key) if key is not None else None
+    if known is not None:
+        df = spark.read.schema(known).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader,
         # ingested as long via spark.sql.legacy.parquet.nanosAsLong and
@@ -255,11 +292,53 @@ def scan_width(spark: SparkSession, sf_dir: str, table: str) -> int:
     )
 
 
+_SCAN_ROWS_MEMO: dict = {}
+
+
+def _scan_rows(df: DataFrame, max_files: int = 64) -> int | None:
+    """Total row count of a file-backed plan's input, from parquet
+    FOOTER metadata only (no data read, no job). Memoized per
+    (path, mtime, size). Returns None when the input is not local
+    parquet or spans more than ``max_files`` files — by then the
+    byte-derived split count exceeds any spread target and the row
+    floor is moot, so the cap bounds driver-side footer reads at the
+    scale where they could hurt."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        path = unquote(p.path)
+        key = _path_fingerprint(path)
+        if key is None:
+            return None
+        n = _SCAN_ROWS_MEMO.get(key)
+        if n is None:
+            try:
+                import pyarrow.parquet as _pq
+
+                n = _pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                return None
+            _SCAN_ROWS_MEMO[key] = n
+        total += n
+    return total
+
+
 def spread(
     df: DataFrame,
     spark: SparkSession,
     target: int | None = None,
     cols: tuple[str, ...] | None = None,
+    rows_per_task: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition a scan that arrived with fewer partitions
     than the session has cores — the single-file fixture tables are one
@@ -294,7 +373,20 @@ def spread(
     assignment); a hash exchange on a deterministic high-cardinality key
     needs no such sort and is retry-safe by construction (guide §2.5 —
     measured 0.85 s round-robin vs 0.69 s keyed on the q1 scan). Pick a
-    key with >> target distinct values so the hash spreads evenly."""
+    key with >> target distinct values so the hash spreads evenly.
+
+    ``rows_per_task`` makes the fan-out DATA-SIZED instead of
+    core-count-sized (guide §2: derive partitioning from input size,
+    not a constant tuned for one deployment): the target is floored at
+    ceil(rows / rows_per_task), rows from parquet footer metadata.
+    Callers pass their per-row weight — ~64 for regex/UDF scoring
+    stages, ~4000 for plain decimal arithmetic — so a 500-row fixture
+    stops fanning to 32 near-empty Arrow partitions (measured at
+    sf0.01: the 32-wide curation scoring stage cost 11.2 cpu_s vs
+    2.6 unspread for the same wall; a rows-derived width keeps the
+    sf0.1 win and drops the small-scale overhead) while any input past
+    cores × rows_per_task still gets the full core width, and real
+    tables are a no-op as before."""
     if target is None:
         target = spark.sparkContext.defaultParallelism
     cur = _planned_scan_partitions(df, spark)
@@ -302,6 +394,12 @@ def spread(
         cur = df.rdd.getNumPartitions()
     if cur >= target:
         return df
+    if rows_per_task:
+        n = _scan_rows(df)
+        if n is not None:
+            target = min(target, max(1, -(-n // rows_per_task)))
+            if cur >= target or target <= 1:
+                return df
     if cols:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df.repartition(target)

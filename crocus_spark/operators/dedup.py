@@ -76,7 +76,7 @@ def _token_sets(
     # scans both passes ran in ONE task each (~1.0 s of the ngram query
     # at sf0.1). spread() fans the tokenize out cores-wide; no-op at
     # production split counts (io.spread contract).
-    df = spread(df, df.sparkSession, cols=(id_col,))
+    df = spread(df, df.sparkSession, cols=(id_col,), rows_per_task=64)
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),

@@ -316,7 +316,7 @@ def agg_pivot_confront(spark, sf_dir):
     # single-row-group scan pins the probe + 5-way decimal pivot agg to
     # one task; keyed spread fans it out (no-op at production split
     # counts, io.spread contract)
-    o = spread(o, spark, cols=("o_orderkey",))
+    o = spread(o, spark, cols=("o_orderkey",), rows_per_task=4000)
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     df = (

@@ -307,7 +307,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     # a cores-wide scoring stage for one exchange of the raw rows; at
     # production scale the scan splits past the core count and this is a
     # no-op (io.spread contract).
-    docs = spread(docs, spark, cols=("doc_id",))
+    docs = spread(docs, spark, cols=("doc_id",), rows_per_task=64)
     return (
         C.curation_pipeline(
             docs, "text", "doc_id",

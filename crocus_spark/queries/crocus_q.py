@@ -68,7 +68,7 @@ def flagship_confront(spark, sf_dir):
     # to one task (measured 0.81 s of 1.8 s); keyed spread fans it out,
     # no-op at production split counts (io.spread contract). The
     # shipdate filter still pushes below the exchange to the scan.
-    li = spread(li, spark, cols=("l_orderkey",))
+    li = spread(li, spark, cols=("l_orderkey",), rows_per_task=4000)
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -483,7 +483,7 @@ def holdings_overlap_confront(spark, sf_dir):
     # same single-row-group pathology as flagship_confront: the 4-way
     # broadcast probe + decimal partial agg ran as one task (0.71 s);
     # keyed spread fans it out, no-op at production split counts
-    li = spread(li, spark, cols=("l_orderkey",))
+    li = spread(li, spark, cols=("l_orderkey",), rows_per_task=4000)
     su = load(spark, sf_dir, "supplier")
     na = load(spark, sf_dir, "nation")
     re = load(spark, sf_dir, "region")

@@ -716,7 +716,7 @@ def text_quality_score(spark, sf_dir):
     # the regex battery is the whole cost and the single-row-group scan
     # pins it to one task — spread buys a cores-wide scoring stage
     # (no-op at production scale, io.spread contract)
-    docs = spread(docs, spark, cols=("doc_id",))
+    docs = spread(docs, spark, cols=("doc_id",), rows_per_task=64)
     return (
         X.quality_score(docs)
         .select(

@@ -54,7 +54,7 @@ def q1_pricing_summary(spark, sf_dir):
     the exchange to the scan (shuffle carries only surviving rows).
     """
     li = load(spark, sf_dir, "lineitem")
-    li = spread(li, spark, cols=("l_orderkey",))
+    li = spread(li, spark, cols=("l_orderkey",), rows_per_task=4000)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -523,3 +523,50 @@ def test_worker_daemon_preimports_reach_workers(spark):
         spark.range(0, 4, 1, 4).mapInPandas(probe, "hit int").collect()
     )
     assert rows and all(r["hit"] == 1 for r in rows)
+
+
+def test_spread_rows_floor_is_data_sized(spark):
+    """r11 optimization guard: spread(rows_per_task=) derives the
+    fan-out from the input's parquet-footer row count instead of the
+    core count — a 50-row fixture must not fan to 32 near-empty
+    partitions (measured 11.2 cpu_s vs 2.6 for the 32-wide curation
+    scoring stage at sf0.01), while an input past cores×rows_per_task
+    still gets the full core width."""
+    from crocus_spark.io import _scan_rows, load, spread
+
+    docs = load(spark, SF_SMOKE, "documents")
+    n = _scan_rows(docs)
+    assert n is not None and n > 0
+    cores = spark.sparkContext.defaultParallelism
+    # heavy-per-row hint: width = ceil(n / rpt), capped at cores
+    rpt = max(1, (n + 3) // 4)  # → 4-wide fan-out
+    out = spread(docs, spark, cols=("doc_id",), rows_per_task=rpt)
+    got = out.rdd.getNumPartitions()
+    assert got == min(cores, -(-n // rpt)), (got, n, rpt)
+    # rows_per_task >= n → no exchange at all (plan unchanged)
+    same = spread(docs, spark, cols=("doc_id",), rows_per_task=n + 1)
+    assert same is docs
+    # tiny rows_per_task degenerates to the core-count target
+    wide = spread(docs, spark, cols=("doc_id",), rows_per_task=1)
+    assert wide.rdd.getNumPartitions() == cores
+
+
+def test_load_schema_memo_skips_inference_job(spark):
+    """r11 optimization guard: the SECOND load() of a table passes the
+    memoized inferred schema, so no parquet schema-inference job runs
+    (the bench protocol paid one ~30 ms single-task job per load of
+    every pass). Schemas must be identical object-for-object with the
+    inferred one, and a rewritten file (new fingerprint) must re-infer."""
+    from crocus_spark.io import load
+
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+
+    def njobs():
+        return len(tracker.getJobIdsForGroup(None))
+
+    first = load(spark, SF_SMOKE, "orders")
+    j0 = njobs()
+    second = load(spark, SF_SMOKE, "orders")
+    assert njobs() == j0, "memoized load must launch no job"
+    assert second.schema == first.schema
+    assert second.count() == first.count()
