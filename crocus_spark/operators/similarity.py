@@ -443,20 +443,9 @@ def ivf_fit_centroids(
     components are bit-identical at any parallelism. Per iteration the
     corpus is read once and shuffled never; the only exchange carries
     cells × dims of aggregate state — model-sized."""
-    from crocus_spark.io import spread
-
     raw = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    # The Lloyd pass pipelines the Arrow cell-assignment UDF and the
-    # dim × decimal(25,12) partial sums straight onto the corpus scan;
-    # a single-row-group fixture file pins all of it to ONE task
-    # (measured: the lloyd aggregate+collect was 1.0-3.4 s of the
-    # 5.6-6.9 s headline refit at sf0.1). Rows-derived keyed spread
-    # fans it out; decimal accumulation is exact at any parallelism
-    # (the _det contract), so centroids are bit-identical. No-op at
-    # production split counts and at the tiny fixture scales.
-    raw = spread(raw, corpus.sparkSession, cols=("id",), rows_per_task=64)
     # distributed top-n (TakeOrderedAndProject — per-partition partial
     # top-n, merge of n_cells rows), NOT a global row_number window, which
     # would funnel the whole corpus through one task. Normalization
