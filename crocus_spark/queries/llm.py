@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load, spread
+from crocus_spark.io import load, local_df, spread
 from crocus_spark.operators import dedup as D
 from crocus_spark.operators import multimodal as M
 from crocus_spark.operators import similarity as S
@@ -5365,7 +5365,7 @@ def ann_hnsw_incremental(spark, sf_dir):
     )
     commit_append(appended.coalesce(1), table)                       # v1
     commit_equality_deletes(
-        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        local_df(spark, [(int(i),) for i in low3], "vec_id long"),
         table, ["vec_id"],
     )                                                                # v2
     gdir = os.path.join(index, "_graphs")
@@ -5535,7 +5535,7 @@ def ann_ivf_incremental(spark, sf_dir):
     )
     commit_append(appended.coalesce(1), table)                   # v1
     commit_equality_deletes(
-        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        local_df(spark, [(int(i),) for i in low3], "vec_id long"),
         table, ["vec_id"],
     )                                                            # v2
 
@@ -6013,7 +6013,7 @@ def ann_pq_incremental(spark, sf_dir):
     )
     commit_append(appended.coalesce(1), table)                    # v1
     commit_equality_deletes(
-        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        local_df(spark, [(int(i),) for i in low3], "vec_id long"),
         table, ["vec_id"],
     )                                                             # v2
 
@@ -6251,7 +6251,7 @@ def ann_ivfpq_incremental(spark, sf_dir):
     )
     commit_append(appended.coalesce(1), table)                     # v1
     commit_equality_deletes(
-        spark.createDataFrame([(int(i),) for i in low3], "vec_id long"),
+        local_df(spark, [(int(i),) for i in low3], "vec_id long"),
         table, ["vec_id"],
     )                                                              # v2
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crocus_spark.io import load
+from crocus_spark.io import load, local_df
 from crocus_spark.queries import register
 from crocus_spark.streaming.ops import (
     read_events_stream,
@@ -1135,7 +1135,7 @@ def stream_cdc_apply_minmax(spark, sf_dir):
         src,
     )                                                            # v2
     commit_equality_deletes(
-        spark.createDataFrame([("error",)], "event_type string"),
+        local_df(spark, [("error",)], "event_type string"),
         src,
         ["event_type"],
     )                                                            # v3
