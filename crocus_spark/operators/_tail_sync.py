@@ -54,21 +54,34 @@ def run_tail_sync(
     register_snapshot_tail_source(spark)
 
     def drain(skip: bool, starting_version: int | None = None) -> None:
-        reader = spark.readStream.format("crocus_snapshot_tail").option(
-            "path", table_root
-        )
-        if skip:
-            reader = reader.option("skip_rewrites", "true")
-        if starting_version is not None:
-            reader = reader.option("starting_version", str(starting_version))
-        q = (
-            reader.load()
-            .writeStream.foreachBatch(apply_fn)
-            .option("checkpointLocation", index_path + "_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from crocus_spark.streaming.ops import retry_transient_stream
+
+        def attempt() -> None:
+            reader = spark.readStream.format("crocus_snapshot_tail").option(
+                "path", table_root
+            )
+            if skip:
+                reader = reader.option("skip_rewrites", "true")
+            if starting_version is not None:
+                reader = reader.option(
+                    "starting_version", str(starting_version)
+                )
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(apply_fn)
+                .option("checkpointLocation", index_path + "_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # retries ONLY the Python-worker spawn-timeout class (the tail
+        # source spawns a non-daemon runner at query init; under heavy
+        # host oversubscription the fixed 10 s connect-back window can
+        # lapse before batch 0) — the rewrite/restore markers the except
+        # below dispatches on propagate unchanged on first throw, and the
+        # checkpointed availableNow resume makes a retry exactly-once.
+        retry_transient_stream(attempt)
 
     try:
         drain(on_rewrite == "skip")

@@ -15,6 +15,7 @@ from crocus_spark.io import load, local_df
 from crocus_spark.queries import register
 from crocus_spark.streaming.ops import (
     read_events_stream,
+    retry_transient_stream,
     run_available_now,
     session_window_agg,
     sliding_window_agg,
@@ -385,29 +386,40 @@ def stream_python_datasource(spark, sf_dir):
     from crocus_spark.sources import register_catalog_stream_source
 
     register_catalog_stream_source(spark)
-    ckpt = tempfile.mkdtemp(prefix="crocus_catstream_ckpt")
-    # unique per invocation: memory-sink tables outlive their query in
-    # the session, so a reused name would double-ingest on a second call
-    name = f"catalog_stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_catalog_stream")
-        .option("n_days", 3)
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
-    try:
-        expected = 3 * 40
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.25)
-    finally:
-        q.stop()
+
+    def attempt() -> str:
+        # name AND checkpoint unique per attempt/invocation: memory-sink
+        # tables outlive their query in the session (a reused name would
+        # double-ingest on a second call), and a fresh checkpoint makes
+        # every worker-spawn retry a complete from-scratch replay of the
+        # deterministic source into its fresh sink table
+        ckpt = tempfile.mkdtemp(prefix="crocus_catstream_ckpt")
+        name = f"catalog_stream_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_catalog_stream")
+            .option("n_days", 3)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            expected = 3 * 40
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= expected:
+                    break
+                exc = q.exception()
+                if exc is not None:  # fail fast instead of burning the
+                    raise exc  # deadline polling a dead query
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        return name
+
+    name = retry_transient_stream(attempt)
     return (
         spark.table(name)
         .groupBy("day")
@@ -630,33 +642,44 @@ def stream_avro_landing(spark, sf_dir):
         .mode("append")
         .save()
     )
-    ckpt = tempfile.mkdtemp(prefix="crocus_avro_landing_ckpt")
-    name = f"avro_landing_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_avro_stream")
-        .option("path", land)
-        .option("files_per_batch", 1)
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="200 milliseconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= n_expected:
-                break
-            time.sleep(0.25)
-        batches = {
-            p["batchId"]
-            for p in (q.recentProgress or [])
-            if p.get("numInputRows", 0) > 0
-        }
-        assert len(batches) >= 2, f"expected incremental batches, saw {batches}"
-    finally:
-        q.stop()
+    def attempt() -> str:
+        # fresh checkpoint + sink name per attempt: a worker-spawn retry
+        # replays the landing dir from scratch into a fresh memory table
+        ckpt = tempfile.mkdtemp(prefix="crocus_avro_landing_ckpt")
+        name = f"avro_landing_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_avro_stream")
+            .option("path", land)
+            .option("files_per_batch", 1)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= n_expected:
+                    break
+                exc = q.exception()
+                if exc is not None:  # fail fast: don't poll a dead query
+                    raise exc  # for the rest of the deadline
+                time.sleep(0.25)
+            batches = {
+                p["batchId"]
+                for p in (q.recentProgress or [])
+                if p.get("numInputRows", 0) > 0
+            }
+            assert (
+                len(batches) >= 2
+            ), f"expected incremental batches, saw {batches}"
+        finally:
+            q.stop()
+        return name
+
+    name = retry_transient_stream(attempt)
     return (
         spark.table(name)
         .groupBy("lang")
@@ -753,21 +776,26 @@ def stream_snapshot_cdc(spark, sf_dir):
         "_file", "_pos"
     )
     commit_positional_deletes(doomed, root)                        # v3
-    name = f"snapshot_cdc_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+    def attempt() -> str:
+        # fresh checkpoint + sink per attempt: each worker-spawn retry is
+        # a complete availableNow replay of the (static) snapshot log
+        name = f"snapshot_cdc_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    feed = spark.table(name)
+        q.awaitTermination(300)
+        return name
+
+    feed = spark.table(retry_transient_stream(attempt))
     return (
         feed.groupBy(
             F.col("_op").alias("op"),
@@ -946,22 +974,26 @@ def stream_cdc_eq_preimages(spark, sf_dir):
         .distinct()
     )
     commit_equality_deletes(cohort, root, ["user_id"])           # v2
-    name = f"cdc_preimg_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .option("eq_pre_images", "true")
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+    def attempt() -> str:
+        # fresh checkpoint + sink per attempt (see stream_snapshot_cdc)
+        name = f"cdc_preimg_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .option("eq_pre_images", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    feed = spark.table(name)
+        q.awaitTermination(300)
+        return name
+
+    feed = spark.table(retry_transient_stream(attempt))
     return (
         feed.groupBy(
             F.col("_op").alias("op"),
@@ -1039,22 +1071,26 @@ def stream_cdc_starting_timestamp(spark, sf_dir):
         events.filter(F.pmod("event_id", F.lit(3)) == 2).coalesce(1), root
     )                                                            # v3
     t2 = read_manifest(root, 2)["committed_at_ms"]
-    name = f"cdc_start_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .option("starting_timestamp", str(t2))
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+    def attempt() -> str:
+        # fresh checkpoint + sink per attempt (see stream_snapshot_cdc)
+        name = f"cdc_start_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .option("starting_timestamp", str(t2))
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    feed = spark.table(name)
+        q.awaitTermination(300)
+        return name
+
+    feed = spark.table(retry_transient_stream(attempt))
     return (
         feed.groupBy(
             F.col("_op").alias("op"),
@@ -1199,7 +1235,6 @@ def stream_cdc_windowed_totals(spark, sf_dir):
     commit_append(
         events.filter(F.pmod("event_id", F.lit(3)) == 1).coalesce(1), root
     )
-    name = f"cdc_win_{uuid.uuid4().hex[:8]}"
     # scope state-store width for the query's lifetime (the stateful
     # operator pins its store count to this conf at first start; the
     # session's batch-tuned 32 would cost 32 stores of per-batch commit
@@ -1207,8 +1242,10 @@ def stream_cdc_windowed_totals(spark, sf_dir):
     # streaming.ops.run_available_now)
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "8")
+
+    def attempt() -> str:
+        # fresh checkpoint + sink per attempt (see stream_snapshot_cdc)
+        name = f"cdc_win_{uuid.uuid4().hex[:8]}"
         q = (
             spark.readStream.format("crocus_snapshot_tail")
             .option("path", root)
@@ -1231,6 +1268,11 @@ def stream_cdc_windowed_totals(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
+        return name
+
+    try:
+        spark.conf.set(key, "8")
+        name = retry_transient_stream(attempt)
     finally:
         spark.conf.set(key, prev)
     return (
@@ -1397,18 +1439,24 @@ def stream_snapshot_sink(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
 
     def drain():
-        q = (
-            ev.writeStream.format("crocus_snapshot")
-            .option("path", root)
-            .option("txn_app", "stream_snapshot_sink_q")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
+        def attempt() -> None:
+            q = (
+                ev.writeStream.format("crocus_snapshot")
+                .option("path", root)
+                .option("txn_app", "stream_snapshot_sink_q")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                q.stop()
+
+        # same checkpoint across attempts ON PURPOSE: the snapshot sink's
+        # txn ledger makes a resumed drain exactly-once (that is what this
+        # query asserts), so a worker-spawn retry is just a restart
+        retry_transient_stream(attempt)
 
     drain()
     versions = list_snapshot_versions(root)

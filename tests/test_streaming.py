@@ -326,3 +326,69 @@ def test_tws_session_expiry_withholds_open_tail(spark, tmp_path):
     # final watermark = 80min - 10min = 70min; session1 last+30 = 40min
     # emits, session2 last+30 = 110min is withheld
     assert got == [(7, at(0), 2)]
+
+
+def test_retry_transient_stream_semantics():
+    """The worker-spawn retry (streaming.ops.retry_transient_stream)
+    retries EXACTLY the transient spawn-failure class — the hard-coded
+    10 s JVM connect-back window / 15 s Python-side auth timeout lapsing
+    under host oversubscription — and nothing else: data errors, CDC
+    rewrite markers and assertion failures propagate on first throw, so
+    the retry can never mask a real failure."""
+    from crocus_spark.streaming.ops import (
+        is_transient_worker_spawn,
+        retry_transient_stream,
+    )
+
+    # the three observed spellings of the spawn failure (JVM accept
+    # timeout, streaming-runner wrap, Python-side connect timeout)
+    for msg in (
+        "Python worker failed to connect back.",
+        "java.net.SocketTimeoutException: Timed out while waiting for "
+        "the Python worker to connect back",
+        "[CANNOT_OPEN_SOCKET] Can not open socket: [\"tried to connect "
+        "to ('127.0.0.1', 34173), but an error occurred: timed out\"].",
+    ):
+        assert is_transient_worker_spawn(RuntimeError(msg))
+        calls = []
+
+        def flaky(m=msg):
+            calls.append(1)
+            if len(calls) < 2:
+                raise RuntimeError(m)
+            return "drained"
+
+        assert retry_transient_stream(flaky) == "drained"
+        assert len(calls) == 2
+
+    # non-transient failures propagate unretried
+    for exc in (
+        ValueError("source table vX cannot represent a rewrite"),
+        AssertionError("expected incremental batches, saw set()"),
+        RuntimeError("[STREAM_FAILED] division by zero"),
+    ):
+        assert not is_transient_worker_spawn(exc)
+        n = []
+
+        def hard(e=exc):
+            n.append(1)
+            raise e
+
+        try:
+            retry_transient_stream(hard)
+            raise SystemExit("should have raised")
+        except type(exc):
+            assert len(n) == 1
+
+    # attempts are bounded: a persistent spawn failure still surfaces
+    m = []
+
+    def always():
+        m.append(1)
+        raise RuntimeError("Python worker failed to connect back.")
+
+    try:
+        retry_transient_stream(always, attempts=3)
+        raise SystemExit("should have raised")
+    except RuntimeError:
+        assert len(m) == 3
