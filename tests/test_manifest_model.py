@@ -161,21 +161,27 @@ def test_random_lifecycle_matches_model(spark, seed):
     if had_restore:
         return
     register_snapshot_tail_source(spark)
-    name = f"model_feed_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .option("skip_rewrites", "true")
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="model_ckpt_")
+    from crocus_spark.streaming.ops import retry_transient_stream
+
+    def attempt() -> str:
+        name = f"model_feed_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .option("skip_rewrites", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="model_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+        q.awaitTermination(180)
+        return name
+
+    name = retry_transient_stream(attempt)
     replay: set[int] = set()
     for r in (
         spark.table(name)

@@ -426,16 +426,21 @@ def test_stream_sink_exactly_once_and_replay(spark, tmp_path):
     ).parquet(src)
 
     def drain():
-        q = (
-            stream.writeStream.format("crocus_snapshot")
-            .option("path", root).option("txn_app", "t1")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        try:
-            q.awaitTermination(120)
-        finally:
-            q.stop()
+        from crocus_spark.streaming.ops import retry_transient_stream
+
+        def attempt():
+            q = (
+                stream.writeStream.format("crocus_snapshot")
+                .option("path", root).option("txn_app", "t1")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+
+        retry_transient_stream(attempt)
 
     drain()
     assert list_snapshot_versions(root) == [0]

@@ -30,21 +30,28 @@ from crocus_spark.sources.snapshot_stream import (
 
 def _drain(spark, root: str, ckpt: str, **options) -> str:
     """One availableNow drain into a fresh memory table; returns its
-    name. Reusing ``ckpt`` resumes from the committed version offset."""
-    name = f"cdc_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .options(**options)
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return name
+    name. Reusing ``ckpt`` resumes from the committed version offset.
+    Worker-spawn timeouts (init-time, offsets still empty) retry like
+    the engine's own drains do — see streaming.ops.retry_transient_stream."""
+    from crocus_spark.streaming.ops import retry_transient_stream
+
+    def attempt() -> str:
+        name = f"cdc_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .options(**options)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return name
+
+    return retry_transient_stream(attempt)
 
 
 def _store(spark, tmp_path):
@@ -135,17 +142,22 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     out = str(tmp_path / "feed_out")
 
     def drain():
-        q = (
-            spark.readStream.format("crocus_snapshot_tail")
-            .option("path", root)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+        from crocus_spark.streaming.ops import retry_transient_stream
+
+        def attempt():
+            q = (
+                spark.readStream.format("crocus_snapshot_tail")
+                .option("path", root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        retry_transient_stream(attempt)
         return spark.read.parquet(out)
 
     assert drain().count() == 400  # v0 + v1 inserts
@@ -251,17 +263,22 @@ def test_resume_past_expired_history_fails_loudly(spark, tmp_path):
     out = str(tmp_path / "feed_out")
 
     def drain():
-        q = (
-            spark.readStream.format("crocus_snapshot_tail")
-            .option("path", root)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+        from crocus_spark.streaming.ops import retry_transient_stream
+
+        def attempt():
+            q = (
+                spark.readStream.format("crocus_snapshot_tail")
+                .option("path", root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        retry_transient_stream(attempt)
 
     drain()  # consumed through v1
     for lo in (400, 500, 600):
@@ -720,19 +737,31 @@ def test_feed_schema_evolution_fails_then_restart_resumes(spark, tmp_path):
     def collect(batch_df, _bid):
         rows.extend(r.asDict() for r in batch_df.collect())
 
-    # a RUNNING stream (processingTime trigger), pinned at the v1 schema
-    q = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .load()
-        .writeStream.foreachBatch(collect)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="300 milliseconds")
-        .start()
-    )
-    deadline = _time.monotonic() + 120
-    while len(rows) < 400 and _time.monotonic() < deadline:
-        _time.sleep(0.2)
+    # a RUNNING stream (processingTime trigger), pinned at the v1 schema;
+    # the initial spawn retries on init-time worker timeouts (rows reset
+    # per attempt — a spawn failure means no batch ever ran)
+    from crocus_spark.streaming.ops import retry_transient_stream
+
+    def attempt():
+        rows.clear()
+        q = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = _time.monotonic() + 120
+        while len(rows) < 400 and _time.monotonic() < deadline:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            _time.sleep(0.2)
+        return q
+
+    q = retry_transient_stream(attempt)
     assert len(rows) == 400  # v0 + v1 consumed by the live stream
     # v2 adds a nullable column while the stream is up — the pin
     # cannot carry it; the stream must die with the restart instruction
@@ -745,16 +774,19 @@ def test_feed_schema_evolution_fails_then_restart_resumes(spark, tmp_path):
         q.awaitTermination(120)
     assert len(rows) == 400  # nothing from v2 leaked through the pin
     # restart: a fresh load() pins the evolved schema; same checkpoint
-    q2 = (
-        spark.readStream.format("crocus_snapshot_tail")
-        .option("path", root)
-        .load()
-        .writeStream.foreachBatch(collect)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination(180)
+    def attempt2():
+        q2 = (
+            spark.readStream.format("crocus_snapshot_tail")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+
+    retry_transient_stream(attempt2)
     new = rows[400:]
     assert len(new) == 20  # only v2's delta — the offset survived
     assert all(r["note"] == f"n{r['k']}" for r in new)
