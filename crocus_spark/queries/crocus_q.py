@@ -518,6 +518,14 @@ def holdings_overlap_confront(spark, sf_dir):
             12,
         ).alias("wt"),
     )
+    # Materialize the weights ONCE before the self-join: `w` feeds both
+    # branches of the pair diamond, and the static plan otherwise carries
+    # the whole fact pipeline (scan, spread exchange, 4 broadcast probes,
+    # partial agg) TWICE — runtime ReuseExchange dedupes it on some hosts
+    # but not reliably (r11 driver: 0.718x + budget violation). `w` is
+    # dimension-sized (nation x brand, ~625 rows), so the checkpoint is
+    # cheap and the self-join plan has zero fact-side exchanges.
+    w = w.localCheckpoint(eager=True)
     a = w.alias("a")
     b = w.alias("b")
     pairs = a.join(

@@ -1,9 +1,11 @@
-"""Capture .explain('formatted') for headline queries into plans/r11/.
+"""Capture .explain('formatted') for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after [query ...]
-Writes plans/r11/<query>_<tag>.txt for each headline query (or the named
-subset). Driver-only work — builds the plan, never executes it.
-"""
+Writes plans/<round>/<query>_<tag>.txt for each headline query (or the
+named subset); the round directory comes from $CROCUS_PLANS_ROUND
+(default r11). Driver-only work — builds the plan, never executes it
+(a query fn that eagerly materializes a small intermediate still runs
+that part, same as the driver's timed region)."""
 
 from __future__ import annotations
 
@@ -27,7 +29,9 @@ def main() -> None:
     names = sys.argv[2:] or sorted(
         n for n, q in REGISTRY.items() if "headline" in q.tags
     )
-    out_dir = Path(_REPO) / "plans" / "r11"
+    out_dir = (
+        Path(_REPO) / "plans" / os.environ.get("CROCUS_PLANS_ROUND", "r11")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="crocus-plan-capture")
     for name in names:
