@@ -984,6 +984,13 @@ def search_pdf_corpus(spark, sf_dir):
         .groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # Materialize the postings ONCE before the df_stats diamond: the
+    # broadcast subplan otherwise re-executes its whole lineage — the
+    # entire PDF encode+extract codec chain ran TWICE (two ArrowEvalPython
+    # sets over the same scan; the registry doubled-UDF plan gate flags
+    # it). Postings are query-term-sized (≤ |terms| × df rows), so the
+    # checkpoint is tiny and the codec runs exactly once.
+    postings = postings.localCheckpoint(eager=True)
     df_stats = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     matched = (
@@ -1243,6 +1250,32 @@ def ann_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _norm_tokens(docs):
+    """(doc_id, tok) exploded relation under the shared whitespace
+    normalization (_NORM_SQL's Spark twin) — one definition for every
+    inverted-index consumer (search_inverted_index, BM25, RRF)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+
+
+def _term_postings(toks, terms):
+    """Query-term posting lists. The IN-list filter sits BELOW the first
+    aggregate so posting construction touches O(df(terms)) rows, never
+    the corpus — plan-pinned by
+    test_search_pushes_term_filter_into_postings (the consumers
+    localCheckpoint the result before their df-stats diamond, so the
+    shape is asserted here, on the construction plan itself)."""
+    return (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 @register(
     "search_inverted_index",
     oracle=rf"""
@@ -1291,17 +1324,11 @@ def search_inverted_index(spark, sf_dir):
     by term); this query IS its read path."""
     docs = load(spark, sf_dir, "documents")
     terms = ["spark", "merge"]
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
-        ).alias("tok"),
-    )
-    postings = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    postings = _term_postings(_norm_tokens(docs), terms)
+    # materialize before the df_stats diamond: the broadcast subplan
+    # otherwise re-runs the whole corpus tokenize; postings are
+    # query-term-sized
+    postings = postings.localCheckpoint(eager=True)
     df_stats = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     matched = (
@@ -2300,21 +2327,16 @@ def _bm25_matched(docs, terms):
     """(doc_id, score) BM25 relation shared by ``search_bm25_topk`` and
     the RRF fusion — same constants, same decimal quantize-then-sum
     determinism contract (see search_bm25_topk's docstring)."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
-        ).alias("tok"),
-    )
+    toks = _norm_tokens(docs)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.count()
     n_toks = toks.count()
     avgdl = float(n_toks) / n_docs
-    postings = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    postings = _term_postings(toks, terms)
+    # materialize before the dfs diamond: the broadcast subplan otherwise
+    # re-runs the whole corpus tokenize (same class as search_pdf_corpus,
+    # minus the codec); postings are query-term-sized
+    postings = postings.localCheckpoint(eager=True)
     dfs = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -4228,17 +4250,21 @@ def multimodal_phash_dedup(spark, sf_dir):
     imgs = M.synth_image_table(docs, "doc_id", pattern_col="p")
     media = M.to_media_table(imgs, "doc_id", "img", "image")
     hashed = M.perceptual_hash_batch(media)
-    clusters = hashed.groupBy("phash").agg(
-        F.min("media_id").alias("cluster_id"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
+    # window over the phash partition instead of groupBy + self-join:
+    # the join diamond evaluated the synth+decode+hash chain TWICE (two
+    # ArrowEvalPython nodes over the same scan — the §4.4-class
+    # duplication the registry plan gate now flags); min/count ride ONE
+    # phash exchange and the codec runs once.
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("phash")
+    cluster_id = F.min("media_id").over(wp)
     return (
-        hashed.join(clusters, "phash")
-        .select(
+        hashed.select(
             "media_id",
-            "cluster_id",
-            "n_members",
-            (F.col("media_id") == F.col("cluster_id")).alias("is_survivor"),
+            cluster_id.alias("cluster_id"),
+            F.count(F.lit(1)).over(wp).alias("n_members"),
+            (F.col("media_id") == cluster_id).alias("is_survivor"),
         )
         .orderBy("media_id")
     )

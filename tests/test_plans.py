@@ -312,13 +312,26 @@ def test_unpivot_is_mapside_expand(spark, registry):
 def test_search_pushes_term_filter_into_postings(spark, registry):
     """search_inverted_index must aggregate only query-term postings:
     the IN-list filter sits below the first aggregate, so posting
-    construction touches O(df(terms)) rows, not the corpus."""
-    plan = _plan(registry["search_inverted_index"].fn(spark, SF_SMOKE))
+    construction touches O(df(terms)) rows, not the corpus. The query
+    localCheckpoints the postings before its df-stats diamond (r12 —
+    the broadcast subplan otherwise re-ran the whole corpus tokenize),
+    so the construction shape is asserted on the shared helper and the
+    query plan is asserted to read the materialized relation."""
+    from crocus_spark.io import load
+    from crocus_spark.queries.llm import _norm_tokens, _term_postings
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(_term_postings(_norm_tokens(docs), ["spark", "merge"]))
     low = plan.lower()
     assert "spark" in low and "merge" in low  # the term literals
     # the filter must appear before (deeper than) any HashAggregate
     first_agg = low.index("hashaggregate")
     assert "filter" in low[first_agg:], "term filter missing below aggregate"
+    qplan = _plan(registry["search_inverted_index"].fn(spark, SF_SMOKE))
+    assert "ExistingRDD" in qplan, (
+        "query no longer reads the checkpointed postings — re-pin the "
+        "term-filter assertion on the full query plan"
+    )
 
 
 def test_null_safe_join_is_hash_join(spark, registry):
@@ -929,6 +942,125 @@ def test_registry_wide_no_row_at_a_time_python(registry, registry_plans):
     )
     gone = [n for n in ROW_PYTHON_ALLOWLIST if n not in registry]
     assert not gone, f"allowlisted queries no longer registered: {gone}"
+
+
+import re as _re
+
+# Queries allowed to evaluate the SAME Python UDF call in more than one
+# eval node of one plan — each entry must justify why the repeat is NOT
+# the §4.4 filter-pushdown duplication (i.e. the instances run over
+# genuinely different relations, not one lineage paying twice).
+DOUBLED_UDF_ALLOWLIST: dict[str, str] = {
+    "ann_lsh_topk": (
+        "signature UDF runs once over the probe slice (vec_id < 10) and "
+        "once over the corpus slice (vec_id >= 10) — two disjoint "
+        "filtered relations of one frame, each row hashed exactly once"
+    ),
+    "dq_ann_recall_probe": (
+        "cosine UDF scores the EXACT brute-force side and the approx "
+        "IVF serve side independently — recall is defined as their "
+        "comparison, so both evaluations are the computation itself"
+    ),
+    "dq_ann_recall_probe_pq": (
+        "same exact-vs-approx comparison as dq_ann_recall_probe with "
+        "the PQ serve side"
+    ),
+}
+
+
+def _doubled_python_udfs(plan: str) -> dict[str, int]:
+    """Python UDF calls evaluated by MORE than one eval node in one
+    physical plan. The optimizer's filter pushdown can duplicate a UDF
+    above and below a pushed filter (guide §4.4 — every row then pays
+    the UDF twice); `.asNondeterministic()` on the expensive UDF is the
+    fix. Counts normalized call signatures (expr-ids stripped) across
+    ArrowEvalPython / BatchEvalPython nodes. An executed AQE plan's
+    toString prints the SAME tree twice (Final + Initial plan) — count
+    only the final section or every UDF double-counts."""
+    plan = plan.split("== Initial Plan ==")[0]
+    calls: dict[str, int] = {}
+    for line in plan.splitlines():
+        stripped = _re.sub(r"^[\s+:|-]*", "", line)
+        if not stripped.startswith(
+            ("ArrowEvalPython", "BatchEvalPython")
+        ):
+            continue
+        # node text: ArrowEvalPython [f(col#1)#2, g(col#3)#4], [...], 200
+        m = _re.search(r"\[(.*?)\](?=,)", stripped)
+        if not m:
+            continue
+        # split the UDF list on TOP-LEVEL commas only (argument lists
+        # nest arbitrarily: encode(doc_id, (doc_id % 40)))
+        parts, depth, cur = [], 0, []
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+        parts.append("".join(cur))
+        for call in parts:
+            sig = _re.sub(r"#\d+", "", call).strip()
+            if sig:
+                calls[sig] = calls.get(sig, 0) + 1
+    return {sig: n for sig, n in calls.items() if n > 1}
+
+
+def test_registry_wide_no_doubled_python_udf(registry, registry_plans):
+    """No registered query's plan may evaluate the same Python UDF call
+    in two eval nodes (the §4.4 pushed-filter duplication — found by
+    hand twice in r11: corpus gram stats and the IVF best_cell).
+    Piggybacks on the shared plan walk; repeats over genuinely distinct
+    relations get pinned on DOUBLED_UDF_ALLOWLIST with a justification."""
+    offenders = {
+        name: dups
+        for name, plan in registry_plans.items()
+        if (dups := _doubled_python_udfs(plan))
+        and name not in DOUBLED_UDF_ALLOWLIST
+    }
+    assert not offenders, (
+        f"same Python UDF evaluated twice in one plan: {offenders} — "
+        "mark the UDF .asNondeterministic() (guide §4.4) or pin on "
+        "DOUBLED_UDF_ALLOWLIST with a distinct-relations justification"
+    )
+    gone = [n for n in DOUBLED_UDF_ALLOWLIST if n not in registry]
+    assert not gone, f"allowlisted queries no longer registered: {gone}"
+
+
+def test_doubled_udf_detector_catches_pushed_filter_duplication(spark):
+    """Deliberately build the §4.4 shape (filter on a deterministic
+    pandas-UDF column — the optimizer pushes the filter below the
+    projection and duplicates the UDF) and assert the detector flags
+    it; then assert .asNondeterministic() clears it — the detector must
+    stay sharp in both directions."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load
+
+    # no type hints: the module's future-annotations mode would defer
+    # them to strings pandas_udf cannot resolve from a local scope
+    _looks_long = F.pandas_udf(
+        lambda s: s.str.len() > 10, "boolean"
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    naive = docs.withColumn("longish", _looks_long("text")).filter(
+        "longish"
+    )
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert _doubled_python_udfs(plan), (
+        "detector failed to flag the pushed-filter UDF duplication"
+    )
+    fixed_udf = _looks_long.asNondeterministic()
+    fixed = docs.withColumn("longish", fixed_udf("text")).filter(
+        "longish"
+    )
+    plan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert not _doubled_python_udfs(plan), (
+        "detector flagged the single-evaluation (fixed) shape"
+    )
 
 
 def test_basket_fanout_exchanges_survive_aqe(spark, registry):
