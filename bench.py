@@ -63,6 +63,53 @@ def check_budgets(times: dict[str, float], sf: float) -> list[str]:
     )
 
 
+def _scaling_probe(spark, mult: int) -> float:
+    """Shuffle-heavy probe for the 8c-vs-32c scaling signal (r11 verdict
+    item 6: at sf0.1 every headline query is task-overhead-bound, so all
+    19 core-count ratios sat ≤1.07 and a parallelism regression would be
+    invisible). Multiplies lineitem ``mult``× row-wise (explode of a
+    sequence — recomputed from the parquet every run, nothing persisted)
+    and pushes the result through a near-unique-key hash aggregate: the
+    map side is CPU-bound (xxhash + decimal arithmetic) and the exchange
+    carries every row, so wall time tracks core count. Off by default
+    (``$SPARK_GRAFT_SCALING_PROBE`` unset): the driver's bench output is
+    byte-compatible round-over-round; when set, the probe time is
+    reported as a SEPARATE top-level key (same precedent as the IVF
+    refit keys), never added to ``value``/``queries``."""
+    from pyspark.sql import functions as F
+
+    from crocus_spark.io import load, spread
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    li = spread(li, spark, cols=("l_orderkey",))
+    big = li.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+    )
+    keyed = big.groupBy(
+        F.xxhash64("l_orderkey", "l_partkey", "rep").alias("k")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,6)"
+            )
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probe = keyed.groupBy(F.pmod("k", F.lit(1024)).alias("b")).agg(
+        F.sum("v").alias("v"), F.sum("n").alias("n")
+    )
+    _execute(probe)  # untimed warm-up (codegen/JIT)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _execute(probe)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     queries()  # populate REGISTRY
     heads = sorted(n for n, q in REGISTRY.items() if "headline" in q.tags)
@@ -121,26 +168,29 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = _sf_from_dir(SF_DIR)
+    probe_mult = int(os.environ.get("SPARK_GRAFT_SCALING_PROBE", "0"))
+    probe_sec = (
+        _scaling_probe(spark, probe_mult) if probe_mult > 0 else None
+    )
     violations = check_budgets(times, sf)
     if violations:
         print(
             f"BUDGET VIOLATIONS (over 1.5x BENCH_r03): {violations}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "ann_ivf_fit_and_probe_cold_sec": ivf_fit_and_probe,
-                "ann_ivf_full_refit_sec": ivf_full_refit,
-                "budget_violations": violations,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "ann_ivf_fit_and_probe_cold_sec": ivf_fit_and_probe,
+        "ann_ivf_full_refit_sec": ivf_full_refit,
+        "budget_violations": violations,
+        "sf": sf,
+    }
+    if probe_sec is not None:
+        out["scaling_probe"] = {"mult": probe_mult, "sec": probe_sec}
+    print(json.dumps(out))
     if violations and os.environ.get("SPARK_GRAFT_ENFORCE_BUDGETS") == "1":
         sys.exit(2)
 
