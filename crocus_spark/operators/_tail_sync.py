@@ -31,6 +31,31 @@ from __future__ import annotations
 import shutil
 
 
+def net_effects(batch_df, id_col: str, vec_col: str):
+    """Per-key NET effect of one CDC micro-batch — the latest
+    (_op, vec) by ``_version`` per id (an insert after a tombstone
+    survives; anything before one is absorbed) — materialized ONCE via
+    an eager ``localCheckpoint``. The batch relation is backed by the
+    Python tail source, so every downstream action would otherwise
+    re-read the whole feed and re-run this aggregate: the bootstrap
+    consumes it two-to-three times (model fit(s) + store build) and the
+    upsert paths three-to-four (cell discovery, semi-join, merge write).
+    The checkpoint is batch-sized (per-key net effects), paid once.
+    Returns ``(ups, dels)``."""
+    from pyspark.sql import functions as F
+
+    last = (
+        batch_df.groupBy(id_col)
+        .agg(F.max_by(F.struct("_op", vec_col), "_version").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    ups = last.filter(F.col("s._op") == "insert").select(
+        F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
+    )
+    dels = last.filter(F.col("s._op") != "insert").select(id_col)
+    return ups, dels
+
+
 _REWRITE_MARKERS = (
     "cannot represent a rewrite",
     "cannot represent a restore",

@@ -687,16 +687,13 @@ def hnsw_sync_from_tail(
 
     from pyspark.sql import functions as F
 
-    from crocus_spark.operators._tail_sync import run_tail_sync
+    from crocus_spark.operators._tail_sync import (
+        net_effects,
+        run_tail_sync,
+    )
 
     def apply(batch_df, _batch_id):
-        last = batch_df.groupBy(id_col).agg(
-            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
-        )
-        ups = last.filter(F.col("s._op") == "insert").select(
-            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
-        )
-        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        ups, dels = net_effects(batch_df, id_col, vec_col)
         bootstrapped = os.path.exists(
             os.path.join(index_path, "_graphs", "_SUCCESS")
         )

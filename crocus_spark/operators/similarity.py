@@ -1135,27 +1135,30 @@ def ivf_upsert_store(
         mat,
         normalize=True,
     ).drop("v")
+    # one eager materialization of the churn-sized encoded upserts: the
+    # relation feeds cell discovery, the merge anti-join probe and the
+    # union — without it the Arrow assign projection re-runs per action
+    up = up.localCheckpoint(eager=True)
     dels = delete_ids.select(
         F.col(id_col).alias("neighbor_id")
     ).distinct()
-    up_cells = {
-        int(r["cell"]) for r in up.select("cell").distinct().collect()
-    }
     back = spark.read.parquet(path)
     # affected = NEW cells of upserts ∪ CURRENT cells of every touched
     # id (deletes AND upserts): an UPDATE whose re-embedded vector
     # lands in a different frozen-centroid cell must rewrite its OLD
     # cell too, or the stale row survives there and the id serves from
-    # two cells (r10 ADVICE #2).
+    # two cells (r10 ADVICE #2). Both cell sets ride ONE union-distinct
+    # job (bounded ≤ 2·n_cells rows) — they were two separate collects.
     touched = dels.unionByName(up.select("neighbor_id")).distinct()
-    old_cells = {
+    affected = sorted(
         int(r["cell"])
-        for r in back.join(touched, "neighbor_id", "left_semi")
-        .select("cell")
+        for r in up.select("cell")
+        .unionByName(
+            back.join(touched, "neighbor_id", "left_semi").select("cell")
+        )
         .distinct()
         .collect()
-    }
-    affected = sorted(up_cells | old_cells)
+    )
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))
@@ -1210,16 +1213,13 @@ def ivf_sync_from_tail(
     the current snapshot; see :mod:`crocus_spark.operators._tail_sync`."""
     import os as _os
 
-    from crocus_spark.operators._tail_sync import run_tail_sync
+    from crocus_spark.operators._tail_sync import (
+        net_effects,
+        run_tail_sync,
+    )
 
     def apply(batch_df, _batch_id):
-        last = batch_df.groupBy(id_col).agg(
-            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
-        )
-        ups = last.filter(F.col("s._op") == "insert").select(
-            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
-        )
-        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        ups, dels = net_effects(batch_df, id_col, vec_col)
         if not _os.path.exists(_os.path.join(index_path, "_model.json")):
             model = collect_centroid_model(
                 ivf_fit_centroids(
@@ -1377,22 +1377,26 @@ def pq_upsert_store(
     import shutil as _shutil
 
     cb = codebook if codebook is not None else pq_model_load(path)
-    up = _pq_encoded(upserts, cb, n_cells, id_col, vec_col)
+    # churn-sized; materialized once — feeds cell discovery, the merge
+    # probe and the union (the PQ encode would otherwise run per action)
+    up = _pq_encoded(upserts, cb, n_cells, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     dels = delete_ids.select(
         F.col(id_col).alias("neighbor_id")
     ).distinct()
-    up_cells = {
-        int(r["cell"]) for r in up.select("cell").distinct().collect()
-    }
     back = spark.read.parquet(path)
-    del_cells = {
+    # hash cells never move on update, so affected = hash cells of
+    # upserts ∪ current cells of deleted ids — ONE union-distinct job
+    affected = sorted(
         int(r["cell"])
-        for r in back.join(dels, "neighbor_id", "left_semi")
-        .select("cell")
+        for r in up.select("cell")
+        .unionByName(
+            back.join(dels, "neighbor_id", "left_semi").select("cell")
+        )
         .distinct()
         .collect()
-    }
-    affected = sorted(up_cells | del_cells)
+    )
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))
@@ -1533,16 +1537,13 @@ def pq_sync_from_tail(
     as in :mod:`crocus_spark.operators._tail_sync`."""
     import os as _os
 
-    from crocus_spark.operators._tail_sync import run_tail_sync
+    from crocus_spark.operators._tail_sync import (
+        net_effects,
+        run_tail_sync,
+    )
 
     def apply(batch_df, _batch_id):
-        last = batch_df.groupBy(id_col).agg(
-            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
-        )
-        ups = last.filter(F.col("s._op") == "insert").select(
-            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
-        )
-        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        ups, dels = net_effects(batch_df, id_col, vec_col)
         if not _os.path.exists(_os.path.join(index_path, "_model.json")):
             cb = pq_fit_codebook(
                 ups, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
@@ -1829,26 +1830,29 @@ def ivfpq_upsert_store(
     import shutil as _shutil
 
     (cells, mat), cb = ivfpq_model_load(path)
-    up = _ivfpq_encoded(upserts, cells, mat, cb, id_col, vec_col)
+    # churn-sized; materialized once — the double-encode (coarse assign
+    # + PQ codes) would otherwise re-run for every downstream action
+    up = _ivfpq_encoded(
+        upserts, cells, mat, cb, id_col, vec_col
+    ).localCheckpoint(eager=True)
     dels = delete_ids.select(
         F.col(id_col).alias("neighbor_id")
     ).distinct()
-    up_cells = {
-        int(r["cell"]) for r in up.select("cell").distinct().collect()
-    }
     back = spark.read.parquet(path)
     # affected must include the CURRENT cells of upserted ids too — an
     # UPDATE that moves an id to a different frozen-centroid cell has
     # to rewrite (and anti-join out of) its old cell (r10 ADVICE #2).
+    # Both cell sets ride ONE union-distinct job (bounded ≤ 2·n_cells).
     touched = dels.unionByName(up.select("neighbor_id")).distinct()
-    old_cells = {
+    affected = sorted(
         int(r["cell"])
-        for r in back.join(touched, "neighbor_id", "left_semi")
-        .select("cell")
+        for r in up.select("cell")
+        .unionByName(
+            back.join(touched, "neighbor_id", "left_semi").select("cell")
+        )
         .distinct()
         .collect()
-    }
-    affected = sorted(up_cells | old_cells)
+    )
     if not affected:
         return []
     sub = back.filter(F.col("cell").isin(affected))
@@ -1898,16 +1902,13 @@ def ivfpq_sync_from_tail(
     ``{index_path}_ckpt``; ``on_rewrite`` as in operators/_tail_sync."""
     import os as _os
 
-    from crocus_spark.operators._tail_sync import run_tail_sync
+    from crocus_spark.operators._tail_sync import (
+        net_effects,
+        run_tail_sync,
+    )
 
     def apply(batch_df, _batch_id):
-        last = batch_df.groupBy(id_col).agg(
-            F.max_by(F.struct("_op", vec_col), "_version").alias("s")
-        )
-        ups = last.filter(F.col("s._op") == "insert").select(
-            F.col(id_col), F.col(f"s.{vec_col}").alias(vec_col)
-        )
-        dels = last.filter(F.col("s._op") != "insert").select(id_col)
+        ups, dels = net_effects(batch_df, id_col, vec_col)
         if not _os.path.exists(_os.path.join(index_path, "_pq_model.json")):
             model = collect_centroid_model(
                 ivf_fit_centroids(

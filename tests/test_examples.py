@@ -5,6 +5,8 @@ plain user script."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -41,6 +43,7 @@ def test_confront_example_runs_green(spark):
     assert rep[("ishares", "bond")].avg_ter_pct == 0.2
 
 
+@pytest.mark.slow  # full example-script integration replay (~17 s); round8 steps test keeps the fast-lane example pin
 def test_lakehouse_store_example_runs_green(spark, tmp_path):
     """The snapshot-store lifecycle example (commit -> evolve -> prune
     -> erase -> WAP -> compact -> expire) runs green as a plain user
@@ -79,6 +82,7 @@ def test_lakehouse_example_round8_steps(spark, tmp_path):
     assert out["feed_rows_after_vacuum"] == 700
 
 
+@pytest.mark.slow  # checkpoint-folding integration replay (~13 s)
 def test_lakehouse_example_round10_checkpoints(spark, tmp_path):
     """The appended round-10 step: pushing the feed log past a fold
     point writes a manifest-log checkpoint, and TIMESTAMP AS OF

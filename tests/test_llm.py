@@ -54,6 +54,7 @@ def test_minhash_recall_at_high_similarity(docs):
     assert recall >= 0.95, f"recall {recall:.3f}"
 
 
+@pytest.mark.slow  # seeded-replay fuzz: determinism re-checked by test_minhash_pairs_subset_of_exact
 def test_minhash_determinism(docs):
     """Seeded permutations: two runs give identical pair sets."""
     assert _pair_set(D.minhash_lsh_pairs(docs)) == _pair_set(
@@ -108,6 +109,7 @@ def test_simhash_pairs_symmetric_and_deterministic(docs):
     assert _pair_set(p1) == _pair_set(D.simhash_pairs(docs, max_hamming=3))
 
 
+@pytest.mark.slow  # property fuzz over a synthesized dup corpus (~11 s)
 def test_simhash_exact_dups_have_zero_hamming(docs, spark):
     """Two docs with identical normalized text must get identical
     fingerprints (hamming 0) — pigeonhole blocking can't miss them."""
@@ -648,6 +650,7 @@ def test_hnsw_upsert_empties_a_shard_cleanly(emb, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.slow  # 3-policy rewrite/restart matrix, ~25 s of stream drains
 def test_tail_sync_on_rewrite_policies(emb, tmp_path):
     """A compaction on the source table breaks an index-sync stream
     PERMANENTLY under the default policy (the checkpointed offset sits

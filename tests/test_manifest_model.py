@@ -135,7 +135,14 @@ def _run_sequence(spark, root: str, rng: random.Random):
     return history, had_restore
 
 
-@pytest.mark.parametrize("seed", range(6))
+# seed 0 stays in the default (fast) run as the model-replay smoke; the
+# other five seeds re-run the same machinery with different randomness
+# and ride the `slow` lane (~14 s each — the r11 driver's verify window
+# could not fit the full suite)
+@pytest.mark.parametrize(
+    "seed",
+    [0] + [pytest.param(s, marks=pytest.mark.slow) for s in range(1, 6)],
+)
 def test_random_lifecycle_matches_model(spark, seed):
     rng = random.Random(seed)
     root = tempfile.mkdtemp(prefix=f"model_store_{seed}_")

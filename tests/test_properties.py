@@ -4,6 +4,8 @@ test_scale.py, dedup idempotence in test_llm.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE, SF_SMOKE
@@ -298,6 +300,7 @@ def test_calibration_bins_partition_the_corpus(spark):
         assert lo - 1e-6 <= r.mean_score <= hi + 1e-6, r
 
 
+@pytest.mark.slow  # edge-input property sweep across every dedup operator (~13 s)
 def test_dedup_operators_handle_empty_and_singleton_input(spark):
     """Degenerate inputs — empty corpus and a single document — must flow
     through the dedup family without error: no pairs, one self-cluster.
@@ -427,6 +430,7 @@ def test_k_core_invariant_every_member_has_k_core_neighbors(spark):
         assert degrees[node] == len(in_core)
 
 
+@pytest.mark.slow  # dual-path property fuzz (~9 s); generic path covered by test_connected_components_fractional_ids
 def test_connected_components_numeric_and_generic_paths_agree(spark):
     """The numeric fast path (self-loop fold + decimal checksum
     convergence) and the generic orderable-id path (changed-rows check)
