@@ -207,6 +207,36 @@ def _prewarm_python_datasource(spark) -> None:
                 )
             finally:
                 shutil.rmtree(out, ignore_errors=True)
+            # The avro source/sink pair has its own first-use cost the
+            # catalog warm does not cover (~1.5 s measured: OCF codec
+            # import + plan-time header read machinery) and it was the
+            # most expensive untouched io query two sweeps running —
+            # round-trip one row through it here so the first real avro
+            # query starts warm.
+            from crocus_spark.sources import (
+                register_avro_sink,
+                register_avro_source,
+            )
+
+            register_avro_sink(spark)
+            register_avro_source(spark)
+            out = tempfile.mkdtemp(prefix="crocus_spark_warm_avro_")
+            try:
+                (
+                    spark.range(0, 1, 1, 1)
+                    .write.format("crocus_avro_sink")
+                    .option("path", out)
+                    .mode("append")
+                    .save()
+                )
+                (
+                    spark.read.format("crocus_avro")
+                    .option("path", out)
+                    .load()
+                    .count()
+                )
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
         except Exception:
             pass  # pre-warm is best-effort by design
 
